@@ -1,0 +1,68 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The reference creates sessions ad-hoc with static tuning
+(``src/spark/preprocessing.py:17-25``: driver 8g, 200 shuffle partitions;
+``scripts/create_cluster.sh:40-42``: AQE + Kryo on Dataproc only).  We make
+the scale-friendly configuration the default everywhere:
+
+- AQE on (dynamic partition coalescing, skew-join splitting) — at 100 TB a
+  static ``shuffle.partitions`` is always wrong for some stage; AQE
+  right-sizes post-shuffle partitions from runtime statistics.
+- Arrow on for every pandas interchange (vectorized, zero row-at-a-time).
+- Kryo serializer.
+- UTC session timezone so timestamp semantics are engine-independent
+  (the reference's string-vs-timestamp trap, SURVEY §1.4).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Tuned for the local[32] test harness; on a real cluster these are set by
+# the submitter (spark-submit --conf) and AQE re-plans at runtime anyway.
+_DEFAULTS: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+    "spark.sql.session.timeZone": "UTC",
+    # 128 MiB input splits (default) are right for large parquet; make the
+    # shuffle side explicit and AQE-coalescible.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.ui.enabled": "false",
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+}
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "big-data-analytics-project-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or get) a SparkSession with the engine's defaults applied."""
+    master = master or os.environ.get("SPARK_MASTER", f"local[{default_parallelism()}]")
+    builder = SparkSession.builder.appName(app_name).master(master)
+    conf = dict(_DEFAULTS)
+    conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions or default_parallelism())
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def tune_for_oracle(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable confs needed for deterministic cross-engine
+    comparison to an externally-provided session (the driver owns the
+    session passed to ``__spark_entry__.queries()``)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark

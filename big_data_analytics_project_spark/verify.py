@@ -1,0 +1,144 @@
+"""Local differential verifier — emulates the driver's DuckDB-oracle check.
+
+Runs a registered query on Spark and its oracle SQL on DuckDB (tables
+pre-registered as views over the same parquet), then compares:
+row count, column names, and order-insensitive values (exact by default,
+since the driver hashes values; a tolerance report is included for
+diagnosis).  Used by tests and by ``python -m big_data_analytics_project_spark.verify``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+
+from .schemas import FIXTURE_TABLES
+
+TABLES = list(FIXTURE_TABLES)
+
+
+def duck_connect(sf_dir: str):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Canonical form: columns sorted by name, rows sorted by all columns."""
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if isinstance(df[c].dtype, pd.DatetimeTZDtype):
+            df[c] = df[c].dt.tz_convert("UTC").dt.tz_localize(None)
+        # normalize nullable/arrow-backed ints etc. to plain numpy where possible
+        if df[c].dtype == object:
+            df[c] = df[c].map(lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v)
+    if len(df):
+        df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+@dataclass
+class CompareReport:
+    name: str
+    rows_spark: int
+    rows_oracle: int
+    columns_match: bool
+    exact_match: bool
+    approx_match: bool
+    detail: str = ""
+
+    @property
+    def ok(self) -> bool:
+        return (
+            self.rows_spark == self.rows_oracle and self.columns_match and self.exact_match
+        )
+
+
+def compare_frames(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> CompareReport:
+    cols_match = sorted(sdf.columns) == sorted(odf.columns)
+    if not cols_match or len(sdf) != len(odf):
+        return CompareReport(
+            name, len(sdf), len(odf), cols_match, False, False,
+            f"spark cols={sorted(sdf.columns)} oracle cols={sorted(odf.columns)}",
+        )
+    a, b = _canon(sdf), _canon(odf)
+    exact = True
+    approx = True
+    detail = []
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        try:
+            col_exact = bool(av.equals(bv)) or bool(
+                np.array_equal(av.to_numpy(), bv.to_numpy())
+            )
+        except Exception:
+            col_exact = False
+        if not col_exact:
+            exact = False
+            try:
+                close = np.allclose(
+                    av.astype(float).to_numpy(),
+                    bv.astype(float).to_numpy(),
+                    rtol=1e-9,
+                    atol=1e-9,
+                    equal_nan=True,
+                )
+            except (TypeError, ValueError):
+                close = False
+            if close:
+                detail.append(f"{c}: approx-only (float drift)")
+            else:
+                approx = False
+                mism = (av.astype(str) != bv.astype(str)).to_numpy().nonzero()[0][:3]
+                for i in mism:
+                    detail.append(f"{c}[{i}]: spark={av.iloc[i]!r} oracle={bv.iloc[i]!r}")
+    return CompareReport(name, len(a), len(b), True, exact, exact or approx, "; ".join(detail))
+
+
+def run_one(spark, con, spec, sf_dir: str) -> CompareReport:
+    sdf = spec.fn(spark, sf_dir).toPandas()
+    if spec.sql is None:
+        return CompareReport(spec.name, len(sdf), len(sdf), True, True, True, "rows-only")
+    odf = con.execute(spec.sql).fetchdf()
+    return compare_frames(spec.name, sdf, odf)
+
+
+def main(sf_dir: str = "/root/testdata/sf0.01", names: list[str] | None = None) -> int:
+    from .registry import load_all
+    from .session import get_spark
+
+    registry = load_all()
+    spark = get_spark("verify")
+    con = duck_connect(sf_dir)
+    failures = 0
+    for name, spec in sorted(registry.items()):
+        if names and name not in names:
+            continue
+        try:
+            rep = run_one(spark, con, spec, sf_dir)
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: EXCEPTION {type(e).__name__}: {e}")
+            failures += 1
+            continue
+        status = "ok   " if rep.ok else ("approx" if rep.approx_match else "FAIL ")
+        if not rep.ok:
+            failures += 1
+        print(
+            f"{status} {name}: rows {rep.rows_spark}/{rep.rows_oracle}"
+            + (f" | {rep.detail}" if rep.detail else "")
+        )
+    return failures
+
+
+if __name__ == "__main__":
+    import sys
+
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    raise SystemExit(main(sf, sys.argv[2:] or None))
