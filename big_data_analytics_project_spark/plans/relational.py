@@ -1,1 +1,901 @@
-"""(placeholder — populated in later stages)"""
+"""Relational operator inventory (SURVEY §2.2-§2.7), oracle-checked.
+
+One named query per operator family over the TPC-H-ish fixture tables,
+generalizing the reference's P/J/A/W/X/O operators (file:line citations on
+each query).  Determinism rules from ``registry.py`` apply: BIGINT casts,
+exact decimal sums divided in double, unique tie-breakers on every ordering.
+
+Scale notes are inline: every query is shaped so Catalyst produces the plan
+we'd want at 100 TB (broadcast dims, partial aggregation, single shuffle per
+logical key, pushed filters).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..registry import query
+from ..sources import read_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_table(spark, sf_dir, name)
+
+
+def dsum(col: str, alias: str, scale: str = "decimal(18,2)"):
+    """Exact decimal sum emitted as double — bit-reproducible vs DuckDB."""
+    return F.sum(F.col(col).cast(scale)).cast("double").alias(alias)
+
+
+def davg(col: str, alias: str, scale: str = "decimal(18,2)"):
+    """Exact decimal sum ÷ count in double — reproducible mean."""
+    return (F.sum(F.col(col).cast(scale)).cast("double") / F.count(col)).alias(alias)
+
+
+# ---------------------------------------------------------------------------
+# P-family: projection / filter / scalar expressions
+# (reference P1-P15, src/spark/preprocessing.py:51-61, stream_processor.py:144-151)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "proj_filter_revenue",
+    sql="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS revenue,
+           CAST(l_quantity >= 25 AS BIGINT) AS bulk_flag
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND l_discount > 0.03
+    """,
+    tags=("projection", "filter"),
+)
+def proj_filter_revenue(spark, sf_dir):
+    """P1/P3/P6/P14: pushed-down range+value filter, computed column,
+    boolean→int projection.  Filters and the 4-column projection reach the
+    parquet scan (PushedFilters + pruned ReadSchema)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") > 0.03)
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            (F.col("l_quantity") >= 25).cast("long").alias("bulk_flag"),
+        )
+    )
+
+
+@query(
+    "case_when_bucketing",
+    sql="""
+    SELECT event_type,
+           CASE WHEN value >= 150 THEN 'high'
+                WHEN value >= 50  THEN 'mid'
+                ELSE 'low' END AS value_band,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY event_type, CASE WHEN value >= 150 THEN 'high'
+                              WHEN value >= 50 THEN 'mid' ELSE 'low' END
+    """,
+    tags=("case_when", "agg"),
+)
+def case_when_bucketing(spark, sf_dir):
+    """P4 (when/otherwise, reference preprocessing.py:84-89) as a grouping
+    expression + conditional measures."""
+    ev = _t(spark, sf_dir, "events")
+    band = (
+        F.when(F.col("value") >= 150, "high")
+        .when(F.col("value") >= 50, "mid")
+        .otherwise("low")
+        .alias("value_band")
+    )
+    return ev.groupBy("event_type", band).agg(
+        F.count("*").alias("n"), dsum("value", "total_value")
+    )
+
+
+@query(
+    "null_impute_coalesce",
+    sql="""
+    SELECT e.event_id,
+           COALESCE(e.event_type, 'unknown') AS event_type_filled,
+           COALESCE(e.value, 0.0) AS value_filled,
+           CAST(e.value IS NULL AS BIGINT) AS value_was_null
+    FROM events e
+    WHERE e.event_id < 500
+    """,
+    tags=("null_handling",),
+)
+def null_impute_coalesce(spark, sf_dir):
+    """P5/P9: null predicates + per-column imputation
+    (reference preprocessing.py:33,102 — fillna to 'unknown'/0)."""
+    ev = _t(spark, sf_dir, "events").where(F.col("event_id") < 500)
+    return ev.select(
+        "event_id",
+        F.coalesce("event_type", F.lit("unknown")).alias("event_type_filled"),
+        F.coalesce("value", F.lit(0.0)).alias("value_filled"),
+        F.col("value").isNull().cast("long").alias("value_was_null"),
+    )
+
+
+@query(
+    "json_extract_agg",
+    sql="""
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 AS k_bucket,
+           count(*) AS n,
+           count(DISTINCT user_id) AS n_users,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value) AS avg_value
+    FROM events
+    GROUP BY 1
+    """,
+    tags=("json", "agg"),
+)
+def json_extract_agg(spark, sf_dir):
+    """P11 (from_json, reference stream_processor.py:146) generalized to
+    get_json_object over events.props; stays JVM-side (no UDF)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.groupBy(F.floor(k / 10).cast("long").alias("k_bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+            davg("value", "avg_value"),
+        )
+    )
+
+
+@query(
+    "date_parts_agg",
+    sql="""
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           CAST(quarter(o_orderdate) AS BIGINT) AS o_quarter,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY 1, 2
+    """,
+    tags=("datetime", "agg"),
+)
+def date_parts_agg(spark, sf_dir):
+    """P12/P13 datetime family (reference to_timestamp at
+    stream_processor.py:148-151; epoch arithmetic preprocessing.py:92)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            F.quarter("o_orderdate").cast("long").alias("o_quarter"),
+        )
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice", "total_price"))
+    )
+
+
+@query(
+    "string_funcs",
+    sql="""
+    SELECT p_partkey,
+           lower(p_name) AS name_lower,
+           CAST(length(p_name) AS BIGINT) AS name_len,
+           upper(p_brand) AS brand_upper,
+           substring(p_type, 1, 5) AS type_prefix,
+           split_part(p_name, ' ', 1) AS first_word,
+           p_brand || '#' || p_type AS brand_type
+    FROM part
+    """,
+    tags=("string",),
+)
+def string_funcs(spark, sf_dir):
+    """String scalar family (absent in the reference — SURVEY §2.2 notes our
+    engine adds lower/split/substr for the documents/text path)."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lower("p_name").alias("name_lower"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.upper("p_brand").alias("brand_upper"),
+        F.substring("p_type", 1, 5).alias("type_prefix"),
+        F.split(F.col("p_name"), " ").getItem(0).alias("first_word"),
+        F.concat_ws("#", "p_brand", "p_type").alias("brand_type"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J-family: joins (reference J1/J2 generalized per SURVEY §2.3)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_multiway_revenue",
+    sql="""
+    SELECT r.r_name, n.n_name,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+    tags=("join", "agg"),
+)
+def join_multiway_revenue(spark, sf_dir):
+    """Multi-table equi-join (TPC-H Q5 shape).  customer/nation/region are
+    dimension-sized → explicit broadcast hints keep the big side shuffle-free;
+    only the final groupBy exchanges data."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice", "revenue"))
+    )
+
+
+@query(
+    "join_broadcast_part",
+    sql="""
+    SELECT p.p_brand,
+           count(*) AS n_lines,
+           CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+    tags=("join", "broadcast"),
+)
+def join_broadcast_part(spark, sf_dir):
+    """Fact⋈dim broadcast-hash join: at 100 TB the part dim stays far under
+    the broadcast threshold per brand rollup; zero shuffle on lineitem until
+    the (tiny) final aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n_lines"), dsum("l_quantity", "sum_qty"))
+    )
+
+
+@query(
+    "join_left_order_items",
+    sql="""
+    SELECT o.o_orderkey,
+           CAST(COALESCE(cnt.n_items, 0) AS BIGINT) AS n_items,
+           CAST(COALESCE(cnt.sum_qty, 0.0) AS DOUBLE) AS sum_qty
+    FROM orders o
+    LEFT JOIN (
+      SELECT l_orderkey, count(*) AS n_items,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+    ) cnt ON o.o_orderkey = cnt.l_orderkey
+    """,
+    tags=("join", "left"),
+)
+def join_left_order_items(spark, sf_dir):
+    """Left equi-join against a pre-aggregated child (reference J1 shape,
+    pandas_baseline.py:63-68) — aggregate-then-join, preserving unmatched
+    parents as zeros."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cnt = li.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_items"), dsum("l_quantity", "sum_qty")
+    )
+    return o.join(cnt, o.o_orderkey == cnt.l_orderkey, "left").select(
+        "o_orderkey",
+        F.coalesce("n_items", F.lit(0)).cast("long").alias("n_items"),
+        F.coalesce("sum_qty", F.lit(0.0)).cast("double").alias("sum_qty"),
+    )
+
+
+@query(
+    "join_semi_active_customers",
+    sql="""
+    SELECT c.c_custkey, c.c_name, c.c_mktsegment
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+    """,
+    tags=("join", "semi"),
+)
+def join_semi_active_customers(spark, sf_dir):
+    """LEFT SEMI join — existence check without row multiplication."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@query(
+    "join_anti_inactive_customers",
+    sql="""
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+    """,
+    tags=("join", "anti"),
+)
+def join_anti_inactive_customers(spark, sf_dir):
+    """LEFT ANTI join — customers with no pending ('P') orders."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "P")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+# ---------------------------------------------------------------------------
+# A-family: aggregation (reference A1-A12, preprocessing.py:81-100)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_pricing_summary",
+    sql="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(12,2)))
+                    * (1 + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(l_quantity) AS avg_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(l_extendedprice) AS avg_price,
+           CAST(sum(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / count(l_discount) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("agg", "tpch_q1"),
+)
+def agg_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-shaped multi-measure hash aggregate (reference A1's shape,
+    preprocessing.py:81-100): map-side partial agg → single exchange on the
+    2-column grouping key → final agg.  All sums exact decimal."""
+    li = _t(spark, sf_dir, "lineitem")
+    d = lambda c: F.col(c).cast("decimal(12,2)")  # noqa: E731
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(d("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(d("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(d("l_extendedprice") * (F.lit(1) - d("l_discount")))
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.sum(
+                d("l_extendedprice")
+                * (F.lit(1) - d("l_discount"))
+                * (F.lit(1) + d("l_tax"))
+            )
+            .cast("double")
+            .alias("sum_charge"),
+            (F.sum(d("l_quantity")).cast("double") / F.count("l_quantity")).alias("avg_qty"),
+            (F.sum(d("l_extendedprice")).cast("double") / F.count("l_extendedprice")).alias(
+                "avg_price"
+            ),
+            (F.sum(d("l_discount")).cast("double") / F.count("l_discount")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "agg_distinct_exact",
+    sql="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(DISTINCT l_suppkey) AS n_supps,
+           count(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "distinct"),
+)
+def agg_distinct_exact(spark, sf_dir):
+    """A5 exact distinct counts (reference countDistinct preprocessing.py:99)
+    — two distinct measures + a plain count in one aggregate (Catalyst
+    expands to a single multi-distinct plan)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@query("agg_approx_distinct", sql=None, tags=("agg", "approx"))
+def agg_approx_distinct(spark, sf_dir):
+    """A5 scale path: HyperLogLog++ distinct (the streaming-safe form the
+    reference should have used — SURVEY §2.8 trap).  Approximate → rows-only
+    check; the companion test asserts relative error vs exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+
+
+@query(
+    "agg_rollup_orders",
+    sql="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(grouping(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+           count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    tags=("agg", "rollup"),
+)
+def agg_rollup_orders(spark, sf_dir):
+    """Hierarchical subtotals via ROLLUP (SURVEY §2.4: cheap built-in
+    extension beyond the reference's plain groupBy)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.grouping_id().cast("long").alias("gid"),
+        F.count("*").alias("n"),
+        dsum("o_totalprice", "total"),
+    )
+
+
+@query(
+    "agg_cube_customer",
+    sql="""
+    SELECT c_mktsegment, c_nationkey,
+           CAST(grouping(c_mktsegment, c_nationkey) AS BIGINT) AS gid,
+           count(*) AS n,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
+    FROM customer
+    GROUP BY CUBE (c_mktsegment, c_nationkey)
+    """,
+    tags=("agg", "cube"),
+)
+def agg_cube_customer(spark, sf_dir):
+    """CUBE over two dimensions with grouping id."""
+    c = _t(spark, sf_dir, "customer")
+    return c.cube("c_mktsegment", "c_nationkey").agg(
+        F.grouping_id().cast("long").alias("gid"),
+        F.count("*").alias("n"),
+        dsum("c_acctbal", "bal"),
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    sql="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    tags=("agg", "grouping_sets"),
+)
+def agg_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS via Spark SQL over a temp view."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        FROM gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@query(
+    "agg_stats_summary",
+    sql="""
+    SELECT c_mktsegment,
+           count(*) AS n,
+           round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(c_acctbal), 4) AS mean_bal,
+           round(stddev_samp(c_acctbal), 4) AS sd_bal,
+           round(var_samp(c_acctbal), 4) AS var_bal,
+           min(c_acctbal) AS min_bal,
+           max(c_acctbal) AS max_bal
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+    tags=("agg", "stats"),
+)
+def agg_stats_summary(spark, sf_dir):
+    """A8 describe()-style summary statistics, in-plan (reference
+    eda.ipynb cell 0).  Low group cardinality → rounded stddev/variance is
+    safe; mean stays exact-decimal."""
+    c = _t(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"),
+        F.round(
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+            / F.count("c_acctbal"),
+            4,
+        ).alias("mean_bal"),
+        F.round(F.stddev_samp("c_acctbal"), 4).alias("sd_bal"),
+        F.round(F.var_samp("c_acctbal"), 4).alias("var_bal"),
+        F.min("c_acctbal").alias("min_bal"),
+        F.max("c_acctbal").alias("max_bal"),
+    )
+
+
+@query(
+    "agg_null_audit",
+    sql="""
+    SELECT count(CASE WHEN event_id IS NULL THEN 1 END) AS null_event_id,
+           count(CASE WHEN ts IS NULL THEN 1 END) AS null_ts,
+           count(CASE WHEN user_id IS NULL THEN 1 END) AS null_user_id,
+           count(CASE WHEN event_type IS NULL THEN 1 END) AS null_event_type,
+           count(CASE WHEN value IS NULL THEN 1 END) AS null_value,
+           count(CASE WHEN props IS NULL THEN 1 END) AS null_props,
+           count(*) AS n_rows
+    FROM events
+    """,
+    tags=("agg", "null_audit"),
+)
+def agg_null_audit(spark, sf_dir):
+    """A9 per-column null audit (reference eda.ipynb cell 0 pattern) — one
+    pass, list-comprehension of conditional counts."""
+    ev = _t(spark, sf_dir, "events")
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    audit = [
+        F.count(F.when(F.col(c).isNull(), 1)).alias(f"null_{c}") for c in cols
+    ]
+    return ev.agg(*audit, F.count("*").alias("n_rows"))
+
+
+@query(
+    "agg_funnel_share",
+    sql="""
+    SELECT event_type,
+           count(*) AS n,
+           count(DISTINCT user_id) AS n_users,
+           CAST(count(*) AS DOUBLE) / sum(count(*)) OVER () AS share
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("agg", "window"),
+)
+def agg_funnel_share(spark, sf_dir):
+    """A7/A12 group-count + in-plan share-of-total (the reference computes
+    the conversion % driver-side, stream_processor.py:239-246 — we keep it
+    in the plan via a window over the aggregate)."""
+    ev = _t(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.countDistinct("user_id").alias("n_users")
+    )
+    return agg.select(
+        "event_type",
+        "n",
+        "n_users",
+        (F.col("n").cast("double") / F.sum("n").over(Window.partitionBy())).alias(
+            "share"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W-family: window functions (reference W1 generalized per SURVEY §2.5)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_rank_topn_per_group",
+    sql="""
+    SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders)
+    WHERE rn <= 3
+    """,
+    tags=("window", "rank"),
+)
+def window_rank_topn_per_group(spark, sf_dir):
+    """Top-N per group via row_number (deterministic: unique o_orderkey
+    tie-break).  At scale this is the single-shuffle idiom for per-key
+    top-k — no self-join."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).cast("long").alias("rn"),
+        )
+        .where(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "window_rank_dense_rank",
+    sql="""
+    SELECT o_custkey, o_orderkey,
+           CAST(rank()       OVER (PARTITION BY o_custkey ORDER BY o_orderstatus, o_orderkey) AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderstatus, o_orderkey) AS BIGINT) AS drnk
+    FROM orders
+    """,
+    tags=("window", "rank"),
+)
+def window_rank_dense_rank(spark, sf_dir):
+    """rank + dense_rank with a deterministic compound ordering."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderstatus", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+    )
+
+
+@query(
+    "window_lag_lead",
+    sql="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           lag(o_totalprice)  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price,
+           lead(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_price
+    FROM orders
+    """,
+    tags=("window", "lag_lead"),
+)
+def window_lag_lead(spark, sf_dir):
+    """lag/lead across each customer's order sequence."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+    )
+
+
+@query(
+    "window_running_total",
+    sql="""
+    SELECT o_custkey, o_orderkey,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+           CAST(count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS order_seq
+    FROM orders
+    """,
+    tags=("window", "frame"),
+)
+def window_running_total(spark, sf_dir):
+    """Explicit ROWS frame: cumulative decimal-exact revenue per customer."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("running_total"),
+        F.count("*").over(w).cast("long").alias("order_seq"),
+    )
+
+
+@query(
+    "window_range_frame",
+    sql="""
+    SELECT o_orderkey, o_totalprice,
+           CAST(count(*) OVER (ORDER BY o_totalprice
+                RANGE BETWEEN 100 PRECEDING AND 100 FOLLOWING) AS BIGINT) AS n_within_100
+    FROM orders
+    """,
+    tags=("window", "range_frame"),
+)
+def window_range_frame(spark, sf_dir):
+    """RANGE frame over a numeric ordering — peers counted by value
+    distance, not row position."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice").rangeBetween(-100, 100)
+    return o.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.count("*").over(w).cast("long").alias("n_within_100"),
+    )
+
+
+@query(
+    "window_distribution",
+    sql="""
+    SELECT c_custkey,
+           CAST(ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS BIGINT) AS quartile,
+           percent_rank() OVER (ORDER BY c_acctbal, c_custkey) AS pct_rank,
+           cume_dist() OVER (ORDER BY c_acctbal, c_custkey) AS cum_dist
+    FROM customer
+    """,
+    tags=("window", "distribution"),
+)
+def window_distribution(spark, sf_dir):
+    """ntile / percent_rank / cume_dist over a unique total ordering."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cum_dist"),
+    )
+
+
+@query(
+    "window_first_last",
+    sql="""
+    SELECT o_custkey, o_orderkey,
+           first_value(o_orderkey) OVER w AS first_order,
+           last_value(o_orderkey)  OVER w AS last_order
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    tags=("window", "first_last"),
+)
+def window_first_last(spark, sf_dir):
+    """first_value/last_value with a full-partition frame (the reference's
+    W1 'broadcast an aggregate onto every row' idiom, preprocessing.py:49-56)."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(w).alias("last_order"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X-family: sampling / set ops / splits (reference X1-X5, train_intent.py:60-91)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "set_union_all",
+    sql="""
+    SELECT c_custkey, 'building' AS src FROM customer WHERE c_mktsegment = 'BUILDING'
+    UNION ALL
+    SELECT c_custkey, 'highbal' AS src FROM customer WHERE c_acctbal > 5000
+    """,
+    tags=("setop", "union"),
+)
+def set_union_all(spark, sf_dir):
+    """X2 bag-semantics union (reference train_intent.py:75) — overlapping
+    inputs keep duplicates."""
+    c = _t(spark, sf_dir, "customer")
+    a = c.where(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey", F.lit("building").alias("src")
+    )
+    b = c.where(F.col("c_acctbal") > 5000).select(
+        "c_custkey", F.lit("highbal").alias("src")
+    )
+    return a.unionByName(b)
+
+
+@query(
+    "set_intersect",
+    sql="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+    tags=("setop", "intersect"),
+)
+def set_intersect(spark, sf_dir):
+    """INTERSECT (distinct): customers having both completed and open orders."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    b = o.where(F.col("o_orderstatus") == "O").select("o_custkey")
+    return a.intersect(b)
+
+
+@query(
+    "set_except",
+    sql="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+    """,
+    tags=("setop", "except"),
+)
+def set_except(spark, sf_dir):
+    """EXCEPT (distinct): completed-order customers with no pending orders."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    b = o.where(F.col("o_orderstatus") == "P").select("o_custkey")
+    return a.subtract(b)
+
+
+@query(
+    "distinct_pairs",
+    sql="SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+    tags=("setop", "distinct"),
+)
+def distinct_pairs(spark, sf_dir):
+    """DISTINCT projection (exact dedup of a 2-column key)."""
+    return _t(spark, sf_dir, "orders").select("o_orderstatus", "o_orderpriority").distinct()
+
+
+@query("sample_seeded", sql=None, tags=("sampling",))
+def sample_seeded(spark, sf_dir):
+    """X1 seeded Bernoulli sample (reference train_intent.py:74).  Seeded ≠
+    cross-engine reproducible → rows-only; the test asserts the fraction
+    statistically."""
+    return _t(spark, sf_dir, "orders").sample(fraction=0.1, seed=42)
+
+
+@query("random_split", sql=None, tags=("sampling",))
+def random_split(spark, sf_dir):
+    """X3 randomSplit 80/20 (reference train_intent.py:91) — returns the
+    train side tagged with its fraction; rows-only."""
+    train, test = _t(spark, sf_dir, "orders").randomSplit([0.8, 0.2], seed=42)
+    return train.select("o_orderkey", F.lit("train").alias("split")).unionByName(
+        test.select("o_orderkey", F.lit("test").alias("split"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# O-family: sort / limit / top-k (reference O1-O3)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "topk_global_orders",
+    sql="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+    tags=("topk", "sort"),
+)
+def topk_global_orders(spark, sf_dir):
+    """In-plan global top-k: orderBy+limit compiles to TakeOrderedAndProject
+    (per-partition heaps, no full sort) — the O3 driver-side slicing done
+    right."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .limit(10)
+    )
+
+
+@query(
+    "sort_by_aggregate",
+    sql="""
+    SELECT event_type, count(*) AS n FROM events
+    GROUP BY event_type ORDER BY n DESC, event_type
+    """,
+    tags=("sort", "agg"),
+)
+def sort_by_aggregate(spark, sf_dir):
+    """O1 sort-by-aggregate-desc (reference eda.ipynb cell 0)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").count().withColumnRenamed("count", "n").orderBy(
+        F.desc("n"), "event_type"
+    )
