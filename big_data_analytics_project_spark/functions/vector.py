@@ -1,0 +1,76 @@
+"""Vector math over ``array<float|double>`` columns — pure JVM-side
+higher-order functions (no UDFs, no Python round-trips).
+
+Determinism contract: every fold is an explicit *sequential left fold* in
+double precision (``F.aggregate``), so results are bit-identical to any
+engine that folds the same way (the DuckDB oracles use ``list_reduce``).
+That property is what lets cosine similarities be value-hash-compared
+across engines.
+
+At 100 TB these expressions run inside whole-stage codegen over the Arrow/
+Parquet column batches — a 64-dim dot product is ~64 fused multiply-adds
+per row, no shuffle, no Python.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+
+def as_double(vec: Column | str) -> Column:
+    return F.col(vec).cast("array<double>") if isinstance(vec, str) else vec.cast("array<double>")
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product in double."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm2(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm2(a) * norm2(b))
+
+
+def sign_bucket(a: Column, n_bits: int = 8) -> Column:
+    """Random-hyperplane-style LSH bucket from the signs of the first
+    ``n_bits`` dimensions (axis-aligned hyperplanes — deterministic and
+    cheap; a learned rotation would go here for production recall).
+    Returns a BIGINT bucket id in [0, 2^n_bits)."""
+    bits = [
+        (F.element_at(a, i + 1) >= 0).cast("long") * F.lit(2**i) for i in range(n_bits)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+# DuckDB-side mirrors (kept adjacent so both definitions evolve together).
+
+def duck_cosine(a_expr: str, b_expr: str) -> str:
+    """DuckDB SQL mirroring :func:`cosine` exactly.
+
+    DuckDB 1.0's two-arg ``list_reduce`` folds from the first element;
+    Spark's ``aggregate`` starts at 0.0 — identical bitwise because
+    ``0.0 + x == x`` for finite doubles, and both fold left sequentially.
+    """
+    d = (
+        f"list_reduce(list_transform(list_zip({a_expr}, {b_expr}), p -> p[1]*p[2]), "
+        f"(acc, x) -> acc + x)"
+    )
+    na = f"sqrt(list_reduce(list_transform({a_expr}, x -> x*x), (acc, x) -> acc + x))"
+    nb = f"sqrt(list_reduce(list_transform({b_expr}, x -> x*x), (acc, x) -> acc + x))"
+    return f"({d} / ({na} * {nb}))"
+
+
+def duck_sign_bucket(a_expr: str, n_bits: int = 8) -> str:
+    terms = " + ".join(
+        f"CAST({a_expr}[{i + 1}] >= 0 AS BIGINT) * {2**i}" for i in range(n_bits)
+    )
+    return f"({terms})"

@@ -1,1 +1,147 @@
-"""(placeholder — populated in later stages)"""
+"""Dedup query registrations (SURVEY §7.1 stage 5 / BASELINE.json north star).
+
+Oracle-checkable ones mirror the Spark expression tree in DuckDB SQL
+(same tokenization, same shingles, same anchors, same thresholds).
+Hash-based ones (MinHash, SimHash — xxhash64 has no DuckDB equivalent)
+register rows-only and are property-tested in tests/test_dedup.py.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from ..operators import dedup as D
+from ..operators.text import normalized_fingerprint
+from ..registry import query
+from ..sources import read_table
+
+# Shared DuckDB CTE: tokenize + 3-gram shingle exactly like operators.dedup
+_DUCK_SHINGLES = """
+toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                        for i in range(1, len(t) - 1)]) AS s
+  FROM toks WHERE len(t) >= 3
+)
+"""
+
+_DUCK_ANCHOR_PAIRS = f"""
+WITH {_DUCK_SHINGLES},
+anchors AS (
+  SELECT doc_id, s, unnest([list_aggregate(s, 'min'), list_aggregate(s, 'max')]) AS anchor
+  FROM sh
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.s AS sa, b.s AS sb
+  FROM anchors a JOIN anchors b ON a.anchor = b.anchor AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       round(len(list_intersect(sa, sb))::DOUBLE
+             / len(list_distinct(list_concat(sa, sb))), 6) AS jaccard_sim
+FROM cand
+WHERE len(list_intersect(sa, sb))::DOUBLE
+      / len(list_distinct(list_concat(sa, sb))) >= 0.5
+"""
+
+
+def _anchor_blocked_pairs(spark, sf_dir, threshold=0.5):
+    """Spark side of the anchor-shingle-blocked exact-Jaccard pipeline."""
+    docs = read_table(spark, sf_dir, "documents")
+    sh = D.shingled(docs, "doc_id", "text", 3)
+    anchors = sh.select(
+        "doc_id",
+        "shingle_set",
+        F.explode(
+            F.array(F.array_min("shingle_set"), F.array_max("shingle_set"))
+        ).alias("anchor"),
+    )
+    a = anchors.select(
+        F.col("doc_id").alias("id_a"), F.col("shingle_set").alias("sa"), "anchor"
+    )
+    b = anchors.select(
+        F.col("doc_id").alias("id_b"), F.col("shingle_set").alias("sb"), "anchor"
+    )
+    cand = (
+        a.join(b, "anchor")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sa", "sb")
+        .distinct()
+    )
+    jac = D.jaccard(F.col("sa"), F.col("sb"))
+    return cand.select(
+        "id_a", "id_b", F.round(jac, 6).alias("jaccard_sim"), jac.alias("__raw")
+    ).where(F.col("__raw") >= threshold).drop("__raw")
+
+
+@query(
+    "dedup_exact_fingerprint",
+    sql="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text || '  .' AS text
+      FROM documents WHERE doc_id % 7 = 0
+    )
+    SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint,
+           min(doc_id) AS keep_id,
+           count(*) AS n_copies
+    FROM corpus
+    GROUP BY 1
+    """,
+    tags=("dedup", "exact"),
+)
+def dedup_exact_fingerprint(spark, sf_dir):
+    """Exact dedup by normalized-content fingerprint (hash-groupBy).  The
+    fixture has no raw duplicates, so the query injects whitespace/punct
+    variants of every 7th doc and the fingerprint must collapse them:
+    n_copies=2 groups are the planted dups.  Map-side partial agg on the
+    md5 key → one shuffle, fully scalable."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    variants = (
+        docs.where(F.col("doc_id") % 7 == 0)
+        .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit("  .")).alias("text"))
+    )
+    corpus = docs.unionByName(variants)
+    return (
+        corpus.groupBy(normalized_fingerprint(F.col("text")).alias("fingerprint"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+@query("dedup_ngram_jaccard", sql=_DUCK_ANCHOR_PAIRS, tags=("dedup", "jaccard"))
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact word-3-gram Jaccard near-dup pairs with deterministic
+    anchor-shingle blocking (min + max shingle as candidate keys — a
+    degenerate but fully engine-mirrorable LSH; a j≈0.99 pair shares an
+    anchor with p≈0.98 per anchor).  One equi-join shuffle on the anchor;
+    no quadratic blow-up."""
+    return _anchor_blocked_pairs(spark, sf_dir, threshold=0.5)
+
+
+@query("dedup_minhash_lsh", sql=_DUCK_ANCHOR_PAIRS, tags=("dedup", "minhash", "lsh"))
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash(k=64) + LSH(16 bands × 4 rows) near-dup pairs, exact-Jaccard
+    verified at ≥0.5.  The LSH candidate stage isn't DuckDB-mirrorable
+    (xxhash64), but because candidates are *verified* with exact Jaccard,
+    the output equals the exact near-dup pair set whenever LSH recall is
+    total — which holds deterministically on the fixtures (verified equal
+    at sf0.001 and sf0.01 against the anchor-blocked exact oracle).  At a
+    0.98-Jaccard pair, P[miss] = (1-0.98^4)^16 ≈ 1e-9 per pair."""
+    docs = read_table(spark, sf_dir, "documents")
+    out = D.minhash_near_duplicates(
+        docs, "doc_id", "text", n=3, k=64, bands=16, threshold=0.5
+    )
+    return out.select("id_a", "id_b", F.round("jaccard_sim", 6).alias("jaccard_sim"))
+
+
+@query("dedup_simhash", sql=None, tags=("dedup", "simhash"))
+def dedup_simhash(spark, sf_dir):
+    """SimHash-64 near-dup pairs (Hamming ≤ 8 via 16-bit chunk banding).
+    Hash-based → rows-only; property tests assert planted near-dups are
+    recovered."""
+    docs = read_table(spark, sf_dir, "documents")
+    return D.simhash_near_duplicates(docs, "doc_id", "text", max_hamming=8)

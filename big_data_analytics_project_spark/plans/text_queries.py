@@ -1,1 +1,174 @@
-"""(placeholder — populated in later stages)"""
+"""Text-analysis query registrations — every one oracle-checked.
+
+The Spark expressions live in ``operators/text.py``; the SQL here mirrors
+them construct-for-construct (same regexes, same marker literals, same
+fold arithmetic).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from ..operators import text as T
+from ..registry import query
+from ..sources import read_table
+
+
+@query(
+    "text_token_stats",
+    sql="""
+    WITH toks AS (
+      SELECT doc_id, lang, string_split(lower(text), ' ') AS t, text FROM documents
+    )
+    SELECT doc_id, lang,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct_tokens,
+           CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT)
+             AS n_bpeish_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars_measured,
+           CAST(len(t) AS DOUBLE) / len(list_distinct(t)) AS token_repetition
+    FROM toks
+    """,
+    tags=("text", "tokens"),
+)
+def text_token_stats(spark, sf_dir):
+    """Token counting: whitespace tokens, distinct tokens, BPE-ish regex
+    tokens, repetition ratio — all codegen'd string/array ops."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = T.ws_tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
+        T.bpeish_token_count(F.col("text")).alias("n_bpeish_tokens"),
+        F.length("text").cast("long").alias("n_chars_measured"),
+        (F.size(toks).cast("double") / F.size(F.array_distinct(toks))).alias(
+            "token_repetition"
+        ),
+    )
+
+
+@query(
+    "text_quality_scores",
+    sql="""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t, text FROM documents
+    ), feats AS (
+      SELECT doc_id,
+        least(length(text)::DOUBLE / 500.0, 1.0) AS len_score,
+        len(list_filter(t, x -> list_contains(['the','a','of','to','and','in','is','it'], x)))::DOUBLE
+          / len(t) AS sw_ratio,
+        (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE
+          / length(text) AS punct_ratio,
+        (length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')))::DOUBLE
+          / length(text) AS upper_ratio
+      FROM toks
+    )
+    SELECT doc_id,
+           round(sw_ratio, 6) AS stopword_ratio,
+           round(punct_ratio, 6) AS punct_ratio,
+           round(upper_ratio, 6) AS uppercase_ratio,
+           round(len_score * 0.4 + least(sw_ratio * 4, 1.0) * 0.3
+                 + greatest(1.0 - punct_ratio * 10, 0.0) * 0.3, 6) AS quality_score
+    FROM feats
+    """,
+    tags=("text", "quality"),
+)
+def text_quality_scores(spark, sf_dir):
+    """Quality filtering features + composite score (length/punct/stopword/
+    case ratios — the standard public pretraining-filter heuristics)."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = T.ws_tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.round(T.stopword_ratio(toks), 6).alias("stopword_ratio"),
+        F.round(T.punct_ratio(F.col("text")), 6).alias("punct_ratio"),
+        F.round(T.uppercase_ratio(F.col("text")), 6).alias("uppercase_ratio"),
+        F.round(T.quality_score(F.col("text"), toks), 6).alias("quality_score"),
+    )
+
+
+@query(
+    "text_language_id",
+    sql="""
+    WITH toks AS (
+      SELECT doc_id, lang, string_split(lower(text), ' ') AS t FROM documents
+    ), scores AS (
+      SELECT doc_id, lang,
+        len(list_intersect(t, ['the','fast','data','query']))  AS score_en,
+        len(list_intersect(t, ['window','merge','batch']))      AS score_de,
+        len(list_intersect(t, ['table','scan','row']))          AS score_es,
+        len(list_intersect(t, ['join','filter','group']))       AS score_fr,
+        len(list_intersect(t, ['hash','sort','key']))           AS score_zh
+      FROM toks
+    )
+    SELECT doc_id, lang AS labeled_lang,
+      CAST(score_en AS BIGINT) AS score_en,
+      CAST(score_de AS BIGINT) AS score_de,
+      CAST(score_es AS BIGINT) AS score_es,
+      CAST(score_fr AS BIGINT) AS score_fr,
+      CAST(score_zh AS BIGINT) AS score_zh,
+      CASE
+        WHEN score_en >= greatest(score_de, score_es, score_fr, score_zh) THEN 'en'
+        WHEN score_es > greatest(score_de, score_fr, score_zh) THEN 'es'
+        WHEN score_fr > greatest(score_de, score_zh) THEN 'fr'
+        WHEN score_zh > score_de THEN 'zh'
+        ELSE 'de'
+      END AS predicted_lang
+    FROM scores
+    """,
+    tags=("text", "langid"),
+)
+def text_language_id(spark, sf_dir):
+    """Marker-token language-ID heuristic with a deterministic argmax
+    (earlier language in (de,en,es,fr,zh)... wins ties per the explicit
+    cascade mirrored in the SQL).  With a real corpus the markers become
+    per-language stopword n-grams; the mechanism is identical."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = T.ws_tokens(F.col("text"))
+    score = {}
+    for lang, markers in T.LANG_MARKERS.items():
+        arr = F.array(*[F.lit(m) for m in markers])
+        score[lang] = F.size(F.array_intersect(toks, arr)).cast("long")
+    predicted = (
+        F.when(
+            score["en"]
+            >= F.greatest(score["de"], score["es"], score["fr"], score["zh"]),
+            "en",
+        )
+        .when(score["es"] > F.greatest(score["de"], score["fr"], score["zh"]), "es")
+        .when(score["fr"] > F.greatest(score["de"], score["zh"]), "fr")
+        .when(score["zh"] > score["de"], "zh")
+        .otherwise("de")
+    )
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        score["en"].alias("score_en"),
+        score["de"].alias("score_de"),
+        score["es"].alias("score_es"),
+        score["fr"].alias("score_fr"),
+        score["zh"].alias("score_zh"),
+        predicted.alias("predicted_lang"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    sql="""
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint,
+           md5(text) AS raw_md5
+    FROM documents
+    """,
+    tags=("text", "fingerprint"),
+)
+def text_fingerprint(spark, sf_dir):
+    """Content fingerprints: raw md5 + normalized md5 (the exact-dedup key)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.normalized_fingerprint(F.col("text")).alias("fingerprint"),
+        F.md5("text").alias("raw_md5"),
+    )

@@ -1,0 +1,67 @@
+"""Property tests for the dedup family (the hash-based members aren't
+oracle-expressible, so their guarantees are asserted here)."""
+
+import pyspark.sql.functions as F
+
+from big_data_analytics_project_spark.operators import dedup as D
+from big_data_analytics_project_spark.sources import read_table
+
+
+def _exact_pairs(spark, sf_dir, threshold=0.5):
+    """Ground truth: exact all-pairs 3-gram Jaccard (no blocking)."""
+    sh = D.shingled(read_table(spark, sf_dir, "documents"), "doc_id", "text", 3)
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("shingle_set").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("shingle_set").alias("sb"))
+    pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+    jac = D.jaccard(F.col("sa"), F.col("sb"))
+    return {
+        (r.id_a, r.id_b)
+        for r in pairs.select("id_a", "id_b").where(jac >= threshold).collect()
+    }
+
+
+def test_minhash_lsh_total_recall(spark, sf_dir):
+    """MinHash-LSH + exact verification must find the full exact near-dup
+    pair set on the fixtures (this property justifies its oracle SQL)."""
+    truth = _exact_pairs(spark, sf_dir)
+    found = {
+        (r.id_a, r.id_b)
+        for r in D.minhash_near_duplicates(
+            read_table(spark, sf_dir, "documents"), "doc_id", "text", k=64, bands=16
+        ).collect()
+    }
+    assert found == truth and len(truth) > 0
+
+
+def test_simhash_no_false_positives_and_decent_recall(spark, sf_dir):
+    truth = _exact_pairs(spark, sf_dir)
+    found = {
+        (r.id_a, r.id_b)
+        for r in D.simhash_near_duplicates(
+            read_table(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=8
+        ).collect()
+    }
+    assert found <= truth, f"false positives: {sorted(found - truth)[:5]}"
+    assert len(found) >= 0.7 * len(truth)
+
+
+def test_exact_fingerprint_collapses_planted_variants(spark, sf_dir):
+    from big_data_analytics_project_spark.registry import load_all
+
+    out = load_all()["dedup_exact_fingerprint"].fn(spark, sf_dir)
+    docs = read_table(spark, sf_dir, "documents")
+    n_planted = docs.where(F.col("doc_id") % 7 == 0).count()
+    dup_groups = out.where(F.col("n_copies") == 2)
+    assert dup_groups.count() == n_planted
+    # survivor is always the original (min doc_id < 1000000)
+    assert dup_groups.where(F.col("keep_id") >= 1000000).count() == 0
+
+
+def test_minhash_signature_stability(spark, sf_dir):
+    """Same seed → identical signatures across runs (determinism contract)."""
+    docs = read_table(spark, sf_dir, "documents").limit(20)
+    sh = D.shingled(docs, "doc_id", "text")
+    sig = sh.select("doc_id", D.minhash_signature(F.col("shingle_set"), 16).alias("s"))
+    a = {r.doc_id: tuple(r.s) for r in sig.collect()}
+    b = {r.doc_id: tuple(r.s) for r in sig.collect()}
+    assert a == b

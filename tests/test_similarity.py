@@ -1,0 +1,66 @@
+"""Property tests for similarity search (exactness of brute force, validity
+of the LSH approximation, vector-math parity)."""
+
+import math
+
+import pyspark.sql.functions as F
+
+from big_data_analytics_project_spark.functions.vector import as_double, cosine
+from big_data_analytics_project_spark.operators import similarity as S
+from big_data_analytics_project_spark.sources import read_table
+
+
+def test_cosine_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    emb = read_table(spark, sf_dir, "embeddings").limit(10)
+    rows = emb.collect()
+    pairs = emb.alias("a").crossJoin(emb.alias("b")).select(
+        F.col("a.vec_id").alias("ia"),
+        F.col("b.vec_id").alias("ib"),
+        cosine(as_double("a.embedding"), as_double("b.embedding")).alias("c"),
+    )
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows}
+    for r in pairs.collect():
+        a, b = vecs[r.ia], vecs[r.ib]
+        expect = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert math.isclose(r.c, expect, rel_tol=1e-9)
+
+
+def test_brute_force_topk_is_exact(spark, sf_dir):
+    import numpy as np
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    out = S.brute_force_topk(emb, emb.where(F.col("vec_id") < 3), k=5).collect()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb.collect()}
+    by_query = {}
+    for r in out:
+        by_query.setdefault(r.query_id, []).append(r)
+    for qid, rows in by_query.items():
+        assert [r.rank for r in sorted(rows, key=lambda r: r.rank)] == list(
+            range(1, len(rows) + 1)
+        )
+        q = vecs[qid]
+        sims = {
+            nid: float(q @ v / (np.linalg.norm(q) * np.linalg.norm(v)))
+            for nid, v in vecs.items()
+            if nid != qid
+        }
+        true_top = sorted(sims.items(), key=lambda kv: (-round(kv[1], 6), kv[0]))[:5]
+        got = [(r.neighbor_id, r.cosine_sim) for r in sorted(rows, key=lambda r: r.rank)]
+        assert [n for n, _ in got] == [n for n, _ in true_top]
+
+
+def test_lsh_topk_subset_of_bucket(spark, sf_dir):
+    """Every LSH neighbor must share the query's sign bucket, and its
+    similarity must equal the brute-force similarity for that pair."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 3)
+    brute = {
+        (r.query_id, r.neighbor_id): r.cosine_sim
+        for r in S.brute_force_topk(emb, queries, k=10**6).collect()
+    }
+    lsh = S.lsh_bucketed_topk(emb, queries, k=10, n_bits=4).collect()
+    assert len(lsh) > 0
+    for r in lsh:
+        assert brute[(r.query_id, r.neighbor_id)] == r.cosine_sim
