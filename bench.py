@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Execution is forced through the noop sink (full materialization of every
+output column — count() would let Catalyst prune the very expressions we
+want to measure).  First run of the session pays JVM+codegen warmup; we
+run a small warmup query first so per-query numbers reflect steady state.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "flagship_sessionization",
+    "agg_pricing_summary",
+    "join_multiway_revenue",
+    "join_left_order_items",
+    "window_rank_topn_per_group",
+    "json_extract_agg",
+    "dedup_minhash_lsh",
+    "dedup_exact_fingerprint",
+    "ann_bruteforce_topk",
+    "text_quality_scores",
+    "streaming_session_window",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from big_data_analytics_project_spark.registry import load_all
+    from big_data_analytics_project_spark.session import get_spark
+
+    registry = load_all()
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warmup: JVM, codegen, parquet footer caches, and the Python worker
+    # pool (Arrow stages pay ~seconds of one-time fork+import otherwise)
+    registry["sort_by_aggregate"].fn(spark, sf_dir).count()
+    spark.range(1000).repartition(64).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = registry[name]
+        t0 = time.perf_counter()
+        df = spec.fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,103 @@
+"""Purchase-intent model pipeline (reference subsystem 2, rebuilt).
+
+Reference: ``src/spark/train_intent.py`` — parquet scan → count-based
+random undersampling to ≈1:1 → VectorAssembler → RandomForest(numTrees=20,
+maxDepth=5, seed=42; cloud profile 50/10) → AUC / F1 / weightedRecall /
+accuracy evaluation.
+
+Rebuild differences (SURVEY §3.2 / §4 inefficiency notes):
+- the feature table is produced in-engine by the flagship sessionization
+  (operators/sessionization.py) instead of a pre-saved parquet;
+- the balanced training frame is cached before the multi-action
+  fit/evaluate sequence (the reference recomputes the full lineage for
+  every count/evaluate — its known inefficiency);
+- the count→ratio→sample round-trip is kept: it is inherent to
+  count-based balancing and matches reference semantics (approximate 1:1,
+  not pandas-exact — SURVEY §7.2.7).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+FEATURES = ["view_count", "click_count", "signup_count", "error_count",
+            "session_duration_sec", "avg_value", "max_value", "unique_items"]
+
+
+def build_feature_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..registry import load_all
+
+    return load_all()["flagship_sessionization"].fn(spark, sf_dir)
+
+
+def undersample(df: DataFrame, label_col: str = "label", seed: int = 42) -> DataFrame:
+    """Count-based majority undersampling to ≈1:1 (reference
+    train_intent.py:51-79).  Two count actions + seeded Bernoulli sample;
+    the ratio crosses to the driver by design."""
+    minority = df.where(F.col(label_col) == 1)
+    majority = df.where(F.col(label_col) == 0)
+    n_min, n_maj = minority.count(), majority.count()
+    if n_maj == 0 or n_min == 0 or n_min >= n_maj:
+        return df
+    return minority.union(majority.sample(fraction=n_min / n_maj, seed=seed))
+
+
+@dataclass
+class IntentMetrics:
+    auc: float
+    f1: float
+    weighted_recall: float
+    accuracy: float
+    n_train: int
+    n_test: int
+
+
+def train_intent_model(
+    features: DataFrame,
+    num_trees: int = 20,
+    max_depth: int = 5,
+    seed: int = 42,
+):
+    """Assemble → split → RF fit → 4-metric evaluation (M1-M5)."""
+    from pyspark.ml.classification import RandomForestClassifier
+    from pyspark.ml.evaluation import (
+        BinaryClassificationEvaluator,
+        MulticlassClassificationEvaluator,
+    )
+    from pyspark.ml.feature import VectorAssembler
+
+    assembler = VectorAssembler(inputCols=FEATURES, outputCol="features")
+    data = assembler.transform(features.fillna(0)).select("label", "features")
+    train, test = data.randomSplit([0.8, 0.2], seed=seed)
+    train = train.cache()
+    test = test.cache()
+    rf = RandomForestClassifier(
+        labelCol="label", featuresCol="features",
+        numTrees=num_trees, maxDepth=max_depth, seed=seed,
+    )
+    model = rf.fit(train)
+    pred = model.transform(test).cache()
+    auc = BinaryClassificationEvaluator(
+        labelCol="label", metricName="areaUnderROC"
+    ).evaluate(pred)
+    mc = MulticlassClassificationEvaluator(labelCol="label", predictionCol="prediction")
+    metrics = IntentMetrics(
+        auc=auc,
+        f1=mc.setMetricName("f1").evaluate(pred),
+        weighted_recall=mc.setMetricName("weightedRecall").evaluate(pred),
+        accuracy=mc.setMetricName("accuracy").evaluate(pred),
+        n_train=train.count(),
+        n_test=test.count(),
+    )
+    return model, metrics
+
+
+def run_intent_pipeline(spark: SparkSession, sf_dir: str,
+                        num_trees: int = 20, max_depth: int = 5) -> IntentMetrics:
+    feats = build_feature_table(spark, sf_dir)
+    balanced = undersample(feats).cache()
+    _, metrics = train_intent_model(balanced, num_trees, max_depth)
+    return metrics

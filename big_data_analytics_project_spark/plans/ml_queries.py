@@ -1,1 +1,43 @@
-"""(placeholder — populated in later stages)"""
+"""ML pipeline query registrations (rows-only — model outputs are
+seed-deterministic within Spark but have no cross-engine SQL equivalent;
+quality thresholds are asserted in tests/test_ml.py per the reference's
+own tolerance-based practice, SURVEY §5)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from ..registry import query
+
+
+@query("ml_intent_rf_metrics", sql=None, tags=("ml", "classification"))
+def ml_intent_rf_metrics(spark, sf_dir):
+    """M1-M5: undersample → assemble → RandomForest(20,5,seed42) → AUC/F1/
+    recall/accuracy, as a single-row metrics frame."""
+    from ..ml.intent import run_intent_pipeline
+
+    m = run_intent_pipeline(spark, sf_dir)
+    return spark.createDataFrame(
+        [(m.auc, m.f1, m.weighted_recall, m.accuracy, m.n_train, m.n_test)],
+        "auc double, f1 double, weighted_recall double, accuracy double, n_train long, n_test long",
+    )
+
+
+@query("ml_als_recommendations", sql=None, tags=("ml", "recommender"))
+def ml_als_recommendations(spark, sf_dir):
+    """M9: implicit-feedback ALS (c_ui = 1 + alpha*r_ui) top-5 item
+    recommendations for users < 20."""
+    from ..ml.recommend import interactions, train_als
+
+    inter = interactions(spark, sf_dir).cache()
+    model = train_als(inter, max_iter=5)
+    users = inter.select("user").distinct().where(F.col("user") < 20)
+    recs = model.recommendForUserSubset(users, 5)
+    return recs.select(
+        "user",
+        F.explode("recommendations").alias("r"),
+    ).select(
+        F.col("user").cast("long").alias("user"),
+        F.col("r.item").cast("long").alias("item"),
+        F.round(F.col("r.rating"), 4).alias("score"),
+    )

@@ -1,1 +1,151 @@
-"""(placeholder — populated in later stages)"""
+"""Streaming query registrations.
+
+Each callable runs a REAL Structured Streaming job (file source staged from
+the events table, availableNow trigger, memory sink) and returns the final
+result — so the driver's oracle checks cover the streaming engine, not a
+batch re-phrasing.  Window boundaries are emitted as epoch seconds
+(BIGINT) to keep timestamp-zone semantics out of the comparison.
+
+The session-window oracle is the classic gap-analysis SQL (lag → gap>30min
+flag → running sum as session id) — i.e. the streaming session operator is
+differentially tested against an independent relational formulation.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pyspark.sql.functions as F
+
+from ..registry import query
+from ..streaming import processor as P
+
+_TUMBLING_SQL = """
+SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start_epoch,
+       user_id,
+       CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS label,
+       count(CASE WHEN event_type = 'view' THEN 1 END) AS view_count,
+       count(*) AS total_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+_SESSION_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, event_type, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+  FROM flagged
+)
+SELECT user_id,
+       CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start_epoch,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+       CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS converted
+FROM numbered
+GROUP BY user_id, session_no
+"""
+
+
+def _staged(spark, sf_dir, n_files=4):
+    return P.stage_events_as_json_stream(spark, sf_dir, n_files=n_files)
+
+
+@query("streaming_tumbling_window", sql=_TUMBLING_SQL, tags=("streaming", "window"))
+def streaming_tumbling_window(spark, sf_dir):
+    """T1-T5: watermarked tumbling-window aggregate executed by the
+    streaming engine (availableNow → memory sink), checked against the
+    equivalent batch GROUP BY.  approx_count_distinct is kept out of the
+    compared columns (HLL ≠ exact by design)."""
+    json_dir = _staged(spark, sf_dir)
+    try:
+        stream = P.read_event_stream(spark, json_dir, max_files_per_trigger=2)
+        agg = P.tumbling_features(stream)
+        out = P.run_to_completion(agg, "t_tumbling", output_mode="complete")
+        return out.select(
+            F.unix_timestamp(F.col("win.start")).cast("long").alias("window_start_epoch"),
+            "user_id",
+            "label",
+            "view_count",
+            "total_events",
+            "total_value",
+        )
+    finally:
+        shutil.rmtree(json_dir, ignore_errors=True)
+
+
+@query("streaming_session_window", sql=_SESSION_SQL, tags=("streaming", "session"))
+def streaming_session_window(spark, sf_dir):
+    """True gap-based sessionization (session_window, 30 min gap) run by
+    the streaming engine, differentially checked against the relational
+    lag/cumsum formulation — the upgrade over the reference's
+    sliding-window approximation (SURVEY T2)."""
+    json_dir = _staged(spark, sf_dir)
+    try:
+        stream = P.read_event_stream(spark, json_dir, max_files_per_trigger=2)
+        agg = P.session_features(stream, gap="30 minutes")
+        out = P.run_to_completion(agg, "t_session", output_mode="complete")
+        return out.select(
+            "user_id",
+            F.unix_timestamp(F.col("win.start")).cast("long").alias("session_start_epoch"),
+            "n_events",
+            "sum_value",
+            "converted",
+        )
+    finally:
+        shutil.rmtree(json_dir, ignore_errors=True)
+
+
+@query("streaming_sliding_window", sql=None, tags=("streaming", "window"))
+def streaming_sliding_window(spark, sf_dir):
+    """T2 exact reference shape (1 h window sliding by 15 min): overlapping
+    window assignment; rows-only (the overlap factor is engine-mechanical,
+    asserted in tests)."""
+    json_dir = _staged(spark, sf_dir)
+    try:
+        stream = P.read_event_stream(spark, json_dir, max_files_per_trigger=2)
+        agg = P.sliding_features(stream)
+        out = P.run_to_completion(agg, "t_sliding", output_mode="complete")
+        return out.select(
+            F.unix_timestamp(F.col("win.start")).cast("long").alias("window_start_epoch"),
+            "user_id",
+            "total_events",
+            "total_value",
+        )
+    finally:
+        shutil.rmtree(json_dir, ignore_errors=True)
+
+
+@query("streaming_online_scoring", sql=None, tags=("streaming", "foreachbatch", "ml"))
+def streaming_online_scoring(spark, sf_dir):
+    """T6: the full foreachBatch bridge — micro-batched tumbling session
+    features scored/learned by the vectorized online model, per-batch
+    metrics returned as the result (rows-only: model trajectory is
+    state-dependent by design)."""
+    from ..streaming.bridge import OnlineScoringBridge, run_scored_stream
+
+    json_dir = _staged(spark, sf_dir)
+    try:
+        stream = P.read_event_stream(spark, json_dir, max_files_per_trigger=1)
+        agg = P.tumbling_features(stream)
+        bridge = OnlineScoringBridge()
+        batches = run_scored_stream(agg, bridge)
+        if not batches:
+            batches = [{"batch_id": -1, "n_rows": 0, "total_events": 0,
+                        "total_views": 0, "conversion_rate": 0.0,
+                        "mean_predicted_proba": 0.0, "rolling_accuracy": 0.0,
+                        "model_fitted": False, "timestamp": 0.0}]
+        return spark.createDataFrame(batches).select(
+            "batch_id", "n_rows", "total_events", "total_views",
+            "conversion_rate", "mean_predicted_proba", "rolling_accuracy",
+            "model_fitted",
+        )
+    finally:
+        shutil.rmtree(json_dir, ignore_errors=True)

@@ -1,0 +1,99 @@
+"""foreachBatch online-scoring bridge + metrics sink (reference T6/S9).
+
+Reference: ``stream_processor.py:203-303`` collects each micro-batch with
+``toPandas()`` and loops row-by-row over an sklearn model, then writes a
+metrics JSON atomically (``metrics_store.py:124-155``).
+
+Rebuild: the same foreachBatch architecture (it IS the right bridge for
+driver-held model state), but batch-vectorized — features go through numpy
+in one shot — and the per-batch metrics stay in-plan until the final small
+aggregate.  The metrics sink keeps the reference's atomic temp-file +
+``os.replace`` idempotence (at-least-once foreachBatch ⇒ idempotent sink).
+
+At larger scale the model moves out of the driver: broadcast weights + a
+scalar pandas_udf for predict, with weight updates aggregated per batch.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import time
+
+import numpy as np
+from pyspark.sql import DataFrame
+
+from ..ml.online import FEATURE_COLUMNS, OnlineIntentModel
+
+
+class MetricsStore:
+    """Atomic JSON metrics sink with bounded history (S9)."""
+
+    def __init__(self, path: str, max_history: int = 1000):
+        self.path = path
+        self.max_history = max_history
+        self.history: list[dict] = []
+
+    def update(self, metrics: dict) -> None:
+        self.history.append(metrics)
+        self.history = self.history[-self.max_history :]
+        doc = {"current": metrics, "history": self.history}
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(self.path) or ".")
+        try:
+            with os.fdopen(fd, "w") as f:
+                json.dump(doc, f)
+            os.replace(tmp, self.path)
+        except BaseException:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+            raise
+
+
+class OnlineScoringBridge:
+    """Callable for ``writeStream.foreachBatch``: scores each micro-batch of
+    session features with the online model, learns from labels, records
+    metrics."""
+
+    def __init__(self, model: OnlineIntentModel | None = None,
+                 store: MetricsStore | None = None):
+        self.model = model or OnlineIntentModel()
+        self.store = store
+        self.batches: list[dict] = []
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():  # T7 empty-batch guard
+            return
+        pdf = batch_df.toPandas().fillna(0)
+        x = pdf[FEATURE_COLUMNS].to_numpy(dtype=np.float64)
+        y = pdf["label"].to_numpy(dtype=np.int64)
+        proba = self.model.observe(x, y)
+        metrics = {
+            "batch_id": int(batch_id),
+            "n_rows": int(len(pdf)),
+            "total_events": int(pdf["total_events"].sum()),
+            "total_views": int(pdf["view_count"].sum()),
+            "conversion_rate": float(y.mean()),
+            "mean_predicted_proba": float(proba.mean()),
+            "rolling_accuracy": self.model.rolling_accuracy,
+            "model_fitted": self.model.fitted,
+            "timestamp": time.time(),
+        }
+        self.batches.append(metrics)
+        if self.store is not None:
+            self.store.update(metrics)
+
+
+def run_scored_stream(agg: DataFrame, bridge: OnlineScoringBridge) -> list[dict]:
+    """Attach the bridge to a streaming aggregate and drain all available
+    input (update mode: only changed windows reach the bridge per batch)."""
+    with tempfile.TemporaryDirectory(prefix="bdap_ckpt_") as ckpt:
+        q = (
+            agg.writeStream.outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(bridge)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return bridge.batches

@@ -1,0 +1,148 @@
+"""Structured-streaming pipelines (reference subsystem 3, rebuilt).
+
+Reference lifecycle (``src/streaming/stream_processor.py:125-333``):
+Kafka JSON → from_json(EVENT_SCHEMA) → to_timestamp → withWatermark(10 min)
+→ groupBy(session, window(5 min, 30 s)).agg(9 measures) → foreachBatch →
+online model + metrics sink.
+
+This rebuild:
+- **file/rate source first** (matching the reference's own mock-first
+  design, ``kafka_producer.py:44-63``); the Kafka hookup is the same
+  ``readStream`` with ``format("kafka")`` — source choice is a config,
+  not an architecture.
+- ``approx_count_distinct`` instead of ``countDistinct`` for unique-item
+  counts: distinct aggregates are unsupported on streaming DataFrames
+  (SURVEY §2.8 trap) and HLL is the 100 TB-correct choice anyway.
+- adds the ``session_window`` variant the reference approximates with
+  sliding windows (T2 note).
+- the foreachBatch online-scoring bridge uses a vectorized numpy model
+  (``ml/online.py``) over Arrow-fetched pandas batches — no per-row loops.
+
+State scale notes: watermark bounds state store growth; session windows
+merge in the state store keyed by (user, session); update-mode emission
+keeps sink volume proportional to changed keys per micro-batch.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..schemas import EVENTS
+
+
+def stage_events_as_json_stream(
+    spark: SparkSession, sf_dir: str, n_files: int = 4, out_dir: str | None = None
+) -> str:
+    """Replay the fixture ``events`` table as a directory of ts-ordered JSON
+    files — the file-source analog of the reference's chunked CSV→Kafka
+    producer (``kafka_producer.py:107-119``).  With
+    ``maxFilesPerTrigger=1`` each file becomes one micro-batch, so
+    watermark advancement across batches is exercised deterministically."""
+    out_dir = out_dir or tempfile.mkdtemp(prefix="bdap_stream_")
+    from ..sources import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    rows = [r.asDict() for r in ev.orderBy("ts", "event_id").collect()]
+    chunk = (len(rows) + n_files - 1) // n_files or 1
+    for i in range(n_files):
+        part = rows[i * chunk : (i + 1) * chunk]
+        if not part:
+            continue
+        with open(os.path.join(out_dir, f"part-{i:04d}.json"), "w") as f:
+            for r in part:
+                r["ts"] = r["ts"].isoformat(sep=" ")
+                f.write(json.dumps(r) + "\n")
+    return out_dir
+
+
+def read_event_stream(
+    spark: SparkSession, json_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """S4/S6 analog: unbounded read of the staged event stream with explicit
+    schema + timestamp parse (JSON source; swap ``format('kafka')`` +
+    ``from_json(col('value')...)`` for the broker deployment)."""
+    raw_schema = "event_id LONG, ts STRING, user_id LONG, event_type STRING, value DOUBLE, props STRING"
+    return (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(json_dir)
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+
+
+def tumbling_features(stream: DataFrame, watermark: str = "10 minutes",
+                      window: str = "1 hour") -> DataFrame:
+    """T1+T2 (tumbling form): watermarked event-time window aggregate with
+    the reference's measure set (§1.3) made streaming-safe."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), F.col("user_id"))
+        .agg(
+            F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("long")
+            .alias("label"),
+            F.count(F.when(F.col("event_type") == "view", 1)).alias("view_count"),
+            F.count("*").alias("total_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+            F.approx_count_distinct("event_id").alias("unique_items_approx"),
+            F.max("ts").alias("last_event_time"),
+        )
+    )
+
+
+def sliding_features(stream: DataFrame, watermark: str = "10 minutes",
+                     window: str = "1 hour", slide: str = "15 minutes") -> DataFrame:
+    """T2 exact reference shape: sliding window (overlapping assignment)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("win"), F.col("user_id"))
+        .agg(
+            F.count("*").alias("total_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+    )
+
+
+def session_features(stream: DataFrame, watermark: str = "10 minutes",
+                     gap: str = "30 minutes") -> DataFrame:
+    """True sessionization via ``session_window`` (gap-merged state) — the
+    operator the reference approximates with sliding windows (SURVEY T2
+    note).  State merges sessions per user as events arrive; the watermark
+    finalizes and evicts closed sessions."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("win"), F.col("user_id"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+            F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("long")
+            .alias("converted"),
+        )
+    )
+
+
+def run_to_completion(
+    agg: DataFrame, query_name: str, output_mode: str = "complete"
+) -> DataFrame:
+    """Execute a streaming aggregate over all available input (availableNow
+    trigger → deterministic micro-batch sequence) into a memory sink and
+    return the final result table (T3/T4/T5: output mode, trigger,
+    checkpoint)."""
+    spark = agg.sparkSession
+    with tempfile.TemporaryDirectory(prefix="bdap_ckpt_") as ckpt:
+        q = (
+            agg.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(query_name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(query_name)

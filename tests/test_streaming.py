@@ -1,0 +1,103 @@
+"""Behavioral tests for the streaming engine: watermark late-data
+semantics, micro-batch sequencing, and the foreachBatch online bridge."""
+
+import json
+import os
+
+import pyspark.sql.functions as F
+
+from big_data_analytics_project_spark.streaming import processor as P
+from big_data_analytics_project_spark.streaming.bridge import (
+    MetricsStore,
+    OnlineScoringBridge,
+    run_scored_stream,
+)
+
+
+def _write_json(path, rows):
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Append-mode tumbling agg with a 10-minute watermark: an event
+    arriving a full day late (after the watermark passed its window) must
+    not resurrect the closed window."""
+    d = str(tmp_path / "stream")
+    os.makedirs(d)
+    base = "2024-01-02 12:{m:02d}:00"
+    _write_json(
+        os.path.join(d, "f0.json"),
+        [
+            {"event_id": i, "ts": base.format(m=i), "user_id": 1,
+             "event_type": "view", "value": 1.0, "props": "{}"}
+            for i in range(5)
+        ],
+    )
+    # batch 2 advances event time by an hour, pushing the watermark far past
+    # the day-old window; batch 3 delivers an event a day late.  (The late
+    # row must be a full batch behind the watermark-advancing one: Spark's
+    # late-row filter applies the watermark with one batch of lag.)
+    _write_json(
+        os.path.join(d, "f1.json"),
+        [{"event_id": 100, "ts": "2024-01-02 13:30:00", "user_id": 1,
+          "event_type": "view", "value": 1.0, "props": "{}"}],
+    )
+    _write_json(
+        os.path.join(d, "f2.json"),
+        [{"event_id": 101, "ts": "2024-01-01 12:00:00", "user_id": 1,
+          "event_type": "view", "value": 1.0, "props": "{}"}],
+    )
+    # file source discovers in mtime order: make the ordering explicit
+    now = 1_700_000_000
+    for i, f in enumerate(["f0.json", "f1.json", "f2.json"]):
+        os.utime(os.path.join(d, f), (now + i * 100, now + i * 100))
+    stream = P.read_event_stream(spark, d, max_files_per_trigger=1)
+    agg = P.tumbling_features(stream, watermark="10 minutes", window="1 hour")
+    out = P.run_to_completion(agg, "t_late", output_mode="append")
+    starts = [r["win"]["start"].isoformat() for r in out.collect()]
+    # the day-old window must be absent: its event arrived after the
+    # watermark had passed 2024-01-01 13:00
+    assert not any(s.startswith("2024-01-01") for s in starts)
+
+
+def test_session_window_merges_within_gap(spark, tmp_path):
+    d = str(tmp_path / "sess")
+    os.makedirs(d)
+    rows = [
+        {"event_id": 1, "ts": "2024-01-02 10:00:00", "user_id": 7,
+         "event_type": "view", "value": 1.0, "props": "{}"},
+        {"event_id": 2, "ts": "2024-01-02 10:20:00", "user_id": 7,
+         "event_type": "view", "value": 1.0, "props": "{}"},  # within 30 min gap
+        {"event_id": 3, "ts": "2024-01-02 12:00:00", "user_id": 7,
+         "event_type": "purchase", "value": 5.0, "props": "{}"},  # new session
+    ]
+    _write_json(os.path.join(d, "f0.json"), rows)
+    stream = P.read_event_stream(spark, d, max_files_per_trigger=10)
+    out = P.run_to_completion(
+        P.session_features(stream, gap="30 minutes"), "t_sess_merge", "complete"
+    )
+    got = sorted(
+        (r.n_events, r.converted) for r in out.where(F.col("user_id") == 7).collect()
+    )
+    assert got == [(1, 1), (2, 0)]
+
+
+def test_foreachbatch_bridge_learns_and_sinks(spark, sf_dir, tmp_path):
+    json_dir = P.stage_events_as_json_stream(spark, sf_dir, n_files=3)
+    try:
+        stream = P.read_event_stream(spark, json_dir, max_files_per_trigger=1)
+        agg = P.tumbling_features(stream)
+        store = MetricsStore(str(tmp_path / "metrics.json"))
+        bridge = OnlineScoringBridge(store=store)
+        batches = run_scored_stream(agg, bridge)
+        assert len(batches) >= 2  # one per staged file (update mode, non-empty)
+        assert bridge.model.n_updates >= 1 and bridge.model.fitted
+        doc = json.loads((tmp_path / "metrics.json").read_text())
+        assert doc["current"]["batch_id"] == batches[-1]["batch_id"]
+        assert len(doc["history"]) == len(batches)
+    finally:
+        import shutil
+
+        shutil.rmtree(json_dir, ignore_errors=True)
