@@ -1,0 +1,196 @@
+"""Scalar/array function families + pivot + heuristic scoring — the
+remaining SURVEY §2 coverage (P15/X5 seeded shuffle, M7 heuristic, pivot
+extension, math/conditional/array-explode families).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from ..registry import query
+from ..sources import read_table
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query(
+    "math_funcs",
+    sql="""
+    SELECT l_orderkey, l_linenumber,
+           abs(l_discount - 0.05) AS abs_off,
+           CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
+           CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+           sqrt(l_extendedprice) AS price_sqrt,
+           pow(l_discount, 2) AS disc_sq,
+           round(ln(l_extendedprice + 1), 6) AS price_ln,
+           round(exp(l_discount), 6) AS disc_exp,
+           round(log10(l_extendedprice + 1), 6) AS price_log10,
+           CAST(l_orderkey % 7 AS BIGINT) AS key_mod
+    FROM lineitem
+    WHERE l_linenumber = 1
+    """,
+    tags=("scalar", "math"),
+)
+def math_funcs(spark, sf_dir):
+    """Math scalar family.  sqrt/pow/abs/mod are IEEE-exact across engines;
+    transcendentals (ln/exp/log10) are libm-dependent → rounded to 6dp."""
+    li = read_table(spark, sf_dir, "lineitem").where(F.col("l_linenumber") == 1)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_discount") - 0.05).alias("abs_off"),
+        F.ceil("l_quantity").cast("long").alias("qty_ceil"),
+        F.floor("l_extendedprice").cast("long").alias("price_floor"),
+        F.sqrt("l_extendedprice").alias("price_sqrt"),
+        F.pow("l_discount", 2).alias("disc_sq"),
+        F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("price_ln"),
+        F.round(F.exp("l_discount"), 6).alias("disc_exp"),
+        F.round(F.log10(F.col("l_extendedprice") + 1), 6).alias("price_log10"),
+        (F.col("l_orderkey") % 7).cast("long").alias("key_mod"),
+    )
+
+
+@query(
+    "conditional_funcs",
+    sql="""
+    SELECT l_orderkey, l_linenumber,
+           greatest(l_tax, l_discount) AS max_rate,
+           least(l_tax, l_discount) AS min_rate,
+           nullif(l_discount, 0.0) AS disc_or_null,
+           coalesce(nullif(l_discount, 0.0), l_tax, 0.0) AS effective_rate,
+           CAST(l_discount > l_tax AS BIGINT) AS disc_gt_tax
+    FROM lineitem
+    WHERE l_orderkey % 10 = 0
+    """,
+    tags=("scalar", "conditional"),
+)
+def conditional_funcs(spark, sf_dir):
+    """greatest/least/nullif/coalesce conditional family."""
+    li = read_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 10 == 0)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.greatest("l_tax", "l_discount").alias("max_rate"),
+        F.least("l_tax", "l_discount").alias("min_rate"),
+        F.nullif(F.col("l_discount"), F.lit(0.0)).alias("disc_or_null"),
+        F.coalesce(
+            F.nullif(F.col("l_discount"), F.lit(0.0)), F.col("l_tax"), F.lit(0.0)
+        ).alias("effective_rate"),
+        (F.col("l_discount") > F.col("l_tax")).cast("long").alias("disc_gt_tax"),
+    )
+
+
+@query(
+    "array_explode_tokens",
+    sql="""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+      WHERE doc_id < 50
+    )
+    SELECT doc_id, CAST(i AS BIGINT) AS pos, t[i + 1] AS token
+    FROM toks, LATERAL (SELECT unnest(range(0, least(len(t), 5)))) u(i)
+    """,
+    tags=("array", "explode"),
+)
+def array_explode_tokens(spark, sf_dir):
+    """posexplode of a token array (lateral unnest) — first 5 tokens/doc."""
+    docs = read_table(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    toks = F.split(F.lower("text"), r"\s+")
+    return (
+        docs.select("doc_id", F.posexplode(F.slice(toks, 1, 5)).alias("pos", "token"))
+        .select("doc_id", F.col("pos").cast("long").alias("pos"), "token")
+    )
+
+
+@query(
+    "pivot_event_counts",
+    sql="""
+    SELECT user_id,
+           count(CASE WHEN event_type = 'click'    THEN 1 END) AS click,
+           count(CASE WHEN event_type = 'error'    THEN 1 END) AS error,
+           count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+           count(CASE WHEN event_type = 'signup'   THEN 1 END) AS signup,
+           count(CASE WHEN event_type = 'view'     THEN 1 END) AS view
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("agg", "pivot"),
+)
+def pivot_event_counts(spark, sf_dir):
+    """PIVOT on event_type (explicit value list → single-pass plan, no
+    value-discovery job; the built-in extension SURVEY §2.4 calls out)."""
+    ev = read_table(spark, sf_dir, "events")
+    out = ev.groupBy("user_id").pivot("event_type", EVENT_TYPES).count().fillna(0)
+    return out.select(
+        "user_id", *[F.col(t).cast("long").alias(t) for t in EVENT_TYPES]
+    )
+
+
+@query(
+    "heuristic_intent_score",
+    sql="""
+    WITH feats AS (
+      SELECT user_id,
+             count(CASE WHEN event_type = 'view' THEN 1 END) AS view_count,
+             count(CASE WHEN event_type = 'click' THEN 1 END) AS click_count,
+             count(*) AS total_events
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, view_count, click_count, total_events,
+           CASE WHEN click_count >= 3 AND view_count >= 5 THEN 0.85
+                WHEN click_count >= 2 THEN 0.60
+                WHEN view_count >= 3 THEN 0.35
+                WHEN total_events >= 5 THEN 0.20
+                ELSE 0.05 END AS intent_score
+    FROM feats
+    """,
+    tags=("ml", "heuristic"),
+)
+def heuristic_intent_score(spark, sf_dir):
+    """M7: the reference's cold-start heuristic predictor
+    (``online_model.py:151-159``: fixed probabilities from activity
+    thresholds) compiled to a pure column expression — fully in-plan, no
+    model call."""
+    ev = read_table(spark, sf_dir, "events")
+    feats = ev.groupBy("user_id").agg(
+        F.count(F.when(F.col("event_type") == "view", 1)).alias("view_count"),
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("click_count"),
+        F.count("*").alias("total_events"),
+    )
+    score = (
+        F.when((F.col("click_count") >= 3) & (F.col("view_count") >= 5), 0.85)
+        .when(F.col("click_count") >= 2, 0.60)
+        .when(F.col("view_count") >= 3, 0.35)
+        .when(F.col("total_events") >= 5, 0.20)
+        .otherwise(0.05)
+    )
+    return feats.select(
+        "user_id", "view_count", "click_count", "total_events",
+        score.alias("intent_score"),
+    )
+
+
+@query(
+    "dedup_subset_keys",
+    sql="SELECT DISTINCT user_id, event_type FROM events",
+    tags=("dedup", "distinct"),
+)
+def dedup_subset_keys(spark, sf_dir):
+    """dropDuplicates on a key subset, projected to the keys (the surviving
+    non-key row is pick-arbitrary in any engine, so only the key set is a
+    well-defined result)."""
+    ev = read_table(spark, sf_dir, "events")
+    return ev.dropDuplicates(["user_id", "event_type"]).select("user_id", "event_type")
+
+
+@query("shuffle_seeded", sql=None, tags=("sampling", "rand"))
+def shuffle_seeded(spark, sf_dir):
+    """P15/X5: full shuffle via orderBy(rand(seed)) — returns the first 100
+    rows of the shuffled order with their shuffle rank; seeded but
+    engine-specific → rows-only."""
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.orderBy(F.rand(42))
+        .limit(100)
+        .select("event_id", "user_id", "event_type")
+    )

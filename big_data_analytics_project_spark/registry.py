@@ -74,6 +74,7 @@ def load_all() -> dict[str, QuerySpec]:
             ml_queries,
             multimodal_queries,
             relational,
+            scalar_queries,
             similarity_queries,
             streaming_queries,
             text_queries,

@@ -1,0 +1,48 @@
+"""Sinks (reference S2/S8/S9 generalized for scale).
+
+The reference writes one flat parquet (``preprocessing.py:123``).  At
+100 TB the layout IS the query plan: date/key partitioning gives dynamic
+partition pruning, and sized files (target 128-512 MiB) keep scans
+efficient.  ``write_partitioned`` applies the standard recipe:
+repartition by the partition columns (one shuffle) so each output
+partition is written by few tasks, avoiding the small-files explosion.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """S2: plain parquet write."""
+    df.write.mode(mode).parquet(path)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    mode: str = "overwrite",
+) -> None:
+    """Partitioned parquet write with file-count control.
+
+    ``repartition(partition_cols)`` aligns the shuffle with the directory
+    layout: every task writes to exactly one partition directory, so file
+    count ≈ |partitions| instead of tasks × |partitions| (the small-files
+    explosion).  For skewed partitions add a salt column to the
+    repartition list."""
+    out = df.repartition(*[F.col(c) for c in partition_cols])
+    out.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """S3: parquet scan (partition columns become queryable columns and
+    partition filters prune directories before any IO)."""
+    return spark.read.parquet(path)
+
+
+def date_partitioned(df: DataFrame, ts_col: str) -> DataFrame:
+    """Attach the standard date partition column (year-month) used for
+    time-series layouts."""
+    return df.withColumn("pt_month", F.date_format(F.col(ts_col), "yyyy-MM"))
