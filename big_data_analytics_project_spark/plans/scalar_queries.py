@@ -183,6 +183,56 @@ def dedup_subset_keys(spark, sf_dir):
     return ev.dropDuplicates(["user_id", "event_type"]).select("user_id", "event_type")
 
 
+@query(
+    "agg_percentiles",
+    sql="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+           round(quantile_cont(l_extendedprice, 0.50), 6) AS p50,
+           round(quantile_cont(l_extendedprice, 0.75), 6) AS p75,
+           round(median(l_extendedprice), 6) AS med
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "percentile"),
+)
+def agg_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles (both engines use the standard
+    (n-1)p linear interpolation; low group cardinality → 6dp rounding
+    absorbs accumulation differences).  The approx_percentile/HLL variants
+    are the streaming/100TB path; exact is the oracle-able baseline."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 6).alias("p25"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.50)), 6).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.75)), 6).alias("p75"),
+        F.round(F.median("l_extendedprice"), 6).alias("med"),
+    )
+
+
+@query(
+    "agg_corr_covar",
+    sql="""
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+           round(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_covar,
+           round(covar_pop(l_quantity, l_extendedprice), 4) AS qty_price_covar_pop
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "stats"),
+)
+def agg_corr_covar(spark, sf_dir):
+    """Correlation / covariance aggregates (rounded: both engines use
+    single-pass co-moment updates with engine-specific ordering)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("qty_price_covar"),
+        F.round(F.covar_pop("l_quantity", "l_extendedprice"), 4).alias("qty_price_covar_pop"),
+    )
+
+
 @query("shuffle_seeded", sql=None, tags=("sampling", "rand"))
 def shuffle_seeded(spark, sf_dir):
     """P15/X5: full shuffle via orderBy(rand(seed)) — returns the first 100

@@ -42,21 +42,37 @@ def stage_events_as_json_stream(
     files — the file-source analog of the reference's chunked CSV→Kafka
     producer (``kafka_producer.py:107-119``).  With
     ``maxFilesPerTrigger=1`` each file becomes one micro-batch, so
-    watermark advancement across batches is exercised deterministically."""
+    watermark advancement across batches is exercised deterministically.
+
+    The write is distributed (range-partitioned by ts → executors write the
+    chunk files directly; no driver collect).  File mtimes are then set to
+    follow the ts ranges so the file source replays in event-time order.
+    """
     out_dir = out_dir or tempfile.mkdtemp(prefix="bdap_stream_")
     from ..sources import read_table
 
-    ev = read_table(spark, sf_dir, "events")
-    rows = [r.asDict() for r in ev.orderBy("ts", "event_id").collect()]
-    chunk = (len(rows) + n_files - 1) // n_files or 1
-    for i in range(n_files):
-        part = rows[i * chunk : (i + 1) * chunk]
-        if not part:
-            continue
-        with open(os.path.join(out_dir, f"part-{i:04d}.json"), "w") as f:
-            for r in part:
-                r["ts"] = r["ts"].isoformat(sep=" ")
-                f.write(json.dumps(r) + "\n")
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    (
+        ev.repartitionByRange(n_files, "ts", "event_id")
+        .sortWithinPartitions("ts", "event_id")
+        .write.mode("overwrite")
+        .json(out_dir)
+    )
+    # part-file names sort in range order; stamp ascending mtimes so the
+    # streaming file source (mtime-ordered discovery) replays oldest first
+    parts = sorted(
+        f for f in os.listdir(out_dir) if f.startswith("part-") and f.endswith(".json")
+    )
+    base = 1_600_000_000
+    for i, f in enumerate(parts):
+        os.utime(os.path.join(out_dir, f), (base + i, base + i))
     return out_dir
 
 
