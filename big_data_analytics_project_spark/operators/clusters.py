@@ -1,0 +1,87 @@
+"""Connected components over a pair graph — dedup *clustering*.
+
+Near-dup detection yields pairs; curation needs clusters ("keep one doc
+per duplicate group").  Components are computed by iterative min-label
+propagation — the canonical Spark iterative-algorithm pattern:
+
+    labels(v) = v
+    repeat: labels(v) = min(labels(v), min over neighbors u of labels(u))
+    until no label changes
+
+Each iteration is one join + one aggregate (two shuffles) over the edge
+list; lineage is cut with localCheckpoint every few rounds so the plan
+doesn't grow unboundedly (the classic iterative-Spark failure mode).
+Iteration count is O(diameter); near-dup graphs are overwhelmingly tiny
+stars/cliques, so 2-4 rounds converge.  At 100 TB use the same loop per
+partition-sized label frame; the edge list is the only large state.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def connected_components(
+    nodes: DataFrame,  # one column: "id"
+    edges: DataFrame,  # columns: "src", "dst"
+    max_iter: int = 20,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Return (id, component) with component = min node id reachable."""
+    sym = (
+        edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .unionByName(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+        .distinct()
+        .persist()
+    )
+    labels = nodes.select(F.col("id"), F.col("id").alias("component")).persist()
+    for i in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym.b == labels.id)
+            .groupBy("a")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.a, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_component", F.col("component"))
+                ).alias("component"),
+            )
+        )
+        if i % checkpoint_every == checkpoint_every - 1:
+            new_labels = new_labels.localCheckpoint()
+        changed = (
+            labels.alias("old")
+            .join(new_labels.alias("new"), "id")
+            .where(F.col("old.component") != F.col("new.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels
+
+
+def dedup_clusters(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Cluster docs by near-dup pairs: (doc_id, cluster_id, cluster_size,
+    is_canonical).  cluster_id = min doc id in the component; the canonical
+    survivor of each cluster is that minimum."""
+    nodes = docs.select(F.col(id_col).alias("id"))
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    comp = connected_components(nodes, edges)
+    sizes = comp.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    return (
+        comp.join(sizes, "component")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("component").alias("cluster_id"),
+            F.col("cluster_size"),
+            (F.col("id") == F.col("component")).cast("long").alias("is_canonical"),
+        )
+    )

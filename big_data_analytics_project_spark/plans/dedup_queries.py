@@ -138,6 +138,58 @@ def dedup_minhash_lsh(spark, sf_dir):
     return out.select("id_a", "id_b", F.round("jaccard_sim", 6).alias("jaccard_sim"))
 
 
+_DUCK_CLUSTERS = f"""
+WITH RECURSIVE
+{_DUCK_SHINGLES},
+anchors AS (
+  SELECT doc_id, s, unnest([list_aggregate(s, 'min'), list_aggregate(s, 'max')]) AS anchor
+  FROM sh
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.s AS sa, b.s AS sb
+  FROM anchors a JOIN anchors b ON a.anchor = b.anchor AND a.doc_id < b.doc_id
+),
+pairs AS (
+  SELECT id_a, id_b FROM cand
+  WHERE len(list_intersect(sa, sb))::DOUBLE
+        / len(list_distinct(list_concat(sa, sb))) >= 0.5
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+  UNION SELECT doc_id, doc_id FROM documents
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+comp AS (
+  SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
+)
+SELECT c.doc_id, c.cluster_id,
+       count(*) OVER (PARTITION BY c.cluster_id) AS cluster_size,
+       CAST(c.doc_id = c.cluster_id AS BIGINT) AS is_canonical
+FROM comp c
+"""
+
+
+@query("dedup_clusters", sql=_DUCK_CLUSTERS, tags=("dedup", "clustering", "iterative"))
+def dedup_clusters_query(spark, sf_dir):
+    """Near-dup clustering: MinHash-LSH verified pairs → iterative
+    min-label connected components (driver-loop with localCheckpoint
+    lineage cuts — the genuinely non-single-SQL-pass operator; the oracle
+    uses a recursive-CTE transitive closure over the mirrorable exact pair
+    set).  Output marks the canonical survivor per cluster."""
+    from ..operators.clusters import dedup_clusters as _dc
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = D.minhash_near_duplicates(
+        docs, "doc_id", "text", n=3, k=64, bands=16, threshold=0.5
+    )
+    return _dc(docs, pairs)
+
+
 @query("dedup_simhash", sql=None, tags=("dedup", "simhash"))
 def dedup_simhash(spark, sf_dir):
     """SimHash-64 near-dup pairs (Hamming ≤ 8 via 16-bit chunk banding).

@@ -1,0 +1,168 @@
+"""Family-completion queries: window extras, date arithmetic, array
+functions, edit distance, union-by-name with schema evolution."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Window
+
+from ..registry import query
+from ..sources import read_table
+
+
+@query(
+    "window_nth_lag_defaults",
+    sql="""
+    SELECT o_custkey, o_orderkey,
+           nth_value(o_orderkey, 2) OVER w AS second_order,
+           lag(o_totalprice, 2, -1.0) OVER w AS price_2_back,
+           lead(o_totalprice, 2, -1.0) OVER w AS price_2_ahead
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    tags=("window",),
+)
+def window_nth_lag_defaults(spark, sf_dir):
+    """nth_value + offset lag/lead with explicit defaults."""
+    o = read_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    wseq = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
+        F.lag("o_totalprice", 2, -1.0).over(wseq).alias("price_2_back"),
+        F.lead("o_totalprice", 2, -1.0).over(wseq).alias("price_2_ahead"),
+    )
+
+
+@query(
+    "date_arithmetic",
+    sql="""
+    SELECT o_orderkey,
+           CAST(o_orderdate + INTERVAL 30 DAY AS TIMESTAMP) AS due_date,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
+           CAST(last_day(o_orderdate::DATE) AS VARCHAR) AS month_end,
+           date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS days_since_epoch_start,
+           CAST(dayofweek(o_orderdate) AS BIGINT) AS dow,
+           CAST(weekofyear(o_orderdate) AS BIGINT) AS woy
+    FROM orders
+    WHERE o_orderkey % 5 = 0
+    """,
+    tags=("datetime",),
+)
+def date_arithmetic(spark, sf_dir):
+    """Interval arithmetic, truncation, day/week extraction.
+
+    Cross-engine notes: DuckDB ``dayofweek`` is 0=Sunday..6 while Spark is
+    1=Sunday..7 → subtract 1 on the Spark side... actually emit Spark's
+    ``dayofweek(ts)-1`` to match DuckDB's 0-based convention."""
+    o = read_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 5 == 0)
+    return o.select(
+        "o_orderkey",
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("due_date"),
+        F.date_trunc("month", "o_orderdate").alias("order_month"),
+        F.last_day("o_orderdate").cast("string").alias("month_end"),
+        F.datediff(
+            F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp")
+        ).cast("long").alias("days_since_epoch_start"),
+        (F.dayofweek("o_orderdate") - 1).cast("long").alias("dow"),
+        F.weekofyear("o_orderdate").cast("long").alias("woy"),
+    )
+
+
+@query(
+    "array_funcs",
+    sql="""
+    WITH t AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+      WHERE doc_id < 100
+    )
+    SELECT doc_id,
+           list_sort(list_distinct(toks))[1] AS first_token_sorted,
+           CAST(len(toks) AS BIGINT) AS n_toks,
+           CAST(coalesce(list_position(toks, 'data'), 0) AS BIGINT) AS data_pos,
+           CAST(list_has_any(toks, ['data', 'query']) AS BIGINT) AS mentions_data_or_query,
+           array_to_string(list_sort(list_distinct(toks))[1:3], '|') AS top3_sorted
+    FROM t
+    """,
+    tags=("array",),
+)
+def array_funcs(spark, sf_dir):
+    """array_sort / array_position / arrays_overlap / slice / join.
+    (Spark array_position and DuckDB list_position are both 1-based with
+    0/NULL-on-missing — DuckDB returns NULL, Spark returns 0 → coalesce
+    on the SQL side ... handled by emitting coalesce there; here the Spark
+    value is used as-is and the mirror coalesces to 0.)"""
+    docs = read_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    toks = F.split(F.lower("text"), r"\s+")
+    sorted_distinct = F.array_sort(F.array_distinct(toks))
+    return docs.select(
+        "doc_id",
+        F.element_at(sorted_distinct, 1).alias("first_token_sorted"),
+        F.size(toks).cast("long").alias("n_toks"),
+        F.array_position(toks, "data").cast("long").alias("data_pos"),
+        F.arrays_overlap(toks, F.array(F.lit("data"), F.lit("query")))
+        .cast("long")
+        .alias("mentions_data_or_query"),
+        F.array_join(F.slice(sorted_distinct, 1, 3), "|").alias("top3_sorted"),
+    )
+
+
+@query(
+    "text_edit_distance",
+    sql="""
+    WITH a AS (SELECT doc_id, substring(lower(text), 1, 40) AS prefix FROM documents WHERE doc_id < 60),
+         b AS (SELECT doc_id, substring(lower(text), 1, 40) AS prefix FROM documents WHERE doc_id < 60)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.prefix, b.prefix) AS BIGINT) AS edit_dist
+    FROM a JOIN b ON b.doc_id = a.doc_id + 1
+    """,
+    tags=("text", "fuzzy"),
+)
+def text_edit_distance(spark, sf_dir):
+    """Levenshtein distance between consecutive docs' 40-char prefixes —
+    the fuzzy-matching primitive (both engines implement the standard DP)."""
+    docs = read_table(spark, sf_dir, "documents").where(F.col("doc_id") < 60)
+    pfx = docs.select("doc_id", F.substring(F.lower("text"), 1, 40).alias("prefix"))
+    a = pfx.alias("a")
+    b = pfx.alias("b")
+    return a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1).select(
+        F.col("a.doc_id").alias("id_a"),
+        F.col("b.doc_id").alias("id_b"),
+        F.levenshtein(F.col("a.prefix"), F.col("b.prefix")).cast("long").alias("edit_dist"),
+    )
+
+
+@query(
+    "union_schema_evolution",
+    sql="""
+    SELECT c_custkey AS id, c_acctbal AS balance, c_mktsegment AS segment, NULL AS region
+    FROM customer WHERE c_custkey % 3 = 0
+    UNION ALL
+    SELECT s_suppkey AS id, s_acctbal AS balance, NULL AS segment, CAST(s_nationkey AS VARCHAR) AS region
+    FROM supplier
+    """,
+    tags=("setop", "union"),
+)
+def union_schema_evolution(spark, sf_dir):
+    """unionByName(allowMissingColumns=True): bag-union across evolving
+    schemas — missing columns null-filled by name, not position."""
+    c = read_table(spark, sf_dir, "customer").where(F.col("c_custkey") % 3 == 0)
+    s = read_table(spark, sf_dir, "supplier")
+    a = c.select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_acctbal").alias("balance"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    b = s.select(
+        F.col("s_suppkey").alias("id"),
+        F.col("s_acctbal").alias("balance"),
+        F.col("s_nationkey").cast("string").alias("region"),
+    )
+    return a.unionByName(b, allowMissingColumns=True)

@@ -70,6 +70,7 @@ def load_all() -> dict[str, QuerySpec]:
     if not _LOADED:
         from .plans import (  # noqa: F401
             dedup_queries,
+            extras_queries,
             flagship,
             ml_queries,
             multimodal_queries,
