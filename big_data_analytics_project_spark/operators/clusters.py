@@ -26,7 +26,6 @@ def connected_components(
     nodes: DataFrame,  # one column: "id"
     edges: DataFrame,  # columns: "src", "dst"
     max_iter: int = 20,
-    checkpoint_every: int = 3,
 ) -> DataFrame:
     """Return (id, component) with component = min node id reachable."""
     sym = (
@@ -35,13 +34,16 @@ def connected_components(
         .distinct()
         .persist()
     )
-    labels = nodes.select(F.col("id"), F.col("id").alias("component")).persist()
-    for i in range(max_iter):
+    labels = nodes.select(F.col("id"), F.col("id").alias("component")).localCheckpoint()
+    for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym.b == labels.id)
             .groupBy("a")
             .agg(F.min("component").alias("nbr_component"))
         )
+        # eager localCheckpoint each round: materializes the (small) label
+        # frame, keeps lineage flat, and makes the convergence count below
+        # read materialized data instead of replaying all prior rounds
         new_labels = (
             labels.join(neighbor_min, labels.id == neighbor_min.a, "left")
             .select(
@@ -50,9 +52,8 @@ def connected_components(
                     F.col("component"), F.coalesce("nbr_component", F.col("component"))
                 ).alias("component"),
             )
+            .localCheckpoint()
         )
-        if i % checkpoint_every == checkpoint_every - 1:
-            new_labels = new_labels.localCheckpoint()
         changed = (
             labels.alias("old")
             .join(new_labels.alias("new"), "id")

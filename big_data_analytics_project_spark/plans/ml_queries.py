@@ -23,6 +23,22 @@ def ml_intent_rf_metrics(spark, sf_dir):
     )
 
 
+@query("ml_feature_importances", sql=None, tags=("ml", "classification"))
+def ml_feature_importances(spark, sf_dir):
+    """M8: RandomForest feature importances (reference
+    visualization.ipynb cell 13 / README feature table), as (feature,
+    importance) rows sorted by weight."""
+    from ..ml.intent import FEATURES, build_feature_table, train_intent_model, undersample
+
+    feats = build_feature_table(spark, sf_dir)
+    model, _ = train_intent_model(undersample(feats).cache())
+    imps = list(model.featureImportances.toArray())
+    rows = sorted(zip(FEATURES, imps), key=lambda kv: -kv[1])
+    return spark.createDataFrame(
+        [(f, round(float(w), 6)) for f, w in rows], "feature string, importance double"
+    )
+
+
 @query("ml_als_recommendations", sql=None, tags=("ml", "recommender"))
 def ml_als_recommendations(spark, sf_dir):
     """M9: implicit-feedback ALS (c_ui = 1 + alpha*r_ui) top-5 item

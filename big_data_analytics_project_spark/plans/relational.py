@@ -709,7 +709,14 @@ def window_running_total(spark, sf_dir):
 )
 def window_range_frame(spark, sf_dir):
     """RANGE frame over a numeric ordering — peers counted by value
-    distance, not row position."""
+    distance, not row position.
+
+    Scale note: an unpartitioned window is a single-reducer total order —
+    fine for post-aggregation frames or bounded tables, wrong for a 100 TB
+    fact table.  The scale recipe is range-partition by the order key,
+    window within partitions, and stitch boundary frames (or re-key on a
+    coarse bucket + in-bucket window); kept global here because the oracle
+    checks exact global semantics."""
     o = _t(spark, sf_dir, "orders")
     w = Window.orderBy("o_totalprice").rangeBetween(-100, 100)
     return o.select(
@@ -731,7 +738,9 @@ def window_range_frame(spark, sf_dir):
     tags=("window", "distribution"),
 )
 def window_distribution(spark, sf_dir):
-    """ntile / percent_rank / cume_dist over a unique total ordering."""
+    """ntile / percent_rank / cume_dist over a unique total ordering.
+    (Global window — see window_range_frame's scale note; distribution
+    ranks at 100 TB use approx quantiles or a two-pass rank instead.)"""
     c = _t(spark, sf_dir, "customer")
     w = Window.orderBy("c_acctbal", "c_custkey")
     return c.select(

@@ -76,6 +76,34 @@ def stage_events_as_json_stream(
     return out_dir
 
 
+def read_kafka_event_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "latest",
+) -> DataFrame:
+    """S4: the Kafka deployment of the same pipeline (reference
+    ``stream_processor.py:125-132``: subscribe, startingOffsets=latest,
+    failOnDataLoss=false; JSON values keyed by session id for per-key
+    partition affinity).  Requires the spark-sql-kafka package on the
+    classpath; no broker exists in the test container, so this builder is
+    exercised only for plan construction — the downstream operators are
+    source-agnostic."""
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .option("failOnDataLoss", "false")
+        .load()
+    )
+    return (
+        raw.selectExpr("CAST(value AS STRING) AS json_str")
+        .select(F.from_json("json_str", EVENTS).alias("data"))
+        .select("data.*")
+    )
+
+
 def read_event_stream(
     spark: SparkSession, json_dir: str, max_files_per_trigger: int = 1
 ) -> DataFrame:
