@@ -1,0 +1,86 @@
+"""Property-based tests (hypothesis) for the core operator semantics —
+the upgrade over the reference's smoke-only testing (SURVEY §5).
+
+Each property runs on small generated event frames (shared Spark session,
+bounded examples: Spark jobs are ~100ms each)."""
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+from hypothesis import given, settings, strategies as st
+
+from big_data_analytics_project_spark.operators.sessionization import (
+    first_conversion_join,
+    first_conversion_window,
+    leakage_cutoff,
+)
+
+EVENT_TYPES = ["view", "click", "purchase", "signup"]
+
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=5),      # user_id
+        st.integers(min_value=0, max_value=3600),   # ts offset seconds
+        st.sampled_from(EVENT_TYPES),
+        st.floats(min_value=0, max_value=100, allow_nan=False),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+def _frame(spark, rows):
+    base = dt.datetime(2024, 1, 1)
+    data = [
+        (i, u, base + dt.timedelta(seconds=s), t, v)
+        for i, (u, s, t, v) in enumerate(rows)
+    ]
+    return spark.createDataFrame(
+        data, "event_id long, user_id long, ts timestamp, event_type string, value double"
+    )
+
+
+@settings(max_examples=12, deadline=None)
+@given(rows=events_strategy)
+def test_window_join_equivalence_property(spark, rows):
+    """The window and join formulations of first-conversion marking agree
+    on arbitrary event sets (incl. duplicate timestamps, no-purchase
+    users, purchase-first users)."""
+    ev = _frame(spark, rows)
+    w = first_conversion_window(ev, "user_id", "ts")
+    j = first_conversion_join(ev, "user_id", "ts")
+    got_w = sorted(
+        (r.event_id, r.first_conversion_ts) for r in w.collect()
+    )
+    got_j = sorted(
+        (r.event_id, r.first_conversion_ts) for r in j.collect()
+    )
+    assert got_w == got_j
+
+
+@settings(max_examples=12, deadline=None)
+@given(rows=events_strategy)
+def test_leakage_cutoff_properties(spark, rows):
+    """Invariants of the cutoff: (1) non-converting users keep every row;
+    (2) no surviving row is strictly later than its user's first purchase;
+    (3) every user's first purchase row survives."""
+    ev = _frame(spark, rows)
+    kept = leakage_cutoff(first_conversion_window(ev, "user_id", "ts"), "ts")
+
+    purchasers = {
+        r.user_id: r.first_ts
+        for r in ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_ts"))
+        .collect()
+    }
+    all_rows = {r.event_id: r for r in ev.collect()}
+    kept_ids = {r.event_id for r in kept.collect()}
+
+    for eid, r in all_rows.items():
+        if r.user_id not in purchasers:
+            assert eid in kept_ids  # (1)
+        elif r.ts <= purchasers[r.user_id]:
+            assert eid in kept_ids  # (3) incl. ties
+        else:
+            assert eid not in kept_ids  # (2)
