@@ -56,12 +56,14 @@ def recall_at_k(model, train: DataFrame, heldout: DataFrame, k: int = 10) -> flo
     recs = model.recommendForUserSubset(users, k * 3)
     flat = recs.select(
         "user", F.explode("recommendations").alias("r")
-    ).select("user", F.col("r.item").alias("item"))
+    ).select("user", F.col("r.item").alias("item"), F.col("r.rating").alias("score"))
     seen = train.select("user", "item")
     unseen = flat.join(seen, ["user", "item"], "left_anti")
     from pyspark.sql import Window
 
-    w = Window.partitionBy("user").orderBy(F.monotonically_increasing_id())
+    # rank by ALS score (join output order is arbitrary); item id breaks ties
+    # deterministically
+    w = Window.partitionBy("user").orderBy(F.desc("score"), F.asc("item"))
     topk = unseen.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
     hits = heldout.join(topk, ["user", "item"], "inner").count()
     total = heldout.count()

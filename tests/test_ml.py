@@ -61,3 +61,59 @@ def test_als_pipeline(spark, sf_dir):
     out = run_als_pipeline(spark, sf_dir, k=10)
     assert 0.0 <= out["recall_at_k"] <= 1.0
     assert out["n_users"] > 0
+
+
+class _StubModel:
+    """Stands in for an ALS model: fixed scored recommendations per user."""
+
+    def __init__(self, recs_df):
+        self._recs = recs_df
+
+    def recommendForUserSubset(self, users, n):
+        return self._recs
+
+
+def test_recall_at_k_ranks_by_score_not_row_order(spark):
+    """Constructed case where any non-score ordering (e.g. the old
+    monotonically_increasing_id ranking) could flip the result: with k=1,
+    user 1's held-out item is the TOP-scored rec (must hit) and user 2's is
+    the BOTTOM-scored rec (must miss)."""
+    from big_data_analytics_project_spark.ml.recommend import recall_at_k
+
+    recs = spark.createDataFrame(
+        [
+            (1, [{"item": 10, "rating": 0.9}, {"item": 20, "rating": 0.5}, {"item": 30, "rating": 0.1}]),
+            (2, [{"item": 11, "rating": 0.9}, {"item": 21, "rating": 0.5}, {"item": 31, "rating": 0.1}]),
+        ],
+        "user int, recommendations array<struct<item:int,rating:double>>",
+    )
+    train = spark.createDataFrame([(1, 99), (2, 99)], "user int, item int")
+    heldout = spark.createDataFrame([(1, 10), (2, 31)], "user int, item int")
+    r = recall_at_k(_StubModel(recs), train, heldout, k=1)
+    assert r == 0.5  # top-scored hit counted, bottom-scored not in top-1
+
+
+def test_als_recall_beats_reference_on_structured_split(spark):
+    """Reference reports Spark ALS Recall@10 = 0.0999 (report §3.2).  The
+    driver fixtures are random (no user-item structure → chance-level
+    recall), so the threshold is asserted on a structured interaction set:
+    users in block g interact with items in block g.  ALS must recover the
+    block structure and beat the reference figure."""
+    import random
+
+    from big_data_analytics_project_spark.ml.recommend import recall_at_k, train_als
+
+    rng = random.Random(7)
+    rows = []
+    held = []
+    for u in range(60):
+        g = u % 2
+        items = rng.sample(range(g * 30, g * 30 + 30), 12)
+        for it in items[:-1]:
+            rows.append((u, it, float(rng.randint(1, 5))))
+        held.append((u, items[-1]))
+    train = spark.createDataFrame(rows, "user int, item int, strength float")
+    heldout = spark.createDataFrame(held, "user int, item int")
+    model = train_als(train, rank=8, max_iter=10)
+    r = recall_at_k(model, train, heldout, k=10)
+    assert r >= 0.0999, f"Recall@10 {r} below reference Spark figure 0.0999"
