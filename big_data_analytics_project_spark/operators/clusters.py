@@ -18,8 +18,12 @@ partition-sized label frame; the edge list is the only large state.
 
 from __future__ import annotations
 
+import logging
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
+
+_log = logging.getLogger(__name__)
 
 
 def connected_components(
@@ -35,6 +39,7 @@ def connected_components(
         .persist()
     )
     labels = nodes.select(F.col("id"), F.col("id").alias("component")).localCheckpoint()
+    changed = 0
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym.b == labels.id)
@@ -64,6 +69,16 @@ def connected_components(
         if changed == 0:
             break
     sym.unpersist()
+    if changed > 0:
+        # a component with diameter > max_iter would carry a wrong (non-minimal)
+        # label with no other signal — surface it instead of silently returning
+        _log.warning(
+            "connected_components did not converge after %d iterations "
+            "(%d labels still changing); results may split components. "
+            "Increase max_iter for high-diameter graphs.",
+            max_iter,
+            changed,
+        )
     return labels
 
 

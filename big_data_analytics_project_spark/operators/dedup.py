@@ -27,7 +27,8 @@ import random
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
-# Mersenne prime 2^61-1 keeps a*x+b in int64 without overflow for a,b < 2^31
+# Mersenne prime 2^31-1: with a,b < 2^31 and base hashes reduced mod p
+# (so h < 2^31), a*h+b < 2^62 stays inside int64 with no overflow
 _MERSENNE = (1 << 31) - 1
 
 
@@ -132,7 +133,7 @@ def lsh_candidate_pairs(
     )
     a = banded.alias("a")
     b = banded.alias("b")
-    return (
+    pairs = (
         a.join(
             b,
             (F.col(f"a.band") == F.col(f"b.band"))
@@ -142,6 +143,13 @@ def lsh_candidate_pairs(
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
     )
+    # materialize the (small) pair set so the cached banded frame can be
+    # released immediately instead of leaking across queries in a long-lived
+    # session; checkpointed RDDs are reclaimed by the ContextCleaner when the
+    # returned frame is garbage-collected
+    pairs = pairs.localCheckpoint(eager=True)
+    banded.unpersist()
+    return pairs
 
 
 def minhash_near_duplicates(
@@ -187,7 +195,7 @@ def minhash_near_duplicates(
     cand = lsh_candidate_pairs(sig, id_col, bands=bands, rows=k // bands)
     sa = sh.select(F.col(id_col).alias("id_a"), F.col("shingle_set").alias("set_a"))
     sb = sh.select(F.col(id_col).alias("id_b"), F.col("shingle_set").alias("set_b"))
-    return (
+    verified = (
         cand.join(sa, "id_a")
         .join(sb, "id_b")
         .select(
@@ -197,6 +205,12 @@ def minhash_near_duplicates(
         )
         .where(F.col("jaccard_sim") >= threshold)
     )
+    # eager-materialize the small verified-pair result, then release the
+    # cached shingle frame (otherwise it leaks across queries in a
+    # long-lived session)
+    verified = verified.localCheckpoint(eager=True)
+    sh.unpersist()
+    return verified
 
 
 def simhash_fingerprints(
@@ -280,7 +294,7 @@ def simhash_near_duplicates(
         ).alias("bk"),
     ).select(id_col, "fingerprint", "bk.band", "bk.chunk")
     a, b = banded.alias("a"), banded.alias("b")
-    return (
+    near = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -297,3 +311,7 @@ def simhash_near_duplicates(
         .distinct()
         .where(F.col("hamming") <= max_hamming)
     )
+    # see lsh_candidate_pairs: materialize small output, release big cache
+    near = near.localCheckpoint(eager=True)
+    fp.unpersist()
+    return near

@@ -18,7 +18,7 @@ from ..sources import read_table
 # Shared DuckDB CTE: tokenize + 3-gram shingle exactly like operators.dedup
 _DUCK_SHINGLES = """
 toks AS (
-  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t FROM documents
 ),
 sh AS (
   SELECT doc_id,

@@ -80,7 +80,7 @@ def date_arithmetic(spark, sf_dir):
     "array_funcs",
     sql="""
     WITH t AS (
-      SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+      SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks FROM documents
       WHERE doc_id < 100
     )
     SELECT doc_id,

@@ -84,7 +84,7 @@ def conditional_funcs(spark, sf_dir):
     "array_explode_tokens",
     sql="""
     WITH toks AS (
-      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+      SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t FROM documents
       WHERE doc_id < 50
     )
     SELECT doc_id, CAST(i AS BIGINT) AS pos, t[i + 1] AS token

@@ -18,7 +18,7 @@ from ..sources import read_table
     "text_token_stats",
     sql="""
     WITH toks AS (
-      SELECT doc_id, lang, string_split(lower(text), ' ') AS t, text FROM documents
+      SELECT doc_id, lang, regexp_split_to_array(lower(text), '\s+') AS t, text FROM documents
     )
     SELECT doc_id, lang,
            CAST(len(t) AS BIGINT) AS n_tokens,
@@ -53,7 +53,7 @@ def text_token_stats(spark, sf_dir):
     "text_quality_scores",
     sql="""
     WITH toks AS (
-      SELECT doc_id, string_split(lower(text), ' ') AS t, text FROM documents
+      SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t, text FROM documents
     ), feats AS (
       SELECT doc_id,
         least(length(text)::DOUBLE / 500.0, 1.0) AS len_score,
@@ -93,7 +93,7 @@ def text_quality_scores(spark, sf_dir):
     "text_language_id",
     sql="""
     WITH toks AS (
-      SELECT doc_id, lang, string_split(lower(text), ' ') AS t FROM documents
+      SELECT doc_id, lang, regexp_split_to_array(lower(text), '\s+') AS t FROM documents
     ), scores AS (
       SELECT doc_id, lang,
         len(list_intersect(t, ['the','fast','data','query']))  AS score_en,

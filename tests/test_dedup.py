@@ -65,3 +65,30 @@ def test_minhash_signature_stability(spark, sf_dir):
     a = {r.doc_id: tuple(r.s) for r in sig.collect()}
     b = {r.doc_id: tuple(r.s) for r in sig.collect()}
     assert a == b
+
+
+def test_tokenization_parity_on_hostile_whitespace(spark, duck):
+    """Spark split('\\s+') and the oracle's regexp_split_to_array('\\s+')
+    must tokenize identically on tabs / newlines / runs of spaces /
+    leading+trailing whitespace — not just the single-space fixture texts
+    (regression for the string_split(' ') oracle mismatch)."""
+    from big_data_analytics_project_spark.operators.text import ws_tokens
+
+    cases = [
+        "plain single space",
+        "double  space",
+        "tab\tseparated\ttokens",
+        "newline\nseparated",
+        "  leading and trailing  ",
+        "mixed \t\n whitespace  runs",
+    ]
+    sdf = spark.createDataFrame([(c,) for c in cases], "text string")
+    got = {
+        r.text: list(r.toks)
+        for r in sdf.select("text", ws_tokens(F.col("text")).alias("toks")).collect()
+    }
+    for c in cases:
+        want = duck.execute(
+            "select regexp_split_to_array(lower(?), '\\s+')", [c]
+        ).fetchone()[0]
+        assert got[c] == list(want), f"tokenization diverges on {c!r}"
