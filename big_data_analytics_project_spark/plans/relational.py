@@ -711,18 +711,38 @@ def window_range_frame(spark, sf_dir):
     """RANGE frame over a numeric ordering — peers counted by value
     distance, not row position.
 
-    Scale note: an unpartitioned window is a single-reducer total order —
-    fine for post-aggregation frames or bounded tables, wrong for a 100 TB
-    fact table.  The scale recipe is range-partition by the order key,
-    window within partitions, and stitch boundary frames (or re-key on a
-    coarse bucket + in-bucket window); kept global here because the oracle
-    checks exact global semantics."""
+    Scale-safe formulation (no global window): a RANGE count is a range
+    self-join, and a ±W range join decomposes into an equi-join on
+    floor(value/W) buckets — a neighbor within ±W of v can only live in
+    v's bucket or the two adjacent ones.  Plan: histogram the order key
+    (partial agg, one shuffle), explode each distinct value to its 3 probe
+    buckets, bucket equi-join histogram-vs-histogram, filter |Δ| ≤ W, sum
+    neighbor counts, and equi-join the per-value count back onto the fact
+    rows.  Every shuffle is a hash equi-join on a bucket/value key; no
+    single-reducer total order anywhere, so the plan survives 100× (the
+    old Window.orderBy form put the whole table on one reducer)."""
     o = _t(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice").rangeBetween(-100, 100)
-    return o.select(
+    hist = o.groupBy("o_totalprice").agg(F.count("*").alias("cnt"))
+    bucket = F.floor(F.col("o_totalprice") / F.lit(100.0))
+    probe = hist.select(
+        F.col("o_totalprice").alias("p"),
+        F.explode(F.array(bucket - 1, bucket, bucket + 1)).alias("bucket"),
+    )
+    build = hist.select(
+        F.col("o_totalprice").alias("nbr"),
+        F.col("cnt"),
+        bucket.alias("bucket"),
+    )
+    per_value = (
+        probe.join(build, "bucket")
+        .where(F.col("nbr").between(F.col("p") - 100, F.col("p") + 100))
+        .groupBy("p")
+        .agg(F.sum("cnt").alias("n_within_100"))
+    )
+    return o.join(per_value, o["o_totalprice"] == per_value["p"]).select(
         "o_orderkey",
         "o_totalprice",
-        F.count("*").over(w).cast("long").alias("n_within_100"),
+        F.col("n_within_100").cast("long").alias("n_within_100"),
     )
 
 
@@ -738,16 +758,62 @@ def window_range_frame(spark, sf_dir):
     tags=("window", "distribution"),
 )
 def window_distribution(spark, sf_dir):
-    """ntile / percent_rank / cume_dist over a unique total ordering.
-    (Global window — see window_range_frame's scale note; distribution
-    ranks at 100 TB use approx quantiles or a two-pass rank instead.)"""
+    """ntile / percent_rank / cume_dist over a unique total ordering,
+    computed with the two-pass distributed global rank instead of a
+    single-reducer Window.orderBy:
+
+    1. repartitionByRange on the sort key (sampling-based range
+       partitioner — the same mechanism as a distributed orderBy), then
+       row_number WITHIN each range partition (parallel per-partition
+       sorts, no data movement to one reducer);
+    2. per-partition counts → cumulative offsets (a partition-count-sized
+       driver array, broadcast back) turn local row numbers into global
+       ranks.
+
+    With the unique (c_acctbal, c_custkey) ordering there are no ties, so
+    percent_rank = (rank-1)/(n-1), cume_dist = rank/n, and ntile follows
+    the standard base/remainder bucket-size rule — all pure expressions on
+    the global rank, bit-identical to the oracle's window functions."""
     c = _t(spark, sf_dir, "customer")
-    w = Window.orderBy("c_acctbal", "c_custkey")
-    return c.select(
+    parts = spark.sparkContext.defaultParallelism
+    # Materialize the range partitioning ONCE: repartitionByRange samples to
+    # pick boundaries, so re-executing it in the counts job and the ranks job
+    # could yield different partitions and corrupt the offsets.  The two-pass
+    # algorithm inherently reads the partitioned data twice, so this persist
+    # is the algorithm's working set, not overhead.
+    ranged = (
+        c.repartitionByRange(parts, "c_acctbal", "c_custkey")
+        .localCheckpoint(eager=True)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    wp = Window.partitionBy("__pid").orderBy("c_acctbal", "c_custkey")
+    local = ranged.withColumn("__rn", F.row_number().over(wp))
+    sizes = sorted(
+        (r["__pid"], r["cnt"])
+        for r in ranged.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()
+    )
+    n = sum(cnt for _, cnt in sizes)
+    offsets, acc = [], 0
+    for pid, cnt in sizes:
+        offsets.append((pid, acc))
+        acc += cnt
+    off = F.broadcast(spark.createDataFrame(offsets, "__pid int, __off long"))
+    base, rem = divmod(n, 4)
+    r = F.col("__rn") + F.col("__off")
+    if base == 0:
+        quartile = r
+    else:
+        quartile = (
+            F.when(r <= rem * (base + 1), (r - 1) / (base + 1))
+            .otherwise(rem + (r - rem * (base + 1) - 1) / base)
+            .cast("long")
+            + 1
+        )
+    return local.join(off, "__pid").select(
         "c_custkey",
-        F.ntile(4).over(w).cast("long").alias("quartile"),
-        F.percent_rank().over(w).alias("pct_rank"),
-        F.cume_dist().over(w).alias("cum_dist"),
+        quartile.cast("long").alias("quartile"),
+        ((r - 1).cast("double") / F.lit(float(n - 1))).alias("pct_rank"),
+        (r.cast("double") / F.lit(float(n))).alias("cum_dist"),
     )
 
 

@@ -81,3 +81,15 @@ def test_filter_pushdown_reaches_scan(spark, sf_dir):
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in plan and "GreaterThan(l_quantity" in plan
     assert "ReadSchema" in plan
+
+
+def test_global_windows_have_no_single_partition_exchange(spark, sf_dir, registry):
+    """window_range_frame / window_distribution used to be global
+    Window.orderBy plans, which physically move the whole table through an
+    Exchange SinglePartition (one reducer — the 100x scale-killer).  The
+    reworked bucketed-range-join / two-pass-rank forms must keep every
+    stage partitioned."""
+    for name in ("window_range_frame", "window_distribution"):
+        df = registry[name].fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "SinglePartition" not in plan, f"{name} still has a single-reducer stage"
