@@ -106,8 +106,22 @@ def lsh_candidate_pairs(
     """Band the signature (bands × rows = k) and emit candidate id pairs that
     co-occur in ≥1 bucket.  Output: (id_a, id_b) with id_a < id_b, distinct.
 
-    The bucket join is a self-equi-join on (band, band_key): one shuffle.
-    ``max_bucket`` drops pathological buckets (skew guard)."""
+    Shape: explode band keys → ONE groupBy(band, band_key) collecting the
+    sorted member list (size-filtered to [2, max_bucket]) → explode in-bucket
+    combinations → distinct.  Two shuffles total (bucket agg + pair
+    distinct); the old form (bucket census + broadcast anti-join + banded
+    self-join + distinct) had the same asymptotics but 2 extra shuffles of
+    the banded frame, which dominated wall-clock on small-stage overhead.
+
+    ``max_bucket`` drops pathological buckets (degenerate content producing
+    mega-buckets): it bounds pair fan-out to max_bucket²/2 per bucket.  The
+    member list of an oversized bucket is still collected once before being
+    dropped (~8 bytes/id — tens of MB even for a million-member bucket); if
+    a corpus is so degenerate that this overwhelms an executor, pre-filter
+    with a count-only census before this call.
+
+    Callers should persist ``sig_df``'s lineage (or pass cheap-to-recompute
+    input): it is consumed once here."""
     banded = sig_df.select(
         F.col(id_col),
         F.explode(
@@ -122,34 +136,28 @@ def lsh_candidate_pairs(
             )
         ).alias("bk"),
     ).select(id_col, "bk.band", "bk.band_key")
-    # referenced three times below (bucket census + both self-join sides):
-    # without persist the whole upstream signature pipeline runs 3x
-    banded = banded.persist()
-    counts = banded.groupBy("band", "band_key").count()
-    banded = banded.join(
-        F.broadcast(counts.where(F.col("count") > max_bucket)),
-        ["band", "band_key"],
-        "left_anti",
-    )
-    a = banded.alias("a")
-    b = banded.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col(f"a.band") == F.col(f"b.band"))
-            & (F.col(f"a.band_key") == F.col(f"b.band_key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    buckets = (
+        banded.groupBy("band", "band_key")
+        .agg(
+            F.count("*").alias("n"),
+            F.sort_array(F.collect_list(id_col)).alias("ids"),
         )
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .where((F.col("n") >= 2) & (F.col("n") <= max_bucket))
+    )
+    combos = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, max_bucket),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(combos).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
-    # materialize the (small) pair set so the cached banded frame can be
-    # released immediately instead of leaking across queries in a long-lived
-    # session; checkpointed RDDs are reclaimed by the ContextCleaner when the
-    # returned frame is garbage-collected
-    pairs = pairs.localCheckpoint(eager=True)
-    banded.unpersist()
-    return pairs
 
 
 def minhash_near_duplicates(
@@ -166,35 +174,62 @@ def minhash_near_duplicates(
     pairs → exact-Jaccard verify ≥ threshold.
 
     Returns (id_a, id_b, jaccard_sim) for verified near-duplicate pairs.
+
+    Representation: shingles are never materialized as strings.  Tokens are
+    hashed JVM-side (split + xxhash64, codegen); one vectorized numpy kernel
+    then derives the rolling n-gram shingle-hash set AND the k-wide MinHash
+    signature per document in a single Arrow pass.  Exact Jaccard verifies
+    on the compact int64 shingle-hash sets — |A∩B|/|A∪B| is identical to the
+    string-set value as long as xxhash64+mix is injective on the observed
+    n-grams (collision odds ~|shingles|²/2⁶⁴; the pair set is verified equal
+    to the exact string-shingle ground truth in tests/test_dedup.py).  This
+    replaced an interpreted slice/concat_ws string-shingle stage that
+    dominated runtime ~10× and shuffled string sets instead of int64 sets.
     """
     import numpy as np
     import pandas as pd
 
-    sh = shingled(df, id_col, text_col, n).persist()
-    hashed = sh.select(
-        F.col(id_col), shingle_hashes(F.col("shingle_set")).alias("__hashes")
+    toks = tokens(F.col(text_col))
+    hashed = (
+        _spread(df, id_col)
+        .select(
+            F.col(id_col),
+            F.transform(toks, lambda t: F.xxhash64(t)).alias("__th"),
+        )
+        .where(F.size("__th") >= n)
     )
     params = np.array(minhash_params(k, seed), dtype=np.int64)
     A, B = params[:, 0], params[:, 1]
+    mix = np.uint64(0x9E3779B97F4A7C15)  # splitmix64 increment as multiplier
+    mod = np.uint64(_MERSENNE)
 
-    def sig_batches(batches):
-        # vectorized affine-min: (m hashes × k permutations) int64 matrix per
-        # row; h < 2^31 and a < 2^31 keep a*h+b inside int64.  ~30× faster
-        # than k interpreted transform/array_min passes per row.
+    def kernel(batches):
+        # per row: rolling-mix the n token hashes of each window (uint64
+        # wraparound, order-sensitive), np.unique → distinct shingle-hash
+        # set (< 2^31 after mod p), then the k-permutation affine-min
+        # signature as one (m × k) int64 matrix op.
         for pdf in batches:
-            ids, sigs = [], []
-            for i, hs in zip(pdf[id_col], pdf["__hashes"]):
-                h = np.asarray(hs, dtype=np.int64)
-                sigs.append((h[:, None] * A[None, :] + B[None, :]) % _MERSENNE)
+            ids, sets_, sigs = [], [], []
+            for i, th in zip(pdf[id_col], pdf["__th"]):
+                h = np.asarray(th, dtype=np.int64).view(np.uint64)
+                m = len(h) - (n - 1)
+                x = h[:m] * mix
+                for j in range(1, n):
+                    x = (x ^ h[j : m + j]) * mix
+                s = np.unique(x % mod).astype(np.int64)
+                sets_.append(s)
+                sigs.append(((s[:, None] * A[None, :] + B[None, :]) % _MERSENNE).min(axis=0))
                 ids.append(i)
-            yield pd.DataFrame(
-                {id_col: ids, "signature": [s.min(axis=0) for s in sigs]}
-            )
+            yield pd.DataFrame({id_col: ids, "shingles": sets_, "signature": sigs})
 
-    sig = hashed.mapInPandas(sig_batches, f"{id_col} long, signature array<bigint>")
-    cand = lsh_candidate_pairs(sig, id_col, bands=bands, rows=k // bands)
-    sa = sh.select(F.col(id_col).alias("id_a"), F.col("shingle_set").alias("set_a"))
-    sb = sh.select(F.col(id_col).alias("id_b"), F.col("shingle_set").alias("set_b"))
+    sh = hashed.mapInPandas(
+        kernel, f"{id_col} long, shingles array<bigint>, signature array<bigint>"
+    ).persist()
+    cand = lsh_candidate_pairs(
+        sh.select(id_col, "signature"), id_col, bands=bands, rows=k // bands
+    )
+    sa = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("set_a"))
+    sb = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("set_b"))
     verified = (
         cand.join(sa, "id_a")
         .join(sb, "id_b")
