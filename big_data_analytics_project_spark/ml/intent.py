@@ -101,3 +101,19 @@ def run_intent_pipeline(spark: SparkSession, sf_dir: str,
     balanced = undersample(feats).cache()
     _, metrics = train_intent_model(balanced, num_trees, max_depth)
     return metrics
+
+
+def save_intent_model(model, path: str) -> None:
+    """S8 sink: MLlib native persistence (reference train_intent.py:153 —
+    ``model.write().overwrite().save(path)``).  Writes tree metadata +
+    parquet-backed model data; cluster-readable (any executor count can
+    reload it)."""
+    model.write().overwrite().save(path)
+
+
+def load_intent_model(path: str):
+    """S8 source: reload a persisted RF intent model for batch or
+    foreachBatch inference."""
+    from pyspark.ml.classification import RandomForestClassificationModel
+
+    return RandomForestClassificationModel.load(path)

@@ -35,6 +35,12 @@ _DEFAULTS: dict[str, str] = {
     "spark.sql.parquet.filterPushdown": "true",
     "spark.ui.enabled": "false",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    # T8 — streaming lifecycle hygiene (reference stream_processor.py:106-107):
+    # finish the in-flight micro-batch on shutdown instead of killing it, and
+    # clean up temp checkpoint dirs when a query stops.
+    "spark.streaming.stopGracefullyOnShutdown": "true",
+    "spark.sql.streaming.forceDeleteTempCheckpointLocation": "true",
+    "spark.sql.streaming.stopTimeout": "30000",
 }
 
 

@@ -8,6 +8,8 @@ parquet reader because types are right from the start.
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
@@ -41,6 +43,45 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if dict(df.dtypes).get(c) == "bigint":
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     return df
+
+
+# U2 — data auto-detection priority list (reference
+# src/streaming/config.py:24-53: a fixed candidate list probed in order,
+# sample-first so dev runs never accidentally grab the full dataset).
+# Ours probes scale-factor dirs smallest-first; $SPARK_GRAFT_SF_DIR wins.
+DATA_DIR_CANDIDATES: tuple[str, ...] = (
+    "/root/testdata/sf0.001",
+    "/root/testdata/sf0.01",
+    "/root/testdata/sf0.1",
+)
+
+
+def available_tables(sf_dir: str) -> set[str]:
+    """Fixture tables present in a directory (as ``{name}.parquet``)."""
+    return {
+        t for t in FIXTURE_TABLES if os.path.exists(os.path.join(sf_dir, f"{t}.parquet"))
+    }
+
+
+def detect_data_dir(
+    candidates: tuple[str, ...] | None = None,
+    required: tuple[str, ...] = ("events",),
+) -> str:
+    """Return the first candidate directory containing every ``required``
+    table.  ``$SPARK_GRAFT_SF_DIR`` (the bench/driver contract env var)
+    short-circuits the probe when set.  Raises FileNotFoundError with the
+    probed list when nothing matches — the reference's behavior of falling
+    through its priority list to an error."""
+    env = os.environ.get("SPARK_GRAFT_SF_DIR")
+    if env:
+        return env
+    probed = candidates or DATA_DIR_CANDIDATES
+    for d in probed:
+        if set(required) <= available_tables(d):
+            return d
+    raise FileNotFoundError(
+        f"no data directory with tables {sorted(required)} among {list(probed)}"
+    )
 
 
 class Catalog:

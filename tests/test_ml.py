@@ -117,3 +117,42 @@ def test_als_recall_beats_reference_on_structured_split(spark):
     model = train_als(train, rank=8, max_iter=10)
     r = recall_at_k(model, train, heldout, k=10)
     assert r >= 0.0999, f"Recall@10 {r} below reference Spark figure 0.0999"
+
+
+def test_mllib_model_save_load_roundtrip(spark, sf_dir, tmp_path):
+    """S8: persist the trained RF with MLlib native persistence, reload,
+    and require bit-identical predictions (probability vector and class)
+    on a held-out frame."""
+    from pyspark.ml.feature import VectorAssembler
+
+    from big_data_analytics_project_spark.ml.intent import (
+        FEATURES,
+        build_feature_table,
+        load_intent_model,
+        save_intent_model,
+        train_intent_model,
+        undersample,
+    )
+
+    feats = undersample(build_feature_table(spark, sf_dir)).cache()
+    model, _ = train_intent_model(feats, num_trees=5, max_depth=3)
+    path = str(tmp_path / "rf_model")
+    save_intent_model(model, path)
+    reloaded = load_intent_model(path)
+    assert reloaded.uid == model.uid
+
+    holdout = (
+        VectorAssembler(inputCols=FEATURES, outputCol="features")
+        .transform(feats.fillna(0))
+        .select("label", "features")
+        .limit(200)
+    )
+    want = [
+        (r["prediction"], tuple(r["probability"]))
+        for r in model.transform(holdout).collect()
+    ]
+    got = [
+        (r["prediction"], tuple(r["probability"]))
+        for r in reloaded.transform(holdout).collect()
+    ]
+    assert got == want

@@ -47,3 +47,32 @@ def test_flagship_plan_shape_regression(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
     assert "Window" in plan
+
+
+def test_session_has_graceful_streaming_confs(spark):
+    """T8: the session factory bakes in the reference's streaming shutdown
+    hygiene (stream_processor.py:106-107)."""
+    assert spark.conf.get("spark.streaming.stopGracefullyOnShutdown") == "true"
+    assert (
+        spark.conf.get("spark.sql.streaming.forceDeleteTempCheckpointLocation")
+        == "true"
+    )
+
+
+def test_data_dir_auto_detection(tmp_path, monkeypatch):
+    """U2: priority-list probe, env-var short-circuit, and the error fall-
+    through (reference config.py:24-53)."""
+    from big_data_analytics_project_spark.sources import detect_data_dir
+
+    monkeypatch.delenv("SPARK_GRAFT_SF_DIR", raising=False)
+    a, b = tmp_path / "a", tmp_path / "b"
+    a.mkdir(), b.mkdir()
+    (b / "events.parquet").write_bytes(b"")
+    assert detect_data_dir((str(a), str(b))) == str(b)  # first WITH the table
+    monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/custom/sf9")
+    assert detect_data_dir((str(a), str(b))) == "/custom/sf9"  # env wins
+    monkeypatch.delenv("SPARK_GRAFT_SF_DIR")
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        detect_data_dir((str(a),))
