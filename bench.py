@@ -32,6 +32,10 @@ HEADLINE = [
     "ann_bruteforce_topk",
     "text_quality_scores",
     "streaming_session_window",
+    # iterative + MLlib workloads, so regressions in the driver-loop CC and
+    # RF training paths are visible round-over-round
+    "dedup_clusters",
+    "ml_intent_rf_metrics",
 ]
 
 

@@ -131,7 +131,10 @@ def streaming_online_scoring(spark, sf_dir):
     state-dependent by design)."""
     from ..streaming.bridge import OnlineScoringBridge, run_scored_stream
 
-    json_dir = _staged(spark, sf_dir)
+    # 2 staged files → 2 micro-batches: enough to exercise incremental
+    # learning (predict on batch 0's model, partial_fit, re-score) at half
+    # the per-call wall-clock of the 4-batch variant.
+    json_dir = _staged(spark, sf_dir, n_files=2)
     try:
         stream = P.read_event_stream(spark, json_dir, max_files_per_trigger=1)
         agg = P.tumbling_features(stream)
