@@ -16,7 +16,7 @@ from ..registry import query
 from ..sources import read_table
 
 # Shared DuckDB CTE: tokenize + 3-gram shingle exactly like operators.dedup
-_DUCK_SHINGLES = """
+_DUCK_SHINGLES = r"""
 toks AS (
   SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t FROM documents
 ),

@@ -12,7 +12,7 @@ from ..sources import read_table
 
 @query(
     "window_nth_lag_defaults",
-    sql="""
+    sql=r"""
     SELECT o_custkey, o_orderkey,
            nth_value(o_orderkey, 2) OVER w AS second_order,
            lag(o_totalprice, 2, -1.0) OVER w AS price_2_back,
@@ -43,7 +43,7 @@ def window_nth_lag_defaults(spark, sf_dir):
 
 @query(
     "date_arithmetic",
-    sql="""
+    sql=r"""
     SELECT o_orderkey,
            CAST(o_orderdate + INTERVAL 30 DAY AS TIMESTAMP) AS due_date,
            CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
@@ -78,7 +78,7 @@ def date_arithmetic(spark, sf_dir):
 
 @query(
     "array_funcs",
-    sql="""
+    sql=r"""
     WITH t AS (
       SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks FROM documents
       WHERE doc_id < 100
@@ -116,7 +116,7 @@ def array_funcs(spark, sf_dir):
 
 @query(
     "text_edit_distance",
-    sql="""
+    sql=r"""
     WITH a AS (SELECT doc_id, substring(lower(text), 1, 40) AS prefix FROM documents WHERE doc_id < 60),
          b AS (SELECT doc_id, substring(lower(text), 1, 40) AS prefix FROM documents WHERE doc_id < 60)
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -141,7 +141,7 @@ def text_edit_distance(spark, sf_dir):
 
 @query(
     "union_schema_evolution",
-    sql="""
+    sql=r"""
     SELECT c_custkey AS id, c_acctbal AS balance, c_mktsegment AS segment, NULL AS region
     FROM customer WHERE c_custkey % 3 = 0
     UNION ALL

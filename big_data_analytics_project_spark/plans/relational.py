@@ -809,10 +809,15 @@ def window_distribution(spark, sf_dir):
             .cast("long")
             + 1
         )
+    # n is known at plan time; with a single row percent_rank is defined as
+    # 0.0 (the oracle's convention) while (r-1)/(n-1) would be NULL via /0.
+    pct_rank = (
+        ((r - 1).cast("double") / F.lit(float(n - 1))) if n > 1 else F.lit(0.0)
+    )
     return local.join(off, "__pid").select(
         "c_custkey",
         quartile.cast("long").alias("quartile"),
-        ((r - 1).cast("double") / F.lit(float(n - 1))).alias("pct_rank"),
+        pct_rank.alias("pct_rank"),
         (r.cast("double") / F.lit(float(n))).alias("cum_dist"),
     )
 

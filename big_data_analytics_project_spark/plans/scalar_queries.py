@@ -15,7 +15,7 @@ EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 @query(
     "math_funcs",
-    sql="""
+    sql=r"""
     SELECT l_orderkey, l_linenumber,
            abs(l_discount - 0.05) AS abs_off,
            CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
@@ -52,7 +52,7 @@ def math_funcs(spark, sf_dir):
 
 @query(
     "conditional_funcs",
-    sql="""
+    sql=r"""
     SELECT l_orderkey, l_linenumber,
            greatest(l_tax, l_discount) AS max_rate,
            least(l_tax, l_discount) AS min_rate,
@@ -82,7 +82,7 @@ def conditional_funcs(spark, sf_dir):
 
 @query(
     "array_explode_tokens",
-    sql="""
+    sql=r"""
     WITH toks AS (
       SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t FROM documents
       WHERE doc_id < 50
@@ -104,7 +104,7 @@ def array_explode_tokens(spark, sf_dir):
 
 @query(
     "pivot_event_counts",
-    sql="""
+    sql=r"""
     SELECT user_id,
            count(CASE WHEN event_type = 'click'    THEN 1 END) AS click,
            count(CASE WHEN event_type = 'error'    THEN 1 END) AS error,
@@ -128,7 +128,7 @@ def pivot_event_counts(spark, sf_dir):
 
 @query(
     "heuristic_intent_score",
-    sql="""
+    sql=r"""
     WITH feats AS (
       SELECT user_id,
              count(CASE WHEN event_type = 'view' THEN 1 END) AS view_count,
@@ -185,7 +185,7 @@ def dedup_subset_keys(spark, sf_dir):
 
 @query(
     "agg_percentiles",
-    sql="""
+    sql=r"""
     SELECT l_returnflag,
            round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
            round(quantile_cont(l_extendedprice, 0.50), 6) AS p50,
@@ -212,7 +212,7 @@ def agg_percentiles(spark, sf_dir):
 
 @query(
     "agg_corr_covar",
-    sql="""
+    sql=r"""
     SELECT l_returnflag,
            round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
            round(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_covar,

@@ -16,7 +16,7 @@ from ..sources import read_table
 
 @query(
     "text_token_stats",
-    sql="""
+    sql=r"""
     WITH toks AS (
       SELECT doc_id, lang, regexp_split_to_array(lower(text), '\s+') AS t, text FROM documents
     )
@@ -51,7 +51,7 @@ def text_token_stats(spark, sf_dir):
 
 @query(
     "text_quality_scores",
-    sql="""
+    sql=r"""
     WITH toks AS (
       SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t, text FROM documents
     ), feats AS (
@@ -91,7 +91,7 @@ def text_quality_scores(spark, sf_dir):
 
 @query(
     "text_language_id",
-    sql="""
+    sql=r"""
     WITH toks AS (
       SELECT doc_id, lang, regexp_split_to_array(lower(text), '\s+') AS t FROM documents
     ), scores AS (
@@ -156,7 +156,7 @@ def text_language_id(spark, sf_dir):
 
 @query(
     "text_fingerprint",
-    sql="""
+    sql=r"""
     SELECT doc_id,
            md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint,
            md5(text) AS raw_md5
