@@ -9,6 +9,11 @@ Execution is forced through the noop sink (full materialization of every
 output column — count() would let Catalyst prune the very expressions we
 want to measure).  First run of the session pays JVM+codegen warmup; we
 run a small warmup query first so per-query numbers reflect steady state.
+
+Each query runs $SPARK_GRAFT_BENCH_N times (default 3) and reports the
+MINIMUM — wall-clock on a shared machine is noisy upward only (r02's
+across-the-board 1.5-2.9× "regression" on untouched queries was load on
+the harness host; min-of-n makes the number reproducible).
 """
 
 from __future__ import annotations
@@ -55,13 +60,22 @@ def main() -> None:
         lambda it: it, "id long"
     ).count()
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        spec = registry[name]
-        t0 = time.perf_counter()
-        df = spec.fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_N", "3")))
+    # full passes over the query list (not back-to-back repeats): transient
+    # host-load spikes then hit at most one of a query's n samples, so the
+    # per-query min is robust to the noise that inflated BENCH_r02
+    timings = {name: float("inf") for name in HEADLINE}
+    for _ in range(n_runs):
+        for name in HEADLINE:
+            spec = registry[name]
+            t0 = time.perf_counter()
+            df = spec.fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = min(timings[name], time.perf_counter() - t0)
+            # dedup pipelines persist their (small) results; drop them so
+            # repeat runs measure compute, not cache accumulation
+            spark.catalog.clearCache()
+    timings = {name: round(t, 3) for name, t in timings.items()}
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:

@@ -16,8 +16,10 @@ Scale design (100 TB corpus):
   the only shuffle is on band keys; candidate verification touches just
   bucket-cohabitants.  Oversized buckets (degenerate content, e.g. empty
   strings) are capped via ``max_bucket`` to bound worst-case skew.
-- Exact Jaccard verification re-joins shingle sets by doc id — at scale
-  attach signatures instead and verify on the (much smaller) candidate set.
+- Exact Jaccard verification is two-stage: a narrow signature-only join
+  estimates Jaccard for every candidate and discards clear negatives, so
+  the full shingle-hash sets are joined only for near/above-threshold
+  survivors (the expensive stage shrinks to the interesting pairs).
 """
 
 from __future__ import annotations
@@ -169,22 +171,42 @@ def minhash_near_duplicates(
     bands: int = 8,
     threshold: float = 0.5,
     seed: int = 42,
+    est_margin: float = 0.3,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: shingle → sign → band → candidate
-    pairs → exact-Jaccard verify ≥ threshold.
+    pairs → signature-estimate pre-filter → exact-Jaccard verify ≥ threshold.
 
     Returns (id_a, id_b, jaccard_sim) for verified near-duplicate pairs.
 
     Representation: shingles are never materialized as strings.  Tokens are
     hashed JVM-side (split + xxhash64, codegen); one vectorized numpy kernel
     then derives the rolling n-gram shingle-hash set AND the k-wide MinHash
-    signature per document in a single Arrow pass.  Exact Jaccard verifies
-    on the compact int64 shingle-hash sets — |A∩B|/|A∪B| is identical to the
-    string-set value as long as xxhash64+mix is injective on the observed
-    n-grams (collision odds ~|shingles|²/2⁶⁴; the pair set is verified equal
-    to the exact string-shingle ground truth in tests/test_dedup.py).  This
-    replaced an interpreted slice/concat_ws string-shingle stage that
-    dominated runtime ~10× and shuffled string sets instead of int64 sets.
+    signature per document in a single Arrow pass.  The stored shingle set
+    keeps the FULL 64-bit rolling-hash values; the mod-p reduction to the
+    31-bit permutation domain happens only inside the signature computation
+    (min over the reduced multiset equals min over the reduced set, so
+    signatures are unchanged by this split).  Exact Jaccard therefore
+    verifies in the ~2⁶⁴ hash space — |A∩B|/|A∪B| equals the string-set
+    value as long as xxhash64+mix is injective on the observed n-grams
+    (collision odds ~|shingles|²/2⁶⁴; the pair set is verified equal to the
+    exact string-shingle ground truth in tests/test_dedup.py).
+
+    Verification cost at scale: dragging full shingle-hash sets through the
+    verify join for EVERY candidate is the 100 TB cost center, and most LSH
+    candidates are spurious one-band hash collisions.  The estimate stage
+    joins only the fixed-width signatures (k×8 bytes) onto the candidates,
+    estimates Jaccard as the matching-component fraction (E[est] = J), and
+    drops candidates with est < threshold - est_margin before the shingle
+    sets are touched.  With k=64 and est_margin=0.3, a true J=0.5 pair is
+    mis-dropped with P = P[Binom(64, .5) < 12.8] ≈ 8e-7 — far below the
+    banding miss rate the pipeline already accepts.  Survivors still get the
+    exact join so emitted jaccard_sim values are exact, keeping the output
+    bit-identical to the no-prefilter pipeline whenever no true pair is
+    estimate-dropped (asserted on fixtures in tests/test_dedup.py).
+
+    The returned frame is persisted and materialized (lineage preserved, so
+    executor loss recomputes rather than invalidating it); callers running
+    many pipelines in one session may ``unpersist()`` the result when done.
     """
     import numpy as np
     import pandas as pd
@@ -205,9 +227,9 @@ def minhash_near_duplicates(
 
     def kernel(batches):
         # per row: rolling-mix the n token hashes of each window (uint64
-        # wraparound, order-sensitive), np.unique → distinct shingle-hash
-        # set (< 2^31 after mod p), then the k-permutation affine-min
-        # signature as one (m × k) int64 matrix op.
+        # wraparound, order-sensitive), np.unique → distinct 64-bit
+        # shingle-hash set, then reduce mod p only for the k-permutation
+        # affine-min signature as one (m × k) int64 matrix op.
         for pdf in batches:
             ids, sets_, sigs = [], [], []
             for i, th in zip(pdf[id_col], pdf["__th"]):
@@ -216,9 +238,10 @@ def minhash_near_duplicates(
                 x = h[:m] * mix
                 for j in range(1, n):
                     x = (x ^ h[j : m + j]) * mix
-                s = np.unique(x % mod).astype(np.int64)
-                sets_.append(s)
-                sigs.append(((s[:, None] * A[None, :] + B[None, :]) % _MERSENNE).min(axis=0))
+                s64 = np.unique(x)
+                sets_.append(s64.view(np.int64))
+                sr = (s64 % mod).astype(np.int64)  # multiset; min unaffected
+                sigs.append(((sr[:, None] * A[None, :] + B[None, :]) % _MERSENNE).min(axis=0))
                 ids.append(i)
             yield pd.DataFrame({id_col: ids, "shingles": sets_, "signature": sigs})
 
@@ -228,10 +251,26 @@ def minhash_near_duplicates(
     cand = lsh_candidate_pairs(
         sh.select(id_col, "signature"), id_col, bands=bands, rows=k // bands
     )
+    # Stage 1 (narrow): estimate Jaccard from the signatures alone and
+    # discard clear negatives.  Joins move k int64s per side, never the
+    # shingle sets.
+    ga = sh.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))
+    gb = sh.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"))
+    matches = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m)
+    )
+    screened = (
+        cand.join(ga, "id_a")
+        .join(gb, "id_b")
+        .where(matches.cast("double") / F.lit(float(k)) >= threshold - est_margin)
+        .select("id_a", "id_b")
+    )
+    # Stage 2 (wide): exact verification only for near/above-threshold
+    # survivors, so emitted similarities are exact.
     sa = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("set_a"))
     sb = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("set_b"))
     verified = (
-        cand.join(sa, "id_a")
+        screened.join(sa, "id_a")
         .join(sb, "id_b")
         .select(
             "id_a",
@@ -240,10 +279,11 @@ def minhash_near_duplicates(
         )
         .where(F.col("jaccard_sim") >= threshold)
     )
-    # eager-materialize the small verified-pair result, then release the
-    # cached shingle frame (otherwise it leaks across queries in a
-    # long-lived session)
-    verified = verified.localCheckpoint(eager=True)
+    # materialize the (small) verified-pair result with recoverable lineage,
+    # then release the cached shingle frame (otherwise it leaks across
+    # queries in a long-lived session)
+    verified = verified.persist()
+    verified.count()
     sh.unpersist()
     return verified
 
@@ -346,7 +386,9 @@ def simhash_near_duplicates(
         .distinct()
         .where(F.col("hamming") <= max_hamming)
     )
-    # see lsh_candidate_pairs: materialize small output, release big cache
-    near = near.localCheckpoint(eager=True)
+    # materialize small output with recoverable lineage, release big cache
+    # (see minhash_near_duplicates — callers may unpersist the result)
+    near = near.persist()
+    near.count()
     fp.unpersist()
     return near

@@ -33,6 +33,24 @@ def test_minhash_lsh_total_recall(spark, sf_dir):
     assert found == truth and len(truth) > 0
 
 
+def test_minhash_estimate_prefilter_is_output_invariant(spark, sf_dir):
+    """The signature-estimate pre-filter (stage-1 narrow join) must not
+    change the verified output vs the filter-disabled pipeline — same
+    pairs AND same exact jaccard_sim values."""
+    docs = read_table(spark, sf_dir, "documents")
+
+    def run(margin):
+        return {
+            (r.id_a, r.id_b): round(r.jaccard_sim, 9)
+            for r in D.minhash_near_duplicates(
+                docs, "doc_id", "text", k=64, bands=16, est_margin=margin
+            ).collect()
+        }
+
+    # est_margin=1.0 → threshold - margin ≤ 0 → nothing pre-filtered
+    assert run(0.3) == run(1.0)
+
+
 def test_simhash_no_false_positives_and_decent_recall(spark, sf_dir):
     truth = _exact_pairs(spark, sf_dir)
     found = {
