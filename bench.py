@@ -37,6 +37,8 @@ HEADLINE = [
     "ann_bruteforce_topk",
     "text_quality_scores",
     "streaming_session_window",
+    # production streaming shape: append mode + watermark eviction to files
+    "streaming_tumbling_append",
     # iterative + MLlib workloads, so regressions in the driver-loop CC and
     # RF training paths are visible round-over-round
     "dedup_clusters",

@@ -123,6 +123,39 @@ def streaming_sliding_window(spark, sf_dir):
         shutil.rmtree(json_dir, ignore_errors=True)
 
 
+@query("streaming_tumbling_append", sql=None, tags=("streaming", "window", "append"))
+def streaming_tumbling_append(spark, sf_dir):
+    """The PRODUCTION streaming shape: watermarked tumbling aggregate in
+    ``append`` output mode into a parquet file sink — windows emitted
+    exactly once as the watermark finalizes them, state evicted as they
+    close (bounded state, bounded sink volume; `complete` mode exists only
+    for the oracle harness).  Rows-only by design: append emits only
+    watermark-finalized windows, so the row set depends on engine watermark
+    mechanics (the eviction semantics themselves are pinned in
+    tests/test_streaming.py::test_append_mode_evicts_finalized_state)."""
+    import tempfile
+
+    json_dir = _staged(spark, sf_dir)
+    out_dir = tempfile.mkdtemp(prefix="bdap_append_")
+    try:
+        stream = P.read_event_stream(spark, json_dir, max_files_per_trigger=2)
+        agg = P.tumbling_features(stream)
+        out = P.run_append_to_files(agg, out_dir)
+        return out.select(
+            F.unix_timestamp(F.col("win.start")).cast("long").alias("window_start_epoch"),
+            "user_id",
+            "label",
+            "view_count",
+            "total_events",
+            "total_value",
+        )
+    finally:
+        shutil.rmtree(json_dir, ignore_errors=True)
+        # NB: out_dir must outlive this call — the returned DataFrame reads
+        # from it lazily; it lives in the session temp space and is removed
+        # by the OS/test fixtures.
+
+
 @query("streaming_online_scoring", sql=None, tags=("streaming", "foreachbatch", "ml"))
 def streaming_online_scoring(spark, sf_dir):
     """T6: the full foreachBatch bridge — micro-batched tumbling session

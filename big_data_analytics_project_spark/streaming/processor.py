@@ -177,7 +177,11 @@ def run_to_completion(
     """Execute a streaming aggregate over all available input (availableNow
     trigger → deterministic micro-batch sequence) into a memory sink and
     return the final result table (T3/T4/T5: output mode, trigger,
-    checkpoint)."""
+    checkpoint).
+
+    ``complete`` mode re-emits full state per batch — acceptable only for
+    the bounded oracle harness (the driver diffs one final table).  The
+    production path at scale is :func:`run_append_to_files`."""
     spark = agg.sparkSession
     with tempfile.TemporaryDirectory(prefix="bdap_ckpt_") as ckpt:
         q = (
@@ -190,3 +194,38 @@ def run_to_completion(
         )
         q.awaitTermination()
     return spark.table(query_name)
+
+
+def run_append_to_files(
+    agg: DataFrame, out_dir: str, fmt: str = "parquet"
+) -> DataFrame:
+    """The production streaming shape (100 TB path): ``append`` output mode
+    into a file sink.  Each window group is written exactly once, when the
+    watermark passes its end — state is evicted as windows finalize, so
+    state-store size is bounded by (watermark horizon × active keys), and
+    sink volume is proportional to *finalized* windows per batch, never to
+    total state (``complete`` re-emits everything every batch and is kept
+    only for the bounded oracle harness).
+
+    Returns the finalized-window table read back from the sink.  Windows
+    still open when the input is exhausted are (correctly) absent: they
+    have not been finalized by a watermark crossing.  An empty result is
+    returned with the aggregate's schema when no window finalized at all.
+    """
+    spark = agg.sparkSession
+    with tempfile.TemporaryDirectory(prefix="bdap_ckpt_") as ckpt:
+        q = (
+            agg.writeStream.outputMode("append")
+            .format(fmt)
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    has_data = any(
+        f.startswith("part-") for f in os.listdir(out_dir) if not f.startswith(".")
+    )
+    if not has_data:
+        return spark.createDataFrame([], agg.schema)
+    return spark.read.schema(agg.schema).format(fmt).load(out_dir)

@@ -62,6 +62,56 @@ def test_watermark_drops_late_events(spark, tmp_path):
     assert not any(s.startswith("2024-01-01") for s in starts)
 
 
+def test_append_mode_evicts_finalized_state(spark, tmp_path):
+    """The production path (run_append_to_files): each window is written
+    exactly once when the watermark finalizes it, its state is evicted, a
+    later late row cannot resurrect or mutate it, and still-open windows
+    are absent from the sink."""
+    d = str(tmp_path / "stream")
+    os.makedirs(d)
+    _write_json(
+        os.path.join(d, "f0.json"),
+        [
+            {"event_id": i, "ts": f"2024-01-02 12:{i:02d}:00", "user_id": 1,
+             "event_type": "view", "value": 1.0, "props": "{}"}
+            for i in range(5)
+        ],
+    )
+    # two watermark-advancing batches: the late-row filter applies the
+    # watermark with a batch of lag, so the wm that drops f3's late row is
+    # the one computed from f1 (13:30 - 10 min = 13:20)
+    _write_json(
+        os.path.join(d, "f1.json"),
+        [{"event_id": 100, "ts": "2024-01-02 13:30:00", "user_id": 1,
+          "event_type": "view", "value": 1.0, "props": "{}"}],
+    )
+    _write_json(
+        os.path.join(d, "f2.json"),
+        [{"event_id": 102, "ts": "2024-01-02 14:30:00", "user_id": 1,
+          "event_type": "view", "value": 1.0, "props": "{}"}],
+    )
+    # a row for the already-finalized [12:00, 13:00) window → dropped
+    _write_json(
+        os.path.join(d, "f3.json"),
+        [{"event_id": 101, "ts": "2024-01-02 12:30:00", "user_id": 1,
+          "event_type": "view", "value": 1.0, "props": "{}"}],
+    )
+    now = 1_700_000_000
+    for i, f in enumerate(["f0.json", "f1.json", "f2.json", "f3.json"]):
+        os.utime(os.path.join(d, f), (now + i * 100, now + i * 100))
+    stream = P.read_event_stream(spark, d, max_files_per_trigger=1)
+    agg = P.tumbling_features(stream, watermark="10 minutes", window="1 hour")
+    out = P.run_append_to_files(agg, str(tmp_path / "sink"))
+    collected = out.collect()
+    rows = {r["win"]["start"].isoformat(): r for r in collected}
+    # finalized windows written exactly once each; late row excluded from
+    # the closed 12:00 window; the still-open 14:00 window absent
+    assert len(collected) == len(rows) == 2
+    assert rows["2024-01-02T12:00:00"]["total_events"] == 5
+    assert rows["2024-01-02T13:00:00"]["total_events"] == 1
+    assert "2024-01-02T14:00:00" not in rows
+
+
 def test_session_window_merges_within_gap(spark, tmp_path):
     d = str(tmp_path / "sess")
     os.makedirs(d)
