@@ -19,9 +19,13 @@ from big_data_analytics_project_spark.registry import load_all
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query (leakage-free sessionization) on /root/testdata/sf0.001."""
+    """Flagship query (leakage-free sessionization) on the detected data
+    dir: $SPARK_GRAFT_SF_DIR if set, else the smallest fixture directory
+    containing the events table (U2 auto-detection, sf0.001 by default)."""
+    from big_data_analytics_project_spark.sources.readers import detect_data_dir
+
     registry = load_all()
-    return registry["flagship_sessionization"].fn(spark, "/root/testdata/sf0.001")
+    return registry["flagship_sessionization"].fn(spark, detect_data_dir())
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -70,7 +70,13 @@ def recall_at_k(model, train: DataFrame, heldout: DataFrame, k: int = 10) -> flo
     return hits / total if total else 0.0
 
 
-def run_als_pipeline(spark: SparkSession, sf_dir: str, k: int = 10) -> dict:
+def leave_last_out_split(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Per-user leave-last-out split by event time: the most recent event
+    of every user is held out; the rest aggregate into training
+    interaction strengths.  Returns (train, heldout); train is cached (the
+    ALS iterations and the recall evaluation both consume it)."""
     ev = read_table(spark, sf_dir, "events")
     from pyspark.sql import Window
 
@@ -81,12 +87,16 @@ def run_als_pipeline(spark: SparkSession, sf_dir: str, k: int = 10) -> dict:
     held = tagged.where(F.col("rn") == 1).select(
         F.col("user_id").cast("int").alias("user"), "item"
     )
-    train_ev = tagged.where(F.col("rn") > 1)
     train = (
-        train_ev.groupBy(
-            F.col("user_id").cast("int").alias("user"), F.col("item")
-        ).agg(F.count("*").cast("float").alias("strength"))
+        tagged.where(F.col("rn") > 1)
+        .groupBy(F.col("user_id").cast("int").alias("user"), F.col("item"))
+        .agg(F.count("*").cast("float").alias("strength"))
     ).cache()
+    return train, held
+
+
+def run_als_pipeline(spark: SparkSession, sf_dir: str, k: int = 10) -> dict:
+    train, held = leave_last_out_split(spark, sf_dir)
     model = train_als(train)
     r = recall_at_k(model, train, held, k)
     return {"recall_at_k": r, "k": k, "n_users": train.select("user").distinct().count()}

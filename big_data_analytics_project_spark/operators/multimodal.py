@@ -6,11 +6,15 @@ and keep everything else JVM-side.  The container has no image/audio
 libraries, so the decode step is STUBBED per the build contract:
 
 - ``decode_media_meta``: the Spark-side plumbing (schema, batch iteration,
-  Arrow transfer, partition preservation) is REAL; the pixel decode is a
-  deterministic fake (dimensions derived from byte length).  Swapping in a
-  real decoder means replacing ``_fake_decode`` only.
-- ``real_decode_image``: gated behind an import-try of PIL and raising
-  ``NotImplementedError`` here — the clearly-marked seam for production.
+  Arrow transfer, partition preservation) is REAL; the default pixel
+  decode is a deterministic fake (dimensions derived from byte length) so
+  oracle queries stay engine-mirrorable.
+- ``real_decode_image``: the production decoder — probed at import
+  (``HAS_PIL``) and fully implemented when Pillow is present; pass
+  ``decoder=real_decode_image`` (or any ``bytes -> (w, h)`` callable) to
+  ``decode_media_meta`` to run it through the same Arrow plumbing.  In
+  containers without PIL it raises ``NotImplementedError`` — the
+  clearly-marked seam.
 
 Scale notes: mapInPandas streams Arrow record batches through one Python
 worker per core — no collect, no driver round-trip; batch size via
@@ -53,32 +57,51 @@ def attach_binary_payload(df: DataFrame, id_col: str, text_col: str) -> DataFram
 
 def _fake_decode(payload: bytes) -> tuple[int, int]:
     """Deterministic stand-in for an image decoder: dimensions derived from
-    the byte length.  Replace with PIL/ffmpeg in production."""
+    the byte length.  The default for oracle queries (engine-mirrorable);
+    production passes ``decoder=real_decode_image``."""
     n = len(payload)
     width = n % 640 + 1
     height = (n * 7) % 480 + 1
     return width, height
 
 
-def real_decode_image(payload: bytes):  # pragma: no cover - env-gated stub
-    """Production decoder seam.  PIL is not present in this container."""
-    try:
-        from PIL import Image  # noqa: F401
-    except ImportError as e:
+try:  # probed once at import; real_decode_image auto-enables when present
+    from PIL import Image as _PILImage
+
+    HAS_PIL = True
+except ImportError:  # pragma: no cover - container has no Pillow
+    _PILImage = None
+    HAS_PIL = False
+
+
+def real_decode_image(payload: bytes) -> tuple[int, int]:
+    """Production decoder: true pixel dimensions via Pillow.  Raises
+    ``NotImplementedError`` where Pillow is absent (this container) — the
+    clearly-marked production seam; env-gated test covers the real path."""
+    if not HAS_PIL:
         raise NotImplementedError(
-            "image decoding requires PIL/Pillow, absent from this environment; "
-            "wire it here and drop _fake_decode"
-        ) from e
-    raise NotImplementedError("plug Image.open(BytesIO(payload)) here")
+            "image decoding requires PIL/Pillow, absent from this environment"
+        )
+    from io import BytesIO
+
+    with _PILImage.open(BytesIO(payload)) as im:
+        return im.width, im.height
 
 
-def decode_media_meta(df: DataFrame) -> DataFrame:
+def decode_media_meta(df: DataFrame, decoder=None) -> DataFrame:
     """Arrow-batched decode → typed metadata.  Input: (doc_id, payload
-    binary); output: DECODED_META_SCHEMA.  One pass, partition-preserving."""
+    binary); output: DECODED_META_SCHEMA.  One pass, partition-preserving.
+
+    ``decoder`` is any ``bytes -> (width, height)`` callable, shipped to
+    executors inside the mapInPandas closure; defaults to the deterministic
+    fake so oracle queries stay engine-mirrorable.  Pass
+    ``real_decode_image`` (auto-enabled when Pillow is importable) for real
+    media bytes."""
+    decoder = decoder or _fake_decode
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            dims = pdf["payload"].map(_fake_decode)
+            dims = pdf["payload"].map(decoder)
             out = pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].astype("int64"),

@@ -42,12 +42,17 @@ def ml_feature_importances(spark, sf_dir):
 @query("ml_als_recommendations", sql=None, tags=("ml", "recommender"))
 def ml_als_recommendations(spark, sf_dir):
     """M9: implicit-feedback ALS (c_ui = 1 + alpha*r_ui) top-5 item
-    recommendations for users < 20."""
-    from ..ml.recommend import interactions, train_als
+    recommendations for users < 20, trained on the leave-last-out split so
+    the same model also yields Recall@10 against the held-out events —
+    carried on every row as ``recall_at_10`` so the driver tracks
+    recommender quality round-over-round (mirrors ml_intent_rf_metrics;
+    the reference reports this metric in its progress report §3.2)."""
+    from ..ml.recommend import leave_last_out_split, recall_at_k, train_als
 
-    inter = interactions(spark, sf_dir).cache()
-    model = train_als(inter, max_iter=5)
-    users = inter.select("user").distinct().where(F.col("user") < 20)
+    train, held = leave_last_out_split(spark, sf_dir)
+    model = train_als(train, max_iter=5)
+    recall = recall_at_k(model, train, held, k=10)
+    users = train.select("user").distinct().where(F.col("user") < 20)
     recs = model.recommendForUserSubset(users, 5)
     return recs.select(
         "user",
@@ -56,4 +61,5 @@ def ml_als_recommendations(spark, sf_dir):
         F.col("user").cast("long").alias("user"),
         F.col("r.item").cast("long").alias("item"),
         F.round(F.col("r.rating"), 4).alias("score"),
+        F.lit(round(recall, 6)).alias("recall_at_10"),
     )
