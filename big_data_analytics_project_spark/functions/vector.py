@@ -37,6 +37,15 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm2(a) * norm2(b))
 
 
+def l2sq(a: Column, b: Column) -> Column:
+    """Sequential left-fold squared Euclidean distance in double."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
 def sign_bucket(a: Column, n_bits: int = 8) -> Column:
     """Random-hyperplane-style LSH bucket from the signs of the first
     ``n_bits`` dimensions (axis-aligned hyperplanes — deterministic and

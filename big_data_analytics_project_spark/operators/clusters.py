@@ -12,8 +12,14 @@ Each iteration is one join + one aggregate (two shuffles) over the edge
 list; lineage is cut with localCheckpoint every few rounds so the plan
 doesn't grow unboundedly (the classic iterative-Spark failure mode).
 Iteration count is O(diameter); near-dup graphs are overwhelmingly tiny
-stars/cliques, so 2-4 rounds converge.  At 100 TB use the same loop per
-partition-sized label frame; the edge list is the only large state.
+stars/cliques, so 2-4 rounds converge.
+
+Scale shape: the loop runs over EDGE-TOUCHED nodes only.  In a near-dup
+graph over a 100 TB corpus the overwhelming majority of documents have no
+edge at all — they are singleton components by definition and are added
+back (component = own id) after convergence, never joined per round.  Per-
+iteration state is therefore proportional to the duplicate-pair graph, not
+the corpus.
 """
 
 from __future__ import annotations
@@ -31,14 +37,22 @@ def connected_components(
     edges: DataFrame,  # columns: "src", "dst"
     max_iter: int = 20,
 ) -> DataFrame:
-    """Return (id, component) with component = min node id reachable."""
+    """Return (id, component) with component = min node id reachable.
+    Edge endpoints must be drawn from ``nodes`` (holds by construction for
+    dedup pairs, which come from the same corpus)."""
     sym = (
         edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
         .unionByName(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
         .distinct()
         .persist()
     )
-    labels = nodes.select(F.col("id"), F.col("id").alias("component")).localCheckpoint()
+    # propagate labels over edge-touched nodes only; isolated nodes are
+    # singleton components and rejoin after convergence (see module doc)
+    labels = (
+        sym.select(F.col("a").alias("id")).distinct()
+        .select("id", F.col("id").alias("component"))
+        .localCheckpoint()
+    )
     changed = 0
     for _ in range(max_iter):
         neighbor_min = (
@@ -79,7 +93,10 @@ def connected_components(
             max_iter,
             changed,
         )
-    return labels
+    isolated = nodes.join(labels.select("id"), "id", "left_anti").select(
+        "id", F.col("id").alias("component")
+    )
+    return labels.unionByName(isolated)
 
 
 def dedup_clusters(

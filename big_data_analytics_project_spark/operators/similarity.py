@@ -1,27 +1,35 @@
 """Similarity search over embedding columns (``array<float>``).
 
-Two paths, mirroring how ANN is deployed at scale:
+Three paths, mirroring how ANN is deployed at scale:
 
 - **Brute-force top-k** (the baseline): broadcast the (small) query set,
   cross-join against the corpus, sequential-fold cosine in double, rank
   with a deterministic tie-break.  At 100 TB this is the exact-rescoring
   stage that runs AFTER candidate pruning.
-- **Sign-LSH bucketed** (the scale path): hash every vector to a bucket
-  from the signs of its leading dimensions (axis-aligned random
-  hyperplanes); candidates are bucket-cohabitants only, turning the cross
-  join into an equi-join on bucket id — one shuffle, linear candidate
-  volume.  Recall is tunable via n_bits / multi-probe; the oracle checks
-  the bucketed result deterministically.
+- **Sign-LSH bucketed**: hash every vector to a bucket from the signs of
+  its leading dimensions (axis-aligned random hyperplanes); candidates are
+  bucket-cohabitants only, turning the cross join into an equi-join on
+  bucket id — one shuffle, linear candidate volume.  Recall is tunable via
+  n_bits / multi-probe; the oracle checks the bucketed result
+  deterministically.
+- **IVF-Flat** (the FAISS-style scale path): a k-means coarse quantizer
+  partitions the corpus into inverted lists; each query probes its
+  ``nprobe`` nearest centroids and exact-scores only those lists.  Corpus
+  assignment is map-only (centroids inlined as literals → pure codegen
+  argmin, no join, no shuffle); the probe is an equi-join on list id.
+  ``nprobe = n_centroids`` degenerates to exact brute force — the property
+  the tests pin.
 
-No UDFs anywhere: cosine is `zip_with` + `aggregate` inside codegen.
+No UDFs anywhere: cosine/L2 are `zip_with` + `aggregate` inside codegen;
+only the one-off centroid training uses MLlib KMeans.
 """
 
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 
-from ..functions.vector import as_double, cosine, sign_bucket
+from ..functions.vector import as_double, cosine, l2sq, sign_bucket
 
 
 def brute_force_topk(
@@ -86,6 +94,105 @@ def lsh_bucketed_topk(
     sims = (
         F.broadcast(q)
         .join(c, "__bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("__qv"), F.col("__cv")), round_digits).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), "neighbor_id")
+    return (
+        sims.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+    )
+
+
+def train_coarse_centroids(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    max_iter: int = 5,
+    seed: int = 42,
+) -> list[list[float]]:
+    """IVF coarse quantizer: k-means centroids over the corpus (MLlib,
+    seeded).  At 100 TB train on a sample — the quantizer only needs the
+    coarse density shape (`.sample(fraction=...)` upstream); centroid count
+    stays driver-sized (C × dim doubles) by construction."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = corpus.select(array_to_vector(as_double(vec_col)).alias("features"))
+    model = KMeans(
+        k=n_centroids, maxIter=max_iter, seed=seed, featuresCol="features"
+    ).fit(vecs)
+    return [[float(x) for x in c] for c in model.clusterCenters()]
+
+
+def _centroid_entries(vec: Column, centroids: list[list[float]]) -> Column:
+    """array<struct<d, i>> of (squared L2 distance, centroid id) — struct
+    ordering compares d first, so array_min/array_sort rank by distance
+    with the centroid id as a deterministic tie-break."""
+    return F.array(
+        *[
+            F.struct(
+                l2sq(vec, F.array(*[F.lit(x) for x in c])).alias("d"),
+                F.lit(i).alias("i"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+
+
+def nearest_centroid(vec: Column, centroids: list[list[float]]) -> Column:
+    """Map-only inverted-list assignment: argmin over inlined centroid
+    literals, fully inside whole-stage codegen — no join, no shuffle."""
+    return F.array_min(_centroid_entries(vec, centroids))["i"]
+
+
+def probe_centroids(
+    vec: Column, centroids: list[list[float]], nprobe: int
+) -> Column:
+    """The query-side probe set: ids of the ``nprobe`` nearest centroids."""
+    ranked = F.array_sort(_centroid_entries(vec, centroids))
+    return F.transform(F.slice(ranked, 1, nprobe), lambda s: s["i"])
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    round_digits: int = 6,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF-Flat ANN: corpus vectors partitioned into ``n_centroids``
+    inverted lists; each query exact-scores only its ``nprobe`` nearest
+    lists.  Candidate volume shrinks ~n_centroids/nprobe-fold; the only
+    join is an equi-join on list id.  ``nprobe=n_centroids`` probes every
+    list and returns exactly the brute-force result (pinned in tests).
+
+    Pass pre-trained ``centroids`` to skip quantizer training (the
+    production shape: train once on a sample, reuse across queries)."""
+    cents = centroids or train_coarse_centroids(
+        corpus, vec_col, n_centroids=n_centroids
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double(vec_col).alias("__cv"),
+        nearest_centroid(as_double(vec_col), cents).alias("__list"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        as_double(vec_col).alias("__qv"),
+        F.explode(probe_centroids(as_double(vec_col), cents, nprobe)).alias("__list"),
+    )
+    sims = (
+        F.broadcast(q)
+        .join(c, "__list")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",

@@ -80,6 +80,20 @@ def ann_lsh_topk(spark, sf_dir):
     return S.lsh_bucketed_topk(emb, emb.where(F.col("vec_id") < 5), k=10, n_bits=4)
 
 
+@query("ann_ivf_topk", sql=None, tags=("similarity", "ann", "ivf"))
+def ann_ivf_topk(spark, sf_dir):
+    """IVF-Flat ANN top-10 (FAISS-style scale path): seeded k-means coarse
+    quantizer → map-only inverted-list assignment (centroid literals inside
+    codegen, no shuffle) → queries probe their 4 nearest of 16 lists →
+    exact cosine within probed lists.  Rows-only: k-means has no DuckDB
+    mirror; exactness at nprobe=n_centroids and recall at nprobe=4 are
+    pinned in tests/test_similarity.py."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return S.ivf_topk(
+        emb, emb.where(F.col("vec_id") < 5), k=10, n_centroids=16, nprobe=4
+    )
+
+
 @query("embedding_cosine_neardup", sql=_DUCK_COS_NEARDUP, tags=("dedup", "similarity"))
 def embedding_cosine_neardup(spark, sf_dir):
     """Embedding-cosine near-dup pairs ≥0.4 within sign-LSH buckets —

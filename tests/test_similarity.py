@@ -64,3 +64,59 @@ def test_lsh_topk_subset_of_bucket(spark, sf_dir):
     assert len(lsh) > 0
     for r in lsh:
         assert brute[(r.query_id, r.neighbor_id)] == r.cosine_sim
+
+
+def test_ivf_full_probe_equals_brute_force(spark, sf_dir):
+    """nprobe = n_centroids probes every inverted list, so IVF must return
+    EXACTLY the brute-force top-k (same pairs, same sims, same ranks)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 3)
+    brute = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine_sim)
+        for r in S.brute_force_topk(emb, queries, k=5).collect()
+    }
+    ivf = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine_sim)
+        for r in S.ivf_topk(
+            emb, queries, k=5, n_centroids=8, nprobe=8
+        ).collect()
+    }
+    assert ivf == brute and len(brute) > 0
+
+
+def test_ivf_partial_probe_recall_and_validity(spark, sf_dir):
+    """With nprobe < n_centroids: every returned sim must equal the exact
+    pair sim (scores are never approximated — only the candidate set is),
+    and recall@10 vs brute force stays useful."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    exact = {
+        (r.query_id, r.neighbor_id): r.cosine_sim
+        for r in S.brute_force_topk(emb, queries, k=10**6).collect()
+    }
+    brute_top = {}
+    for (qid, nid), sim in exact.items():
+        brute_top.setdefault(qid, []).append((sim, nid))
+    truth = {
+        qid: {n for _, n in sorted(pairs, key=lambda p: (-p[0], p[1]))[:10]}
+        for qid, pairs in brute_top.items()
+    }
+    ivf = S.ivf_topk(emb, queries, k=10, n_centroids=16, nprobe=4).collect()
+    assert len(ivf) > 0
+    hits = total = 0
+    got = {}
+    for r in ivf:
+        assert exact[(r.query_id, r.neighbor_id)] == r.cosine_sim
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for qid, t in truth.items():
+        hits += len(t & got.get(qid, set()))
+        total += len(t)
+    assert hits / total >= 0.3, f"IVF recall@10 too low: {hits}/{total}"
+
+
+def test_ivf_deterministic_across_runs(spark, sf_dir):
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 2)
+    a = sorted(map(tuple, S.ivf_topk(emb, queries, k=5).collect()))
+    b = sorted(map(tuple, S.ivf_topk(emb, queries, k=5).collect()))
+    assert a == b
