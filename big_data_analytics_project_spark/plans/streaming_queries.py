@@ -156,6 +156,30 @@ def streaming_tumbling_append(spark, sf_dir):
         # by the OS/test fixtures.
 
 
+@query("streaming_custom_sessionization", sql=None, tags=("streaming", "stateful", "pandas"))
+def streaming_custom_sessionization(spark, sf_dir):
+    """Custom stateful operator: gap sessionization with explicit per-user
+    state via applyInPandasWithState (event-time timeout evicts and emits
+    closed sessions exactly once; append semantics).  Rows-only: emission
+    depends on watermark/timeout mechanics, which are pinned behaviorally
+    in tests/test_stateful.py; the built-in session_window formulation
+    (streaming_session_window) carries the oracle for session semantics."""
+    from ..streaming.stateful import sessionize_with_state
+
+    json_dir = _staged(spark, sf_dir)
+    try:
+        stream = P.read_event_stream(spark, json_dir, max_files_per_trigger=2)
+        out = P.run_to_completion(
+            sessionize_with_state(stream, gap_sec=1800), "t_custom_sess", "append"
+        )
+        return out.select(
+            "user_id", "session_start_epoch", "session_end_epoch",
+            "n_events", "sum_value", "converted",
+        )
+    finally:
+        shutil.rmtree(json_dir, ignore_errors=True)
+
+
 @query("streaming_online_scoring", sql=None, tags=("streaming", "foreachbatch", "ml"))
 def streaming_online_scoring(spark, sf_dir):
     """T6: the full foreachBatch bridge — micro-batched tumbling session
