@@ -10,6 +10,7 @@ Operators:
 - quality scoring (length / punctuation / stopword / uppercase ratios)
 - language id (marker-token overlap heuristic, deterministic argmax)
 - content fingerprinting (md5 of a normalized form — the exact-dedup key)
+- PII redaction (email/URL masking + hit counts — the curation scrub pass)
 """
 
 from __future__ import annotations
@@ -79,6 +80,29 @@ def normalized_fingerprint(text: Column) -> Column:
     robust to whitespace/punctuation-only differences."""
     norm = F.trim(F.regexp_replace(F.lower(text), "[^a-z0-9]+", " "))
     return F.md5(norm)
+
+
+# PII patterns, deliberately conservative so Java regex (Spark) and RE2
+# (DuckDB) agree byte-for-byte; both engines replace globally.
+EMAIL_PATTERN = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+URL_PATTERN = "https?://[^ ]+"
+
+
+def redact_pii(text: Column) -> Column:
+    """Mask emails then URLs (order matters: an email inside a URL query
+    string is masked first, leaving the URL mask to cover the rest)."""
+    return F.regexp_replace(
+        F.regexp_replace(text, EMAIL_PATTERN, "<EMAIL>"),
+        URL_PATTERN,
+        "<URL>",
+    )
+
+
+def pii_counts(text: Column) -> tuple[Column, Column]:
+    """(n_emails, n_urls) matched in the raw text."""
+    n_emails = F.size(F.regexp_extract_all(text, F.lit(EMAIL_PATTERN), 0)).cast("long")
+    n_urls = F.size(F.regexp_extract_all(text, F.lit(URL_PATTERN), 0)).cast("long")
+    return n_emails, n_urls
 
 
 def lang_scores(toks: Column) -> list[Column]:

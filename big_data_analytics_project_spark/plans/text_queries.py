@@ -172,3 +172,54 @@ def text_fingerprint(spark, sf_dir):
         T.normalized_fingerprint(F.col("text")).alias("fingerprint"),
         F.md5("text").alias("raw_md5"),
     )
+
+
+@query(
+    "text_redact_pii",
+    sql=r"""
+    WITH corpus AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0
+                  THEN text || ' reach user' || CAST(doc_id AS VARCHAR)
+                       || '@example.com or https://example.org/d/'
+                       || CAST(doc_id AS VARCHAR)
+                  ELSE text END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+                '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text, 'https?://[^ ]+')) AS BIGINT) AS n_urls,
+           regexp_replace(
+             regexp_replace(text,
+               '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+             'https?://[^ ]+', '<URL>', 'g') AS redacted
+    FROM corpus
+    """,
+    tags=("text", "pii", "curation"),
+)
+def text_redact_pii(spark, sf_dir):
+    """PII scrub pass (training-data curation): mask emails/URLs, count
+    hits per document.  The fixture corpus is PII-free, so every 5th doc
+    gets a deterministic synthetic email+URL appended (mirrored in the
+    oracle) and the redaction must mask exactly those.  Pure codegen
+    regexp ops — map-only, no shuffle, scales linearly."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    injected = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" reach user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or https://example.org/d/"),
+            F.col("doc_id").cast("string"),
+        ),
+    ).otherwise(F.col("text"))
+    corpus = docs.select("doc_id", injected.alias("text"))
+    n_emails, n_urls = T.pii_counts(F.col("text"))
+    return corpus.select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_urls.alias("n_urls"),
+        T.redact_pii(F.col("text")).alias("redacted"),
+    )

@@ -102,6 +102,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "agg_corr_covar",
     "topk_global_orders",
     "sort_by_aggregate",
+    # new in round 3 — oracle-backed, no driver row yet
+    "text_redact_pii",
 )
 
 _ROTATED_OUT: frozenset[str] = frozenset(
@@ -124,6 +126,9 @@ _ROTATED_OUT: frozenset[str] = frozenset(
         # grouping-id family — agg_rollup_orders stays in-window
         "agg_cube_customer",
         "agg_grouping_sets",
+        # multi-measure agg family — agg_pricing_summary stays in-window
+        # (rotated to make room for round 3's new text_redact_pii)
+        "agg_stats_summary",
     }
 )
 
