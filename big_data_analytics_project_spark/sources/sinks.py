@@ -36,6 +36,36 @@ def write_partitioned(
     out.write.mode(mode).partitionBy(*partition_cols).parquet(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed (hash-clustered) table write — the co-located-join layout.
+
+    Two tables bucketed by the same key with the same bucket count join
+    WITHOUT a shuffle: each scan's output partitioning already satisfies
+    the join's distribution requirement, so the biggest cost of a 100 TB
+    fact-fact join (two full-table exchanges) disappears from every
+    downstream query that joins on the bucket key.  ``sortBy`` additionally
+    pre-sorts within buckets, letting SortMergeJoin skip its sort.
+
+    Bucketing requires the table catalog (``saveAsTable``) — bucket
+    metadata lives in the catalog, not the parquet footers.  The
+    zero-exchange property is pinned in tests/test_sinks.py."""
+    w = (
+        df.write.mode(mode)
+        .format("parquet")
+        .bucketBy(n_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)
+
+
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     """S3: parquet scan (partition columns become queryable columns and
     partition filters prune directories before any IO)."""

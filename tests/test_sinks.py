@@ -35,6 +35,42 @@ def test_partitioned_write_roundtrip_and_pruning(spark, sf_dir, tmp_path):
     assert "PartitionFilters: [" in plan and "pt_month" in plan
 
 
+def test_bucketed_join_is_exchange_free(spark, sf_dir, tmp_path):
+    """Two tables bucketed on the join key with equal bucket counts must
+    join with ZERO Exchange operators — the co-located fact-fact join
+    layout that removes both full-table shuffles at 100 TB."""
+    from big_data_analytics_project_spark.sources.sinks import write_bucketed
+
+    orders = read_table(spark, sf_dir, "orders")
+    items = read_table(spark, sf_dir, "lineitem")
+    try:
+        write_bucketed(orders, "t_orders_b", ["o_orderkey"], 8, ["o_orderkey"])
+        write_bucketed(items, "t_items_b", ["l_orderkey"], 8, ["l_orderkey"])
+        o = spark.table("t_orders_b")
+        li = spark.table("t_items_b")
+        # force the SMJ path (broadcast would hide the bucketing property)
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = o.join(li, o.o_orderkey == li.l_orderkey).select(
+                "o_orderkey", "l_extendedprice"
+            )
+            n = j.count()
+            plan = j._jdf.queryExecution().executedPlan().toString()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        assert n == items.join(orders, orders.o_orderkey == items.l_orderkey).count()
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan
+    finally:
+        # managed tables: DROP removes the warehouse files too
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_items_b")
+        import shutil
+
+        shutil.rmtree("spark-warehouse", ignore_errors=True)
+
+
 def test_flagship_plan_shape_regression(spark, sf_dir):
     """The flagship must keep its single-exchange shape: one hash exchange
     shared by the window and the aggregate (SURVEY §4 physical plan)."""
