@@ -166,3 +166,39 @@ def union_schema_evolution(spark, sf_dir):
         F.col("s_nationkey").cast("string").alias("region"),
     )
     return a.unionByName(b, allowMissingColumns=True)
+
+
+@query(
+    "skew_salted_agg",
+    sql=r"""
+    SELECT event_type,
+           count(value) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("skew", "agg"),
+)
+def skew_salted_agg(spark, sf_dir):
+    """Two-phase salted aggregation over the skewed event_type key (a
+    handful of hot keys across every row — exactly the shape that stalls
+    one reducer per key at 100 TB).  The random salt spreads each hot key
+    over 16 reducers; decimal sums make both phases associative, so the
+    result is bit-identical to the oracle's plain GROUP BY regardless of
+    how the salt partitions rows."""
+    from ..operators.skew import salted_agg
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type", F.col("value").cast("decimal(18,2)").alias("val")
+    )
+    out = salted_agg(
+        ev,
+        "event_type",
+        {"n_events": ("val", "count"), "total_value": ("val", "sum")},
+        n_salts=16,
+    )
+    return out.select(
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("total_value").cast("double").alias("total_value"),
+    )

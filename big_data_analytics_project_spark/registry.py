@@ -104,6 +104,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "sort_by_aggregate",
     # new in round 3 — oracle-backed, no driver row yet
     "text_redact_pii",
+    "skew_salted_agg",
 )
 
 _ROTATED_OUT: frozenset[str] = frozenset(
@@ -129,6 +130,9 @@ _ROTATED_OUT: frozenset[str] = frozenset(
         # multi-measure agg family — agg_pricing_summary stays in-window
         # (rotated to make room for round 3's new text_redact_pii)
         "agg_stats_summary",
+        # flagship J1 join-form — the J2 window form (flagship_sessionization,
+        # same oracle) stays in-window; rotated for round 3's skew_salted_agg
+        "flagship_sessionization_joinform",
     }
 )
 
