@@ -82,6 +82,23 @@ def normalized_fingerprint(text: Column) -> Column:
     return F.md5(norm)
 
 
+def ngram_repetition_ratio(toks: Column, n: int = 3) -> Column:
+    """Fraction of word n-grams that are repeats of an earlier n-gram in
+    the same document: 1 - distinct/total.  The standard within-document
+    repetition quality filter (boilerplate, keyword stuffing, template
+    spam score high).  Pure higher-order functions — map-only, no shuffle.
+    Null for documents with fewer than n tokens."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    total = F.size(grams)
+    return F.when(
+        total > 0,
+        F.lit(1.0) - F.size(F.array_distinct(grams)).cast("double") / total,
+    )
+
+
 # PII patterns, deliberately conservative so Java regex (Spark) and RE2
 # (DuckDB) agree byte-for-byte; both engines replace globally.
 EMAIL_PATTERN = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"

@@ -223,3 +223,57 @@ def text_redact_pii(spark, sf_dir):
         n_urls.alias("n_urls"),
         T.redact_pii(F.col("text")).alias("redacted"),
     )
+
+
+@query(
+    "text_repetition_ratio",
+    sql=r"""
+    WITH corpus AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 11 = 0 THEN text || ' ' || text ELSE text END AS text
+      FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t FROM corpus
+    ),
+    grams AS (
+      SELECT doc_id,
+             [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+              for i in range(1, len(t) - 1)] AS g
+      FROM toks WHERE len(t) >= 3
+    )
+    SELECT doc_id,
+           CAST(len(g) AS BIGINT) AS total_ngrams,
+           CAST(len(list_distinct(g)) AS BIGINT) AS distinct_ngrams,
+           round(1.0 - len(list_distinct(g))::DOUBLE / len(g), 6) AS repetition_ratio
+    FROM grams
+    """,
+    tags=("text", "quality", "repetition"),
+)
+def text_repetition_ratio(spark, sf_dir):
+    """Within-document repetition filter (duplicate 3-gram fraction — the
+    Gopher-style boilerplate/keyword-stuffing signal).  Every 11th doc is
+    self-concatenated (mirrored in the oracle) so planted high-repetition
+    docs exist: their ratio must exceed ~0.5 while organic docs stay low.
+    Pure codegen HOFs, map-only, no shuffle."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    boosted = F.when(
+        F.col("doc_id") % 11 == 0, F.concat_ws(" ", "text", "text")
+    ).otherwise(F.col("text"))
+    toks = T.ws_tokens(boosted)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 2),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
+    )
+    return (
+        docs.select("doc_id", toks.alias("t"), grams.alias("g"))
+        .where(F.size("t") >= 3)
+        .select(
+            "doc_id",
+            F.size("g").cast("long").alias("total_ngrams"),
+            F.size(F.array_distinct("g")).cast("long").alias("distinct_ngrams"),
+            F.round(
+                F.lit(1.0) - F.size(F.array_distinct("g")).cast("double") / F.size("g"), 6
+            ).alias("repetition_ratio"),
+        )
+    )

@@ -105,6 +105,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # new in round 3 — oracle-backed, no driver row yet
     "text_redact_pii",
     "skew_salted_agg",
+    "text_repetition_ratio",
 )
 
 _ROTATED_OUT: frozenset[str] = frozenset(
@@ -133,6 +134,9 @@ _ROTATED_OUT: frozenset[str] = frozenset(
         # flagship J1 join-form — the J2 window form (flagship_sessionization,
         # same oracle) stays in-window; rotated for round 3's skew_salted_agg
         "flagship_sessionization_joinform",
+        # date family — date_arithmetic stays in-window; rotated for round
+        # 3's text_repetition_ratio
+        "date_parts_agg",
     }
 )
 
