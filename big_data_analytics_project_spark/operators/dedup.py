@@ -47,11 +47,17 @@ def tokens(text: Column, lower: bool = True) -> Column:
 
 def shingles(toks: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles from a token array (JVM higher-order
-    fns: sequence → slice → concat_ws)."""
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-    )
+    fns: sequence → slice → concat_ws).  Empty array for docs with fewer
+    than n tokens (sequence(1, m) with m < 1 DESCENDS through 0 in Spark
+    and slice(toks, 0, n) throws — the when-guard prevents that)."""
+    m = F.size(toks) - (n - 1)
+    grams = F.when(
+        m >= 1,
+        F.transform(
+            F.sequence(F.lit(1), m),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return F.array_distinct(grams)
 
 

@@ -88,9 +88,15 @@ def ngram_repetition_ratio(toks: Column, n: int = 3) -> Column:
     repetition quality filter (boilerplate, keyword stuffing, template
     spam score high).  Pure higher-order functions — map-only, no shuffle.
     Null for documents with fewer than n tokens."""
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    m = F.size(toks) - (n - 1)
+    # guard: sequence(1, m) with m < 1 DESCENDS through 0 in Spark and
+    # slice(toks, 0, n) throws — short docs must yield null, not crash
+    grams = F.when(
+        m >= 1,
+        F.transform(
+            F.sequence(F.lit(1), m),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
     )
     total = F.size(grams)
     return F.when(

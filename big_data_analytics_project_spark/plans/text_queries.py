@@ -261,9 +261,15 @@ def text_repetition_ratio(spark, sf_dir):
         F.col("doc_id") % 11 == 0, F.concat_ws(" ", "text", "text")
     ).otherwise(F.col("text"))
     toks = T.ws_tokens(boosted)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 2),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
+    # when-guard: the filter below and this projection may collapse into
+    # one stage, so grams must be short-doc-safe on its own (see
+    # operators/text.py::ngram_repetition_ratio)
+    grams = F.when(
+        F.size(toks) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 2),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
+        ),
     )
     return (
         docs.select("doc_id", toks.alias("t"), grams.alias("g"))
