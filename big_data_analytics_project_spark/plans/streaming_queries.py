@@ -156,6 +156,25 @@ def streaming_tumbling_append(spark, sf_dir):
         # by the OS/test fixtures.
 
 
+@query("streaming_dedup", sql=None, tags=("streaming", "dedup", "curation"))
+def streaming_dedup(spark, sf_dir):
+    """Exact dedup at stream ingest: dropDuplicatesWithinWatermark on
+    (user_id, payload fingerprint) — duplicate payloads re-sent within the
+    watermark horizon collapse to one row, and per-key state is evicted as
+    the watermark advances (bounded state; plain dropDuplicates would grow
+    forever).  Rows-only: emission timing is engine-mechanical; the
+    collapse semantics are pinned in tests/test_streaming.py."""
+    json_dir = _staged(spark, sf_dir, n_files=2)
+    try:
+        stream = P.read_event_stream(spark, json_dir, max_files_per_trigger=2)
+        out = P.run_to_completion(P.dedup_stream(stream), "t_dedup", "append")
+        return out.groupBy("event_type").agg(
+            F.count("*").alias("n_unique_payload_events")
+        )
+    finally:
+        shutil.rmtree(json_dir, ignore_errors=True)
+
+
 @query("streaming_custom_sessionization", sql=None, tags=("streaming", "stateful", "pandas"))
 def streaming_custom_sessionization(spark, sf_dir):
     """Custom stateful operator: gap sessionization with explicit per-user

@@ -171,6 +171,31 @@ def session_features(stream: DataFrame, watermark: str = "10 minutes",
     )
 
 
+def dedup_stream(
+    stream: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup at ingest (the curation pipeline's first
+    stage run at stream time): ``dropDuplicatesWithinWatermark`` keeps one
+    row per key among events whose timestamps fall within the watermark
+    horizon of each other, and — unlike plain ``dropDuplicates`` — evicts
+    each key's state once the watermark passes it, so state is bounded by
+    (horizon × distinct keys in horizon) instead of all keys ever seen.
+    Default key: the content fingerprint of ``props`` + ``event_type``
+    (payload identity, not event id — re-sent payloads are the dup)."""
+    from ..operators.text import normalized_fingerprint
+
+    wm = stream.withWatermark("ts", watermark)
+    if keys is None:
+        wm = wm.withColumn(
+            "payload_fp",
+            normalized_fingerprint(F.concat_ws(" ", "event_type", "props")),
+        )
+        keys = ["user_id", "payload_fp"]
+    return wm.dropDuplicatesWithinWatermark(keys)
+
+
 def run_to_completion(
     agg: DataFrame, query_name: str, output_mode: str = "complete"
 ) -> DataFrame:

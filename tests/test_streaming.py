@@ -112,6 +112,41 @@ def test_append_mode_evicts_finalized_state(spark, tmp_path):
     assert "2024-01-02T14:00:00" not in rows
 
 
+def test_streaming_dedup_collapses_resent_payloads(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: identical (user, payload) rows
+    re-sent within the watermark horizon collapse to one; distinct
+    payloads and other users survive."""
+    from big_data_analytics_project_spark.streaming.processor import dedup_stream
+
+    d = str(tmp_path / "stream")
+    os.makedirs(d)
+    ev = lambda i, ts, uid, et, props: {  # noqa: E731
+        "event_id": i, "ts": ts, "user_id": uid,
+        "event_type": et, "value": 1.0, "props": props,
+    }
+    _write_json(
+        os.path.join(d, "f0.json"),
+        [
+            ev(1, "2024-01-02 12:00:00", 1, "view", '{"k": 7}'),
+            ev(2, "2024-01-02 12:01:00", 1, "view", '{"k": 7}'),  # dup payload
+            ev(3, "2024-01-02 12:02:00", 1, "view", '{"k": 8}'),  # distinct
+            ev(4, "2024-01-02 12:03:00", 2, "view", '{"k": 7}'),  # other user
+        ],
+    )
+    # second batch: another re-send inside the horizon → still a dup
+    _write_json(
+        os.path.join(d, "f1.json"),
+        [ev(5, "2024-01-02 12:05:00", 1, "view", '{"k": 7}')],
+    )
+    now = 1_700_000_000
+    for i, f in enumerate(["f0.json", "f1.json"]):
+        os.utime(os.path.join(d, f), (now + i * 100, now + i * 100))
+    stream = P.read_event_stream(spark, d, max_files_per_trigger=1)
+    out = P.run_to_completion(dedup_stream(stream), "t_dedup_test", "append")
+    got = sorted((r.user_id, r.event_id) for r in out.collect())
+    assert got == [(1, 1), (1, 3), (2, 4)]
+
+
 def test_session_window_merges_within_gap(spark, tmp_path):
     d = str(tmp_path / "sess")
     os.makedirs(d)
