@@ -78,6 +78,16 @@ def duck_cosine(a_expr: str, b_expr: str) -> str:
     return f"({d} / ({na} * {nb}))"
 
 
+def duck_l2sq(a_expr: str, b_expr: str) -> str:
+    """DuckDB SQL mirroring :func:`l2sq` exactly (same sequential left
+    fold; the first-element seed vs Spark's 0.0 seed is bit-identical
+    because ``0.0 + x == x`` for finite doubles)."""
+    return (
+        f"list_reduce(list_transform(list_zip({a_expr}, {b_expr}), "
+        f"p -> (p[1]-p[2])*(p[1]-p[2])), (acc, x) -> acc + x)"
+    )
+
+
 def duck_sign_bucket(a_expr: str, n_bits: int = 8) -> str:
     terms = " + ".join(
         f"CAST({a_expr}[{i + 1}] >= 0 AS BIGINT) * {2**i}" for i in range(n_bits)

@@ -177,9 +177,12 @@ def ivf_topk(
 
     Pass pre-trained ``centroids`` to skip quantizer training (the
     production shape: train once on a sample, reuse across queries)."""
-    cents = centroids or train_coarse_centroids(
-        corpus, vec_col, n_centroids=n_centroids
-    )
+    if centroids is None:
+        cents = train_coarse_centroids(corpus, vec_col, n_centroids=n_centroids)
+    elif not centroids:
+        raise ValueError("centroids must be a non-empty list (or None to train)")
+    else:
+        cents = centroids
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         as_double(vec_col).alias("__cv"),

@@ -106,9 +106,11 @@ def ngram_repetition_ratio(toks: Column, n: int = 3) -> Column:
 
 
 # PII patterns, deliberately conservative so Java regex (Spark) and RE2
-# (DuckDB) agree byte-for-byte; both engines replace globally.
-EMAIL_PATTERN = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
-URL_PATTERN = "https?://[^ ]+"
+# (DuckDB) agree byte-for-byte; both engines replace globally.  The (?i)
+# inline flag (identical semantics in Java regex and RE2) makes the scrub
+# case-insensitive — 'Alice@Example.COM' / 'HTTPS://…' are PII too.
+EMAIL_PATTERN = "(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+URL_PATTERN = "(?i)https?://[^ ]+"
 
 
 def redact_pii(text: Column) -> Column:

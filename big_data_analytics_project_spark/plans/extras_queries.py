@@ -202,3 +202,55 @@ def skew_salted_agg(spark, sf_dir):
         F.col("n_events").cast("long").alias("n_events"),
         F.col("total_value").cast("double").alias("total_value"),
     )
+
+
+@query(
+    "skew_salted_join",
+    sql=r"""
+    WITH dim AS (
+      SELECT DISTINCT event_type,
+             CASE event_type
+               WHEN 'view' THEN 1 WHEN 'click' THEN 2 WHEN 'cart' THEN 3
+               WHEN 'purchase' THEN 5 ELSE 4 END AS weight
+      FROM events
+    )
+    SELECT e.event_type, dim.weight,
+           count(*) AS n_rows,
+           CAST(sum(CAST(e.value AS DECIMAL(18,2)) * dim.weight) AS DOUBLE)
+             AS weighted_value
+    FROM events e JOIN dim USING (event_type)
+    GROUP BY e.event_type, dim.weight
+    """,
+    tags=("skew", "join"),
+)
+def skew_salted_join(spark, sf_dir):
+    """Skew-safe salted equi-join: every events row carries one of a
+    handful of hot ``event_type`` keys — a plain shuffle join would stall
+    one reducer per key at 100 TB.  ``salted_join`` salts the big side and
+    replicates the small dimension ×8 so each hot key spreads over 8
+    reducers.  The random salt never reaches the output: the post-join
+    aggregate (decimal sums — associative) is hash-compared against the
+    oracle's PLAIN equi-join, proving the salted plan computes the same
+    relation."""
+    from ..operators.skew import salted_join
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type", F.col("value").cast("decimal(18,2)").alias("val")
+    )
+    dim = (
+        ev.select("event_type")
+        .distinct()
+        .withColumn(
+            "weight",
+            F.when(F.col("event_type") == "view", 1)
+            .when(F.col("event_type") == "click", 2)
+            .when(F.col("event_type") == "cart", 3)
+            .when(F.col("event_type") == "purchase", 5)
+            .otherwise(4),
+        )
+    )
+    joined = salted_join(ev, dim, "event_type", n_salts=8)
+    return joined.groupBy("event_type", "weight").agg(
+        F.count("*").alias("n_rows"),
+        (F.sum(F.col("val") * F.col("weight"))).cast("double").alias("weighted_value"),
+    )

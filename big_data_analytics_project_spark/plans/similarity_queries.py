@@ -9,10 +9,11 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 
-from ..functions.vector import duck_cosine, duck_sign_bucket
+from ..functions.vector import duck_cosine, duck_l2sq, duck_sign_bucket
 from ..operators import similarity as S
 from ..registry import query
 from ..sources import read_table
+from .ivf_centroids import IVF_CENTROIDS
 
 _COS = duck_cosine("a.v", "b.v")
 
@@ -80,17 +81,66 @@ def ann_lsh_topk(spark, sf_dir):
     return S.lsh_bucketed_topk(emb, emb.where(F.col("vec_id") < 5), k=10, n_bits=4)
 
 
-@query("ann_ivf_topk", sql=None, tags=("similarity", "ann", "ivf"))
+# The IVF oracle embeds the SAME pre-trained centroid literals the Spark
+# query uses (plans/ivf_centroids.py), so assignment (argmin over l2sq),
+# probing (4 nearest lists) and rescoring are deterministic expression
+# evaluation on both engines — identical sequential double folds, ties on
+# (distance, centroid id) / (cosine, neighbor id).
+_CENT_VALUES = ",\n    ".join(
+    f"({i}, [{', '.join(repr(x) for x in c)}]::DOUBLE[])"
+    for i, c in enumerate(IVF_CENTROIDS)
+)
+
+_DUCK_IVF_TOPK = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT * FROM (VALUES
+    {_CENT_VALUES}) AS t(i, c)),
+dists AS (
+  SELECT v.vec_id, cent.i, {duck_l2sq("v.v", "cent.c")} AS d
+  FROM v CROSS JOIN cent
+),
+ranked_d AS (
+  SELECT vec_id, i, row_number() OVER (PARTITION BY vec_id ORDER BY d, i) AS rn
+  FROM dists
+),
+assign AS (SELECT vec_id, i AS list_id FROM ranked_d WHERE rn = 1),
+probes AS (SELECT vec_id, i AS list_id FROM ranked_d WHERE rn <= 4 AND vec_id < 5),
+sims AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         round({_COS}, 6) AS cosine_sim
+  FROM probes p
+  JOIN v a ON a.vec_id = p.vec_id
+  JOIN assign s ON s.list_id = p.list_id
+  JOIN v b ON b.vec_id = s.vec_id
+  WHERE b.vec_id != a.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine_sim DESC, neighbor_id) AS rank
+  FROM sims
+)
+SELECT query_id, neighbor_id, cosine_sim, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 10
+"""
+
+
+@query("ann_ivf_topk", sql=_DUCK_IVF_TOPK, tags=("similarity", "ann", "ivf"))
 def ann_ivf_topk(spark, sf_dir):
-    """IVF-Flat ANN top-10 (FAISS-style scale path): seeded k-means coarse
-    quantizer → map-only inverted-list assignment (centroid literals inside
-    codegen, no shuffle) → queries probe their 4 nearest of 16 lists →
-    exact cosine within probed lists.  Rows-only: k-means has no DuckDB
-    mirror; exactness at nprobe=n_centroids and recall at nprobe=4 are
-    pinned in tests/test_similarity.py."""
+    """IVF-Flat ANN top-10 (FAISS-style scale path): pre-trained k-means
+    coarse quantizer (checked-in fixture centroids — the production
+    train-once-on-a-sample shape) → map-only inverted-list assignment
+    (centroid literals inside codegen, no shuffle) → queries probe their 4
+    nearest of 16 lists → exact cosine within probed lists.  Fully
+    deterministic given the pinned centroids, so the DuckDB oracle mirrors
+    assignment + probe + rescore; exactness at nprobe=n_centroids is
+    additionally pinned in tests/test_similarity.py."""
     emb = read_table(spark, sf_dir, "embeddings")
     return S.ivf_topk(
-        emb, emb.where(F.col("vec_id") < 5), k=10, n_centroids=16, nprobe=4
+        emb,
+        emb.where(F.col("vec_id") < 5),
+        k=10,
+        nprobe=4,
+        centroids=IVF_CENTROIDS,
     )
 
 

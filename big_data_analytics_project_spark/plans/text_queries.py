@@ -188,12 +188,12 @@ def text_fingerprint(spark, sf_dir):
     )
     SELECT doc_id,
            CAST(len(regexp_extract_all(text,
-                '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
-           CAST(len(regexp_extract_all(text, 'https?://[^ ]+')) AS BIGINT) AS n_urls,
+                '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '(?i)https?://[^ ]+')) AS BIGINT) AS n_urls,
            regexp_replace(
              regexp_replace(text,
-               '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
-             'https?://[^ ]+', '<URL>', 'g') AS redacted
+               '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+             '(?i)https?://[^ ]+', '<URL>', 'g') AS redacted
     FROM corpus
     """,
     tags=("text", "pii", "curation"),

@@ -95,7 +95,12 @@ def sessionize_with_state(
                 closed.append(row(cur))
                 cur = [ts, ts, 1, v, conv]
             else:
-                cur[1] = ts
+                # late-but-in-watermark rows (cross-batch, ts < cur[1]) must
+                # EXTEND the open session, never move its end backwards: the
+                # gap above compares against the running MAX last, and the
+                # bounds absorb the row via min/max
+                cur[0] = min(cur[0], ts)
+                cur[1] = max(cur[1], ts)
                 cur[2] += 1
                 cur[3] += v
                 cur[4] = max(cur[4], conv)

@@ -63,6 +63,45 @@ def test_stateful_sessionizer_gap_carry_and_timeout(spark, tmp_path):
     ]
 
 
+def test_stateful_sessionizer_out_of_order_cross_batch(spark, tmp_path):
+    """A late-but-within-watermark event arriving in a LATER micro-batch
+    (ts older than the session's current end) must extend the open session
+    downward, not drag session_end backwards — the buggy form then saw the
+    next on-time event as > gap away and falsely split one session in two."""
+    d = str(tmp_path / "stream")
+    os.makedirs(d)
+    # batch 1: 10:00 and 10:25 → watermark after the batch = 10:15
+    _write_json(
+        os.path.join(d, "f0.json"),
+        [_ev(1, "2024-01-02 10:00:00", 7), _ev(2, "2024-01-02 10:25:00", 7)],
+    )
+    # batch 2: a LATE row at 10:16 (> watermark 10:15, so the engine
+    # delivers it) plus an on-time row at 10:50.  10:50 - 10:25 < gap, so
+    # all four events are ONE session; the buggy state machine rewound the
+    # end to 10:16 and split at 10:50 (10:50 - 10:16 > 30 min).
+    _write_json(
+        os.path.join(d, "f1.json"),
+        [_ev(3, "2024-01-02 10:16:00", 7), _ev(4, "2024-01-02 10:50:00", 7)],
+    )
+    # advance the watermark far enough to time out and emit the session
+    _write_json(os.path.join(d, "f2.json"), [_ev(10, "2024-01-02 13:00:00", 9)])
+    _write_json(os.path.join(d, "f3.json"), [_ev(11, "2024-01-02 15:00:00", 9)])
+    now = 1_700_000_000
+    for i, f in enumerate(["f0.json", "f1.json", "f2.json", "f3.json"]):
+        os.utime(os.path.join(d, f), (now + i * 100, now + i * 100))
+
+    stream = P.read_event_stream(spark, d, max_files_per_trigger=1)
+    out = P.run_to_completion(
+        sessionize_with_state(stream, gap_sec=1800), "t_stateful_ooo", "append"
+    )
+    user7 = [r for r in out.collect() if r.user_id == 7]
+    assert len(user7) == 1, f"session falsely split: {user7}"
+    base = 1704189600  # 2024-01-02 10:00:00 UTC
+    assert user7[0].session_start_epoch == base
+    assert user7[0].session_end_epoch == base + 3000  # 10:50
+    assert user7[0].n_events == 4
+
+
 def test_stateful_sessionizer_merges_within_gap_across_batches(spark, tmp_path):
     """An event in a later micro-batch within the gap must EXTEND the open
     session (state carry), not start a new one."""

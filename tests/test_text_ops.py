@@ -35,6 +35,29 @@ def test_redact_pii_masks_and_counts(spark):
     assert rows[3].r == "no pii here"
 
 
+def test_redact_pii_mixed_case(spark):
+    """Mixed-case emails/URLs are PII too — (?i) must catch them in both
+    the redaction and the counts (and DuckDB's RE2 agrees, so the oracle
+    query stays hash-green)."""
+    texts = [
+        "reach Alice@Example.COM now",
+        "go to HTTPS://Example.ORG/Path today",
+        "mixed Bob@EX.io and HtTp://ex.IO/q end",
+    ]
+    n_emails, n_urls = T.pii_counts(F.col("text"))
+    out = _df(spark, texts).select(
+        "doc_id", n_emails.alias("e"), n_urls.alias("u"),
+        T.redact_pii(F.col("text")).alias("r"),
+    ).collect()
+    rows = {r.doc_id: r for r in out}
+    assert (rows[0].e, rows[0].u) == (1, 0)
+    assert rows[0].r == "reach <EMAIL> now"
+    assert (rows[1].e, rows[1].u) == (0, 1)
+    assert rows[1].r == "go to <URL> today"
+    assert (rows[2].e, rows[2].u) == (1, 1)
+    assert rows[2].r == "mixed <EMAIL> and <URL> end"
+
+
 def test_redact_pii_is_idempotent(spark):
     texts = ["x alice@example.com y https://e.io/z", "plain"]
     once = T.redact_pii(F.col("text"))
