@@ -25,6 +25,7 @@ Scale design (100 TB corpus):
 from __future__ import annotations
 
 import random
+from collections.abc import Callable
 
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
@@ -294,8 +295,22 @@ def minhash_near_duplicates(
     return verified
 
 
+def md5_hash60(c: Column) -> Column:
+    """Engine-portable 60-bit hash: first 15 hex chars of md5, parsed as an
+    integer.  Slower than xxhash64 (md5 + base conversion) but computable
+    bit-identically in DuckDB/Trino/Postgres — used by the oracle-checked
+    SimHash variant so the whole fingerprint→band→Hamming pipeline can be
+    cross-engine verified.  60 bits keeps the value inside int64."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
 def simhash_fingerprints(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    hash_fn: Callable[[Column], Column] = F.xxhash64,
+    bits: int = 64,
 ) -> DataFrame:
     """64-bit SimHash per row: per-bit sign-majority over xxhash64 hashes of
     the distinct word n-gram shingles.  bit b = 1 iff more than half the
@@ -315,10 +330,11 @@ def simhash_fingerprints(
     hashed = _spread(df, id_col).select(
         F.col(id_col),
         F.transform(
-            shingles(tokens(F.col(text_col)), n), lambda t: F.xxhash64(t)
+            shingles(tokens(F.col(text_col)), n), lambda t: hash_fn(t)
         ).alias("__hs"),
     ).where(F.size("__hs") > 0)
 
+    n_bits = bits
     # unpackbits is MSB-first per byte over the little-endian uint64 view:
     # bit b of h lands at matrix column (b//8)*8 + (7 - b%8)
     cols = np.arange(64)
@@ -329,9 +345,9 @@ def simhash_fingerprints(
             ids, fps = [], []
             for i, hs in zip(pdf[id_col], pdf["__hs"]):
                 arr = np.asarray(hs, dtype=np.int64).view(np.uint64)
-                bits = np.unpackbits(arr.view(np.uint8).reshape(-1, 8), axis=1)
-                counts = bits.sum(axis=0)[perm]  # counts[b] = #hashes with bit b
-                maj = counts * 2 > len(arr)
+                bitmat = np.unpackbits(arr.view(np.uint8).reshape(-1, 8), axis=1)
+                counts = bitmat.sum(axis=0)[perm]  # counts[b] = #hashes with bit b
+                maj = (counts * 2 > len(arr)) & (cols < n_bits)
                 fp = 0
                 for b in np.nonzero(maj)[0]:
                     fp |= 1 << int(b)
@@ -350,12 +366,17 @@ def simhash_near_duplicates(
     text_col: str,
     max_hamming: int = 8,
     band_bits: int = 16,
+    hash_fn: Callable[[Column], Column] = F.xxhash64,
+    bits: int = 64,
 ) -> DataFrame:
-    """SimHash near-dup: fingerprint → band into 4×16-bit chunks (a pair
-    within Hamming ≤ 3 must share ≥1 exact chunk; wider radii trade recall)
-    → candidate join → exact Hamming filter via bit_count(xor)."""
-    fp = simhash_fingerprints(df, id_col, text_col).persist()
-    n_bands = 64 // band_bits
+    """SimHash near-dup: fingerprint → band into (bits/band_bits) chunks
+    (a pair within Hamming < n_bands must share ≥1 exact chunk; wider radii
+    trade recall) → candidate join → exact Hamming filter via
+    bit_count(xor)."""
+    fp = simhash_fingerprints(
+        df, id_col, text_col, hash_fn=hash_fn, bits=bits
+    ).persist()
+    n_bands = bits // band_bits
     mask = (1 << band_bits) - 1
     banded = fp.select(
         id_col,

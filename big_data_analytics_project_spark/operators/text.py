@@ -106,11 +106,15 @@ def ngram_repetition_ratio(toks: Column, n: int = 3) -> Column:
 
 
 # PII patterns, deliberately conservative so Java regex (Spark) and RE2
-# (DuckDB) agree byte-for-byte; both engines replace globally.  The (?i)
-# inline flag (identical semantics in Java regex and RE2) makes the scrub
-# case-insensitive — 'Alice@Example.COM' / 'HTTPS://…' are PII too.
-EMAIL_PATTERN = "(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
-URL_PATTERN = "(?i)https?://[^ ]+"
+# (DuckDB) agree byte-for-byte; both engines replace globally.  Case
+# insensitivity ('Alice@Example.COM' / 'HTTPS://…' are PII too) uses
+# explicit mixed-case character classes rather than the (?i) flag: Java's
+# (?i) without UNICODE_CASE folds ASCII only while RE2 folds Unicode
+# (U+212A KELVIN SIGN would match [k] in RE2 but not Spark), so explicit
+# classes are the only form with identical cross-engine semantics on
+# arbitrary input.
+EMAIL_PATTERN = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+URL_PATTERN = "[hH][tT][tT][pP][sS]?://[^ ]+"
 
 
 def redact_pii(text: Column) -> Column:

@@ -193,7 +193,57 @@ def dedup_clusters_query(spark, sf_dir):
 @query("dedup_simhash", sql=None, tags=("dedup", "simhash"))
 def dedup_simhash(spark, sf_dir):
     """SimHash-64 near-dup pairs (Hamming ≤ 8 via 16-bit chunk banding).
-    Hash-based → rows-only; property tests assert planted near-dups are
-    recovered."""
+    xxhash64-based fast path → rows-only; property tests assert planted
+    near-dups are recovered.  ``dedup_simhash_pairs`` runs the same
+    pipeline over an engine-portable hash and is fully oracle-checked."""
     docs = read_table(spark, sf_dir, "documents")
     return D.simhash_near_duplicates(docs, "doc_id", "text", max_hamming=8)
+
+
+# DuckDB mirror of the md5-60-bit SimHash pipeline: hex→int via positional
+# digit shifts (no float pow — 16^14 > 2^53 is not double-exact), per-bit
+# sign majority, 4×15-bit banding, bit_count(xor) Hamming verify.
+_DUCK_SIMHASH = f"""
+WITH {_DUCK_SHINGLES},
+hashed AS (
+  SELECT doc_id,
+         [ list_sum([((strpos('0123456789abcdef', md5(g)[i]) - 1)::BIGINT
+                      << (4*(15-i))) for i in range(1,16)])
+           for g in s ] AS hs
+  FROM sh WHERE len(s) > 0
+),
+fp AS (
+  SELECT doc_id,
+    list_sum([CASE WHEN 2*list_sum([(h >> b) & 1 for h in hs]) > len(hs)
+              THEN (1::BIGINT << b) ELSE 0 END for b in range(0, 60)])::BIGINT
+      AS fingerprint
+  FROM hashed
+),
+banded AS (
+  SELECT doc_id, fingerprint, t.b AS band,
+         ((fingerprint >> (t.b*15)) & 32767)::BIGINT AS chunk
+  FROM fp, (SELECT unnest(range(0, 4)) AS b) t
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.fingerprint, b.fingerprint))::BIGINT AS hamming
+FROM banded a
+JOIN banded b ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.fingerprint, b.fingerprint)) <= 8
+"""
+
+
+@query("dedup_simhash_pairs", sql=_DUCK_SIMHASH, tags=("dedup", "simhash"))
+def dedup_simhash_pairs(spark, sf_dir):
+    """Oracle-checked SimHash near-dup pairs: identical banding + Hamming
+    pipeline to ``dedup_simhash`` but over the engine-portable 60-bit
+    md5 hash (``md5_hash60``), so fingerprints, candidate buckets, and the
+    final pair set are bit-identical across Spark and DuckDB.  Proves the
+    *pipeline* (sign-majority fingerprint → 15-bit chunk banding →
+    bucket equi-join → bit_count(xor) filter) hash-exactly; the xxhash64
+    variant swaps only the leaf hash."""
+    docs = read_table(spark, sf_dir, "documents")
+    out = D.simhash_near_duplicates(
+        docs, "doc_id", "text", max_hamming=8,
+        band_bits=15, hash_fn=D.md5_hash60, bits=60,
+    )
+    return out.select("id_a", "id_b", "hamming")

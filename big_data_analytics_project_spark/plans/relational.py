@@ -418,15 +418,36 @@ def agg_distinct_exact(spark, sf_dir):
     )
 
 
-@query("agg_approx_distinct", sql=None, tags=("agg", "approx"))
+@query(
+    "agg_approx_distinct",
+    sql="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS exact_parts,
+           CAST(TRUE AS BOOLEAN) AS approx_within_5pct
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "approx"),
+)
 def agg_approx_distinct(spark, sf_dir):
     """A5 scale path: HyperLogLog++ distinct (the streaming-safe form the
-    reference should have used — SURVEY §2.8 trap).  Approximate → rows-only
-    check; the companion test asserts relative error vs exact."""
+    reference should have used — SURVEY §2.8 trap).  Oracle-checked via a
+    tolerance CONTRACT: the estimate itself is engine-specific (DuckDB's
+    HLL differs from Spark's), so the compared output carries the exact
+    count plus a boolean asserting the HLL estimate landed within 5% of
+    it (2.5× the rsd=0.02 bound — deterministic for a fixed dataset).  A
+    drifting estimator flips the boolean and fails the driver hash."""
     li = _t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
         F.countDistinct("l_partkey").alias("exact_parts"),
+        (
+            F.abs(
+                F.approx_count_distinct("l_partkey", rsd=0.02).cast("double")
+                / F.countDistinct("l_partkey")
+                - 1.0
+            )
+            <= 0.05
+        ).alias("approx_within_5pct"),
     )
 
 

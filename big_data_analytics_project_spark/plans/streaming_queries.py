@@ -29,18 +29,27 @@ from ..streaming import processor as P
 _STAGE_CACHE: dict[tuple[str, int], str] = {}
 
 
-# Spark assigns an event at epoch t to every 1 h window whose start is a
-# multiple of the 15 min slide and satisfies start <= t < start + 3600:
-# exactly window/slide = 4 windows, starts (floor(t/900) - k) * 900 for
-# k in 0..3.  The oracle cross-applies those 4 offsets per event.
-_SLIDING_SQL = """
-SELECT CAST((CAST(floor(epoch(ts) / 900) AS BIGINT) - offs.k) * 900 AS BIGINT)
+# Sliding-window geometry shared by the Spark call AND the oracle SQL —
+# single source of truth so the two formulations cannot drift (changing
+# the window or slide here changes both sides together).
+SLIDING_WINDOW_SEC = 3600
+SLIDING_SLIDE_SEC = 900
+_N_OFFSETS = SLIDING_WINDOW_SEC // SLIDING_SLIDE_SEC
+
+# Spark assigns an event at epoch t to every window of SLIDING_WINDOW_SEC
+# whose start is a multiple of SLIDING_SLIDE_SEC and satisfies
+# start <= t < start + window: exactly window/slide overlapping windows,
+# starts (floor(t/slide) - k) * slide for k in 0..window/slide-1.  The
+# oracle cross-applies those offsets per event.
+_SLIDING_SQL = f"""
+SELECT CAST((CAST(floor(epoch(ts) / {SLIDING_SLIDE_SEC}) AS BIGINT) - offs.k)
+            * {SLIDING_SLIDE_SEC} AS BIGINT)
          AS window_start_epoch,
        user_id,
        count(*) AS total_events,
        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
 FROM events
-CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) offs
+CROSS JOIN (SELECT unnest(range(0, {_N_OFFSETS})) AS k) offs
 GROUP BY 1, 2
 """
 
@@ -142,7 +151,11 @@ def streaming_sliding_window(spark, sf_dir):
     checked against an independent relational formulation."""
     json_dir = _staged(spark, sf_dir)
     stream = P.read_event_stream(spark, json_dir, max_files_per_trigger=2)
-    agg = P.sliding_features(stream)
+    agg = P.sliding_features(
+        stream,
+        window=f"{SLIDING_WINDOW_SEC} seconds",
+        slide=f"{SLIDING_SLIDE_SEC} seconds",
+    )
     out = P.run_to_completion(agg, "t_sliding", output_mode="complete")
     return out.select(
         F.unix_timestamp(F.col("win.start")).cast("long").alias("window_start_epoch"),
@@ -178,12 +191,23 @@ def streaming_tumbling_append(spark, sf_dir):
             "total_events",
             "total_value",
         )
+    except BaseException:
+        shutil.rmtree(out_dir, ignore_errors=True)
+        raise
+    if spark.sparkContext.master.startswith("local"):
         # localCheckpoint (eager) materializes the sink contents into Spark
         # block storage so the temp sink dir can be removed immediately —
-        # no orphaned bdap_append_* dirs after a bench/driver run
-        return result.localCheckpoint()
-    finally:
+        # no orphaned bdap_append_* dirs after a bench/driver run.  Safe
+        # only in local mode: localCheckpoint blocks are lost on executor
+        # failure, which would make the result unrecomputable once the
+        # sink dir is gone.
+        result = result.localCheckpoint()
         shutil.rmtree(out_dir, ignore_errors=True)
+    else:
+        # on a real cluster, keep the sink dir as the durable source and
+        # clean it up at process exit instead
+        atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
+    return result
 
 
 @query("streaming_dedup", sql=None, tags=("streaming", "dedup", "curation"))

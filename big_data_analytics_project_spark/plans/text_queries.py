@@ -176,7 +176,9 @@ def text_fingerprint(spark, sf_dir):
 
 @query(
     "text_redact_pii",
-    sql=r"""
+    # patterns interpolated from operators.text so Spark and the oracle can
+    # never drift (explicit mixed-case classes — see EMAIL_PATTERN comment)
+    sql=f"""
     WITH corpus AS (
       SELECT doc_id,
              CASE WHEN doc_id % 5 = 0
@@ -188,12 +190,12 @@ def text_fingerprint(spark, sf_dir):
     )
     SELECT doc_id,
            CAST(len(regexp_extract_all(text,
-                '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
-           CAST(len(regexp_extract_all(text, '(?i)https?://[^ ]+')) AS BIGINT) AS n_urls,
+                '{T.EMAIL_PATTERN}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '{T.URL_PATTERN}')) AS BIGINT) AS n_urls,
            regexp_replace(
              regexp_replace(text,
-               '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
-             '(?i)https?://[^ ]+', '<URL>', 'g') AS redacted
+               '{T.EMAIL_PATTERN}', '<EMAIL>', 'g'),
+             '{T.URL_PATTERN}', '<URL>', 'g') AS redacted
     FROM corpus
     """,
     tags=("text", "pii", "curation"),

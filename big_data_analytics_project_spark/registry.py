@@ -65,107 +65,69 @@ _LOADED = False
 
 # The verification driver cross-checks only the FIRST 50 registered queries
 # per round, in iteration order.  Rounds 1-2 used raw module-import order,
-# which left 19 oracle-backed queries (positions 51-73) without a driver row.
-# ``load_all`` therefore rebuilds the registry into an explicit priority
-# order so the 50-query window is spent entirely on oracle-backed checks:
+# which left oracle-backed queries past position 50 without a driver row,
+# and rounds 3-4 used hand-edited tier lists, which drifted (round 4's new
+# queries landed at positions 51-52, outside the window, and a
+# registration-order shift silently evicted a verified query).
 #
-#   tier 0 — oracle-backed queries never driver-checked in r01/r02 (19);
-#   tier 1 — the remaining oracle-backed core (31);
-#   tier 2 — family-redundant oracle-backed queries that were hash-green in
-#            BOTH r01 and r02 (rotated out this round; each family keeps a
-#            representative in tier 0/1, and the local DuckDB-parity suite
-#            still checks every query at sf0.001);
-#   tier 3 — rows-only (sql=None) queries: a driver rows-only row proves
+# The window is therefore now DERIVED from the recorded driver history
+# (``driver_history.json`` — a checked-in digest of CORRECTNESS_r*.json
+# mapping each query to the last round it was hash-green):
+#
+#   tier 0 — oracle-backed queries with NO driver-green row yet (new or
+#            never-windowed): checked first, always;
+#   tier 1 — oracle-backed, stalest-green first (last-green round
+#            ascending), so every oracle query cycles back through the
+#            window and no query goes more than a couple of rounds without
+#            a driver-grade sf0.01 re-check;
+#   tier 2 — rows-only (sql=None) queries: a driver rows-only row proves
 #            little beyond "it runs", which pytest already covers.
 #
-# Rotation plan (also in README): tiers 0+1 are sized to exactly fill the
-# window; next round, swap tier 2 back in front of this round's tier 1 so
-# every oracle-backed query has a driver row at least once per two rounds.
-_DRIVER_PRIORITY: tuple[str, ...] = (
-    # tier 0 — never driver-checked, oracle-backed
-    "ann_bruteforce_topk",
-    "ann_lsh_topk",
-    "embedding_cosine_neardup",
-    "text_token_stats",
-    "text_quality_scores",
-    "text_language_id",
-    "text_fingerprint",
-    "streaming_tumbling_window",
-    "streaming_session_window",
-    "math_funcs",
-    "conditional_funcs",
-    "array_explode_tokens",
-    "pivot_event_counts",
-    "heuristic_intent_score",
-    "dedup_subset_keys",
-    "agg_percentiles",
-    "agg_corr_covar",
-    "topk_global_orders",
-    "sort_by_aggregate",
-    # new in round 3 — oracle-backed, no driver row yet
-    "text_redact_pii",
-    "skew_salted_agg",
-    "text_repetition_ratio",
-)
+# Adding a query can no longer evict a verified one silently: new queries
+# are tier 0 by construction, the displaced ones are the FRESHEST greens,
+# and ``tests/test_registry_order.py`` pins the exact expected window so
+# any composition change fails a test until acknowledged.  The digest is
+# refreshed each round via ``scripts/update_driver_history.py``; the local
+# DuckDB-parity suite (``tests/test_oracle_parity.py``) still checks every
+# query at sf0.001 regardless of window membership.
+DRIVER_WINDOW_SIZE = 50
 
-_ROTATED_OUT: frozenset[str] = frozenset(
-    {
-        # window family — window_rank_topn_per_group / window_range_frame /
-        # window_distribution stay in-window as representatives
-        "window_rank_dense_rank",
-        "window_lag_lead",
-        "window_running_total",
-        "window_first_last",
-        "window_nth_lag_defaults",
-        # set-op family — union_schema_evolution stays in-window
-        "set_union_all",
-        "set_intersect",
-        "set_except",
-        "distinct_pairs",
-        # join family — multiway/left/semi stay in-window
-        "join_broadcast_part",
-        "join_anti_inactive_customers",
-        # grouping-id family — agg_rollup_orders stays in-window
-        "agg_cube_customer",
-        "agg_grouping_sets",
-        # multi-measure agg family — agg_pricing_summary stays in-window
-        # (rotated to make room for round 3's new text_redact_pii)
-        "agg_stats_summary",
-        # flagship J1 join-form — the J2 window form (flagship_sessionization,
-        # same oracle) stays in-window; rotated for round 3's skew_salted_agg
-        "flagship_sessionization_joinform",
-        # date family — date_arithmetic stays in-window; rotated for round
-        # 3's text_repetition_ratio
-        "date_parts_agg",
-    }
-)
+
+def _load_history() -> dict[str, int]:
+    import json
+    from pathlib import Path
+
+    path = Path(__file__).with_name("driver_history.json")
+    return json.loads(path.read_text()) if path.exists() else {}
 
 
 def _driver_order(reg: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
-    prio = {name: i for i, name in enumerate(_DRIVER_PRIORITY)}
+    last_green = _load_history()
+    never = 10**9  # sorts after every real round number within tier 1
 
-    def key(item: tuple[int, str]) -> tuple[int, int]:
+    def key(item: tuple[int, str]) -> tuple[int, int, int]:
         idx, name = item
         spec = reg[name]
         if spec.sql is None:
-            tier = 3
-        elif name in prio:
-            tier = 0
-        elif name in _ROTATED_OUT:
-            tier = 2
-        else:
-            tier = 1
-        # tier 0 keeps the explicit priority order; others keep
-        # registration order (stable within tier)
-        return (tier, prio.get(name, idx))
+            return (2, 0, idx)
+        if name not in last_green:
+            return (0, 0, idx)
+        return (1, last_green.get(name, never), idx)
 
     ordered = sorted(enumerate(reg), key=key)
     return {name: reg[name] for _, name in ordered}
 
 
+def driver_window(reg: dict[str, QuerySpec] | None = None) -> list[str]:
+    """The names the driver will actually cross-check this round (the
+    first ``DRIVER_WINDOW_SIZE`` in iteration order)."""
+    reg = reg if reg is not None else load_all()
+    return list(reg)[:DRIVER_WINDOW_SIZE]
+
+
 def load_all() -> dict[str, QuerySpec]:
     """Import every module that registers queries, once, and return the
-    registry in driver-priority order (see ``_DRIVER_PRIORITY``)."""
+    registry in driver-priority order (see ``_driver_order``)."""
     global _LOADED, REGISTRY
     if not _LOADED:
         from .plans import (  # noqa: F401

@@ -52,10 +52,18 @@ def serialize_for_kafka(
         payload = payload.withColumn(
             "ingestion_time", F.date_format(F.current_timestamp(), TS_FORMAT)
         )
-    value = F.to_json(
-        F.struct(*[F.col(c) for c in payload.columns]),
-        {"timestampFormat": TS_FORMAT},
-    )
+    # Format timestamp columns explicitly rather than via to_json's
+    # ``timestampFormat`` option: under Spark 4.1 the option is not applied
+    # to struct fields, silently truncating µs → ms (data loss).  An explicit
+    # date_format projection is engine-version-proof and stays codegen-side.
+    ts_types = {"timestamp", "timestamp_ntz"}
+    fields = [
+        F.date_format(c, TS_FORMAT).alias(c)
+        if payload.schema[c].dataType.typeName() in ts_types
+        else F.col(c)
+        for c in payload.columns
+    ]
+    value = F.to_json(F.struct(*fields))
     return payload.select(
         F.col(key_col).cast("string").alias("key"), value.alias("value")
     )

@@ -1,30 +1,115 @@
 """The driver cross-checks only the FIRST 50 registered queries per round.
 
-These tests pin the registry's driver-priority ordering so the 50-query
-CORRECTNESS window is always spent on oracle-backed queries and the
-queries that had no driver row in r01/r02 come first (see
-``registry._DRIVER_PRIORITY`` and the rotation plan in README).
+These tests pin the registry's driver-window derivation (see
+``registry._driver_order``): the window is computed from the checked-in
+``driver_history.json`` digest — never-driver-green oracle queries first,
+then stalest-green first — and the EXACT expected round-5 window is pinned
+here so adding a query can never silently evict a verified one.  If the
+window composition changes (new query registered, history refreshed),
+this test fails until ``EXPECTED_WINDOW`` is deliberately updated.
 """
 
 from big_data_analytics_project_spark.registry import (
-    _DRIVER_PRIORITY,
+    DRIVER_WINDOW_SIZE,
+    _load_history,
+    driver_window,
     load_all,
 )
 
-WINDOW = 50
+# The round-5 window: tier 0 = oracle-backed with no driver-green row yet
+# (round 4's ann_ivf_topk / streaming_sliding_window plus anything new this
+# round), then oracle-backed by last-green round ascending (the 17 queries
+# stale since r02, window_distribution stale since r03, then r4 greens in
+# registration order until the window fills).
+EXPECTED_WINDOW = (
+    # tier 0 — never driver-green (registration order): round 4's two
+    # window-missed queries plus round 5's new/upgraded oracle queries
+    "dedup_simhash_pairs",
+    "agg_approx_distinct",
+    "ann_ivf_topk",
+    "streaming_sliding_window",
+    # tier 1 — last green r02 (stale three rounds)
+    "window_nth_lag_defaults",
+    "flagship_sessionization_joinform",
+    "date_parts_agg",
+    "join_broadcast_part",
+    "join_anti_inactive_customers",
+    "agg_cube_customer",
+    "agg_grouping_sets",
+    "agg_stats_summary",
+    "window_rank_dense_rank",
+    "window_lag_lead",
+    "window_running_total",
+    "window_first_last",
+    "set_union_all",
+    "set_intersect",
+    "set_except",
+    "distinct_pairs",
+    # tier 1 — last green r03
+    "window_distribution",
+    # tier 1 — last green r04, registration order
+    "dedup_exact_fingerprint",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_clusters",
+    "date_arithmetic",
+    "array_funcs",
+    "text_edit_distance",
+    "union_schema_evolution",
+    "skew_salted_agg",
+    "skew_salted_join",
+    "flagship_sessionization",
+    "multimodal_binary_meta",
+    "multimodal_decode_meta",
+    "multimodal_frame_index",
+    "proj_filter_revenue",
+    "case_when_bucketing",
+    "null_impute_coalesce",
+    "json_extract_agg",
+    "string_funcs",
+    "join_multiway_revenue",
+    "join_left_order_items",
+    "join_semi_active_customers",
+    "agg_pricing_summary",
+    "agg_distinct_exact",
+    "agg_rollup_orders",
+    "agg_null_audit",
+    "agg_funnel_share",
+    "window_rank_topn_per_group",
+    "window_range_frame",
+)
+
+
+def test_window_composition_is_pinned():
+    assert len(EXPECTED_WINDOW) == DRIVER_WINDOW_SIZE
+    assert driver_window() == list(EXPECTED_WINDOW)
 
 
 def test_first_window_is_all_oracle_backed():
     reg = load_all()
-    first = list(reg)[:WINDOW]
+    first = driver_window(reg)
     missing_oracle = [n for n in first if reg[n].sql is None]
     assert missing_oracle == [], f"rows-only queries inside the driver window: {missing_oracle}"
 
 
-def test_never_checked_queries_lead_the_window():
+def test_never_green_queries_lead_the_window():
     reg = load_all()
-    first = list(reg)[: len(_DRIVER_PRIORITY)]
-    assert first == list(_DRIVER_PRIORITY)
+    history = _load_history()
+    names = list(reg)
+    oracle_backed = [n for n in names if reg[n].sql is not None]
+    never_green = [n for n in oracle_backed if n not in history]
+    assert names[: len(never_green)] == never_green
+
+
+def test_stalest_green_sorted_ascending():
+    reg = load_all()
+    history = _load_history()
+    rounds = [
+        history[n]
+        for n in driver_window(reg)
+        if reg[n].sql is not None and n in history
+    ]
+    assert rounds == sorted(rounds)
 
 
 def test_rows_only_queries_are_last():
