@@ -1,0 +1,137 @@
+"""Training-data curation registrations: deterministic sampling, sequence
+packing, embedding quantization — the storage/split/shard operators a
+100 TB pretraining pipeline runs after dedup/quality filtering.
+
+All three are fully oracle-checked: the sampling hash is the
+engine-portable md5-60-bit hash, packing is a window cumsum, and
+quantization rounds via floor(x+0.5) — every step chosen to be
+bit-reproducible across engines.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from ..operators import packing as PK
+from ..operators import sampling as S
+from ..operators.embeddings import absmax_scale, quantize_int8
+from ..registry import query
+from ..sources import read_table
+from ._duck import hash60
+
+# --- deterministic stratified sampling ------------------------------------
+
+_RATES = {"purchase": 60, "cart": 30}
+_DEFAULT_PCT = 10
+
+_SAMPLE_SQL = f"""
+WITH hashed AS (
+  SELECT event_id, user_id, event_type, value,
+         {hash60("CAST(event_id AS VARCHAR)")} % 100 AS bucket
+  FROM events
+)
+SELECT event_id, user_id, event_type,
+       CAST(bucket AS BIGINT) AS bucket
+FROM hashed
+WHERE bucket < CASE event_type
+                 WHEN 'purchase' THEN {_RATES["purchase"]}
+                 WHEN 'cart' THEN {_RATES["cart"]}
+                 ELSE {_DEFAULT_PCT} END
+"""
+
+
+@query("sample_hash_stratified", sql=_SAMPLE_SQL, tags=("sampling", "curation"))
+def sample_hash_stratified(spark, sf_dir):
+    """Deterministic stratified sampling: keep 60% of rare purchases, 30%
+    of carts, 10% of everything else, membership decided ONLY by an
+    engine-portable hash of the row key (operators/sampling.py) — the
+    split is identical across engines, re-runs, repartitions, and late
+    arrivals, unlike seeded-RNG sample().  Map-only, no shuffle."""
+    ev = read_table(spark, sf_dir, "events")
+    sampled = S.stratified_hash_sample(
+        ev, key=F.col("event_id"), stratum=F.col("event_type"),
+        rates=_RATES, default_pct=_DEFAULT_PCT,
+    )
+    return sampled.select(
+        "event_id", "user_id", "event_type",
+        S.hash_bucket(F.col("event_id")).alias("bucket"),
+    )
+
+
+# --- sequence packing -----------------------------------------------------
+
+_PACK_BUDGET = 2048
+
+_PACK_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+  FROM documents
+),
+packed AS (
+  SELECT doc_id, lang, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS start
+  FROM toks
+)
+SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(floor(start / {_PACK_BUDGET}) AS BIGINT) AS bin_id,
+       CAST(start AS BIGINT) AS bin_offset_tokens
+FROM packed
+"""
+
+
+@query("pack_token_budget_bins", sql=_PACK_SQL, tags=("packing", "curation"))
+def pack_token_budget_bins(spark, sf_dir):
+    """LLM context-window packing: documents assigned to {_PACK_BUDGET}-token
+    bins per language shard via linear packing (one window cumsum — a
+    document starts in the bin where its first token lands;
+    operators/packing.py).  One shuffle on the shard key, no global sort;
+    the assignment is deterministic so every re-run shards identically."""
+    docs = read_table(spark, sf_dir, "documents")
+    with_tokens = docs.select(
+        "doc_id", "lang", PK.whitespace_token_count(F.col("text")).alias("n_tokens")
+    )
+    packed = PK.pack_linear(
+        with_tokens, shard_col="lang", order_col="doc_id",
+        tokens_col="n_tokens", budget=_PACK_BUDGET,
+    )
+    return packed.select("doc_id", "lang", "n_tokens", "bin_id", "bin_offset_tokens")
+
+
+# --- embedding int8 quantization ------------------------------------------
+
+_QUANT_SQL = """
+WITH scaled AS (
+  SELECT vec_id,
+         list_max(list_transform(embedding,
+                                 x -> abs(CAST(x AS DOUBLE)))) AS scale,
+         embedding
+  FROM embeddings
+)
+SELECT vec_id, scale,
+       list_transform(embedding,
+         x -> CAST(CASE WHEN scale = 0 THEN 0
+                        ELSE floor(127.0 * CAST(x AS DOUBLE) / scale + 0.5)
+                   END AS BIGINT)) AS q
+FROM scaled
+"""
+
+
+@query("embedding_quantize_int8", sql=_QUANT_SQL, tags=("embedding", "curation"))
+def embedding_quantize_int8(spark, sf_dir):
+    """Symmetric per-vector int8 quantization of the embedding corpus
+    (4× storage; operators/embeddings.py) — all higher-order array
+    functions, map-only at scan speed.  Rounding is floor(x+0.5) for
+    cross-engine determinism; codes are checked element-exact vs DuckDB."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select(
+            "vec_id", absmax_scale(F.col("embedding")).alias("scale"), "embedding"
+        )
+        .select(
+            "vec_id",
+            "scale",
+            quantize_int8(F.col("embedding"), F.col("scale")).alias("q"),
+        )
+    )

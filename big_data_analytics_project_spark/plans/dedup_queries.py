@@ -14,6 +14,7 @@ from ..operators import dedup as D
 from ..operators.text import normalized_fingerprint
 from ..registry import query
 from ..sources import read_table
+from ._duck import hash60 as _duck_hash60
 
 # Shared DuckDB CTE: tokenize + 3-gram shingle exactly like operators.dedup
 _DUCK_SHINGLES = r"""
@@ -200,16 +201,14 @@ def dedup_simhash(spark, sf_dir):
     return D.simhash_near_duplicates(docs, "doc_id", "text", max_hamming=8)
 
 
-# DuckDB mirror of the md5-60-bit SimHash pipeline: hex→int via positional
-# digit shifts (no float pow — 16^14 > 2^53 is not double-exact), per-bit
-# sign majority, 4×15-bit banding, bit_count(xor) Hamming verify.
+# DuckDB mirror of the md5-60-bit SimHash pipeline: portable hash via the
+# shared hash60 fragment (plans/_duck.py), per-bit sign majority, 4×15-bit
+# banding, bit_count(xor) Hamming verify.
 _DUCK_SIMHASH = f"""
 WITH {_DUCK_SHINGLES},
 hashed AS (
   SELECT doc_id,
-         [ list_sum([((strpos('0123456789abcdef', md5(g)[i]) - 1)::BIGINT
-                      << (4*(15-i))) for i in range(1,16)])
-           for g in s ] AS hs
+         [ {_duck_hash60("g")} for g in s ] AS hs
   FROM sh WHERE len(s) > 0
 ),
 fp AS (

@@ -1,0 +1,220 @@
+"""Temporal operator registrations: as-of join, bucketed range join,
+hypertable-style hierarchical rollup (extension operators — SURVEY §2 has
+no native equivalents; these are the time-series joins a training-data /
+clickstream pipeline needs at scale).
+
+All three are oracle-checked: DuckDB has native ASOF JOIN and IEJoin-style
+range joins, so the oracles are straightforward declarative SQL while the
+Spark side proves the scalable composition (union+window asof, bucketed
+equi-join range join, hierarchical re-aggregation rollup) produces
+identical results.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from ..operators.asof import asof_join
+from ..operators.hypertable import hypertable_rollup
+from ..operators.rangejoin import range_join_points_in_intervals
+from ..registry import query
+from ..sources import read_table
+
+# --- as-of join -----------------------------------------------------------
+
+# Views deduped to one row per (user_id, ts): "the" most recent view is
+# otherwise undefined at ts collisions (same caveat as DuckDB ASOF JOIN).
+_ASOF_SQL = """
+WITH p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+),
+v AS (
+  SELECT user_id, ts, max(event_id) AS view_event_id
+  FROM events WHERE event_type = 'view'
+  GROUP BY user_id, ts
+)
+SELECT p.event_id, p.user_id,
+       CAST(floor(epoch(p.ts)) AS BIGINT) AS ts_epoch,
+       CAST(floor(epoch(v.ts)) AS BIGINT) AS asof_ts_epoch,
+       v.view_event_id AS asof_view_event_id,
+       CAST(floor(epoch(p.ts)) - floor(epoch(v.ts)) AS BIGINT) AS gap_sec
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
+"""
+
+
+@query("asof_join_nearest_event", sql=_ASOF_SQL, tags=("temporal", "asof", "join"))
+def asof_join_nearest_event(spark, sf_dir):
+    """Backward as-of join: each purchase enriched with the user's most
+    recent view at-or-before it (attribution).  Spark composition is
+    union + one key-partitioned window with last(ignorenulls) — ONE
+    shuffle, no interval explosion (operators/asof.py); the oracle is
+    DuckDB's native ASOF LEFT JOIN.  Purchases with no prior view keep
+    nulls (left-outer)."""
+    ev = read_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_event_id"))
+    )
+    out = asof_join(
+        purchases, views, on=["user_id"], ts_col="ts",
+        right_value_cols=["view_event_id"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").cast("long").alias("ts_epoch"),
+        "asof_ts_epoch",
+        F.col("asof_view_event_id").cast("long").alias("asof_view_event_id"),
+        (F.unix_timestamp("ts") - F.col("asof_ts_epoch"))
+        .cast("long")
+        .alias("gap_sec"),
+    )
+
+
+# --- bucketed range join --------------------------------------------------
+
+_ATTRIBUTION_WINDOW_SEC = 14400  # 4 h lookback per purchase
+
+_RANGE_SQL = f"""
+WITH p AS (
+  SELECT event_id, user_id,
+         ts - INTERVAL {_ATTRIBUTION_WINDOW_SEC} SECONDS AS w_start,
+         ts AS w_end
+  FROM events WHERE event_type = 'purchase'
+),
+v AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'view'
+)
+SELECT p.event_id, p.user_id,
+       CAST(floor(epoch(p.w_end)) AS BIGINT) AS ts_epoch,
+       count(v.ts) AS n_views,
+       CAST(sum(CAST(v.value AS DECIMAL(18,2))) AS DOUBLE) AS view_value
+FROM p JOIN v
+  ON p.user_id = v.user_id AND v.ts >= p.w_start AND v.ts <= p.w_end
+GROUP BY 1, 2, 3
+"""
+
+
+@query("range_join_attribution", sql=_RANGE_SQL, tags=("temporal", "range", "join"))
+def range_join_attribution(spark, sf_dir):
+    """Interval join: views falling in each purchase's 4-hour lookback
+    window, aggregated per purchase.  Spark side uses the bucketed range
+    join (explode intervals over <=2 time buckets → equi-join on
+    (user, bucket) → exact BETWEEN filter; operators/rangejoin.py) — no
+    per-key cross product; the oracle is the plain declarative range join
+    DuckDB plans natively.  Purchases with zero in-window views don't
+    appear (inner semantics, mirrored)."""
+    ev = read_table(spark, sf_dir, "events")
+    intervals = ev.where(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        (F.col("ts") - F.expr(f"INTERVAL {_ATTRIBUTION_WINDOW_SEC} SECONDS")).alias(
+            "w_start"
+        ),
+        F.col("ts").alias("w_end"),
+    )
+    points = ev.where(F.col("event_type") == "view").select("user_id", "ts", "value")
+    joined = range_join_points_in_intervals(
+        intervals, points,
+        on=["user_id"], start_col="w_start", end_col="w_end",
+        point_ts_col="ts", bucket_sec=_ATTRIBUTION_WINDOW_SEC,
+    )
+    return (
+        joined.groupBy(
+            "event_id", "user_id", F.unix_timestamp("w_end").cast("long").alias("ts_epoch")
+        )
+        .agg(
+            F.count("pt_ts").alias("n_views"),
+            F.sum(F.col("pt_value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("view_value"),
+        )
+    )
+
+
+# --- hypertable rollup ----------------------------------------------------
+
+# Exact distinct per bucket lives only in the ORACLE-facing contract: the
+# operator itself carries the mergeable HLL sketch (scale path).  The
+# compared columns are the exact measures plus a boolean pinning the
+# sketch estimate within 10% of exact (deterministic for fixed input).
+_ROLLUP_SQL = """
+WITH hourly AS (
+  SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS bucket_start_epoch,
+         count(*) AS n_events,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+         count(DISTINCT user_id) AS n_users_exact
+  FROM events GROUP BY 1
+),
+daily AS (
+  SELECT CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT) AS bucket_start_epoch,
+         count(*) AS n_events,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+         count(DISTINCT user_id) AS n_users_exact
+  FROM events GROUP BY 1
+)
+SELECT 'hour' AS grain, bucket_start_epoch, n_events, total_value,
+       n_users_exact, CAST(TRUE AS BOOLEAN) AS approx_within_10pct
+FROM hourly
+UNION ALL
+SELECT 'day' AS grain, bucket_start_epoch, n_events, total_value,
+       n_users_exact, CAST(TRUE AS BOOLEAN) AS approx_within_10pct
+FROM daily
+"""
+
+
+@query("hypertable_rollup_events", sql=_ROLLUP_SQL, tags=("temporal", "rollup", "sketch"))
+def hypertable_rollup_events(spark, sf_dir):
+    """Hierarchical hour→day rollup (TimescaleDB continuous-aggregate
+    shape): raw data aggregated ONCE at hour grain, the day grain
+    re-aggregated from hourly partials — including the distinct-user HLL
+    sketch, merged upward via hll_union_agg, never recomputed from raw
+    (operators/hypertable.py).  Exact counts and sums merge exactly; the
+    sketch is pinned by a within-10%-of-exact boolean contract (estimate
+    values are engine-specific, the bound is deterministic)."""
+    ev = read_table(spark, sf_dir, "events")
+    rolled = hypertable_rollup(ev)
+
+    # exact distinct per grain for the contract: distinct (hour, user)
+    # pairs once, then both grains' exact counts reduce from those pairs
+    pairs = ev.select(
+        _hour_bucket(F.col("ts")).alias("h"), F.col("user_id")
+    ).distinct()
+    exact_hour = pairs.groupBy(F.col("h").alias("bucket_start_epoch")).agg(
+        F.count("*").alias("n_users_exact")
+    ).withColumn("grain", F.lit("hour"))
+    exact_day = (
+        pairs.select(
+            (F.floor(F.col("h") / 86400) * 86400).cast("long").alias("bucket_start_epoch"),
+            "user_id",
+        )
+        .distinct()
+        .groupBy("bucket_start_epoch")
+        .agg(F.count("*").alias("n_users_exact"))
+        .withColumn("grain", F.lit("day"))
+    )
+    exact = exact_hour.unionByName(exact_day)
+    return (
+        rolled.join(exact, ["grain", "bucket_start_epoch"])
+        .select(
+            "grain",
+            "bucket_start_epoch",
+            "n_events",
+            "total_value",
+            "n_users_exact",
+            (
+                F.abs(
+                    F.col("approx_users").cast("double") / F.col("n_users_exact") - 1.0
+                )
+                <= 0.10
+            ).alias("approx_within_10pct"),
+        )
+    )
+
+
+def _hour_bucket(ts):
+    return (F.floor(F.unix_timestamp(ts) / 3600) * 3600).cast("long")

@@ -131,6 +131,7 @@ def load_all() -> dict[str, QuerySpec]:
     global _LOADED, REGISTRY
     if not _LOADED:
         from .plans import (  # noqa: F401
+            curation_queries,
             dedup_queries,
             extras_queries,
             flagship,
@@ -140,6 +141,7 @@ def load_all() -> dict[str, QuerySpec]:
             scalar_queries,
             similarity_queries,
             streaming_queries,
+            temporal_queries,
             text_queries,
         )
 

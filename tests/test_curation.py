@@ -1,0 +1,106 @@
+"""Curation operators: deterministic sampling, sequence packing, int8
+embedding quantization."""
+
+import math
+
+import pyspark.sql.functions as F
+
+from big_data_analytics_project_spark.operators.embeddings import (
+    absmax_scale,
+    quantize_int8,
+)
+from big_data_analytics_project_spark.operators.packing import (
+    pack_linear,
+    whitespace_token_count,
+)
+from big_data_analytics_project_spark.operators.sampling import (
+    deterministic_sample,
+    hash_bucket,
+)
+from big_data_analytics_project_spark.sources import read_table
+
+
+def test_sample_invariant_to_partitioning_and_close_to_rate(spark, sf_dir):
+    ev = read_table(spark, sf_dir, "events")
+    a = {r["event_id"] for r in deterministic_sample(ev, F.col("event_id"), 20).collect()}
+    b = {
+        r["event_id"]
+        for r in deterministic_sample(
+            ev.repartition(13, "user_id"), F.col("event_id"), 20
+        ).collect()
+    }
+    assert a == b, "hash sampling must not depend on partitioning"
+    n = ev.count()
+    # binomial 5-sigma envelope around 20%
+    sigma = math.sqrt(n * 0.2 * 0.8)
+    assert abs(len(a) - 0.2 * n) < 5 * sigma
+
+
+def test_sample_nested_rates(spark, sf_dir):
+    """bucket < 10 is a subset of bucket < 20: raising the rate only ADDS
+    rows (stable incremental splits — the property RNG sampling lacks)."""
+    ev = read_table(spark, sf_dir, "events")
+    small = {r["event_id"] for r in deterministic_sample(ev, F.col("event_id"), 10).collect()}
+    big = {r["event_id"] for r in deterministic_sample(ev, F.col("event_id"), 20).collect()}
+    assert small <= big
+
+
+def test_hash_bucket_range(spark, sf_dir):
+    ev = read_table(spark, sf_dir, "events").select(
+        hash_bucket(F.col("event_id")).alias("b")
+    )
+    row = ev.agg(F.min("b").alias("lo"), F.max("b").alias("hi")).collect()[0]
+    assert 0 <= row["lo"] and row["hi"] <= 99
+
+
+def test_pack_linear_bins_and_offsets(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", whitespace_token_count(F.col("text")).alias("n_tokens")
+    )
+    packed = pack_linear(docs, "lang", "doc_id", "n_tokens", budget=2048).collect()
+    max_tokens = max(r["n_tokens"] for r in packed)
+    by_shard_bin = {}
+    for r in packed:
+        by_shard_bin.setdefault((r["lang"], r["bin_id"]), []).append(r)
+    for rows in by_shard_bin.values():
+        total = sum(r["n_tokens"] for r in rows)
+        # linear packing: a bin holds its budget plus at most one straddler
+        assert total < 2048 + max_tokens
+    # offsets are a contiguous token stream per shard
+    by_shard = {}
+    for r in packed:
+        by_shard.setdefault(r["lang"], []).append(r)
+    for rows in by_shard.values():
+        rows.sort(key=lambda r: r["doc_id"])
+        pos = 0
+        for r in rows:
+            assert r["bin_offset_tokens"] == pos
+            assert r["bin_id"] == pos // 2048
+            pos += r["n_tokens"]
+
+
+def test_quantize_int8_roundtrip_error_and_zero_vector(spark):
+    data = [(1, [0.5, -1.0, 0.25]), (2, [0.0, 0.0, 0.0]), (3, [2.0])]
+    df = spark.createDataFrame(data, "vec_id long, embedding array<float>")
+    out = {
+        r["vec_id"]: r
+        for r in df.select(
+            "vec_id",
+            "embedding",
+            absmax_scale(F.col("embedding")).alias("scale"),
+        )
+        .select(
+            "vec_id",
+            "embedding",
+            "scale",
+            quantize_int8(F.col("embedding"), F.col("scale")).alias("q"),
+        )
+        .collect()
+    }
+    assert out[2]["q"] == [0, 0, 0] and out[2]["scale"] == 0.0
+    assert out[3]["q"] == [127]
+    r = out[1]
+    for x, code in zip(r["embedding"], r["q"]):
+        assert -127 <= code <= 127
+        # dequantized value within half a quantization step
+        assert abs(code * r["scale"] / 127.0 - x) <= r["scale"] / 127.0 / 2 + 1e-9

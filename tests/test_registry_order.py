@@ -24,10 +24,16 @@ from big_data_analytics_project_spark.registry import (
 EXPECTED_WINDOW = (
     # tier 0 — never driver-green (registration order): round 4's two
     # window-missed queries plus round 5's new/upgraded oracle queries
+    "sample_hash_stratified",
+    "pack_token_budget_bins",
+    "embedding_quantize_int8",
     "dedup_simhash_pairs",
     "agg_approx_distinct",
     "ann_ivf_topk",
     "streaming_sliding_window",
+    "asof_join_nearest_event",
+    "range_join_attribution",
+    "hypertable_rollup_events",
     # tier 1 — last green r02 (stale three rounds)
     "window_nth_lag_defaults",
     "flagship_sessionization_joinform",
@@ -71,12 +77,6 @@ EXPECTED_WINDOW = (
     "join_left_order_items",
     "join_semi_active_customers",
     "agg_pricing_summary",
-    "agg_distinct_exact",
-    "agg_rollup_orders",
-    "agg_null_audit",
-    "agg_funnel_share",
-    "window_rank_topn_per_group",
-    "window_range_frame",
 )
 
 
