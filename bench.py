@@ -43,6 +43,13 @@ HEADLINE = [
     # RF training paths are visible round-over-round
     "dedup_clusters",
     "ml_intent_rf_metrics",
+    # round-5 temporal + curation operators (all sub-second at sf0.1)
+    "asof_join_nearest_event",
+    "range_join_attribution",
+    "hypertable_rollup_events",
+    "sample_hash_stratified",
+    "pack_token_budget_bins",
+    "embedding_quantize_int8",
 ]
 
 

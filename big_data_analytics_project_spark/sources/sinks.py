@@ -72,6 +72,21 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink (S-family extension): the other built-in columnar format,
+    for interop with Hive/Trino warehouses standardized on ORC.  Same
+    pushdown/pruning behavior as parquet in Spark (vectorized reader,
+    predicate pushdown into stripe/row-group indexes); zstd for parity
+    with the parquet default.  Timestamps survive at µs precision —
+    roundtrip pinned in tests/test_sinks.py."""
+    df.write.mode(mode).option("compression", "zstd").orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — pushdown/pruning pinned alongside the writer."""
+    return spark.read.orc(path)
+
+
 def date_partitioned(df: DataFrame, ts_col: str) -> DataFrame:
     """Attach the standard date partition column (year-month) used for
     time-series layouts."""

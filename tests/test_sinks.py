@@ -112,3 +112,21 @@ def test_data_dir_auto_detection(tmp_path, monkeypatch):
 
     with pytest.raises(FileNotFoundError):
         detect_data_dir((str(a),))
+
+
+def test_orc_roundtrip_and_pushdown(spark, sf_dir, tmp_path):
+    """ORC write → read must roundtrip values exactly (µs timestamps,
+    doubles, nulls) and push filters into the scan."""
+    from big_data_analytics_project_spark.sources.sinks import read_orc, write_orc
+
+    ev = read_table(spark, sf_dir, "events")
+    out = str(tmp_path / "events_orc")
+    write_orc(ev, out)
+    back = read_orc(spark, out)
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in ev.collect()}
+
+    plan = (
+        back.where(F.col("event_type") == "purchase")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters: [" in plan and "event_type" in plan.split("PushedFilters")[1][:120]
