@@ -135,3 +135,51 @@ def embedding_quantize_int8(spark, sf_dir):
             quantize_int8(F.col("embedding"), F.col("scale")).alias("q"),
         )
     )
+
+
+# --- z-order clustering ---------------------------------------------------
+
+# Explicit quantization ranges (constants shared by both engines; valid
+# for every fixture SF — clamped beyond them).  Events span Jan 2024.
+_Z_USER_LO, _Z_USER_HI = 0, 2_048
+_Z_TS_LO, _Z_TS_HI = 1_704_067_200, 1_706_745_600  # 2024-01-01 .. 2024-02-01
+_Z_BITS = 16
+
+
+def _duck_quant(expr: str, lo: int, hi: int) -> str:
+    return (
+        f"CAST(floor((least(greatest({expr}, {lo}), {hi}) - {lo})"
+        f" * {(1 << _Z_BITS) - 1} / {hi - lo}) AS BIGINT)"
+    )
+
+
+def _zorder_sql() -> str:
+    from ..operators.zorder import duck_zvalue
+
+    qu = _duck_quant("user_id", _Z_USER_LO, _Z_USER_HI)
+    qt = _duck_quant(
+        "CAST(floor(epoch(ts)) AS BIGINT)", _Z_TS_LO, _Z_TS_HI
+    )
+    return f"""
+    SELECT event_id, {duck_zvalue([qu, qt], _Z_BITS)} AS zval
+    FROM events
+    """
+
+
+@query("zorder_code_events", sql=_zorder_sql(), tags=("zorder", "layout"))
+def zorder_code_events(spark, sf_dir):
+    """Morton z-codes over (user_id, event time) — the clustering key for
+    multi-dimensional data skipping (operators/zorder.py; Delta/Iceberg
+    OPTIMIZE ZORDER rebuilt on plain parquet).  Pure codegen'd bit
+    arithmetic from explicit quantization ranges, so the layout is a
+    deterministic function of the row; the skipping benefit (per-file
+    bounding boxes shrink in BOTH dimensions) is pinned in
+    tests/test_zorder.py."""
+    from ..operators.zorder import quantize, zvalue
+
+    ev = read_table(spark, sf_dir, "events")
+    qu = quantize(F.col("user_id"), _Z_USER_LO, _Z_USER_HI, _Z_BITS)
+    qt = quantize(
+        F.unix_timestamp("ts"), _Z_TS_LO, _Z_TS_HI, _Z_BITS
+    )
+    return ev.select("event_id", zvalue([qu, qt], _Z_BITS).alias("zval"))

@@ -165,6 +165,67 @@ def streaming_sliding_window(spark, sf_dir):
     )
 
 
+# Stream-static enrichment: the static side is a per-user lifetime profile
+# derived from the same events table (exact decimal avg → deterministic
+# segment boundary), joined broadcast into every micro-batch.
+_ENRICH_SQL = """
+WITH profile AS (
+  SELECT user_id,
+         CASE WHEN sum(CAST(value AS DECIMAL(18,2))) / count(*) >= 50
+              THEN 'high' ELSE 'low' END AS segment
+  FROM events GROUP BY user_id
+)
+SELECT CAST(floor(epoch(e.ts) / 3600) * 3600 AS BIGINT) AS window_start_epoch,
+       p.segment,
+       count(*) AS n_events,
+       CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events e JOIN profile p ON e.user_id = p.user_id
+GROUP BY 1, 2
+"""
+
+
+@query("streaming_static_enrich", sql=_ENRICH_SQL, tags=("streaming", "join", "enrich"))
+def streaming_static_enrich(spark, sf_dir):
+    """Stream-static broadcast join (the production enrichment shape —
+    T-family extension): each micro-batch joins the event stream to a
+    static per-user segment dimension (no stream state, no watermark
+    requirement), then aggregates value by (hour window, segment).  The
+    oracle is the equivalent batch join+group — stream-static join
+    results are batch-deterministic because the static side never
+    changes during the run."""
+    from ..sources import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    profile = ev.groupBy("user_id").agg(
+        F.when(
+            F.sum(F.col("value").cast("decimal(18,2)")) / F.count("*") >= 50,
+            F.lit("high"),
+        )
+        .otherwise(F.lit("low"))
+        .alias("segment")
+    )
+    json_dir = _staged(spark, sf_dir)
+    stream = P.read_event_stream(spark, json_dir, max_files_per_trigger=2)
+    enriched = P.enrich_with_static(stream, profile, "user_id")
+    agg = (
+        enriched.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("win"), F.col("segment"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+    out = P.run_to_completion(agg, "t_enrich", output_mode="complete")
+    return out.select(
+        F.unix_timestamp(F.col("win.start")).cast("long").alias("window_start_epoch"),
+        "segment",
+        "n_events",
+        "total_value",
+    )
+
+
 @query("streaming_tumbling_append", sql=None, tags=("streaming", "window", "append"))
 def streaming_tumbling_append(spark, sf_dir):
     """The PRODUCTION streaming shape: watermarked tumbling aggregate in

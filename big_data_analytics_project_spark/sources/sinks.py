@@ -87,6 +87,31 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
 
 
+def compact_parquet(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    target_file_bytes: int = 256 * 1024 * 1024,
+) -> int:
+    """Small-files compaction: rewrite a parquet dataset into
+    ``ceil(total_bytes / target)`` evenly-sized files (streaming sinks and
+    over-parallel writes leave thousands of KB-sized files; every
+    downstream scan then pays per-file open/footer/scheduling overhead —
+    the classic small-files problem).  Returns the output file count.
+
+    Writes to a NEW location: Spark reads lazily, so read-then-overwrite
+    of the same path deletes the source mid-scan.  Swap directories (or
+    use a table format with atomic commit) at the orchestration layer."""
+    import math
+
+    fs_path = spark._jvm.org.apache.hadoop.fs.Path(src)  # noqa: SLF001
+    fs = fs_path.getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001
+    total = fs.getContentSummary(fs_path).getLength()
+    n = max(1, math.ceil(total / target_file_bytes))
+    spark.read.parquet(src).repartition(n).write.mode("overwrite").parquet(dst)
+    return n
+
+
 def date_partitioned(df: DataFrame, ts_col: str) -> DataFrame:
     """Attach the standard date partition column (year-month) used for
     time-series layouts."""

@@ -139,6 +139,20 @@ def tumbling_features(stream: DataFrame, watermark: str = "10 minutes",
     )
 
 
+def enrich_with_static(
+    stream: DataFrame, dim: DataFrame, on: str | list[str]
+) -> DataFrame:
+    """Stream-static join (production enrichment shape): every micro-batch
+    joins against the static dimension, broadcast so no stream-side
+    shuffle or state is introduced (unlike stream-stream joins there is
+    NO watermark/state requirement — the static side is simply re-read,
+    and on a cluster re-broadcast, per batch; pair with a periodically
+    refreshed dim table for slowly-changing dimensions).  Inner semantics:
+    stream rows without a dim row are dropped (use a pre-seeded 'unknown'
+    dim row for left-outer behavior)."""
+    return stream.join(F.broadcast(dim), on)
+
+
 def sliding_features(stream: DataFrame, watermark: str = "10 minutes",
                      window: str = "1 hour", slide: str = "15 minutes") -> DataFrame:
     """T2 exact reference shape: sliding window (overlapping assignment)."""

@@ -9,8 +9,8 @@ from pathlib import Path
 
 from big_data_analytics_project_spark.registry import load_all
 
-TOTAL = 88
-ORACLE = 77
+TOTAL = 90
+ORACLE = 79
 
 
 def test_counts_match_registry():

@@ -27,10 +27,12 @@ EXPECTED_WINDOW = (
     "sample_hash_stratified",
     "pack_token_budget_bins",
     "embedding_quantize_int8",
+    "zorder_code_events",
     "dedup_simhash_pairs",
     "agg_approx_distinct",
     "ann_ivf_topk",
     "streaming_sliding_window",
+    "streaming_static_enrich",
     "asof_join_nearest_event",
     "range_join_attribution",
     "hypertable_rollup_events",
@@ -75,8 +77,6 @@ EXPECTED_WINDOW = (
     "string_funcs",
     "join_multiway_revenue",
     "join_left_order_items",
-    "join_semi_active_customers",
-    "agg_pricing_summary",
 )
 
 

@@ -130,3 +130,20 @@ def test_orc_roundtrip_and_pushdown(spark, sf_dir, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "PushedFilters: [" in plan and "event_type" in plan.split("PushedFilters")[1][:120]
+
+
+def test_compact_parquet_shrinks_file_count(spark, sf_dir, tmp_path):
+    from big_data_analytics_project_spark.sources.sinks import compact_parquet
+
+    ev = read_table(spark, sf_dir, "events")
+    frag = str(tmp_path / "fragmented")
+    ev.repartition(64).write.parquet(frag)  # simulate a small-files mess
+    n_small = len([f for f in os.listdir(frag) if f.endswith(".parquet")])
+    assert n_small >= 60
+
+    compacted = str(tmp_path / "compacted")
+    compact_parquet(spark, frag, compacted, target_file_bytes=8 * 1024 * 1024)
+    n_big = len([f for f in os.listdir(compacted) if f.endswith(".parquet")])
+    assert n_big < n_small / 10
+    back = spark.read.parquet(compacted)
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in ev.collect()}
