@@ -150,3 +150,45 @@ def embedding_cosine_neardup(spark, sf_dir):
     the semantic-dedup primitive."""
     emb = read_table(spark, sf_dir, "embeddings")
     return S.cosine_near_duplicates(emb, threshold=0.4, n_bits=4)
+
+
+# Recall audit: both pipelines above are deterministic on both engines, so
+# the IVF-vs-exact recall is itself EXACTLY oracle-checkable (no tolerance
+# contract needed) — the audit a production ANN deployment runs after any
+# quantizer retrain.
+_DUCK_IVF_RECALL = f"""
+WITH brute AS ({_DUCK_BRUTE_TOPK}),
+ivf AS ({_DUCK_IVF_TOPK})
+SELECT b.query_id,
+       count(i.neighbor_id) AS n_hits,
+       CAST(count(i.neighbor_id) AS DOUBLE) / 10 AS recall_at_10
+FROM brute b
+LEFT JOIN ivf i
+  ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+GROUP BY b.query_id
+"""
+
+
+@query("ann_ivf_recall_audit", sql=_DUCK_IVF_RECALL, tags=("similarity", "ann", "audit"))
+def ann_ivf_recall_audit(spark, sf_dir):
+    """Recall@10 of IVF (nprobe=4/16) against the exact brute-force top-10
+    per query vector.  Both pipelines are deterministic given the pinned
+    centroids, so the recall numbers are exact on both engines — this is
+    the audit that gates a quantizer retrain in production (recall drops
+    when centroids stop matching the corpus distribution)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 5)
+    brute = S.brute_force_topk(emb, q, k=10).select("query_id", "neighbor_id")
+    ivf = (
+        S.ivf_topk(emb, q, k=10, nprobe=4, centroids=IVF_CENTROIDS)
+        .select("query_id", "neighbor_id")
+        .withColumn("__hit", F.lit(1))
+    )
+    return (
+        brute.join(ivf, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("__hit").alias("n_hits"),
+            (F.count("__hit").cast("double") / 10).alias("recall_at_10"),
+        )
+    )

@@ -226,6 +226,62 @@ def streaming_static_enrich(spark, sf_dir):
     )
 
 
+_SS_LOOKBACK_SEC = 14400  # 4 h, matches range_join_attribution's window
+
+_SS_JOIN_SQL = f"""
+SELECT p.event_id AS p_event_id,
+       p.user_id,
+       CAST(floor(epoch(p.ts)) AS BIGINT) AS p_ts_epoch,
+       v.event_id AS v_event_id,
+       CAST(floor(epoch(p.ts)) - floor(epoch(v.ts)) AS BIGINT) AS gap_sec
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id
+ AND v.ts >= p.ts - INTERVAL {_SS_LOOKBACK_SEC} SECONDS
+ AND v.ts <= p.ts
+"""
+
+
+@query("streaming_interval_join", sql=_SS_JOIN_SQL, tags=("streaming", "join", "interval"))
+def streaming_interval_join(spark, sf_dir):
+    """Stream-stream inner interval join (T-family extension): the
+    purchase stream joined to the view stream within a 4 h per-user
+    lookback, both sides watermarked with the event-time range condition
+    so join state is EVICTABLE (bounded state at 100 TB — the
+    range-condition-plus-watermark pair is what makes stream-stream
+    joins production-viable).  Over the complete bounded replay the
+    emitted pairs equal the batch interval join, which is the oracle."""
+    json_dir = _staged(spark, sf_dir)
+    purchases = (
+        P.read_event_stream(spark, json_dir, max_files_per_trigger=2)
+        .where(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("p_ts"), F.col("event_id").alias("p_event_id"))
+    )
+    views = (
+        P.read_event_stream(spark, json_dir, max_files_per_trigger=2)
+        .where(F.col("event_type") == "view")
+        .select("user_id", F.col("ts").alias("v_ts"), F.col("event_id").alias("v_event_id"))
+    )
+    joined = P.interval_join_streams(
+        purchases, views, on="user_id", left_ts="p_ts", right_ts="v_ts",
+        lookback_sec=_SS_LOOKBACK_SEC,
+    )
+    out = P.run_to_completion(
+        joined.select(
+            "p_event_id",
+            F.col("l.user_id").alias("user_id"),
+            F.unix_timestamp("p_ts").cast("long").alias("p_ts_epoch"),
+            "v_event_id",
+            (F.unix_timestamp("p_ts") - F.unix_timestamp("v_ts"))
+            .cast("long")
+            .alias("gap_sec"),
+        ),
+        "t_ssjoin",
+        output_mode="append",
+    )
+    return out
+
+
 @query("streaming_tumbling_append", sql=None, tags=("streaming", "window", "append"))
 def streaming_tumbling_append(spark, sf_dir):
     """The PRODUCTION streaming shape: watermarked tumbling aggregate in

@@ -139,6 +139,35 @@ def tumbling_features(stream: DataFrame, watermark: str = "10 minutes",
     )
 
 
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    lookback_sec: int,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream inner interval join: right rows within
+    ``[left_ts - lookback, left_ts]`` per key.  BOTH sides are
+    watermarked and the join condition carries the event-time range —
+    that pair is what lets the engine bound its join state: a buffered
+    right row can be evicted once the watermark passes
+    ``right_ts + lookback`` (without the range condition, state grows
+    forever and Spark rejects the query in append mode).  Emission is
+    incremental, but over a complete bounded replay the final output
+    equals the batch interval join — which is how the oracle checks it."""
+    lw = left.withWatermark(left_ts, watermark).alias("l")
+    rw = right.withWatermark(right_ts, watermark).alias("r")
+    return lw.join(
+        rw,
+        F.expr(
+            f"l.{on} = r.{on} AND r.{right_ts} >= l.{left_ts} - INTERVAL {lookback_sec} SECONDS"
+            f" AND r.{right_ts} <= l.{left_ts}"
+        ),
+    )
+
+
 def enrich_with_static(
     stream: DataFrame, dim: DataFrame, on: str | list[str]
 ) -> DataFrame:

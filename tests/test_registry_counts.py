@@ -9,8 +9,8 @@ from pathlib import Path
 
 from big_data_analytics_project_spark.registry import load_all
 
-TOTAL = 90
-ORACLE = 79
+TOTAL = 92
+ORACLE = 81
 
 
 def test_counts_match_registry():

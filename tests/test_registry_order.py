@@ -31,8 +31,10 @@ EXPECTED_WINDOW = (
     "dedup_simhash_pairs",
     "agg_approx_distinct",
     "ann_ivf_topk",
+    "ann_ivf_recall_audit",
     "streaming_sliding_window",
     "streaming_static_enrich",
+    "streaming_interval_join",
     "asof_join_nearest_event",
     "range_join_attribution",
     "hypertable_rollup_events",
@@ -75,8 +77,6 @@ EXPECTED_WINDOW = (
     "null_impute_coalesce",
     "json_extract_agg",
     "string_funcs",
-    "join_multiway_revenue",
-    "join_left_order_items",
 )
 
 
