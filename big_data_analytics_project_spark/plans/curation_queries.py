@@ -183,3 +183,90 @@ def zorder_code_events(spark, sf_dir):
         F.unix_timestamp("ts"), _Z_TS_LO, _Z_TS_HI, _Z_BITS
     )
     return ev.select("event_id", zvalue([qu, qt], _Z_BITS).alias("zval"))
+
+
+# --- SCD2 dimension merge -------------------------------------------------
+
+_SCD_T0, _SCD_T1 = 1_704_067_200, 1_706_745_600  # initial load / update batch
+
+_SCD_SQL = f"""
+WITH current AS (
+  SELECT c_custkey, c_mktsegment,
+         CAST({_SCD_T0} AS BIGINT) AS valid_from_epoch,
+         CAST(NULL AS BIGINT) AS valid_to_epoch
+  FROM customer
+),
+upd AS (
+  SELECT c_custkey, 'MOBILE' AS new_seg FROM customer WHERE c_custkey % 7 = 0
+),
+joined AS (
+  SELECT c.*, u.new_seg FROM current c LEFT JOIN upd u USING (c_custkey)
+)
+SELECT c_custkey, c_mktsegment, valid_from_epoch, valid_to_epoch
+FROM joined WHERE new_seg IS NULL OR new_seg = c_mktsegment
+UNION ALL
+SELECT c_custkey, c_mktsegment, valid_from_epoch,
+       CAST({_SCD_T1} AS BIGINT) AS valid_to_epoch
+FROM joined WHERE new_seg IS NOT NULL AND new_seg != c_mktsegment
+UNION ALL
+SELECT c_custkey, new_seg AS c_mktsegment,
+       CAST({_SCD_T1} AS BIGINT) AS valid_from_epoch,
+       CAST(NULL AS BIGINT) AS valid_to_epoch
+FROM joined WHERE new_seg IS NOT NULL AND new_seg != c_mktsegment
+"""
+
+
+@query("scd2_customer_segments", sql=_SCD_SQL, tags=("scd", "dimension", "curation"))
+def scd2_customer_segments(spark, sf_dir):
+    """SCD2 dimension merge (operators/scd.py): the customer dimension is
+    loaded as all-open history rows, then an update batch (every 7th
+    customer moves to segment 'MOBILE') is applied — changed keys get
+    their open row closed and a new open row appended, unchanged keys
+    pass through.  One equi-join shuffle + shuffle-free projections; the
+    oracle is the equivalent relational CASE-split."""
+    from ..operators.scd import scd2_merge
+
+    cust = read_table(spark, sf_dir, "customer")
+    current = cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.lit(_SCD_T0).cast("long").alias("valid_from_epoch"),
+        F.lit(None).cast("long").alias("valid_to_epoch"),
+    )
+    updates = cust.where(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey", F.lit("MOBILE").alias("c_mktsegment")
+    )
+    return scd2_merge(
+        current, updates, key="c_custkey", attr="c_mktsegment",
+        effective_epoch=_SCD_T1,
+    )
+
+
+# --- unpivot / melt -------------------------------------------------------
+
+_UNPIVOT_SQL = """
+SELECT l_orderkey, l_linenumber, measure, value
+FROM (
+  SELECT l_orderkey, l_linenumber,
+         l_quantity, l_extendedprice, l_discount, l_tax
+  FROM lineitem
+)
+UNPIVOT (value FOR measure IN (l_quantity, l_extendedprice, l_discount, l_tax))
+"""
+
+
+@query("unpivot_lineitem_measures", sql=_UNPIVOT_SQL, tags=("reshape", "unpivot"))
+def unpivot_lineitem_measures(spark, sf_dir):
+    """Wide→long reshape (melt): the four lineitem measures unpivoted to
+    (measure, value) rows — the inverse of pivot_event_counts, map-only
+    (each input row expands to 4 output rows in place, no shuffle)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+    ).unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "measure",
+        "value",
+    )

@@ -104,3 +104,30 @@ def test_quantize_int8_roundtrip_error_and_zero_vector(spark):
         assert -127 <= code <= 127
         # dequantized value within half a quantization step
         assert abs(code * r["scale"] / 127.0 - x) <= r["scale"] / 127.0 / 2 + 1e-9
+
+
+def test_scd2_merge_micro(spark):
+    from big_data_analytics_project_spark.operators.scd import scd2_merge
+
+    current = spark.createDataFrame(
+        [
+            (1, "A", 100, None),   # will change → close + reopen
+            (2, "B", 100, None),   # unchanged
+            (1, "Z", 50, 100),     # closed history row — untouched
+        ],
+        "k long, attr string, valid_from_epoch long, valid_to_epoch long",
+    )
+    updates = spark.createDataFrame(
+        [(1, "C"), (2, "B"), (9, "N")], "k long, attr string"
+    )
+    rows = {
+        (r["k"], r["attr"], r["valid_from_epoch"], r["valid_to_epoch"])
+        for r in scd2_merge(current, updates, "k", "attr", 200).collect()
+    }
+    assert rows == {
+        (1, "Z", 50, 100),     # history preserved
+        (1, "A", 100, 200),    # closed at update time
+        (1, "C", 200, None),   # new open version
+        (2, "B", 100, None),   # same value → untouched
+        (9, "N", 200, None),   # brand-new key opens
+    }

@@ -28,6 +28,8 @@ EXPECTED_WINDOW = (
     "pack_token_budget_bins",
     "embedding_quantize_int8",
     "zorder_code_events",
+    "scd2_customer_segments",
+    "unpivot_lineitem_measures",
     "dedup_simhash_pairs",
     "agg_approx_distinct",
     "ann_ivf_topk",
@@ -75,8 +77,6 @@ EXPECTED_WINDOW = (
     "proj_filter_revenue",
     "case_when_bucketing",
     "null_impute_coalesce",
-    "json_extract_agg",
-    "string_funcs",
 )
 
 
