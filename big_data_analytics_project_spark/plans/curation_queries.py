@@ -270,3 +270,54 @@ def unpivot_lineitem_measures(spark, sf_dir):
         "measure",
         "value",
     )
+
+
+# --- data-quality audit ---------------------------------------------------
+
+_DQ_SQL = """
+SELECT 'events_value_not_null' AS rule,
+       count(CASE WHEN value IS NULL THEN 1 END) AS n_violations FROM events
+UNION ALL
+SELECT 'events_event_id_unique',
+       (SELECT count(*) FROM (
+          SELECT event_id FROM events GROUP BY event_id HAVING count(*) > 1))
+UNION ALL
+SELECT 'events_type_enum',
+       count(CASE WHEN event_type IS NOT NULL
+                   AND NOT regexp_full_match(event_type, '[a-z_]+')
+             THEN 1 END) FROM events
+UNION ALL
+SELECT 'lineitem_quantity_range',
+       count(CASE WHEN l_quantity IS NOT NULL
+                   AND (l_quantity < 1 OR l_quantity > 50) THEN 1 END)
+FROM lineitem
+UNION ALL
+SELECT 'orders_custkey_fk',
+       (SELECT count(*) FROM orders o
+        WHERE o.o_custkey IS NOT NULL
+          AND NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey))
+"""
+
+
+@query("dq_constraint_audit", sql=_DQ_SQL, tags=("quality", "audit", "curation"))
+def dq_constraint_audit(spark, sf_dir):
+    """Declarative data-quality gate (operators/quality.py): five
+    constraint rules — null check, key uniqueness, enum/regex shape,
+    numeric range, and referential integrity — each reduced to a
+    violation COUNT so the audit output stays driver-sized at any data
+    scale.  The fixtures ship real nulls in events.value, so the audit
+    exercises a genuinely failing rule alongside passing ones."""
+    from ..operators import quality as Q
+
+    ev = read_table(spark, sf_dir, "events")
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    return Q.audit([
+        Q.not_null("events_value_not_null", ev, "value"),
+        Q.unique("events_event_id_unique", ev, ["event_id"]),
+        Q.matches("events_type_enum", ev, "event_type", "[a-z_]+"),
+        Q.in_range("lineitem_quantity_range", li, "l_quantity", 1, 50),
+        Q.references("orders_custkey_fk", orders, "o_custkey", cust, "c_custkey"),
+    ])

@@ -131,3 +131,30 @@ def test_scd2_merge_micro(spark):
         (2, "B", 100, None),   # same value → untouched
         (9, "N", 200, None),   # brand-new key opens
     }
+
+
+def test_dq_rules_detect_planted_violations(spark):
+    from big_data_analytics_project_spark.operators import quality as Q
+
+    df = spark.createDataFrame(
+        [(1, "ok", 5.0), (2, None, 150.0), (2, "Bad Value", None)],
+        "id long, name string, v double",
+    )
+    parent = spark.createDataFrame([(1,)], "id long")
+    got = {
+        r["rule"]: r["n_violations"]
+        for r in Q.audit([
+            Q.not_null("name_not_null", df, "name"),
+            Q.in_range("v_range", df, "v", 0, 100),
+            Q.matches("name_enum", df, "name", "[a-z]+"),
+            Q.unique("id_unique", df, ["id"]),
+            Q.references("id_fk", df, "id", parent, "id"),
+        ]).collect()
+    }
+    assert got == {
+        "name_not_null": 1,   # one null name
+        "v_range": 1,         # 150 out of range (null v is not a violation)
+        "name_enum": 1,       # 'Bad Value' fails full-match, null skipped
+        "id_unique": 1,       # key 2 appears twice → one violating key
+        "id_fk": 2,           # both id=2 rows orphaned
+    }

@@ -9,8 +9,8 @@ from pathlib import Path
 
 from big_data_analytics_project_spark.registry import load_all
 
-TOTAL = 94
-ORACLE = 83
+TOTAL = 95
+ORACLE = 84
 
 
 def test_counts_match_registry():

@@ -30,6 +30,7 @@ EXPECTED_WINDOW = (
     "zorder_code_events",
     "scd2_customer_segments",
     "unpivot_lineitem_measures",
+    "dq_constraint_audit",
     "dedup_simhash_pairs",
     "agg_approx_distinct",
     "ann_ivf_topk",
@@ -76,7 +77,6 @@ EXPECTED_WINDOW = (
     "multimodal_frame_index",
     "proj_filter_revenue",
     "case_when_bucketing",
-    "null_impute_coalesce",
 )
 
 
