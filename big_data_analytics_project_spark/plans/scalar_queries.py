@@ -244,3 +244,36 @@ def shuffle_seeded(spark, sf_dir):
         .limit(100)
         .select("event_id", "user_id", "event_type")
     )
+
+
+@query(
+    "agg_approx_percentile_check",
+    sql=r"""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.50), 6) AS p50_exact,
+           CAST(TRUE AS BOOLEAN) AS approx_within_1pct
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "percentile", "approx"),
+)
+def agg_approx_percentile_check(spark, sf_dir):
+    """The percentile SCALE path with a tolerance contract:
+    approx_percentile (Greenwald-Khanna, mergeable partials — the only
+    form that survives 100 TB / streaming, where exact percentile needs
+    a global sort) pinned within 1% of the exact interpolated median.
+    The sketch value is engine-specific; the bound is deterministic for
+    fixed input, so a drifting sketch flips the boolean and fails the
+    driver hash (same pattern as agg_approx_distinct)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.50)), 6).alias("p50_exact"),
+        (
+            F.abs(
+                F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000))
+                / F.percentile("l_extendedprice", F.lit(0.50))
+                - 1.0
+            )
+            <= 0.01
+        ).alias("approx_within_1pct"),
+    )

@@ -33,6 +33,7 @@ EXPECTED_WINDOW = (
     "dq_constraint_audit",
     "dedup_simhash_pairs",
     "agg_approx_distinct",
+    "agg_approx_percentile_check",
     "ann_ivf_topk",
     "ann_ivf_recall_audit",
     "streaming_sliding_window",
@@ -76,7 +77,6 @@ EXPECTED_WINDOW = (
     "multimodal_decode_meta",
     "multimodal_frame_index",
     "proj_filter_revenue",
-    "case_when_bucketing",
 )
 
 
