@@ -58,6 +58,14 @@ def hypertable_rollup(
             F.hll_sketch_agg(distinct_col).alias("__sketch"),
         )
     )
+    # MATERIALIZE the fine grain: the result references it twice (its own
+    # output rows + the coarse re-aggregation input), and Spark's plan
+    # reuse does not span the union branches — without this the raw table
+    # is scanned and aggregated twice, which defeats the hierarchy.  In
+    # production the fine rollup is a written table (that is what a
+    # continuous aggregate IS); persist() is the in-session equivalent.
+    # Verified by tests/test_temporal.py (single FileScan in the plan).
+    fine = fine.persist()
     # one pass over raw data above; everything below reduces tiny frames
     coarse = (
         fine.groupBy(

@@ -168,3 +168,61 @@ def test_hypertable_rollup_day_equals_direct_and_sketch_merges(spark, sf_dir):
         assert day[b]["n_events"] == n
         assert abs(day[b]["total_value"] - v) < 1e-6
     rolled.unpersist()
+
+
+def test_hypertable_rollup_scans_raw_once(spark, sf_dir):
+    """The hierarchical claim: coarse re-aggregates the MATERIALIZED fine
+    grain, so raw data is scanned exactly once (InMemoryTableScan serves
+    the second reference)."""
+    import re
+
+    from big_data_analytics_project_spark.sources import read_table as rt
+
+    ev = rt(spark, sf_dir, "events")
+    plan = (
+        hypertable_rollup(ev)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # both union branches read the cached fine aggregate (the cache's own
+    # build plan embeds the one raw FileScan); neither branch re-scans raw
+    assert len(re.findall(r"InMemoryTableScan", plan)) >= 2, plan[:800]
+    top = plan.split("InMemoryRelation")[0]  # above the cached sub-plan
+    assert "FileScan" not in top, top
+
+
+def test_asof_plan_is_one_shuffle_no_join(spark):
+    """The union+window composition compiles to ZERO join operators and a
+    single hash-partition exchange (the window sort) — the whole point
+    over the quadratic range-join formulation."""
+    import re
+
+    left = spark.createDataFrame([(1, _ts("2024-01-01T10:00:00"))], "user_id long, ts timestamp")
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01T09:00:00"), 1.0)], "user_id long, ts timestamp, price double"
+    )
+    plan = (
+        asof_join(left, right, ["user_id"], "ts", ["price"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert not re.search(r"Join", plan), plan[:500]
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan[:500]
+
+
+def test_range_join_plan_has_no_nested_loop(spark, sf_dir):
+    """The bucketed formulation must plan as an equi-join (hash or sort-
+    merge/broadcast-hash), never BroadcastNestedLoopJoin or a cartesian."""
+    ev = read_table(spark, sf_dir, "events")
+    intervals = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id",
+        (F.col("ts") - F.expr("INTERVAL 14400 SECONDS")).alias("w_start"),
+        F.col("ts").alias("w_end"),
+    )
+    points = ev.where(F.col("event_type") == "view").select("user_id", "ts", "value")
+    plan = (
+        range_join_points_in_intervals(
+            intervals, points, ["user_id"], "w_start", "w_end", "ts", bucket_sec=14400
+        )
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan[:500]
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
