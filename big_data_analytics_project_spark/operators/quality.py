@@ -4,11 +4,12 @@ publishing a partition.
 
 Each rule reduces to a violation COUNT (not a row dump — at 100 TB the
 audit output must stay driver-sized regardless of how broken the data
-is), and all rules over one table share a single scan where expressible
-as conditional aggregates.  Rule kinds:
+is).  Rule kinds:
 
-- ``not_null`` / ``in_range`` / ``matches``: conditional count over one
-  scan, map-side combined;
+- ``not_null`` / ``in_range`` / ``matches``: violation PREDICATES —
+  ``predicate_rules`` fuses any number of them over one table into a
+  single scan (one aggregate, one conditional count per rule, map-side
+  combined, unpivoted to rows);
 - ``unique``: one hash aggregation on the key (count of keys seen >1);
 - ``references`` (FK): left-anti join child→parent — broadcast when the
   parent is dim-sized, shuffled hash join otherwise.
@@ -23,27 +24,34 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
 
-def _count_frame(name: str, df: DataFrame, violation: Column) -> DataFrame:
-    return df.agg(
-        F.lit(name).alias("rule"),
-        F.count(F.when(violation, 1)).alias("n_violations"),
+def not_null(col: str) -> Column:
+    """Violation predicate: value is null."""
+    return F.col(col).isNull()
+
+
+def in_range(col: str, lo, hi) -> Column:
+    """Violation predicate: non-null value outside [lo, hi]."""
+    c = F.col(col)
+    return c.isNotNull() & ((c < lo) | (c > hi))
+
+
+def matches(col: str, pattern: str) -> Column:
+    """Violation predicate: non-null value failing a FULL-string match
+    (the pattern is anchored: rlike is substring-search, so an unanchored
+    enum check would accept 'Purch2ase')."""
+    c = F.col(col)
+    return c.isNotNull() & ~c.rlike(f"^(?:{pattern})$")
+
+
+def predicate_rules(df: DataFrame, rules: list[tuple[str, Column]]) -> DataFrame:
+    """ALL predicate rules over one table in ONE scan: a single aggregate
+    with one conditional count per rule (map-side combined), unpivoted to
+    (rule, n_violations) rows.  N rules cost the same scan as one —
+    verified by the plan test in tests/test_curation.py."""
+    wide = df.agg(
+        *[F.count(F.when(cond, 1)).alias(name) for name, cond in rules]
     )
-
-
-def not_null(name: str, df: DataFrame, col: str) -> DataFrame:
-    return _count_frame(name, df, F.col(col).isNull())
-
-
-def in_range(name: str, df: DataFrame, col: str, lo, hi) -> DataFrame:
-    c = F.col(col)
-    return _count_frame(name, df, c.isNotNull() & ((c < lo) | (c > hi)))
-
-
-def matches(name: str, df: DataFrame, col: str, pattern: str) -> DataFrame:
-    """Full-string match (pattern is anchored: rlike is substring-search,
-    so an unanchored enum check would accept 'Purch2ase')."""
-    c = F.col(col)
-    return _count_frame(name, df, c.isNotNull() & ~c.rlike(f"^(?:{pattern})$"))
+    return wide.unpivot([], [name for name, _ in rules], "rule", "n_violations")
 
 
 def unique(name: str, df: DataFrame, cols: list[str]) -> DataFrame:

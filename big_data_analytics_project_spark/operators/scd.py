@@ -11,12 +11,12 @@ null) and a batch of updates, produce the new state:
 - unchanged keys and closed history rows pass through untouched;
 - brand-new keys open their first row.
 
-Scale design: ONE equi-join shuffle of dim × updates on the key (both
-sides hash-partitioned; updates are usually tiny → AQE broadcasts), then
-a union of three shuffle-free projections.  No window functions, no
-global ordering — this is the merge a nightly 100 TB dimension build can
-afford.  Deterministic: output is a pure function of (state, updates,
-effective time).
+Scale design: ONE full-outer equi-join shuffle of open-state × updates
+on the key (hash-partitioned both sides — full outer cannot broadcast),
+materialized once, then a union of shuffle-free projections over it.  No
+window functions, no global ordering — this is the merge a nightly
+100 TB dimension build can afford.  Deterministic: output is a pure
+function of (state, updates, effective time).
 """
 
 from __future__ import annotations
@@ -41,23 +41,25 @@ def scd2_merge(
     open_rows = current.where(F.col("valid_to_epoch").isNull())
     closed_rows = current.where(F.col("valid_to_epoch").isNotNull())
 
-    joined = open_rows.join(upd, key, "left")
-    changed = F.col("__new_attr").isNotNull() & (F.col("__new_attr") != F.col(attr))
+    # ONE full-outer equi-join classifies every key (changed / unchanged /
+    # update-only / state-only), MATERIALIZED because the outcome classes
+    # below reference it four times and Spark's plan reuse does not span
+    # union branches — without this each branch would re-run the join
+    # (verified by the plan test in tests/test_curation.py).  In a nightly
+    # build this frame is the natural intermediate table.
+    joined = open_rows.join(upd, [key], "full").persist()
+    in_state = F.col("valid_from_epoch").isNotNull()
+    in_upd = F.col("__new_attr").isNotNull()
+    changed = in_state & in_upd & (F.col("__new_attr") != F.col(attr))
 
-    untouched_open = joined.where(~changed).select(*current.columns)
+    untouched_open = joined.where(in_state & ~changed).select(*current.columns)
     newly_closed = joined.where(changed).select(
         F.col(key),
         F.col(attr),
         F.col("valid_from_epoch"),
         F.lit(effective_epoch).cast("long").alias("valid_to_epoch"),
     )
-    new_open = joined.where(changed).select(
-        F.col(key),
-        F.col("__new_attr").alias(attr),
-        F.lit(effective_epoch).cast("long").alias("valid_from_epoch"),
-        F.lit(None).cast("long").alias("valid_to_epoch"),
-    )
-    brand_new = upd.join(open_rows.select(key), key, "left_anti").select(
+    new_open = joined.where(changed | ~in_state).select(
         F.col(key),
         F.col("__new_attr").alias(attr),
         F.lit(effective_epoch).cast("long").alias("valid_from_epoch"),
@@ -67,5 +69,4 @@ def scd2_merge(
         closed_rows.unionByName(untouched_open)
         .unionByName(newly_closed)
         .unionByName(new_open)
-        .unionByName(brand_new)
     )

@@ -315,9 +315,14 @@ def dq_constraint_audit(spark, sf_dir):
     orders = read_table(spark, sf_dir, "orders")
     cust = read_table(spark, sf_dir, "customer")
     return Q.audit([
-        Q.not_null("events_value_not_null", ev, "value"),
+        # both events predicate rules fused into ONE scan
+        Q.predicate_rules(ev, [
+            ("events_value_not_null", Q.not_null("value")),
+            ("events_type_enum", Q.matches("event_type", "[a-z_]+")),
+        ]),
         Q.unique("events_event_id_unique", ev, ["event_id"]),
-        Q.matches("events_type_enum", ev, "event_type", "[a-z_]+"),
-        Q.in_range("lineitem_quantity_range", li, "l_quantity", 1, 50),
+        Q.predicate_rules(li, [
+            ("lineitem_quantity_range", Q.in_range("l_quantity", 1, 50)),
+        ]),
         Q.references("orders_custkey_fk", orders, "o_custkey", cust, "c_custkey"),
     ])

@@ -144,9 +144,11 @@ def test_dq_rules_detect_planted_violations(spark):
     got = {
         r["rule"]: r["n_violations"]
         for r in Q.audit([
-            Q.not_null("name_not_null", df, "name"),
-            Q.in_range("v_range", df, "v", 0, 100),
-            Q.matches("name_enum", df, "name", "[a-z]+"),
+            Q.predicate_rules(df, [
+                ("name_not_null", Q.not_null("name")),
+                ("v_range", Q.in_range("v", 0, 100)),
+                ("name_enum", Q.matches("name", "[a-z]+")),
+            ]),
             Q.unique("id_unique", df, ["id"]),
             Q.references("id_fk", df, "id", parent, "id"),
         ]).collect()
@@ -158,3 +160,45 @@ def test_dq_rules_detect_planted_violations(spark):
         "id_unique": 1,       # key 2 appears twice → one violating key
         "id_fk": 2,           # both id=2 rows orphaned
     }
+
+
+def test_scd2_plan_single_join_single_scan_pair(spark, sf_dir):
+    """The scale claim: one materialized full-outer join; no union branch
+    re-runs the join or re-scans the inputs."""
+    import re
+
+    from big_data_analytics_project_spark.operators.scd import scd2_merge
+
+    cust = read_table(spark, sf_dir, "customer")
+    current = cust.select(
+        "c_custkey", "c_mktsegment",
+        F.lit(100).cast("long").alias("valid_from_epoch"),
+        F.lit(None).cast("long").alias("valid_to_epoch"),
+    )
+    updates = cust.where(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey", F.lit("MOBILE").alias("c_mktsegment")
+    )
+    plan = (
+        scd2_merge(current, updates, "c_custkey", "c_mktsegment", 200)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    top = plan.split("InMemoryRelation")[0]
+    assert "Join" not in top, top[:600]          # all branches read the cache
+    assert len(re.findall(r"InMemoryTableScan", plan)) >= 3
+
+
+def test_predicate_rules_share_one_scan(spark, sf_dir):
+    import re
+
+    from big_data_analytics_project_spark.operators import quality as Q
+
+    ev = read_table(spark, sf_dir, "events")
+    plan = (
+        Q.predicate_rules(ev, [
+            ("a", Q.not_null("value")),
+            ("b", Q.in_range("value", 0, 1000)),
+            ("c", Q.matches("event_type", "[a-z_]+")),
+        ])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert len(re.findall(r"FileScan", plan)) == 1, plan[:400]
