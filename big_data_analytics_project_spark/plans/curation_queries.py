@@ -326,3 +326,48 @@ def dq_constraint_audit(spark, sf_dir):
         ]),
         Q.references("orders_custkey_fk", orders, "o_custkey", cust, "c_custkey"),
     ])
+
+
+# --- document chunking ----------------------------------------------------
+
+_CHUNK_TOKENS, _CHUNK_OVERLAP = 64, 16
+_CHUNK_STRIDE = _CHUNK_TOKENS - _CHUNK_OVERLAP
+
+_CHUNK_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+),
+sized AS (
+  SELECT doc_id, t, len(t) AS n,
+         1 + CAST(ceil(greatest(len(t) - {_CHUNK_TOKENS}, 0)
+                       / {_CHUNK_STRIDE}) AS INT) AS n_chunks
+  FROM toks
+)
+SELECT doc_id,
+       CAST(c.chunk_id AS INT) AS chunk_id,
+       CAST(c.chunk_id * {_CHUNK_STRIDE} AS BIGINT) AS chunk_start_token,
+       array_to_string(t[c.chunk_id * {_CHUNK_STRIDE} + 1 :
+                         c.chunk_id * {_CHUNK_STRIDE} + {_CHUNK_TOKENS}], ' ')
+         AS chunk_text,
+       least({_CHUNK_TOKENS}, n - c.chunk_id * {_CHUNK_STRIDE})::BIGINT
+         AS chunk_n_tokens
+FROM sized, (SELECT unnest(range(0, 10000)) AS chunk_id) c
+WHERE c.chunk_id < n_chunks
+"""
+
+
+@query("chunk_long_documents", sql=_CHUNK_SQL, tags=("chunking", "curation"))
+def chunk_long_documents(spark, sf_dir):
+    """Long-document chunking (operators/packing.py::chunk_documents):
+    each doc split into {_CHUNK_TOKENS}-token windows with
+    {_CHUNK_OVERLAP}-token overlap — the other half of context-window
+    prep (packing joins short docs, chunking splits long ones).
+    Map-only explode + array slice, no shuffle; chunk boundaries are a
+    pure function of the token count, mirrored exactly in DuckDB."""
+    from ..operators.packing import chunk_documents
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = chunk_documents(docs, "text", _CHUNK_TOKENS, _CHUNK_OVERLAP)
+    return out.select(
+        "doc_id", "chunk_id", "chunk_start_token", "chunk_text", "chunk_n_tokens"
+    )

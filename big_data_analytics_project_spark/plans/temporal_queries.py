@@ -181,9 +181,11 @@ def hypertable_rollup_events(spark, sf_dir):
 
     # exact distinct per grain for the contract: distinct (hour, user)
     # pairs once, then both grains' exact counts reduce from those pairs
+    # persisted: both grains' exact counts reduce from these pairs, and
+    # without materialization each branch re-runs the distinct from raw
     pairs = ev.select(
         _hour_bucket(F.col("ts")).alias("h"), F.col("user_id")
-    ).distinct()
+    ).distinct().persist()
     exact_hour = pairs.groupBy(F.col("h").alias("bucket_start_epoch")).agg(
         F.count("*").alias("n_users_exact")
     ).withColumn("grain", F.lit("hour"))

@@ -202,3 +202,26 @@ def test_predicate_rules_share_one_scan(spark, sf_dir):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert len(re.findall(r"FileScan", plan)) == 1, plan[:400]
+
+
+def test_chunk_documents_overlap_and_reconstruction(spark):
+    from big_data_analytics_project_spark.operators.packing import chunk_documents
+
+    text = " ".join(f"t{i}" for i in range(100))  # 100 tokens
+    df = spark.createDataFrame([(1, text), (2, "short doc")], "doc_id long, text string")
+    out = sorted(
+        ((r["doc_id"], r["chunk_id"], r["chunk_start_token"],
+          r["chunk_text"], r["chunk_n_tokens"])
+         for r in chunk_documents(df, "text", 64, 16).collect()),
+    )
+    short = [c for c in out if c[0] == 2]
+    assert len(short) == 1 and short[0][3] == "short doc" and short[0][4] == 2
+
+    long_chunks = [c for c in out if c[0] == 1]
+    # 100 tokens, chunk 64, stride 48 → chunks at 0 and 48
+    assert [c[2] for c in long_chunks] == [0, 48]
+    a, b = long_chunks[0][3].split(), long_chunks[1][3].split()
+    assert len(a) == 64 and len(b) == 52  # last chunk short
+    assert a[48:] == b[:16]  # 16-token overlap carried
+    # every token appears; stride-union reconstructs the doc
+    assert a + b[16:] == text.split()

@@ -9,8 +9,8 @@ from pathlib import Path
 
 from big_data_analytics_project_spark.registry import load_all
 
-TOTAL = 96
-ORACLE = 85
+TOTAL = 97
+ORACLE = 86
 
 
 def test_counts_match_registry():

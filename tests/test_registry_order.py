@@ -31,6 +31,7 @@ EXPECTED_WINDOW = (
     "scd2_customer_segments",
     "unpivot_lineitem_measures",
     "dq_constraint_audit",
+    "chunk_long_documents",
     "dedup_simhash_pairs",
     "agg_approx_distinct",
     "agg_approx_percentile_check",
@@ -76,7 +77,6 @@ EXPECTED_WINDOW = (
     "multimodal_binary_meta",
     "multimodal_decode_meta",
     "multimodal_frame_index",
-    "proj_filter_revenue",
 )
 
 
