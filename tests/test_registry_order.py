@@ -127,3 +127,27 @@ def test_every_query_has_fn_and_consistent_spec():
     for name, spec in reg.items():
         assert spec.name == name
         assert callable(spec.fn)
+
+
+def test_driver_history_digest_is_current():
+    """Fails as soon as a CORRECTNESS_r*.json newer than the digest lands
+    (i.e. at the start of the next round), forcing the rotation refresh:
+    run scripts/update_driver_history.py, then update EXPECTED_WINDOW."""
+    import glob
+    import json
+    import re
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    recorded = 0
+    for p in glob.glob(str(repo / "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", p)
+        if m:
+            recorded = max(recorded, int(m.group(1)))
+    digest = json.loads(
+        (repo / "big_data_analytics_project_spark" / "driver_history.json").read_text()
+    )
+    assert max(digest.values(), default=0) >= recorded, (
+        "driver_history.json is stale — run scripts/update_driver_history.py "
+        "and update EXPECTED_WINDOW for the new round"
+    )
