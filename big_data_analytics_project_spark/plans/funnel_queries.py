@@ -1,0 +1,121 @@
+"""Ordered-funnel and cohort-retention analytics (clickstream extensions:
+the reference's e-commerce domain asks exactly these questions; its own
+pipeline stops at per-session conversion labels).
+
+Both are oracle-checked aggregate-of-aggregate chains: every stage is an
+equi-join/groupBy on user_id (hash-partitioned once per stage, no windows
+over global orderings), so they scale like any keyed aggregation.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from ..registry import query
+from ..sources import read_table
+
+# Stage k's timestamp must be >= stage k-1's (ordered funnel, not mere
+# presence): min(view) → first cart AT OR AFTER it → first purchase AT OR
+# AFTER that.
+_FUNNEL_SQL = """
+WITH v AS (
+  SELECT user_id, min(ts) AS v_ts FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS c_ts
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'cart' AND e.ts >= v.v_ts
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS p_ts
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= c.c_ts
+  GROUP BY e.user_id
+)
+SELECT 'view' AS stage, (SELECT count(*) FROM v) AS n_users
+UNION ALL
+SELECT 'view_cart', (SELECT count(*) FROM c)
+UNION ALL
+SELECT 'view_cart_purchase', (SELECT count(*) FROM p)
+"""
+
+
+@query("funnel_ordered_stages", sql=_FUNNEL_SQL, tags=("funnel", "clickstream"))
+def funnel_ordered_stages(spark, sf_dir):
+    """Ordered three-stage funnel (view → cart → purchase): a user counts
+    at stage k only if stage k's first event is at-or-after stage k-1's —
+    presence alone isn't conversion.  Three keyed aggregations chained by
+    user_id equi-joins; each stage's filter pushes to its own scan."""
+    ev = read_table(spark, sf_dir, "events")
+
+    def first_at_or_after(event_type, prev, prev_ts_col, out_col):
+        return (
+            ev.where(F.col("event_type") == event_type)
+            .join(prev, "user_id")
+            .where(F.col("ts") >= F.col(prev_ts_col))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(out_col))
+        )
+
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    c = first_at_or_after("cart", v, "v_ts", "c_ts")
+    p = first_at_or_after("purchase", c, "c_ts", "p_ts")
+
+    def stage(name, df):
+        return df.agg(
+            F.lit(name).alias("stage"), F.count("*").alias("n_users")
+        )
+
+    return (
+        stage("view", v)
+        .unionByName(stage("view_cart", c))
+        .unionByName(stage("view_cart_purchase", p))
+    )
+
+
+_COHORT_SQL = """
+WITH firsts AS (
+  SELECT user_id,
+         CAST(min(floor(epoch(ts) / 86400)) AS BIGINT) AS cohort_day
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT e.user_id,
+         f.cohort_day,
+         CAST(floor(epoch(e.ts) / 86400) AS BIGINT) - f.cohort_day AS day_offset
+  FROM events e JOIN firsts f ON e.user_id = f.user_id
+)
+SELECT cohort_day, day_offset, count(*) AS n_active_users
+FROM activity
+GROUP BY cohort_day, day_offset
+"""
+
+
+@query("cohort_retention_daily", sql=_COHORT_SQL, tags=("cohort", "clickstream"))
+def cohort_retention_daily(spark, sf_dir):
+    """Daily cohort retention: users grouped by first-seen day, activity
+    counted per day offset from that cohort day (the retention-curve
+    input).  One aggregation for cohort assignment, one distinct + count
+    for the matrix — all keyed on user_id, broadcast-joining the
+    driver-sized cohort map at scale."""
+    ev = read_table(spark, sf_dir, "events")
+    day = (F.floor(F.unix_timestamp("ts") / 86400)).cast("long")
+    firsts = ev.groupBy("user_id").agg(F.min(day).alias("cohort_day"))
+    activity = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            (day - F.col("cohort_day")).alias("day_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_day", "day_offset").agg(
+        F.count("*").alias("n_active_users")
+    )

@@ -135,6 +135,7 @@ def load_all() -> dict[str, QuerySpec]:
             dedup_queries,
             extras_queries,
             flagship,
+            funnel_queries,
             ml_queries,
             multimodal_queries,
             relational,

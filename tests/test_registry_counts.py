@@ -9,8 +9,8 @@ from pathlib import Path
 
 from big_data_analytics_project_spark.registry import load_all
 
-TOTAL = 97
-ORACLE = 86
+TOTAL = 99
+ORACLE = 88
 
 
 def test_counts_match_registry():

@@ -33,6 +33,8 @@ EXPECTED_WINDOW = (
     "dq_constraint_audit",
     "chunk_long_documents",
     "dedup_simhash_pairs",
+    "funnel_ordered_stages",
+    "cohort_retention_daily",
     "agg_approx_distinct",
     "agg_approx_percentile_check",
     "ann_ivf_topk",
@@ -75,8 +77,6 @@ EXPECTED_WINDOW = (
     "skew_salted_join",
     "flagship_sessionization",
     "multimodal_binary_meta",
-    "multimodal_decode_meta",
-    "multimodal_frame_index",
 )
 
 
