@@ -246,3 +246,86 @@ def dedup_simhash_pairs(spark, sf_dir):
         band_bits=15, hash_fn=D.md5_hash60, bits=60,
     )
     return out.select("id_a", "id_b", "hamming")
+
+
+# Incremental (batch-vs-index) dedup: the daily-crawl shape — new docs are
+# checked against the already-indexed corpus' fingerprints and against each
+# other, WITHOUT re-deduplicating the whole corpus.  Index = doc_id < 250;
+# batch = the rest plus planted whitespace variants of every 7th index doc
+# (so real cross-boundary dups exist in the fixture).
+_DUCK_INCREMENTAL = """
+WITH index_docs AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 250
+),
+batch_docs AS (
+  SELECT doc_id, text FROM documents WHERE doc_id >= 250
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text || '  .' AS text
+  FROM documents WHERE doc_id < 250 AND doc_id % 7 = 0
+),
+index_fp AS (
+  SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp,
+         min(doc_id) AS idx_keep
+  FROM index_docs GROUP BY 1
+),
+batch_fp AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+  FROM batch_docs
+),
+classified AS (
+  SELECT b.doc_id, b.fp, i.idx_keep,
+         min(b.doc_id) OVER (PARTITION BY b.fp) AS first_in_batch
+  FROM batch_fp b LEFT JOIN index_fp i ON b.fp = i.fp
+)
+SELECT doc_id,
+       CASE WHEN idx_keep IS NOT NULL THEN 'dup_of_index'
+            WHEN doc_id > first_in_batch THEN 'dup_in_batch'
+            ELSE 'unique' END AS status,
+       CASE WHEN idx_keep IS NOT NULL THEN idx_keep
+            WHEN doc_id > first_in_batch THEN first_in_batch END AS keep_id
+FROM classified
+"""
+
+
+@query("dedup_incremental_batch", sql=_DUCK_INCREMENTAL, tags=("dedup", "incremental"))
+def dedup_incremental_batch(spark, sf_dir):
+    """Incremental dedup (index + new batch): each batch doc is classified
+    dup_of_index / dup_in_batch / unique by normalized fingerprint — one
+    fingerprint aggregation over the index, one fp-keyed left join, one
+    fp-partitioned window over the batch.  At 100 TB the index fingerprint
+    table is the persisted artifact; daily batches join against it instead
+    of re-deduplicating the corpus (cost scales with the batch, not the
+    corpus)."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    index_docs = docs.where(F.col("doc_id") < 250)
+    variants = (
+        docs.where((F.col("doc_id") < 250) & (F.col("doc_id") % 7 == 0))
+        .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit("  .")).alias("text"))
+    )
+    batch_docs = docs.where(F.col("doc_id") >= 250).unionByName(variants)
+
+    fp = normalized_fingerprint(F.col("text"))
+    index_fp = index_docs.groupBy(fp.alias("fp")).agg(
+        F.min("doc_id").alias("idx_keep")
+    )
+    batch_fp = batch_docs.select("doc_id", fp.alias("fp"))
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("fp")
+    classified = (
+        batch_fp.join(index_fp, "fp", "left")
+        .withColumn("first_in_batch", F.min("doc_id").over(w))
+    )
+    return classified.select(
+        "doc_id",
+        F.when(F.col("idx_keep").isNotNull(), F.lit("dup_of_index"))
+        .when(F.col("doc_id") > F.col("first_in_batch"), F.lit("dup_in_batch"))
+        .otherwise(F.lit("unique"))
+        .alias("status"),
+        F.when(F.col("idx_keep").isNotNull(), F.col("idx_keep"))
+        .when(F.col("doc_id") > F.col("first_in_batch"), F.col("first_in_batch"))
+        .alias("keep_id"),
+    )

@@ -9,8 +9,8 @@ from pathlib import Path
 
 from big_data_analytics_project_spark.registry import load_all
 
-TOTAL = 99
-ORACLE = 88
+TOTAL = 100
+ORACLE = 89
 
 
 def test_counts_match_registry():

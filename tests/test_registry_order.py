@@ -33,6 +33,7 @@ EXPECTED_WINDOW = (
     "dq_constraint_audit",
     "chunk_long_documents",
     "dedup_simhash_pairs",
+    "dedup_incremental_batch",
     "funnel_ordered_stages",
     "cohort_retention_daily",
     "agg_approx_distinct",
@@ -76,7 +77,6 @@ EXPECTED_WINDOW = (
     "skew_salted_agg",
     "skew_salted_join",
     "flagship_sessionization",
-    "multimodal_binary_meta",
 )
 
 
