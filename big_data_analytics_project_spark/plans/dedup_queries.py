@@ -329,3 +329,55 @@ def dedup_incremental_batch(spark, sf_dir):
         .when(F.col("doc_id") > F.col("first_in_batch"), F.col("first_in_batch"))
         .alias("keep_id"),
     )
+
+
+# Benchmark decontamination: the standard LLM-pipeline step — flag corpus
+# documents sharing any 13-gram with a held-out benchmark set (stand-in
+# here: every 31st doc plays the benchmark).  Shingle both sides, inner
+# semi-join on the shingle — one equi-join shuffle on shingle strings; at
+# 100 TB hash the shingles first (map-only) so the shuffle carries 8-byte
+# keys, and broadcast the benchmark side (benchmarks are tiny).
+_N_CONTAM = 13
+
+_DUCK_CONTAM = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(t[i : i + {_N_CONTAM} - 1], ' ')
+                        for i in range(1, len(t) - {_N_CONTAM} + 2)]) AS g
+  FROM toks WHERE len(t) >= {_N_CONTAM}
+),
+bench AS (
+  SELECT unnest(g) AS gram FROM grams WHERE doc_id % 31 = 0
+),
+corpus AS (
+  SELECT doc_id, unnest(g) AS gram FROM grams WHERE doc_id % 31 != 0
+)
+SELECT DISTINCT c.doc_id,
+       CAST(1 AS BIGINT) AS contaminated
+FROM corpus c JOIN bench b ON c.gram = b.gram
+"""
+
+
+@query("decontaminate_benchmark_ngrams", sql=_DUCK_CONTAM, tags=("dedup", "decontamination"))
+def decontaminate_benchmark_ngrams(spark, sf_dir):
+    """Train/benchmark decontamination: corpus docs sharing any
+    13-gram with the benchmark set are flagged for removal (the
+    standard n-gram-collision check).  Distinct shingles per doc →
+    semi-join-shaped inner join on the gram → distinct doc ids.  One
+    equi-join shuffle; the benchmark side is broadcast-sized in
+    production."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    grams = D.shingled(docs, "doc_id", "text", _N_CONTAM).select(
+        "doc_id", F.explode("shingle_set").alias("gram")
+    )
+    bench = grams.where(F.col("doc_id") % 31 == 0).select("gram").distinct()
+    corpus = grams.where(F.col("doc_id") % 31 != 0)
+    return (
+        corpus.join(F.broadcast(bench), "gram")
+        .select("doc_id")
+        .distinct()
+        .select("doc_id", F.lit(1).cast("long").alias("contaminated"))
+    )

@@ -285,3 +285,74 @@ def text_repetition_ratio(spark, sf_dir):
             ).alias("repetition_ratio"),
         )
     )
+
+
+# Corpus vocabulary: global token/bigram frequencies — the input to
+# tokenizer/vocab training.  Explode → hash-groupBy count (map-side
+# combined) → in-plan global top-N with deterministic (count desc, gram
+# asc) ordering so the cut is engine-independent.
+_VOCAB_TOP_N = 200
+
+_VOCAB_SQL = f"""
+WITH toks AS (
+  SELECT regexp_split_to_array(lower(text), '\\s+') AS t FROM documents
+),
+unigrams AS (
+  SELECT unnest(t) AS gram, 1 AS n FROM toks
+),
+bigrams AS (
+  SELECT t[i] || ' ' || t[i+1] AS gram, 2 AS n
+  FROM toks, (SELECT unnest(range(1, 10000)) AS i) idx
+  WHERE i <= len(t) - 1
+),
+counted AS (
+  SELECT gram, CAST(n AS BIGINT) AS gram_len, count(*) AS freq
+  FROM (SELECT * FROM unigrams UNION ALL SELECT * FROM bigrams)
+  GROUP BY gram, n
+),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY freq DESC, gram) AS rank
+  FROM counted
+)
+SELECT gram, gram_len, freq, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {_VOCAB_TOP_N}
+"""
+
+
+@query("vocab_top_ngrams", sql=_VOCAB_SQL, tags=("text", "vocab", "curation"))
+def vocab_top_ngrams(spark, sf_dir):
+    """Corpus vocabulary extraction: global top-200 unigrams + bigrams by
+    frequency (tokenizer/vocab training input).  Explode + map-side-
+    combined count, then an in-plan global top-N — the ORDER BY LIMIT
+    form Catalyst executes as per-partition TakeOrdered + single merge of
+    N rows, never a full global sort.  Ties broken by the gram string so
+    the cut is deterministic across engines."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = T.ws_tokens(F.col("text"))
+    uni = docs.select(F.explode(toks).alias("gram"), F.lit(1).alias("n"))
+    bi = docs.select(
+        F.explode(
+            F.when(
+                F.size(toks) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - 1),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("gram"),
+        F.lit(2).alias("n"),
+    )
+    counted = (
+        uni.unionByName(bi)
+        .groupBy("gram", "n")
+        .agg(F.count("*").alias("freq"))
+        .select("gram", F.col("n").cast("long").alias("gram_len"), "freq")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("freq"), "gram")
+    return (
+        counted.orderBy(F.desc("freq"), "gram")
+        .limit(_VOCAB_TOP_N)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+    )

@@ -34,6 +34,7 @@ EXPECTED_WINDOW = (
     "chunk_long_documents",
     "dedup_simhash_pairs",
     "dedup_incremental_batch",
+    "decontaminate_benchmark_ngrams",
     "funnel_ordered_stages",
     "cohort_retention_daily",
     "agg_approx_distinct",
@@ -46,6 +47,7 @@ EXPECTED_WINDOW = (
     "asof_join_nearest_event",
     "range_join_attribution",
     "hypertable_rollup_events",
+    "vocab_top_ngrams",
     # tier 1 — last green r02 (stale three rounds)
     "window_nth_lag_defaults",
     "flagship_sessionization_joinform",
@@ -75,8 +77,6 @@ EXPECTED_WINDOW = (
     "text_edit_distance",
     "union_schema_evolution",
     "skew_salted_agg",
-    "skew_salted_join",
-    "flagship_sessionization",
 )
 
 
