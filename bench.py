@@ -50,6 +50,12 @@ HEADLINE = [
     "sample_hash_stratified",
     "pack_token_budget_bins",
     "embedding_quantize_int8",
+    # round-5 layout / analytics / quality operators
+    "zorder_code_events",
+    "vocab_top_ngrams",
+    "dq_constraint_audit",
+    "funnel_ordered_stages",
+    "cohort_retention_daily",
 ]
 
 
