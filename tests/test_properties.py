@@ -84,3 +84,84 @@ def test_leakage_cutoff_properties(spark, rows):
             assert eid in kept_ids  # (3) incl. ties
         else:
             assert eid not in kept_ids  # (2)
+
+
+# --- round-5 operators ----------------------------------------------------
+
+asof_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),      # user_id
+        st.integers(min_value=0, max_value=600),    # ts offset seconds
+        st.booleans(),                              # left (True) / right side
+    ),
+    min_size=1,
+    max_size=24,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows=asof_rows)
+def test_asof_equals_naive_argmax_property(spark, rows):
+    """asof_join (union+window) == per-left-row argmax over the range
+    theta-join, on arbitrary key/timestamp mixes — including equal
+    timestamps across sides, keys with only-left or only-right rows."""
+    from big_data_analytics_project_spark.operators.asof import asof_join
+
+    base = dt.datetime(2024, 1, 1)
+    lefts, rights = [], []
+    for i, (u, s, is_left) in enumerate(rows):
+        (lefts if is_left else rights).append((i, u, base + dt.timedelta(seconds=s)))
+    if not lefts:
+        return
+    left = spark.createDataFrame(lefts, "lid long, user_id long, ts timestamp")
+    # one right row per (user, ts): pre-aggregate like production callers
+    raw_right = [(i, u, t) for i, u, t in rights]
+    right = (
+        spark.createDataFrame(raw_right, "rid long, user_id long, ts timestamp")
+        .groupBy("user_id", "ts")
+        .agg(F.max("rid").alias("rid"))
+        if raw_right
+        else spark.createDataFrame([], "user_id long, ts timestamp, rid long")
+    )
+    got = {
+        r["lid"]: r["asof_rid"]
+        for r in asof_join(left, right, ["user_id"], "ts", ["rid"]).collect()
+    }
+    want = {}
+    rset = [tuple(r) for r in right.collect()]
+    for lid, u, t in lefts:
+        cand = [(ts, rid) for (ru, ts, rid) in rset if ru == u and ts <= t]
+        want[lid] = max(cand)[1] if cand else None
+    assert got == want
+
+
+pack_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=1),     # shard
+        st.integers(min_value=1, max_value=50),    # n_tokens
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows=pack_rows, budget=st.integers(min_value=10, max_value=100))
+def test_pack_linear_matches_sequential_cumsum_property(spark, rows, budget):
+    """Distributed window packing == the sequential one-pass reference
+    implementation, for any shard mix, token sizes, and budget."""
+    from big_data_analytics_project_spark.operators.packing import pack_linear
+
+    data = [(i, s, n) for i, (s, n) in enumerate(rows)]
+    df = spark.createDataFrame(data, "doc_id long, shard long, n_tokens long")
+    got = {
+        r["doc_id"]: (r["bin_id"], r["bin_offset_tokens"])
+        for r in pack_linear(df, "shard", "doc_id", "n_tokens", budget).collect()
+    }
+    want = {}
+    for shard in {s for _, s, _ in data}:
+        pos = 0
+        for doc_id, s, n in sorted(d for d in data if d[1] == shard):
+            want[doc_id] = (pos // budget, pos)
+            pos += n
+    assert got == want
