@@ -46,6 +46,21 @@ def l2sq(a: Column, b: Column) -> Column:
     )
 
 
+def l2_normalize(a: Column) -> Column:
+    """Unit-normalize (fold norm, per-element divide — deterministic).
+    On unit vectors L2 distance is monotone in cosine
+    (||q−v||² = 2−2·cos), so L2-based structures (PQ/IVF ADC) rank
+    identically to cosine — the standard trick for cosine-metric ANN."""
+    n = norm2(a)
+    return F.transform(a, lambda x: x / n)
+
+
+def duck_l2_normalize(a_expr: str) -> str:
+    """DuckDB mirror of :func:`l2_normalize`."""
+    n = f"sqrt(list_reduce(list_transform({a_expr}, x -> x*x), (acc, x) -> acc + x))"
+    return f"list_transform({a_expr}, x -> x / {n})"
+
+
 def sign_bucket(a: Column, n_bits: int = 8) -> Column:
     """Random-hyperplane-style LSH bucket from the signs of the first
     ``n_bits`` dimensions (axis-aligned hyperplanes — deterministic and

@@ -9,7 +9,12 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 
-from ..functions.vector import duck_cosine, duck_l2sq, duck_sign_bucket
+from ..functions.vector import (
+    duck_cosine,
+    duck_l2_normalize,
+    duck_l2sq,
+    duck_sign_bucket,
+)
 from ..operators import similarity as S
 from ..registry import query
 from ..sources import read_table
@@ -191,4 +196,121 @@ def ann_ivf_recall_audit(spark, sf_dir):
             F.count("__hit").alias("n_hits"),
             (F.count("__hit").cast("double") / 10).alias("recall_at_10"),
         )
+    )
+
+
+# IVF-PQ: coarse lists bound candidates, PQ codes + ADC score them.  Both
+# the coarse centroids AND the 4x8 sub-codebooks are pinned literals, so
+# encoding (argmin per subspace) and ADC (fixed-order chain of 4
+# sequential-fold subdistances — never a SUM aggregate, whose order is
+# engine-dependent) are pure deterministic expression evaluation.
+from .pq_codebooks import PQ_CODEBOOKS
+
+_SUB_DIM = len(PQ_CODEBOOKS[0][0])
+
+_CB_VALUES = ",\n    ".join(
+    f"({j}, {k}, [{', '.join(repr(x) for x in c)}]::DOUBLE[])"
+    for j, book in enumerate(PQ_CODEBOOKS)
+    for k, c in enumerate(book)
+)
+
+
+def _duck_cb_literal(j: int) -> str:
+    rows = ", ".join(
+        "[" + ", ".join(repr(x) for x in c) + "]" for c in PQ_CODEBOOKS[j]
+    )
+    return f"[{rows}]::DOUBLE[][]"
+
+
+def _duck_adc_chain() -> str:
+    terms = []
+    for j in range(len(PQ_CODEBOOKS)):
+        lo, hi = j * _SUB_DIM + 1, (j + 1) * _SUB_DIM
+        chosen = f"({_duck_cb_literal(j)})[cd.codes[{j + 1}] + 1]"
+        terms.append(duck_l2sq(f"a.v[{lo}:{hi}]", chosen))
+    return " + ".join(f"({t})" for t in terms)
+
+
+_DUCK_IVFPQ_TOPK = f"""
+WITH raw AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+v AS (SELECT vec_id, {duck_l2_normalize("embedding::DOUBLE[]")} AS v FROM embeddings),
+cent AS (SELECT * FROM (VALUES
+    {_CENT_VALUES}) AS t(i, c)),
+cb AS (SELECT * FROM (VALUES
+    {_CB_VALUES}) AS t(j, k, c)),
+cdists AS (
+  SELECT v.vec_id, cent.i, {duck_l2sq("v.v", "cent.c")} AS d
+  FROM v CROSS JOIN cent
+),
+cranked AS (
+  SELECT vec_id, i, row_number() OVER (PARTITION BY vec_id ORDER BY d, i) AS rn
+  FROM cdists
+),
+assign AS (SELECT vec_id, i AS list_id FROM cranked WHERE rn = 1),
+probes AS (SELECT vec_id, i AS list_id FROM cranked WHERE rn <= 4 AND vec_id < 5),
+sdists AS (
+  SELECT v.vec_id, cb.j, cb.k,
+         {duck_l2sq("v.v[cb.j*" + str(_SUB_DIM) + "+1 : (cb.j+1)*" + str(_SUB_DIM) + "]", "cb.c")} AS d
+  FROM v CROSS JOIN cb
+),
+sranked AS (
+  SELECT vec_id, j, k,
+         row_number() OVER (PARTITION BY vec_id, j ORDER BY d, k) AS rn
+  FROM sdists
+),
+codes AS (
+  SELECT vec_id, list(k ORDER BY j) AS codes FROM sranked WHERE rn = 1
+  GROUP BY vec_id
+),
+sims AS (
+  SELECT a.vec_id AS query_id, s.vec_id AS neighbor_id,
+         round({_duck_adc_chain()}, 6) AS approx_dist
+  FROM probes p
+  JOIN v a ON a.vec_id = p.vec_id
+  JOIN assign s ON s.list_id = p.list_id
+  JOIN codes cd ON cd.vec_id = s.vec_id
+  WHERE s.vec_id != a.vec_id
+),
+adc_ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY approx_dist, neighbor_id) AS adc_rank
+  FROM sims
+),
+refined AS (
+  SELECT r.query_id, r.neighbor_id,
+         round({duck_cosine("qa.v", "qb.v")}, 6) AS cosine_sim
+  FROM adc_ranked r
+  JOIN raw qa ON qa.vec_id = r.query_id
+  JOIN raw qb ON qb.vec_id = r.neighbor_id
+  WHERE r.adc_rank <= 50
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine_sim DESC, neighbor_id) AS rank
+  FROM refined
+)
+SELECT query_id, neighbor_id, cosine_sim, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 10
+"""
+
+
+@query("ann_ivfpq_topk", sql=_DUCK_IVFPQ_TOPK, tags=("similarity", "ann", "pq"))
+def ann_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ approximate top-10 (the FAISS production composition):
+    coarse inverted lists bound candidates (equi-join, no cross product),
+    PQ codes compress each candidate to 4 bytes, and asymmetric distance
+    computation scores query-vs-codes — at 100 TB the raw float corpus
+    never moves through the join, only codes.  Encoding, probing, the
+    fixed-order ADC chain, and the exact-cosine refine of the ADC top-50
+    are deterministic given the pinned centroid + codebook literals,
+    mirrored exactly in DuckDB."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return S.ivfpq_topk(
+        emb,
+        emb.where(F.col("vec_id") < 5),
+        centroids=IVF_CENTROIDS,
+        codebooks=PQ_CODEBOOKS,
+        k=10,
+        nprobe=4,
+        refine=50,
     )

@@ -9,8 +9,8 @@ from pathlib import Path
 
 from big_data_analytics_project_spark.registry import load_all
 
-TOTAL = 102
-ORACLE = 91
+TOTAL = 103
+ORACLE = 92
 
 
 def test_counts_match_registry():

@@ -41,6 +41,7 @@ EXPECTED_WINDOW = (
     "agg_approx_percentile_check",
     "ann_ivf_topk",
     "ann_ivf_recall_audit",
+    "ann_ivfpq_topk",
     "streaming_sliding_window",
     "streaming_static_enrich",
     "streaming_interval_join",
@@ -76,7 +77,6 @@ EXPECTED_WINDOW = (
     "array_funcs",
     "text_edit_distance",
     "union_schema_evolution",
-    "skew_salted_agg",
 )
 
 

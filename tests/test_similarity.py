@@ -120,3 +120,37 @@ def test_ivf_deterministic_across_runs(spark, sf_dir):
     a = sorted(map(tuple, S.ivf_topk(emb, queries, k=5).collect()))
     b = sorted(map(tuple, S.ivf_topk(emb, queries, k=5).collect()))
     assert a == b
+
+
+def test_ivfpq_codes_and_recall(spark, sf_dir):
+    """PQ codes are valid codebook indices, and IVF-PQ top-10 keeps
+    reasonable recall vs exact brute force on the fixture (ADC is an
+    approximation — the sanity bound is deliberately loose)."""
+    import pyspark.sql.functions as F
+
+    from big_data_analytics_project_spark.operators import similarity as S
+    from big_data_analytics_project_spark.plans.ivf_centroids import IVF_CENTROIDS
+    from big_data_analytics_project_spark.plans.pq_codebooks import PQ_CODEBOOKS
+    from big_data_analytics_project_spark.sources import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    codes = emb.select(
+        S.pq_encode(F.col("embedding").cast("array<double>"), PQ_CODEBOOKS).alias("c")
+    )
+    bounds = codes.select(
+        F.array_min("c").alias("lo"), F.array_max("c").alias("hi"), F.size("c").alias("m")
+    ).agg(F.min("lo"), F.max("hi"), F.min("m"), F.max("m")).collect()[0]
+    assert bounds[0] >= 0 and bounds[1] < len(PQ_CODEBOOKS[0])
+    assert bounds[2] == bounds[3] == len(PQ_CODEBOOKS)
+
+    q = emb.where(F.col("vec_id") < 5)
+    pq = S.ivfpq_topk(
+        emb, q, IVF_CENTROIDS, PQ_CODEBOOKS, k=10, nprobe=4, refine=50
+    )
+    exact = S.brute_force_topk(emb, q, k=10)
+    got = {(r["query_id"], r["neighbor_id"]) for r in pq.collect()}
+    want = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    recall = len(got & want) / len(want)
+    # deterministic given the pinned codebooks/centroids; the fixture is
+    # noise-dominant, so the bound reflects the IVF nprobe=4 list ceiling
+    assert recall >= 0.4, recall
