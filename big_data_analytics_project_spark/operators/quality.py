@@ -38,9 +38,13 @@ def in_range(col: str, lo, hi) -> Column:
 def matches(col: str, pattern: str) -> Column:
     """Violation predicate: non-null value failing a FULL-string match
     (the pattern is anchored: rlike is substring-search, so an unanchored
-    enum check would accept 'Purch2ase')."""
+    enum check would accept 'Purch2ase').  Anchors are ``\\A…\\z`` rather
+    than ``^…$``: Java's ``$`` also matches before a trailing newline, so
+    ``^…$`` would accept ``'Purchase\\n'`` while the DuckDB oracle's
+    ``regexp_full_match`` rejects it — ``\\A``/``\\z`` (supported by both
+    Java regex and RE2) match full-string semantics exactly."""
     c = F.col(col)
-    return c.isNotNull() & ~c.rlike(f"^(?:{pattern})$")
+    return c.isNotNull() & ~c.rlike(f"\\A(?:{pattern})\\z")
 
 
 def predicate_rules(df: DataFrame, rules: list[tuple[str, Column]]) -> DataFrame:
@@ -65,10 +69,22 @@ def unique(name: str, df: DataFrame, cols: list[str]) -> DataFrame:
 
 
 def references(
-    name: str, child: DataFrame, child_col: str, parent: DataFrame, parent_col: str
+    name: str,
+    child: DataFrame,
+    child_col: str,
+    parent: DataFrame,
+    parent_col: str,
+    broadcast: bool = True,
 ) -> DataFrame:
+    """FK orphan count via left-anti join child→parent.  ``broadcast=True``
+    (default) hints the parent side — right for dim-sized parents; pass
+    ``False`` for a large parent so Spark plans a shuffled hash join
+    instead of OOMing the driver trying to broadcast a fact table."""
+    parent_keys = parent.select(parent_col)
+    if broadcast:
+        parent_keys = F.broadcast(parent_keys)
     orphans = child.where(F.col(child_col).isNotNull()).join(
-        F.broadcast(parent.select(parent_col)),
+        parent_keys,
         child[child_col] == parent[parent_col],
         "left_anti",
     )

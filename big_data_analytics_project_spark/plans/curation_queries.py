@@ -108,13 +108,18 @@ WITH scaled AS (
                                  x -> abs(CAST(x AS DOUBLE)))) AS scale,
          embedding
   FROM embeddings
+), quantized AS (
+  SELECT vec_id, scale,
+         list_transform(embedding,
+           x -> CAST(CASE WHEN scale = 0 THEN 0
+                          ELSE floor(127.0 * CAST(x AS DOUBLE) / scale + 0.5)
+                     END AS BIGINT)) AS q
+  FROM scaled
 )
 SELECT vec_id, scale,
-       list_transform(embedding,
-         x -> CAST(CASE WHEN scale = 0 THEN 0
-                        ELSE floor(127.0 * CAST(x AS DOUBLE) / scale + 0.5)
-                   END AS BIGINT)) AS q
-FROM scaled
+       CAST(unnest(range(len(q))) AS BIGINT) AS pos,
+       unnest(q) AS code
+FROM quantized
 """
 
 
@@ -123,7 +128,10 @@ def embedding_quantize_int8(spark, sf_dir):
     """Symmetric per-vector int8 quantization of the embedding corpus
     (4× storage; operators/embeddings.py) — all higher-order array
     functions, map-only at scan speed.  Rounding is floor(x+0.5) for
-    cross-engine determinism; codes are checked element-exact vs DuckDB."""
+    cross-engine determinism; codes are checked element-exact vs DuckDB.
+    Output is flattened to (vec_id, scale, pos, code) scalar rows: the
+    driver's canonicalizer factorizes column values for order-insensitive
+    hashing, and array cells are unhashable there (r5 advice)."""
     emb = read_table(spark, sf_dir, "embeddings")
     return (
         emb.select(
@@ -132,8 +140,11 @@ def embedding_quantize_int8(spark, sf_dir):
         .select(
             "vec_id",
             "scale",
-            quantize_int8(F.col("embedding"), F.col("scale")).alias("q"),
+            F.posexplode(quantize_int8(F.col("embedding"), F.col("scale"))).alias(
+                "pos", "code"
+            ),
         )
+        .select("vec_id", "scale", F.col("pos").cast("bigint").alias("pos"), "code")
     )
 
 
@@ -344,15 +355,15 @@ sized AS (
   FROM toks
 )
 SELECT doc_id,
-       CAST(c.chunk_id AS INT) AS chunk_id,
-       CAST(c.chunk_id * {_CHUNK_STRIDE} AS BIGINT) AS chunk_start_token,
-       array_to_string(t[c.chunk_id * {_CHUNK_STRIDE} + 1 :
-                         c.chunk_id * {_CHUNK_STRIDE} + {_CHUNK_TOKENS}], ' ')
+       CAST(chunk_id AS INT) AS chunk_id,
+       CAST(chunk_id * {_CHUNK_STRIDE} AS BIGINT) AS chunk_start_token,
+       array_to_string(t[chunk_id * {_CHUNK_STRIDE} + 1 :
+                         chunk_id * {_CHUNK_STRIDE} + {_CHUNK_TOKENS}], ' ')
          AS chunk_text,
-       least({_CHUNK_TOKENS}, n - c.chunk_id * {_CHUNK_STRIDE})::BIGINT
+       least({_CHUNK_TOKENS}, n - chunk_id * {_CHUNK_STRIDE})::BIGINT
          AS chunk_n_tokens
-FROM sized, (SELECT unnest(range(0, 10000)) AS chunk_id) c
-WHERE c.chunk_id < n_chunks
+-- chunk-id list derived per row from n_chunks (no fixed 10k cap — r5 advice)
+FROM (SELECT doc_id, t, n, unnest(range(0, n_chunks)) AS chunk_id FROM sized)
 """
 
 

@@ -301,9 +301,10 @@ unigrams AS (
   SELECT unnest(t) AS gram, 1 AS n FROM toks
 ),
 bigrams AS (
+  -- position list derived from each row's own token count (no fixed cap
+  -- that a >=10k-token document could silently overflow — r5 advice)
   SELECT t[i] || ' ' || t[i+1] AS gram, 2 AS n
-  FROM toks, (SELECT unnest(range(1, 10000)) AS i) idx
-  WHERE i <= len(t) - 1
+  FROM (SELECT t, unnest(range(1, len(t))) AS i FROM toks)
 ),
 counted AS (
   SELECT gram, CAST(n AS BIGINT) AS gram_len, count(*) AS freq

@@ -3,7 +3,7 @@
 These tests pin the registry's driver-window derivation (see
 ``registry._driver_order``): the window is computed from the checked-in
 ``driver_history.json`` digest — never-driver-green oracle queries first,
-then stalest-green first — and the EXACT expected round-5 window is pinned
+then stalest-green first — and the EXACT expected round-6 window is pinned
 here so adding a query can never silently evict a verified one.  If the
 window composition changes (new query registered, history refreshed),
 this test fails until ``EXPECTED_WINDOW`` is deliberately updated.
@@ -11,72 +11,74 @@ this test fails until ``EXPECTED_WINDOW`` is deliberately updated.
 
 from big_data_analytics_project_spark.registry import (
     DRIVER_WINDOW_SIZE,
+    ROWS_ONLY_WINDOW_LIFT,
     _load_history,
     driver_window,
     load_all,
 )
 
-# The round-5 window: tier 0 = oracle-backed with no driver-green row yet
-# (round 4's ann_ivf_topk / streaming_sliding_window plus anything new this
-# round), then oracle-backed by last-green round ascending (the 17 queries
-# stale since r02, window_distribution stale since r03, then r4 greens in
-# registration order until the window fills).
+# The round-6 window: tier 0 = oracle-backed with no driver-green row yet
+# (embedding_quantize_int8 — r5 driver error, now reshaped to scalar rows —
+# plus any queries newly registered this round), then oracle-backed by
+# last-green round ascending (the r4 block stale two rounds; r5 greens
+# rotate out), with the four never-driver-checked rows-only streaming
+# queries lifted into the window tail for ONE round (VERDICT r5 item 4).
 EXPECTED_WINDOW = (
-    # tier 0 — never driver-green (registration order): round 4's two
-    # window-missed queries plus round 5's new/upgraded oracle queries
+    # tier 0 — never driver-green
+    "embedding_quantize_int8",
+    # tier 1 — last green r04, registration order
+    "skew_salted_agg",
+    "skew_salted_join",
+    "flagship_sessionization",
+    "multimodal_binary_meta",
+    "multimodal_decode_meta",
+    "multimodal_frame_index",
+    "proj_filter_revenue",
+    "case_when_bucketing",
+    "null_impute_coalesce",
+    "json_extract_agg",
+    "string_funcs",
+    "join_multiway_revenue",
+    "join_left_order_items",
+    "join_semi_active_customers",
+    "agg_pricing_summary",
+    "agg_distinct_exact",
+    "agg_rollup_orders",
+    "agg_null_audit",
+    "agg_funnel_share",
+    "window_rank_topn_per_group",
+    "window_range_frame",
+    "topk_global_orders",
+    "sort_by_aggregate",
+    "math_funcs",
+    "conditional_funcs",
+    "array_explode_tokens",
+    "pivot_event_counts",
+    "heuristic_intent_score",
+    "dedup_subset_keys",
+    "agg_percentiles",
+    "agg_corr_covar",
+    "ann_bruteforce_topk",
+    "ann_lsh_topk",
+    "embedding_cosine_neardup",
+    "streaming_tumbling_window",
+    "streaming_session_window",
+    "text_token_stats",
+    "text_quality_scores",
+    "text_language_id",
+    "text_fingerprint",
+    "text_redact_pii",
+    "text_repetition_ratio",
+    # tier 1 — last green r05 (freshest; first to rotate out as round-6
+    # queries register)
     "sample_hash_stratified",
     "pack_token_budget_bins",
-    "embedding_quantize_int8",
     "zorder_code_events",
-    "scd2_customer_segments",
-    "unpivot_lineitem_measures",
-    "dq_constraint_audit",
-    "chunk_long_documents",
-    "dedup_simhash_pairs",
-    "dedup_incremental_batch",
-    "decontaminate_benchmark_ngrams",
-    "funnel_ordered_stages",
-    "cohort_retention_daily",
-    "agg_approx_distinct",
-    "agg_approx_percentile_check",
-    "ann_ivf_topk",
-    "ann_ivf_recall_audit",
-    "ann_ivfpq_topk",
-    "streaming_sliding_window",
-    "streaming_static_enrich",
-    "streaming_interval_join",
-    "asof_join_nearest_event",
-    "range_join_attribution",
-    "hypertable_rollup_events",
-    "vocab_top_ngrams",
-    # tier 1 — last green r02 (stale three rounds)
-    "window_nth_lag_defaults",
-    "flagship_sessionization_joinform",
-    "date_parts_agg",
-    "join_broadcast_part",
-    "join_anti_inactive_customers",
-    "agg_cube_customer",
-    "agg_grouping_sets",
-    "agg_stats_summary",
-    "window_rank_dense_rank",
-    "window_lag_lead",
-    "window_running_total",
-    "window_first_last",
-    "set_union_all",
-    "set_intersect",
-    "set_except",
-    "distinct_pairs",
-    # tier 1 — last green r03
-    "window_distribution",
-    # tier 1 — last green r04, registration order
-    "dedup_exact_fingerprint",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_clusters",
-    "date_arithmetic",
-    "array_funcs",
-    "text_edit_distance",
-    "union_schema_evolution",
+    # one-round rows-only lift (never in any CORRECTNESS file before r6)
+    "streaming_tumbling_append",
+    "streaming_dedup",
+    "streaming_custom_sessionization",
+    "streaming_online_scoring",
 )
 
 
@@ -85,11 +87,14 @@ def test_window_composition_is_pinned():
     assert driver_window() == list(EXPECTED_WINDOW)
 
 
-def test_first_window_is_all_oracle_backed():
+def test_window_is_oracle_backed_except_declared_lift():
     reg = load_all()
     first = driver_window(reg)
-    missing_oracle = [n for n in first if reg[n].sql is None]
-    assert missing_oracle == [], f"rows-only queries inside the driver window: {missing_oracle}"
+    rows_only = [n for n in first if reg[n].sql is None]
+    assert rows_only == list(ROWS_ONLY_WINDOW_LIFT), (
+        "rows-only queries inside the driver window beyond the declared "
+        f"one-round lift: {rows_only}"
+    )
 
 
 def test_never_green_queries_lead_the_window():
@@ -112,14 +117,35 @@ def test_stalest_green_sorted_ascending():
     assert rounds == sorted(rounds)
 
 
+def test_window_frontloads_stalest_greens():
+    """VERDICT r5 item 3: after the digest refresh every green oracle query
+    inside the window must be at least as stale as every green oracle query
+    outside it — the rotation must front-load last_green ascending."""
+    reg = load_all()
+    history = _load_history()
+    window = set(driver_window(reg))
+    inside = [history[n] for n in reg if n in window and n in history and reg[n].sql]
+    outside = [history[n] for n in reg if n not in window and n in history and reg[n].sql]
+    if inside and outside:
+        assert max(inside) <= min(outside)
+
+
 def test_rows_only_queries_are_last():
     reg = load_all()
-    names = list(reg)
+    names = [n for n in reg if n not in ROWS_ONLY_WINDOW_LIFT]
     kinds = ["oracle" if reg[n].sql is not None else "rows_only" for n in names]
-    # once the first rows-only query appears, everything after is rows-only
+    # outside the declared lift: once the first rows-only query appears,
+    # everything after is rows-only
     if "rows_only" in kinds:
         cut = kinds.index("rows_only")
         assert all(k == "rows_only" for k in kinds[cut:])
+
+
+def test_lifted_queries_sit_at_window_tail():
+    reg = load_all()
+    lifted = [n for n in ROWS_ONLY_WINDOW_LIFT if n in reg]
+    window = driver_window(reg)
+    assert window[DRIVER_WINDOW_SIZE - len(lifted) :] == lifted
 
 
 def test_every_query_has_fn_and_consistent_spec():
