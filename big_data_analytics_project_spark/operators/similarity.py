@@ -158,6 +158,51 @@ def probe_centroids(
     return F.transform(F.slice(ranked, 1, nprobe), lambda s: s["i"])
 
 
+# Inlined-literal assignment embeds C×D doubles in the plan — perfect
+# codegen at C≤256, but at production scale (C=4096+, D=768) the plan
+# itself would be ~25 MB of literals: slow to analyze, slow to ship to
+# executors.  Above this threshold ``ivf_topk`` switches to the
+# broadcast-data form below.
+_LITERAL_MAX_CENTROIDS = 256
+
+
+def with_centroid_assignment(
+    df: DataFrame,
+    vec: Column,
+    centroids: list[list[float]],
+    out_col: str,
+    nprobe: int | None = None,
+) -> DataFrame:
+    """Broadcast-data centroid assignment for large C: the centroid table
+    rides a SINGLE-ROW broadcast nested-loop join as an
+    ``array<struct<i,c>>`` column, so it ships as broadcast data (once per
+    executor) instead of plan literals — plan size O(1) in C, still
+    map-only (a 1-row build side adds no shuffle and no row blowup), and
+    the argmin is the identical struct-ordered ``array_min`` as the
+    literal form (equivalence property-tested).
+
+    ``nprobe=None`` → ``out_col`` is the nearest-centroid id (corpus
+    side); ``nprobe=n`` → ``out_col`` is the probe-set array (query side).
+    """
+    rows = [([(i, [float(x) for x in c]) for i, c in enumerate(centroids)],)]
+    cents = df.sparkSession.createDataFrame(
+        rows, "__cents array<struct<i:int,c:array<double>>>"
+    )
+    joined = df.crossJoin(F.broadcast(cents))
+    entries = F.transform(
+        F.col("__cents"),
+        lambda s: F.struct(l2sq(vec, s["c"]).alias("d"), s["i"].alias("i")),
+    )
+    if nprobe is None:
+        out = joined.withColumn(out_col, F.array_min(entries)["i"])
+    else:
+        ranked = F.array_sort(entries)
+        out = joined.withColumn(
+            out_col, F.transform(F.slice(ranked, 1, nprobe), lambda s: s["i"])
+        )
+    return out.drop("__cents")
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -168,6 +213,7 @@ def ivf_topk(
     nprobe: int = 4,
     round_digits: int = 6,
     centroids: list[list[float]] | None = None,
+    assignment: str = "auto",
 ) -> DataFrame:
     """IVF-Flat ANN: corpus vectors partitioned into ``n_centroids``
     inverted lists; each query exact-scores only its ``nprobe`` nearest
@@ -176,23 +222,56 @@ def ivf_topk(
     list and returns exactly the brute-force result (pinned in tests).
 
     Pass pre-trained ``centroids`` to skip quantizer training (the
-    production shape: train once on a sample, reuse across queries)."""
+    production shape: train once on a sample, reuse across queries).
+
+    ``assignment``: ``"literal"`` inlines centroids as plan literals
+    (best codegen, C≤256), ``"broadcast"`` ships them as broadcast data
+    via :func:`with_centroid_assignment` (O(1) plan size — the production
+    form at C=4096+), ``"auto"`` picks by centroid count."""
     if centroids is None:
         cents = train_coarse_centroids(corpus, vec_col, n_centroids=n_centroids)
     elif not centroids:
         raise ValueError("centroids must be a non-empty list (or None to train)")
     else:
         cents = centroids
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        as_double(vec_col).alias("__cv"),
-        nearest_centroid(as_double(vec_col), cents).alias("__list"),
+    if assignment not in ("auto", "literal", "broadcast"):
+        raise ValueError(f"unknown assignment mode: {assignment}")
+    use_bcast = assignment == "broadcast" or (
+        assignment == "auto" and len(cents) > _LITERAL_MAX_CENTROIDS
     )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        as_double(vec_col).alias("__qv"),
-        F.explode(probe_centroids(as_double(vec_col), cents, nprobe)).alias("__list"),
-    )
+    if use_bcast:
+        c = with_centroid_assignment(
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"),
+                as_double(vec_col).alias("__cv"),
+            ),
+            F.col("__cv"),
+            cents,
+            "__list",
+        )
+        q = with_centroid_assignment(
+            queries.select(
+                F.col(id_col).alias("query_id"),
+                as_double(vec_col).alias("__qv"),
+            ),
+            F.col("__qv"),
+            cents,
+            "__probes",
+            nprobe=nprobe,
+        ).select(
+            "query_id", "__qv", F.explode("__probes").alias("__list")
+        )
+    else:
+        c = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            as_double(vec_col).alias("__cv"),
+            nearest_centroid(as_double(vec_col), cents).alias("__list"),
+        )
+        q = queries.select(
+            F.col(id_col).alias("query_id"),
+            as_double(vec_col).alias("__qv"),
+            F.explode(probe_centroids(as_double(vec_col), cents, nprobe)).alias("__list"),
+        )
     sims = (
         F.broadcast(q)
         .join(c, "__list")

@@ -154,3 +154,53 @@ def test_ivfpq_codes_and_recall(spark, sf_dir):
     # deterministic given the pinned codebooks/centroids; the fixture is
     # noise-dominant, so the bound reflects the IVF nprobe=4 list ceiling
     assert recall >= 0.4, recall
+
+
+def test_broadcast_assignment_equals_literal(spark, sf_dir):
+    """The broadcast-data centroid assignment (O(1) plan size, the
+    production form at C=4096+) must agree with the inlined-literal form
+    exactly — same struct-ordered argmin, same float math — for both the
+    nearest-centroid id and the nprobe probe set."""
+    from big_data_analytics_project_spark.plans.ivf_centroids import IVF_CENTROIDS
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", as_double("embedding").alias("__v"))
+    lit = base.select(
+        "vec_id",
+        S.nearest_centroid(F.col("__v"), IVF_CENTROIDS).alias("list_id"),
+        S.probe_centroids(F.col("__v"), IVF_CENTROIDS, 4).alias("probes"),
+    )
+    bc = S.with_centroid_assignment(base, F.col("__v"), IVF_CENTROIDS, "list_id")
+    bc = S.with_centroid_assignment(
+        bc, F.col("__v"), IVF_CENTROIDS, "probes", nprobe=4
+    ).select("vec_id", "list_id", "probes")
+    a = {r.vec_id: (r.list_id, tuple(r.probes)) for r in lit.collect()}
+    b = {r.vec_id: (r.list_id, tuple(r.probes)) for r in bc.collect()}
+    assert a == b and len(a) > 0
+
+
+def test_ivf_topk_broadcast_mode_equals_literal(spark, sf_dir):
+    """End-to-end: ivf_topk(assignment='broadcast') returns exactly the
+    literal-mode result, and 'auto' stays literal at small C."""
+    from big_data_analytics_project_spark.plans.ivf_centroids import IVF_CENTROIDS
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 3)
+    kw = dict(k=5, nprobe=4, centroids=IVF_CENTROIDS)
+    lit = sorted(map(tuple, S.ivf_topk(emb, queries, assignment="literal", **kw).collect()))
+    bc = sorted(map(tuple, S.ivf_topk(emb, queries, assignment="broadcast", **kw).collect()))
+    auto = sorted(map(tuple, S.ivf_topk(emb, queries, assignment="auto", **kw).collect()))
+    assert lit == bc == auto and len(lit) > 0
+
+
+def test_broadcast_assignment_plan_has_no_shuffle(spark, sf_dir):
+    """The broadcast form must stay map-only: the 1-row build side rides a
+    BroadcastExchange (not a shuffle); no ShuffleExchange may appear."""
+    from big_data_analytics_project_spark.plans.ivf_centroids import IVF_CENTROIDS
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", as_double("embedding").alias("__v"))
+    out = S.with_centroid_assignment(base, F.col("__v"), IVF_CENTROIDS, "list_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "ShuffleExchange" not in plan and "hashpartitioning" not in plan, plan
