@@ -75,6 +75,18 @@ def main() -> None:
         lambda it: it, "id long"
     ).count()
 
+    # one untimed pass over the headline list: JIT/codegen for every
+    # query's operator mix (window, session_window, MLlib, Arrow) warms
+    # before any timed sample.  The tiny warmup above doesn't cover them,
+    # so the FIRST query in pass 1 (flagship) was absorbing the residual
+    # JVM warmup of the whole list — r5's flagship "+31%" tracked the
+    # list growing 14→25 queries, not any plan change (the query and its
+    # physical plan are unchanged since r4; repeated runs converge to
+    # ~0.6 s).  Timed numbers now reflect steady state for every query.
+    for name in HEADLINE:
+        registry[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()
+
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_N", "3")))
     # full passes over the query list (not back-to-back repeats): transient
     # host-load spikes then hit at most one of a query's n samples, so the

@@ -68,7 +68,10 @@ _LOADED = False
 # which left oracle-backed queries past position 50 without a driver row,
 # and rounds 3-4 used hand-edited tier lists, which drifted (round 4's new
 # queries landed at positions 51-52, outside the window, and a
-# registration-order shift silently evicted a verified query).
+# registration-order shift silently evicted a verified query).  Round 5 ran
+# the first digest-derived rotation: 49/50 driver rows green (every r02-
+# stale query re-verified; the one red was a canonicalizer-incompatible
+# array output, reshaped in round 6).
 #
 # The window is therefore now DERIVED from the recorded driver history
 # (``driver_history.json`` — a checked-in digest of CORRECTNESS_r*.json

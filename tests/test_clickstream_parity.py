@@ -101,9 +101,23 @@ def test_leakage_cutoff_blocks_post_purchase_events(spark, tmp_path):
 
 
 def test_training_on_synthetic(spark, tmp_path):
+    """Drift floors on the clickstream-shaped fixture path (reference
+    baseline: AUC 0.9276 on the real 42M-event dataset, BASELINE.md —
+    this 300-session synthetic fixture is small and noise-dominant, so
+    the pinned floors sit just under the SEEDED values this pipeline
+    reproduces with pinned partitioning: AUC 0.6380 / F1 0.5444 at
+    trees=5 depth=3.  A drop below the floor means the feature
+    construction, split, or RF wiring drifted — everything is seeded and
+    partition-pinned, so this is deterministic, not flaky."""
     csv_path = str(tmp_path / "clickstream.csv")
     _make_csv(csv_path, n_sessions=300)
     features, _ = run_preprocessing(spark, csv_path)
+    # randomSplit is seeded PER PARTITION: the split (and thus the
+    # metrics) is only reproducible if partitioning and row order are
+    # pinned first — otherwise the floor would flake across session confs
+    features = features.coalesce(1).sortWithinPartitions("user_session")
     _, metrics = run_training(spark, features, num_trees=5, max_depth=3)
     assert 0.0 <= metrics["auc"] <= 1.0
     assert all(k in metrics for k in ("f1", "weighted_recall", "accuracy"))
+    assert metrics["auc"] >= 0.63, metrics
+    assert metrics["f1"] >= 0.54, metrics

@@ -10,9 +10,15 @@ from big_data_analytics_project_spark.ml.recommend import run_als_pipeline
 
 
 def test_intent_pipeline_end_to_end(spark, sf_dir):
+    """Numeric drift floors (VERDICT r5 item 7): the sf0.001 fixture's
+    purchase label is cleanly separable from the leakage-free session
+    features, so the seeded pipeline reproduces AUC = F1 = 1.0 exactly
+    (reference baseline on real data: AUC 0.9276, BASELINE.md).  Any dip
+    below the floor means the feature table, cutoff, or RF wiring
+    drifted — all seeded, so this is deterministic."""
     m = run_intent_pipeline(spark, sf_dir)
-    assert 0.0 <= m.auc <= 1.0
-    assert 0.0 <= m.f1 <= 1.0
+    assert m.auc >= 0.99, m
+    assert m.f1 >= 0.99, m
     assert m.n_train > 0 and m.n_test > 0
 
 
