@@ -135,3 +135,39 @@ def sessionize(
         conversion=conversion,
         count_types=count_types,
     )
+
+
+def gap_sessionize(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    gap_sec: int = 1800,
+    tiebreak: str | None = None,
+    out: str = "session_idx",
+) -> DataFrame:
+    """Classic inactivity-gap sessionization (the batch mirror of
+    Structured Streaming's ``session_window``): within each ``key``, a new
+    session starts when the gap to the previous event exceeds ``gap_sec``.
+
+    Two stacked window functions over the SAME (partition, order) spec —
+    ``lag`` to detect gaps, running ``sum`` of the new-session flags to
+    number sessions 1..n — so Catalyst plans ONE Exchange + one Sort for
+    both.  At 100 TB that single hash exchange on the session key is the
+    whole cost; no join, no second shuffle.
+
+    ``tiebreak`` (default: none) adds a deterministic secondary sort
+    column so equal timestamps order identically across engines — required
+    for oracle checking, recommended always.
+    """
+    order = [F.col(ts)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = Window.partitionBy(key).orderBy(*order)
+    prev = F.lag(ts).over(w)
+    new_session = F.when(
+        prev.isNull()
+        | ((F.unix_timestamp(F.col(ts)) - F.unix_timestamp(prev)) > gap_sec),
+        1,
+    ).otherwise(0)
+    idx = F.sum(new_session).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(out, idx.cast("long"))

@@ -382,3 +382,135 @@ def chunk_long_documents(spark, sf_dir):
     return out.select(
         "doc_id", "chunk_id", "chunk_start_token", "chunk_text", "chunk_n_tokens"
     )
+
+
+# --- Gopher-style document quality gates ----------------------------------
+
+# Bounds follow the published Gopher/MassiveText filter shapes, scaled to
+# the fixture corpus (docs are ~20-60 whitespace tokens).
+_G_MIN_WORDS, _G_MAX_WORDS = 10, 100_000
+_G_MIN_MWL, _G_MAX_MWL = 2.0, 10.0
+_G_STOPWORDS = ("the", "a", "and", "of", "to")
+_G_MIN_STOPWORD_HITS = 1
+_G_SW_LIST_SQL = "[" + ", ".join(f"'{w}'" for w in _G_STOPWORDS) + "]"
+
+_GOPHER_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+  FROM documents
+),
+feats AS (
+  SELECT doc_id,
+         len(t) AS n_words,
+         CAST(list_reduce(list_transform(t, x -> len(x)), (acc, x) -> acc + x)
+              AS DOUBLE) / len(t) AS mwl,
+         len(list_intersect(t, {_G_SW_LIST_SQL})) AS sw_hits
+  FROM toks
+)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       round(mwl, 6) AS mean_word_len,
+       CAST(sw_hits AS BIGINT) AS stopword_hits,
+       (n_words BETWEEN {_G_MIN_WORDS} AND {_G_MAX_WORDS}) AS word_count_ok,
+       (mwl BETWEEN {_G_MIN_MWL} AND {_G_MAX_MWL}) AS mean_word_len_ok,
+       (sw_hits >= {_G_MIN_STOPWORD_HITS}) AS stopword_ok,
+       ((n_words BETWEEN {_G_MIN_WORDS} AND {_G_MAX_WORDS})
+        AND (mwl BETWEEN {_G_MIN_MWL} AND {_G_MAX_MWL})
+        AND sw_hits >= {_G_MIN_STOPWORD_HITS}) AS passes
+FROM feats
+"""
+
+
+@query("quality_gopher_rules", sql=_GOPHER_SQL, tags=("quality", "curation", "text"))
+def quality_gopher_rules(spark, sf_dir):
+    """Gopher/MassiveText-style document quality gates: word-count bounds,
+    mean-word-length bounds, minimum stopword presence, and the combined
+    pass flag.  Map-only codegen'd array math (the token sum is an
+    explicit sequential fold matching DuckDB's list_reduce) — at 100 TB
+    this runs at scan speed with every gate evaluated in the same pass."""
+    docs = read_table(spark, sf_dir, "documents")
+    t = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    n_words = F.size(t)
+    mwl = (
+        F.aggregate(
+            F.transform(t, F.length), F.lit(0), lambda acc, x: acc + x
+        ).cast("double")
+        / n_words
+    )
+    sw = F.size(
+        F.array_intersect(t, F.array(*[F.lit(w) for w in _G_STOPWORDS]))
+    )
+    wc_ok = (n_words >= _G_MIN_WORDS) & (n_words <= _G_MAX_WORDS)
+    mwl_ok = (mwl >= _G_MIN_MWL) & (mwl <= _G_MAX_MWL)
+    sw_ok = sw >= _G_MIN_STOPWORD_HITS
+    return docs.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        F.round(mwl, 6).alias("mean_word_len"),
+        sw.cast("long").alias("stopword_hits"),
+        wc_ok.alias("word_count_ok"),
+        mwl_ok.alias("mean_word_len_ok"),
+        sw_ok.alias("stopword_ok"),
+        (wc_ok & mwl_ok & sw_ok).alias("passes"),
+    )
+
+
+# --- domain-mixture sampling weights --------------------------------------
+
+_MIX_SQL = """
+WITH shares AS (
+  SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+),
+with_total AS (
+  SELECT lang, n_docs,
+         sum(n_docs) OVER () AS n_total,
+         count(*) OVER () AS n_langs
+  FROM shares
+)
+SELECT d.doc_id, d.lang,
+       CAST(w.n_docs AS BIGINT) AS lang_docs,
+       round(CAST(w.n_docs AS DOUBLE) / w.n_total, 6) AS corpus_share,
+       round(1.0 / w.n_langs, 6) AS target_share,
+       round((CAST(w.n_total AS DOUBLE) / w.n_langs) / w.n_docs, 6) AS sample_weight
+FROM documents d JOIN with_total w USING (lang)
+"""
+
+
+@query("mix_domain_weights", sql=_MIX_SQL, tags=("mixing", "curation"))
+def mix_domain_weights(spark, sf_dir):
+    """Domain-mixture reweighting: per-document sampling weight that moves
+    the corpus to a TARGET mixture over language shards (uniform here;
+    any pinned mixture slots in the same way).  weight =
+    target_share / corpus_share, so an over-represented shard is
+    down-sampled and a rare one up-weighted — the standard knob for
+    pretraining mixtures.  Scale shape: the per-shard histogram is a
+    5-row aggregate; its window total runs on those 5 rows, then a
+    BROADCAST equi-join stamps weights onto the corpus — the big side is
+    never shuffled."""
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    shares = docs.groupBy("lang").agg(F.count("*").alias("lang_docs"))
+    w = Window.partitionBy()
+    with_total = shares.select(
+        "lang",
+        "lang_docs",
+        F.sum("lang_docs").over(w).alias("__n_total"),
+        F.count("*").over(w).alias("__n_langs"),
+    )
+    return docs.select("doc_id", "lang").join(
+        F.broadcast(with_total), "lang"
+    ).select(
+        "doc_id",
+        "lang",
+        F.col("lang_docs").cast("long").alias("lang_docs"),
+        F.round(
+            F.col("lang_docs").cast("double") / F.col("__n_total"), 6
+        ).alias("corpus_share"),
+        F.round(F.lit(1.0) / F.col("__n_langs"), 6).alias("target_share"),
+        F.round(
+            (F.col("__n_total").cast("double") / F.col("__n_langs"))
+            / F.col("lang_docs"),
+            6,
+        ).alias("sample_weight"),
+    )

@@ -220,3 +220,38 @@ def hypertable_rollup_events(spark, sf_dir):
 
 def _hour_bucket(ts):
     return (F.floor(F.unix_timestamp(ts) / 3600) * 3600).cast("long")
+
+
+# --- inactivity-gap sessionization ----------------------------------------
+
+_GAP_SEC = 1800
+
+_GAP_SESSION_SQL = f"""
+WITH lagged AS (
+  SELECT event_id, user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+)
+SELECT event_id, user_id,
+       CAST(sum(CASE WHEN prev_ts IS NULL
+                       OR date_diff('second', prev_ts, ts) > {_GAP_SEC}
+                     THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+FROM lagged
+"""
+
+
+@query("session_gap_assignment", sql=_GAP_SESSION_SQL, tags=("temporal", "session", "window"))
+def session_gap_assignment(spark, sf_dir):
+    """Classic 30-minute inactivity-gap sessionization over the event
+    stream (operators/sessionization.py::gap_sessionize) — the batch
+    mirror of the streaming session_window query.  lag + running sum
+    share one (partition, order) spec → a single Exchange; event_id is
+    the tie-break so timestamp collisions order identically across
+    engines."""
+    from ..operators.sessionization import gap_sessionize
+
+    ev = read_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    out = gap_sessionize(ev, "user_id", "ts", gap_sec=_GAP_SEC, tiebreak="event_id")
+    return out.select("event_id", "user_id", "session_idx")

@@ -357,3 +357,141 @@ def vocab_top_ngrams(spark, sf_dir):
         .limit(_VOCAB_TOP_N)
         .withColumn("rank", F.row_number().over(w).cast("long"))
     )
+
+
+# --- cross-document boilerplate n-gram share ------------------------------
+
+_BOILER_N = 3        # trigram shingles
+_BOILER_MIN_DF = 4   # a gram in >= this many docs is "boilerplate"
+
+_BOILER_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t FROM documents
+),
+grams AS (
+  -- per-doc DISTINCT trigrams (each doc contributes a gram once, so the
+  -- per-gram window count below IS the document frequency)
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, len(t) - 1), i -> array_to_string(t[i : i + {_BOILER_N} - 1], ' ')
+         ))) AS gram
+  FROM toks
+  WHERE len(t) >= {_BOILER_N}
+),
+with_df AS (
+  SELECT doc_id, gram, count(*) OVER (PARTITION BY gram) AS df FROM grams
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(count(CASE WHEN df >= {_BOILER_MIN_DF} THEN 1 END) AS BIGINT) AS n_boilerplate,
+       round(CAST(count(CASE WHEN df >= {_BOILER_MIN_DF} THEN 1 END) AS DOUBLE)
+             / count(*), 6) AS boilerplate_share
+FROM with_df
+GROUP BY doc_id
+"""
+
+
+@query("text_boilerplate_ngram_share", sql=_BOILER_SQL, tags=("text", "quality", "dedup"))
+def text_boilerplate_ngram_share(spark, sf_dir):
+    """CCNet/RefinedWeb-style boilerplate detection: the fraction of each
+    document's distinct trigrams whose corpus document-frequency is >=
+    {_BOILER_MIN_DF} (headers, footers, license blurbs repeat across
+    docs; high share => near-template page).  Scale shape: explode
+    per-doc DISTINCT shingles, document frequency via a window count
+    partitioned by gram (ONE hash exchange on gram — no count+join-back
+    second shuffle), then re-aggregate per doc.  At 100 TB both
+    exchanges are key-partitioned; no all-pairs comparison anywhere."""
+    from pyspark.sql import Window
+
+    from ..operators.dedup import shingles, tokens
+
+    docs = read_table(spark, sf_dir, "documents")
+    grams = (
+        docs.select(
+            "doc_id", shingles(tokens(F.col("text")), _BOILER_N).alias("__g")
+        )
+        .where(F.size("__g") >= 1)
+        .select("doc_id", F.explode("__g").alias("gram"))
+    )
+    with_df = grams.withColumn("df", F.count("*").over(Window.partitionBy("gram")))
+    boiler = F.count(F.when(F.col("df") >= _BOILER_MIN_DF, 1))
+    return with_df.groupBy("doc_id").agg(
+        F.count("*").alias("n_grams"),
+        boiler.alias("n_boilerplate"),
+        F.round(boiler.cast("double") / F.count("*"), 6).alias("boilerplate_share"),
+    )
+
+
+# --- per-source TF-IDF top terms ------------------------------------------
+
+_TFIDF_TOP_K = 5
+
+_TFIDF_SQL = f"""
+WITH toks AS (
+  SELECT source, unnest(regexp_split_to_array(lower(text), '\\s+')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT source, term, count(*) AS tf FROM toks GROUP BY source, term
+),
+with_df AS (
+  SELECT source, term, tf,
+         count(*) OVER (PARTITION BY term) AS df,
+         (SELECT count(DISTINCT source) FROM documents) AS n_sources
+  FROM tf
+),
+scored AS (
+  SELECT source, term, CAST(tf AS BIGINT) AS tf,
+         CAST(df AS BIGINT) AS df,
+         round(tf * round(ln(CAST(n_sources AS DOUBLE) / df), 6), 6) AS tfidf
+  FROM with_df
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY source
+                               ORDER BY tfidf DESC, term) AS rank
+  FROM scored
+)
+SELECT source, term, tf, df, tfidf, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {_TFIDF_TOP_K}
+"""
+
+
+@query("tfidf_top_terms", sql=_TFIDF_SQL, tags=("text", "analytics"))
+def tfidf_top_terms(spark, sf_dir):
+    """Per-source top-{_TFIDF_TOP_K} terms by TF-IDF (source = the
+    "document" unit; term frequencies within a source vs how many sources
+    carry the term).  Shape: explode -> map-side-combined (source, term)
+    counts, document frequency via a window count partitioned by term
+    (no join-back), row_number per source with the term as tie-break.
+    The idf is rounded to 6 decimals BEFORE the tf multiply so the 1-ulp
+    libm ln() divergence across engines can't reach the final rounding
+    (determinism contract, registry docstring)."""
+    from pyspark.sql import Window
+
+    from ..operators.dedup import tokens
+
+    docs = read_table(spark, sf_dir, "documents")
+    n_sources = docs.select(
+        F.countDistinct("source").cast("double").alias("__n")
+    )
+    tf = (
+        docs.select("source", F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    with_df = tf.withColumn(
+        "df", F.count("*").over(Window.partitionBy("term"))
+    ).crossJoin(F.broadcast(n_sources))
+    scored = with_df.select(
+        "source",
+        "term",
+        F.col("tf").cast("long").alias("tf"),
+        F.col("df").cast("long").alias("df"),
+        F.round(
+            F.col("tf") * F.round(F.log(F.col("__n") / F.col("df")), 6), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("tfidf"), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= _TFIDF_TOP_K)
+    )

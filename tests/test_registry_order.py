@@ -24,8 +24,15 @@ from big_data_analytics_project_spark.registry import (
 # rotate out), with the four never-driver-checked rows-only streaming
 # queries lifted into the window tail for ONE round (VERDICT r5 item 4).
 EXPECTED_WINDOW = (
-    # tier 0 — never driver-green
+    # tier 0 — never driver-green: the reshaped quantize query plus the
+    # five round-6 operators (gopher gates, mixture weights, gap
+    # sessionization, boilerplate share, TF-IDF)
     "embedding_quantize_int8",
+    "quality_gopher_rules",
+    "mix_domain_weights",
+    "session_gap_assignment",
+    "text_boilerplate_ngram_share",
+    "tfidf_top_terms",
     # tier 1 — last green r04, registration order
     "skew_salted_agg",
     "skew_salted_join",
@@ -67,13 +74,9 @@ EXPECTED_WINDOW = (
     "text_quality_scores",
     "text_language_id",
     "text_fingerprint",
-    "text_redact_pii",
-    "text_repetition_ratio",
-    # tier 1 — last green r05 (freshest; first to rotate out as round-6
-    # queries register)
-    "sample_hash_stratified",
-    "pack_token_budget_bins",
-    "zorder_code_events",
+    # (text_redact_pii, text_repetition_ratio and the r5 greens rotated
+    # out by the five new tier-0 queries — still parity-checked at
+    # sf0.001 every session by tests/test_oracle_parity.py)
     # one-round rows-only lift (never in any CORRECTNESS file before r6)
     "streaming_tumbling_append",
     "streaming_dedup",

@@ -226,3 +226,38 @@ def test_range_join_plan_has_no_nested_loop(spark, sf_dir):
     )
     assert "NestedLoop" not in plan and "Cartesian" not in plan, plan[:500]
     assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_gap_sessionize_matches_sequential_reference(spark, sf_dir):
+    """Property: gap session assignment equals the obvious sequential
+    per-user scan (sort events, walk, bump index when gap > g)."""
+    from big_data_analytics_project_spark.operators.sessionization import gap_sessionize
+
+    ev = read_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    got = {
+        r.event_id: r.session_idx
+        for r in gap_sessionize(
+            ev, "user_id", "ts", gap_sec=1800, tiebreak="event_id"
+        ).collect()
+    }
+    rows = sorted(ev.collect(), key=lambda r: (r.user_id, r.ts, r.event_id))
+    want, prev_user, prev_ts, idx = {}, None, None, 0
+    for r in rows:
+        if r.user_id != prev_user:
+            idx = 1
+        elif (int(r.ts.timestamp()) - int(prev_ts.timestamp())) > 1800:
+            idx += 1
+        want[r.event_id] = idx
+        prev_user, prev_ts = r.user_id, r.ts
+    assert got == want and len(got) > 0
+
+
+def test_gap_sessionize_single_exchange(spark, sf_dir):
+    """lag and the running sum share one (partition, order) spec, so the
+    physical plan must contain exactly ONE shuffle exchange."""
+    from big_data_analytics_project_spark.operators.sessionization import gap_sessionize
+
+    ev = read_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    out = gap_sessionize(ev, "user_id", "ts", gap_sec=1800, tiebreak="event_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
