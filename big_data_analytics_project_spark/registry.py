@@ -163,6 +163,7 @@ def load_all() -> dict[str, QuerySpec]:
             streaming_queries,
             temporal_queries,
             text_queries,
+            tpch_queries,
         )
 
         reordered = _driver_order(REGISTRY)
