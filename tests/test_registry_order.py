@@ -33,6 +33,17 @@ EXPECTED_WINDOW = (
     "session_gap_assignment",
     "text_boilerplate_ngram_share",
     "tfidf_top_terms",
+    # tier 0 (cont.) — the nine canonical TPC-H worked examples, new this
+    # round, never driver-checked
+    "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q10_returned_items",
+    "tpch_q14_promo_effect",
+    "tpch_q18_large_volume_customer",
+    "tpch_q19_bracketed_revenue",
+    "tpch_q22_idle_balance",
     # tier 1 — last green r04, registration order
     "skew_salted_agg",
     "skew_salted_join",
@@ -65,18 +76,10 @@ EXPECTED_WINDOW = (
     "dedup_subset_keys",
     "agg_percentiles",
     "agg_corr_covar",
-    "ann_bruteforce_topk",
-    "ann_lsh_topk",
-    "embedding_cosine_neardup",
-    "streaming_tumbling_window",
-    "streaming_session_window",
-    "text_token_stats",
-    "text_quality_scores",
-    "text_language_id",
-    "text_fingerprint",
-    # (text_redact_pii, text_repetition_ratio and the r5 greens rotated
-    # out by the five new tier-0 queries — still parity-checked at
-    # sf0.001 every session by tests/test_oracle_parity.py)
+    # (ann_*, embedding_cosine_neardup, streaming_tumbling/session_window,
+    # the text_* r4 block, text_redact_pii, text_repetition_ratio and the
+    # r5 greens rotated out by the fourteen new tier-0 queries — still
+    # parity-checked at sf0.001 every session by tests/test_oracle_parity.py)
     # one-round rows-only lift (never in any CORRECTNESS file before r6)
     "streaming_tumbling_append",
     "streaming_dedup",
