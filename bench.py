@@ -56,6 +56,16 @@ HEADLINE = [
     "dq_constraint_audit",
     "funnel_ordered_stages",
     "cohort_retention_daily",
+    # round-6 TPC-H representatives, one per plan family: scan-agg (q6),
+    # join-heavy top-k (q3), profit expression over 5 tables (q9),
+    # distribution-of-distribution (q13), semi-join-of-aggregate (q18),
+    # aggregated EXISTS/NOT-EXISTS rewrite (q21)
+    "tpch_q6_forecast_revenue",
+    "tpch_q3_shipping_priority",
+    "tpch_q9_product_type_profit",
+    "tpch_q13_customer_distribution",
+    "tpch_q18_large_volume_customer",
+    "tpch_q21_waiting_supplier",
 ]
 
 

@@ -387,6 +387,679 @@ def tpch_q19_bracketed_revenue(spark, sf_dir):
 
 
 @query(
+    "tpch_q7_volume_shipping",
+    sql=f"""
+    SELECT ns.n_name AS supp_nation,
+           nc.n_name AS cust_nation,
+           EXTRACT(year FROM l.l_shipdate) AS l_year,
+           {_REVENUE_SQL} AS revenue
+    FROM supplier s
+    JOIN lineitem l  ON s.s_suppkey  = l.l_suppkey
+    JOIN orders o    ON o.o_orderkey = l.l_orderkey
+    JOIN customer c  ON c.c_custkey  = o.o_custkey
+    JOIN nation ns   ON s.s_nationkey = ns.n_nationkey
+    JOIN nation nc   ON c.c_nationkey = nc.n_nationkey
+    JOIN region rs   ON ns.n_regionkey = rs.r_regionkey
+    JOIN region rc   ON nc.n_regionkey = rc.r_regionkey
+    WHERE rs.r_name = 'ASIA' AND rc.r_name = 'EUROPE'
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY ns.n_name, nc.n_name, EXTRACT(year FROM l.l_shipdate)
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+    tags=("tpch", "join", "agg", "self-join-dim"),
+)
+def tpch_q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 (volume shipping), adapted: the fixture's nations are
+    synthetic (NATION_0..24), so the two-nation pair filter becomes a
+    region-pair filter (supplier in ASIA, customer in EUROPE) — the
+    operator under test is unchanged: the SAME dimension table joined
+    twice in different roles (supplier-nation and customer-nation), which
+    requires disambiguated aliases in SQL and two independent broadcast
+    joins in Spark.  One fact shuffle (lineitem ⋈ orders on the order
+    key); nation and region are broadcast twice each, once per role."""
+    s = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    ns = (
+        n.join(F.broadcast(r.where(F.col("r_name") == "ASIA")),
+               n.n_regionkey == r.r_regionkey)
+        .select(F.col("n_nationkey").alias("_s_nk"), F.col("n_name").alias("supp_nation"))
+    )
+    nc = (
+        n.join(F.broadcast(r.where(F.col("r_name") == "EUROPE")),
+               n.n_regionkey == r.r_regionkey)
+        .select(F.col("n_nationkey").alias("_c_nk"), F.col("n_name").alias("cust_nation"))
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("_s_nk"))
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("_c_nk"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(_revenue())
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@query(
+    "tpch_q8_market_share",
+    sql="""
+    SELECT o_year,
+           CAST(sum(CASE WHEN supp_nation = 'NATION_2' THEN volume_dec
+                         ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+           / CAST(sum(volume_dec) AS DOUBLE) AS mkt_share
+    FROM (
+      SELECT EXTRACT(year FROM o.o_orderdate) AS o_year,
+             CAST(l.l_extendedprice * (1 - l.l_discount)
+                  AS DECIMAL(18,4)) AS volume_dec,
+             ns.n_name AS supp_nation
+      FROM part p
+      JOIN lineitem l ON p.p_partkey  = l.l_partkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey  = o.o_custkey
+      JOIN nation nc  ON c.c_nationkey = nc.n_nationkey
+      JOIN region rc  ON nc.n_regionkey = rc.r_regionkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation ns  ON s.s_nationkey = ns.n_nationkey
+      WHERE rc.r_name = 'AMERICA'
+        AND p.p_type = 'ECONOMY'
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+    ) all_nations
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+    tags=("tpch", "join", "agg", "share"),
+)
+def tpch_q8_market_share(spark, sf_dir):
+    """TPC-H Q8 (national market share), adapted to the synthetic nation
+    names: the share of AMERICA-region ECONOMY-part volume supplied by
+    NATION_2, per order year.  The numerator's conditional sum and the
+    denominator ride the SAME decimal partial-agg pass (one exchange on
+    the year), and the division happens once per year on two
+    bit-identical doubles.  Every dimension broadcasts; the only fact
+    shuffle is lineitem ⋈ orders."""
+    p = _t(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY")
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "AMERICA")
+    nc = (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(F.col("n_nationkey").alias("_c_nk"))
+    )
+    ns = n.select(
+        F.col("n_nationkey").alias("_s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    zero = F.lit(0).cast("decimal(18,4)")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("_c_nk"))
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("_s_nk"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_2", vol).otherwise(zero)
+                ).cast("double")
+                / F.sum(vol).cast("double")
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@query(
+    "tpch_q9_product_type_profit",
+    sql="""
+    SELECT n.n_name AS nation,
+           EXTRACT(year FROM o.o_orderdate) AS o_year,
+           CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         - 0.6 * p.p_retailprice * l.l_quantity
+                         AS DECIMAL(18,4))) AS DOUBLE) AS sum_profit
+    FROM part p
+    JOIN lineitem l ON p.p_partkey  = l.l_partkey
+    JOIN supplier s ON s.s_suppkey  = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY n.n_name, EXTRACT(year FROM o.o_orderdate)
+    ORDER BY nation, o_year DESC
+    """,
+    tags=("tpch", "join", "agg"),
+)
+def tpch_q9_product_type_profit(spark, sf_dir):
+    """TPC-H Q9 (product type profit), adapted: the fixture has no partsupp
+    table, so supply cost is proxied as 60% of p_retailprice (documented
+    constant — the operator under test, a profit expression spanning
+    columns of THREE joined tables aggregated by supplier nation and
+    year, is unchanged).  The LIKE '%widget%' predicate prunes part
+    before its broadcast; profit is cast to decimal per row so the sum
+    is order-insensitive across engines."""
+    p = _t(spark, sf_dir, "part").where(F.col("p_name").like("%widget%"))
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+    ).cast("decimal(18,4)")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(F.sum(profit).cast("double").alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@query(
+    "tpch_q12_priority_by_linestatus",
+    sql="""
+    SELECT l.l_linestatus,
+           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY l.l_linestatus
+    ORDER BY l.l_linestatus
+    """,
+    tags=("tpch", "join", "conditional-agg"),
+)
+def tpch_q12_priority_by_linestatus(spark, sf_dir):
+    """TPC-H Q12 (shipping modes / order priority), adapted: the fixture
+    lineitem has no shipmode or commit/receipt dates, so the grouping key
+    is l_linestatus and the date window is on l_shipdate — the operator
+    under test (fact-fact join feeding a pair of complementary
+    conditional counts in one agg pass) is unchanged.  The year filter
+    prunes lineitem at the scan; one shuffle on the order key, then one
+    on the single-column grouping key (AQE coalesces it to a handful of
+    partitions)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@query(
+    "tpch_q13_customer_distribution",
+    sql="""
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                        AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    ) c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    tags=("tpch", "outer-join", "agg-of-agg"),
+)
+def tpch_q13_customer_distribution(spark, sf_dir):
+    """TPC-H Q13 (customer distribution), faithful modulo the fixture's
+    missing comment column (the NOT LIKE '%special%requests%' filter
+    becomes o_orderpriority <> '1-URGENT' — same role: a join-side
+    predicate that must stay in the LEFT JOIN's ON clause, NOT the WHERE,
+    or zero-order customers vanish).  Distribution-of-a-distribution:
+    count orders per customer (left join preserves order-less customers
+    as count 0), then count customers per order-count.  The second agg's
+    input is one row per customer — tiny — so the expensive shuffle
+    happens exactly once, on the custkey."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o.where(F.col("o_orderpriority") != "1-URGENT"),
+            c.c_custkey == o.o_custkey,
+            "left",
+        )
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@query(
+    "tpch_q2_min_cost_supplier",
+    sql="""
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             min(l_extendedprice / l_quantity) AS supplycost
+      FROM lineitem
+      GROUP BY l_partkey, l_suppkey
+    )
+    SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_type,
+           ps.supplycost
+    FROM part p
+    JOIN ps         ON p.p_partkey = ps.l_partkey
+    JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE p.p_size <= 15 AND p.p_type = 'STANDARD'
+      AND r.r_name = 'EUROPE'
+      AND ps.supplycost = (
+        SELECT min(ps2.supplycost)
+        FROM ps ps2
+        JOIN supplier s2 ON s2.s_suppkey = ps2.l_suppkey
+        JOIN nation n2   ON s2.s_nationkey = n2.n_nationkey
+        JOIN region r2   ON n2.n_regionkey = r2.r_regionkey
+        WHERE ps2.l_partkey = p.p_partkey AND r2.r_name = 'EUROPE')
+    ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+    LIMIT 100
+    """,
+    tags=("tpch", "correlated-subquery", "join", "topk"),
+)
+def tpch_q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 (minimum cost supplier), adapted: the fixture has no
+    partsupp table, so the part-supplier relation is derived from
+    lineitem — supplycost(part, supp) = the minimum unit price that
+    supplier ever shipped the part at (per-row double division, then an
+    order-insensitive min, so both engines agree bitwise).  The operator
+    under test survives intact: a correlated min subquery over the SAME
+    derived relation, restricted to one region.  Spark expresses it as a
+    window min over the region-filtered relation — the derived ps is
+    computed ONCE (one shuffle on the part+supp key), the window
+    re-shuffles only the region-filtered subset on the part key, and
+    dims broadcast.  Double-equality against the window min is exact:
+    the min IS one of the compared values."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(
+        (F.col("p_size") <= 15) & (F.col("p_type") == "STANDARD")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supplycost")
+    )
+    europe = (
+        ps.join(F.broadcast(s), ps.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    w = Window.partitionBy("l_partkey")
+    return (
+        europe.withColumn("_min_cost", F.min("supplycost").over(w))
+        .where(F.col("supplycost") == F.col("_min_cost"))
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type", "supplycost")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@query(
+    "tpch_q11_important_stock",
+    sql="""
+    WITH val AS (
+      SELECT l.l_partkey,
+             sum(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS value_dec
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+      JOIN region r   ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'EUROPE'
+      GROUP BY l.l_partkey
+    )
+    SELECT l_partkey, CAST(value_dec AS DOUBLE) AS part_value
+    FROM val
+    WHERE CAST(value_dec AS DOUBLE) >
+          CAST(1.5 AS DOUBLE) * (SELECT CAST(sum(value_dec) AS DOUBLE)
+                                        / count(*)
+                                 FROM val)
+    ORDER BY part_value DESC, l_partkey
+    """,
+    tags=("tpch", "scalar-subquery", "agg", "having"),
+)
+def tpch_q11_important_stock(spark, sf_dir):
+    """TPC-H Q11 (important stock identification), adapted: without
+    partsupp, a part's "stock value" is the decimal sum of extendedprice
+    shipped by EUROPE-region suppliers, and the HAVING threshold is 1.5×
+    the MEAN part value — scale-free, unlike the spec's 0.0001/SF
+    constant, so the query selects a meaningful tail at every SF.  The
+    scalar subquery is a re-aggregation of the SAME grouped relation —
+    decimal addition is exact, so sum-of-group-sums equals the direct
+    sum on both engines.  Spark computes val once, derives the 1-row
+    total from it, broadcasts it as a cross join, and filters — no
+    second scan of lineitem, no driver round-trip."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    val = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).alias("value_dec"))
+    )
+    total = val.agg(
+        (F.sum("value_dec").cast("double") / F.count("*")).alias("_mean")
+    )
+    return (
+        val.join(F.broadcast(total))
+        .where(
+            F.col("value_dec").cast("double")
+            > F.lit(1.5).cast("double") * F.col("_mean")
+        )
+        .select("l_partkey", F.col("value_dec").cast("double").alias("part_value"))
+        .orderBy(F.desc("part_value"), "l_partkey")
+    )
+
+
+@query(
+    "tpch_q15_top_supplier",
+    sql="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             sum(CAST(l_extendedprice * (1 - l_discount)
+                      AS DECIMAL(18,4))) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name,
+           CAST(r.total_revenue AS DOUBLE) AS total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+    ORDER BY s.s_suppkey
+    """,
+    tags=("tpch", "scalar-subquery", "agg"),
+)
+def tpch_q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 (top supplier), faithful — the spec's CREATE VIEW becomes
+    a CTE/cached DataFrame.  The revenue relation is computed ONCE; its
+    1-row max broadcasts back against it (the classic argmax-without-
+    window shape, which unlike a global window needs no single-partition
+    sort).  Ties all surface — equality is on the exact decimal, cast to
+    double only for output."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    revenue = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            ).alias("total_revenue")
+        )
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("_max_rev"))
+    return (
+        revenue.join(F.broadcast(mx))
+        .where(F.col("total_revenue") == F.col("_max_rev"))
+        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_revenue").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "tpch_q17_small_quantity_revenue",
+    sql="""
+    SELECT CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4)))
+                     AS DOUBLE) / 7.0 AS DOUBLE) AS avg_yearly,
+           count(*) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#3' AND p.p_size < 25
+      AND l.l_quantity < CAST(0.5 AS DOUBLE) * (
+        SELECT CAST(sum(CAST(l2.l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+               / count(*)
+        FROM lineitem l2
+        WHERE l2.l_partkey = p.p_partkey)
+    """,
+    tags=("tpch", "correlated-subquery", "agg"),
+)
+def tpch_q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 (small-quantity-order revenue), faithful modulo the
+    missing container column (p_size < 25 plays its role) and a 0.5
+    threshold (the spec's 0.2 selects ~no rows on the fixture's uniform
+    quantities).  The correlated per-part average is decorrelated the
+    canonical way: pre-aggregate quantity per part over ALL lineitems
+    (decimal sum / count so the average is bit-identical across
+    engines), broadcast it, and filter.  At 100 TB the per-part agg is a
+    map-side-combined shuffle on the part key — same key as the join, so
+    AQE reuses the exchange — and the brand-filtered probe side is tiny."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(
+        (F.col("p_brand") == "Brand#3") & (F.col("p_size") < 25)
+    )
+    avg_qty = li.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        (
+            F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double")
+            / F.count("*")
+        ).alias("_avg_qty")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(avg_qty), li.l_partkey == F.col("_pk"))
+        .where(F.col("l_quantity") < F.lit(0.5).cast("double") * F.col("_avg_qty"))
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double")
+                / 7.0
+            )
+            .cast("double")
+            .alias("avg_yearly"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "tpch_q16_supplier_part_count",
+    sql="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#1' AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 5, 10, 15, 20, 25, 30, 35, 40, 45)
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                              WHERE s_acctbal < 1000.0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+    """,
+    tags=("tpch", "anti-join", "distinct-agg"),
+)
+def tpch_q16_supplier_part_count(spark, sf_dir):
+    """TPC-H Q16 (parts/supplier relationship), adapted: the part-supplier
+    relation comes from lineitem instead of partsupp, and the "customer
+    complaints" exclusion is proxied by s_acctbal < 1000 (the operator —
+    a NOT IN pushed through as a join-side exclusion feeding a
+    count-distinct — is unchanged).  The supplier table has no NULL keys,
+    so NOT IN is exactly a left-anti join; Spark broadcasts the (tiny)
+    complaint list.  The count-distinct shuffles (brand,type,size,supp)
+    once, then collapses — never a global distinct."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35, 40, 45)
+    )
+    complaints = (
+        _t(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 1000.0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(complaints), li.l_suppkey == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@query(
+    "tpch_q20_part_promotion",
+    sql="""
+    SELECT s.s_name, n.n_name
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE s.s_suppkey IN (
+      SELECT l.l_suppkey
+      FROM lineitem l
+      WHERE l.l_partkey IN (SELECT p_partkey FROM part
+                            WHERE p_name LIKE '%bolt%')
+        AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+      GROUP BY l.l_suppkey
+      HAVING sum(CAST(l.l_quantity AS DECIMAL(12,2))) > 200)
+    ORDER BY s.s_name
+    """,
+    tags=("tpch", "nested-subquery", "semi-join", "having"),
+)
+def tpch_q20_part_promotion(spark, sf_dir):
+    """TPC-H Q20 (potential part promotion), adapted: without partsupp's
+    availqty, "excess stock" is proxied as having shipped > 200 units of
+    %bolt% parts in 1997.  The nested-IN chain survives: partkeys from a
+    name-pattern scan (innermost) → a HAVING-filtered aggregate over
+    lineitem (middle, decimal sum so the threshold comparison is exact
+    cross-engine) → a semi-join against supplier (outer).  Spark turns
+    both INs into semi-joins — the part list and the qualifying-supplier
+    list are tiny, so both broadcast; lineitem is scanned once with the
+    date filter pushed down."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    bolts = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_name").like("%bolt%"))
+        .select("p_partkey")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    qualifying = (
+        li.join(F.broadcast(bolts), li.l_partkey == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("_qty"))
+        .where(F.col("_qty") > 200)
+        .select("l_suppkey")
+    )
+    return (
+        s.join(F.broadcast(qualifying), s.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )
+
+
+@query(
+    "tpch_q21_waiting_supplier",
+    sql="""
+    SELECT s.s_name, count(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o    ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 100
+    """,
+    tags=("tpch", "exists", "not-exists", "agg", "topk"),
+)
+def tpch_q21_waiting_supplier(spark, sf_dir):
+    """TPC-H Q21 (suppliers who kept orders waiting), adapted: without
+    commit/receipt dates, "late" is l_returnflag = 'R'.  The DuckDB
+    oracle keeps the spec's EXISTS / NOT EXISTS self-join form verbatim;
+    the Spark side deliberately uses a DIFFERENT but equivalent plan —
+    the cross-formulation agreement is the test.  Instead of two
+    correlated self-joins over the fact table (three lineitem scans),
+    Spark aggregates per order ONCE: distinct suppliers, distinct late
+    suppliers, the late supplier's key, and its late-line count; an
+    order qualifies iff it has ≥2 suppliers and exactly 1 late one, and
+    that supplier's numwait counts every late line (matching the spec's
+    per-l1-row count).  One shuffle on the order key replaces both
+    EXISTS probes — at 100 TB this is the difference between one
+    exchange and three."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    s = _t(spark, sf_dir, "supplier")
+    late = F.col("l_returnflag") == "R"
+    per_order = (
+        li.join(o, li.l_orderkey == o.o_orderkey, "left_semi")
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("_n_supp"),
+            F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("_n_late"),
+            F.min(F.when(late, F.col("l_suppkey"))).alias("_late_supp"),
+            F.sum(F.when(late, 1).otherwise(0)).alias("_late_lines"),
+        )
+        .where((F.col("_n_supp") >= 2) & (F.col("_n_late") == 1))
+    )
+    return (
+        per_order.groupBy("_late_supp")
+        .agg(F.sum("_late_lines").alias("numwait"))
+        .join(F.broadcast(s), F.col("_late_supp") == s.s_suppkey)
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
+
+
+@query(
     "tpch_q22_idle_balance",
     sql="""
     SELECT c.c_nationkey,

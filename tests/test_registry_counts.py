@@ -9,8 +9,8 @@ from pathlib import Path
 
 from big_data_analytics_project_spark.registry import load_all
 
-TOTAL = 117
-ORACLE = 106
+TOTAL = 129
+ORACLE = 118
 
 
 def test_counts_match_registry():

@@ -33,8 +33,9 @@ EXPECTED_WINDOW = (
     "session_gap_assignment",
     "text_boilerplate_ngram_share",
     "tfidf_top_terms",
-    # tier 0 (cont.) — the nine canonical TPC-H worked examples, new this
-    # round, never driver-checked
+    # tier 0 (cont.) — the twenty-one canonical TPC-H worked examples
+    # (q1 lives as agg_pricing_summary), new this round, never
+    # driver-checked, in registration order
     "tpch_q3_shipping_priority",
     "tpch_q4_order_priority",
     "tpch_q5_local_supplier_volume",
@@ -43,6 +44,18 @@ EXPECTED_WINDOW = (
     "tpch_q14_promo_effect",
     "tpch_q18_large_volume_customer",
     "tpch_q19_bracketed_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_type_profit",
+    "tpch_q12_priority_by_linestatus",
+    "tpch_q13_customer_distribution",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q11_important_stock",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q16_supplier_part_count",
+    "tpch_q20_part_promotion",
+    "tpch_q21_waiting_supplier",
     "tpch_q22_idle_balance",
     # tier 1 — last green r04, registration order
     "skew_salted_agg",
@@ -64,22 +77,11 @@ EXPECTED_WINDOW = (
     "agg_rollup_orders",
     "agg_null_audit",
     "agg_funnel_share",
-    "window_rank_topn_per_group",
-    "window_range_frame",
-    "topk_global_orders",
-    "sort_by_aggregate",
-    "math_funcs",
-    "conditional_funcs",
-    "array_explode_tokens",
-    "pivot_event_counts",
-    "heuristic_intent_score",
-    "dedup_subset_keys",
-    "agg_percentiles",
-    "agg_corr_covar",
-    # (ann_*, embedding_cosine_neardup, streaming_tumbling/session_window,
-    # the text_* r4 block, text_redact_pii, text_repetition_ratio and the
-    # r5 greens rotated out by the fourteen new tier-0 queries — still
-    # parity-checked at sf0.001 every session by tests/test_oracle_parity.py)
+    # (window_*, topk/sort, scalar-func families, ann_*,
+    # embedding_cosine_neardup, streaming_tumbling/session_window, the
+    # text_* r4 block and the r5 greens rotated out by the twenty-six new
+    # tier-0 queries — still parity-checked at sf0.001 every session by
+    # tests/test_oracle_parity.py)
     # one-round rows-only lift (never in any CORRECTNESS file before r6)
     "streaming_tumbling_append",
     "streaming_dedup",
