@@ -514,3 +514,76 @@ def mix_domain_weights(spark, sf_dir):
             6,
         ).alias("sample_weight"),
     )
+
+
+# --- deterministic T5-style span-corruption masking -----------------------
+
+_MASK_START_PM = 80_000  # start probability 0.08, as an integer per-million
+_MASK_SPAN = 3  # tokens masked per start (overlaps merge)
+
+_MASK_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t
+  FROM documents
+),
+marked AS (
+  SELECT doc_id, t, range(1, len(t) + 1) AS ps,
+         list_filter(range(1, len(t) + 1),
+           p -> {hash60("CAST(doc_id AS VARCHAR) || ':' || CAST(p AS VARCHAR)")}
+                % 1000000 < {_MASK_START_PM}) AS starts
+  FROM toks
+)
+SELECT doc_id,
+       CAST(len(t) AS BIGINT) AS n_tokens,
+       CAST(len(starts) AS BIGINT) AS n_spans,
+       CAST(len(list_filter(ps,
+              p -> len(list_filter(starts,
+                     s -> p >= s AND p <= s + {_MASK_SPAN - 1})) > 0))
+            AS BIGINT) AS n_masked,
+       CAST(len(list_filter(ps,
+              p -> len(list_filter(starts,
+                     s -> p >= s AND p <= s + {_MASK_SPAN - 1})) > 0))
+            AS DOUBLE) / len(t) AS mask_ratio
+FROM marked
+"""
+
+
+@query("mask_span_corruption", sql=_MASK_SQL, tags=("curation", "masking"))
+def mask_span_corruption(spark, sf_dir):
+    """T5-style span-corruption mask assignment, made DETERMINISTIC so a
+    100 TB masking pass is reproducible across reruns, engines, and
+    retried tasks: instead of rand(), each position's mask-start decision
+    is the engine-portable md5-60-bit hash of (doc_id, position) compared
+    against an integer per-million threshold (0.08), and every start
+    masks a {_MASK_SPAN}-token span (overlaps merge).  Pure map-only
+    higher-order array functions — zero shuffles, zero Python UDFs; at
+    scale this runs at parquet-scan speed.  Output is the per-doc mask
+    accounting (span count, masked-token count, realized ratio ≈
+    0.08×{_MASK_SPAN} minus overlap); the masked sequence itself is the
+    same transform with array_contains in a projection."""
+    from ..operators.dedup import md5_hash60
+
+    docs = read_table(spark, sf_dir, "documents")
+    t = F.split(F.lower(F.col("text")), r"\s+")
+    d = docs.select("doc_id", t.alias("t")).select(
+        "doc_id",
+        "t",
+        F.sequence(F.lit(1), F.size("t")).alias("ps"),
+    )
+    u = lambda p: md5_hash60(  # noqa: E731
+        F.concat(F.col("doc_id").cast("string"), F.lit(":"), p.cast("string"))
+    ) % 1_000_000
+    d = d.withColumn("starts", F.filter("ps", lambda p: u(p) < F.lit(_MASK_START_PM)))
+    masked = F.filter(
+        "ps",
+        lambda p: F.exists(
+            "starts", lambda s: (p >= s) & (p <= s + F.lit(_MASK_SPAN - 1))
+        ),
+    )
+    return d.select(
+        "doc_id",
+        F.size("t").cast("long").alias("n_tokens"),
+        F.size("starts").cast("long").alias("n_spans"),
+        F.size(masked).cast("long").alias("n_masked"),
+        (F.size(masked).cast("double") / F.size("t")).alias("mask_ratio"),
+    )

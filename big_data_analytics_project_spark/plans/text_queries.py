@@ -495,3 +495,106 @@ def tfidf_top_terms(spark, sf_dir):
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= _TFIDF_TOP_K)
     )
+
+
+# --- unigram language-model quality proxy ---------------------------------
+
+_UNIGRAM_LP_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS term
+  FROM documents
+),
+vocab AS (SELECT term, count(*) AS cnt FROM toks GROUP BY term),
+tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM vocab)
+SELECT t.doc_id,
+       count(*) AS n_tokens,
+       CAST(sum(CAST(round(-ln(CAST(v.cnt AS DOUBLE) / tot.total), 6)
+                     AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+         AS avg_neg_logprob
+FROM toks t JOIN vocab v ON t.term = v.term CROSS JOIN tot
+GROUP BY t.doc_id
+"""
+
+
+@query("quality_unigram_logprob", sql=_UNIGRAM_LP_SQL, tags=("text", "quality", "lm"))
+def quality_unigram_logprob(spark, sf_dir):
+    """CCNet-style language-model quality proxy with the corpus itself as
+    the LM: a unigram model fit on the corpus scores every document by
+    mean negative log-probability per token (high = surprising = either
+    rare-content or noise; CCNet buckets head/middle/tail on exactly this
+    kind of score).  Two shuffles at 100 TB, both unavoidable and both
+    map-side combined: (1) token -> count for the vocab (vocab tables at
+    web scale are millions of rows — far too big to broadcast, hence the
+    keyed equi-join rather than a broadcast), (2) doc_id regroup for the
+    per-doc mean.  Determinism contract: each token's -ln(p) is rounded
+    to 6 dp and cast to DECIMAL(18,6) BEFORE the sum, so the mean is
+    order-insensitive and the 1-ulp libm ln() divergence across engines
+    dies at the rounding (same trick as tfidf_top_terms)."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(T.ws_tokens(F.col("text"))).alias("term")
+    )
+    vocab = toks.groupBy("term").agg(F.count("*").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").cast("double").alias("_total"))
+    neg_lp = F.round(
+        -F.log(F.col("cnt").cast("double") / F.col("_total")), 6
+    ).cast("decimal(18,6)")
+    return (
+        toks.join(vocab, "term")
+        .join(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            (F.sum(neg_lp).cast("double") / F.count("*")).alias("avg_neg_logprob"),
+        )
+    )
+
+
+# --- token-length histogram (shard-size planning) -------------------------
+
+_LENGTH_HIST_SQL = r"""
+WITH n AS (
+  SELECT len(regexp_split_to_array(lower(text), '\s+')) AS n_tokens
+  FROM documents
+)
+SELECT CAST(length(printf('%b', n_tokens)) - 1 AS BIGINT) AS log2_bucket,
+       CAST(1::BIGINT << (length(printf('%b', n_tokens)) - 1) AS BIGINT)
+         AS bucket_lo,
+       count(*) AS n_docs,
+       CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+       CAST(max(n_tokens) AS BIGINT) AS max_tokens,
+       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+FROM n
+GROUP BY 1, 2
+ORDER BY log2_bucket
+"""
+
+
+@query("tokens_length_histogram", sql=_LENGTH_HIST_SQL, tags=("text", "stats"))
+def tokens_length_histogram(spark, sf_dir):
+    """Power-of-two document-length histogram — the sequence-length
+    distribution a packing/sharding planner needs before choosing context
+    budgets.  The bucket is floor(log2(n_tokens)) computed WITHOUT libm:
+    length(bin(n)) - 1 is exact integer arithmetic on both engines
+    (DuckDB mirrors it as length(printf('%%b', n)) - 1), so no float-log
+    boundary can flip a bucket.  Map-only until the final tiny
+    aggregation on ~40 buckets."""
+    docs = read_table(spark, sf_dir, "documents")
+    n = docs.select(F.size(T.ws_tokens(F.col("text"))).alias("n_tokens"))
+    bucket = (F.length(F.bin(F.col("n_tokens"))) - 1).cast("long")
+    return (
+        n.groupBy(
+            bucket.alias("log2_bucket"),
+            F.expr(
+                "CAST(shiftleft(CAST(1 AS BIGINT),"
+                " CAST(length(bin(n_tokens)) - 1 AS INT)) AS BIGINT)"
+            ).alias("bucket_lo"),
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_tokens").cast("long").alias("min_tokens"),
+            F.max("n_tokens").cast("long").alias("max_tokens"),
+            F.sum("n_tokens").cast("long").alias("sum_tokens"),
+        )
+        .orderBy("log2_bucket")
+    )

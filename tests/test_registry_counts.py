@@ -9,8 +9,8 @@ from pathlib import Path
 
 from big_data_analytics_project_spark.registry import load_all
 
-TOTAL = 129
-ORACLE = 118
+TOTAL = 132
+ORACLE = 121
 
 
 def test_counts_match_registry():

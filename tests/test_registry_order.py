@@ -30,9 +30,12 @@ EXPECTED_WINDOW = (
     "embedding_quantize_int8",
     "quality_gopher_rules",
     "mix_domain_weights",
+    "mask_span_corruption",
     "session_gap_assignment",
     "text_boilerplate_ngram_share",
     "tfidf_top_terms",
+    "quality_unigram_logprob",
+    "tokens_length_histogram",
     # tier 0 (cont.) — the twenty-one canonical TPC-H worked examples
     # (q1 lives as agg_pricing_summary), new this round, never
     # driver-checked, in registration order
@@ -74,10 +77,8 @@ EXPECTED_WINDOW = (
     "join_semi_active_customers",
     "agg_pricing_summary",
     "agg_distinct_exact",
-    "agg_rollup_orders",
-    "agg_null_audit",
-    "agg_funnel_share",
-    # (window_*, topk/sort, scalar-func families, ann_*,
+    # (agg_rollup/null_audit/funnel_share, window_*, topk/sort,
+    # scalar-func families, ann_*,
     # embedding_cosine_neardup, streaming_tumbling/session_window, the
     # text_* r4 block and the r5 greens rotated out by the twenty-six new
     # tier-0 queries — still parity-checked at sf0.001 every session by
