@@ -314,26 +314,33 @@ def tpch_q14_promo_effect(spark, sf_dir):
 def tpch_q18_large_volume_customer(spark, sf_dir):
     """TPC-H Q18 (large volume customer), faithful (threshold 250 ≈ the
     fixture's p99 order quantity, same selectivity role as the spec's 300).
-    The HAVING subquery is a semi-join against an aggregate of the SAME
-    fact table: Spark computes the qualifying-orders set with one
-    map-side-combined groupBy, semi-joins it back on the already-shuffled
-    order key, and only then touches customer (broadcast).  At 100 TB the
-    qualifying set is tiny — the semi-join is effectively a runtime filter."""
+    The oracle keeps the spec's HAVING-subquery form (two lineitem
+    passes); Spark exploits that the outer GROUP BY contains the order
+    key, so the per-order quantity sum IS the outer aggregate — ONE
+    map-side-combined groupBy over lineitem produces both the qualifying
+    filter and sum_qty, the second fact scan disappears, and orders +
+    customer attach afterwards (the qualifying set is tiny, so both
+    joins are effectively dimension joins).  The decimal sum keeps the
+    threshold comparison and the output exact cross-engine."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
-    big = (
+    per_order = (
         li.groupBy("l_orderkey")
-        .agg(F.sum("l_quantity").alias("_q"))
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("_q"))
         .where(F.col("_q") > 250)
-        .select("l_orderkey")
     )
     return (
-        li.join(big.withColumnRenamed("l_orderkey", "_ok"), li.l_orderkey == F.col("_ok"), "left_semi")
-        .join(o, li.l_orderkey == o.o_orderkey)
+        per_order.join(o, per_order.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.col("_q").cast("double").alias("sum_qty"),
+        )
         .orderBy(F.desc("o_totalprice"), "o_orderkey")
         .limit(100)
     )
@@ -776,6 +783,11 @@ def tpch_q11_important_stock(spark, sf_dir):
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("l_partkey")
         .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).alias("value_dec"))
+        # referenced twice (threshold + output); without this Spark plans
+        # TWO full lineitem scans (no static exchange reuse across the
+        # scalar-subquery branch).  One row per part — cheap to cache even
+        # at production part counts, vs re-reading the fact table.
+        .persist()
     )
     total = val.agg(
         (F.sum("value_dec").cast("double") / F.count("*")).alias("_mean")
@@ -833,6 +845,9 @@ def tpch_q15_top_supplier(spark, sf_dir):
                 )
             ).alias("total_revenue")
         )
+        # one row per supplier; cached so the max subquery doesn't replan
+        # a second lineitem scan (see q11)
+        .persist()
     )
     mx = revenue.agg(F.max("total_revenue").alias("_max_rev"))
     return (
