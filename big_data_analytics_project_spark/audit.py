@@ -36,6 +36,11 @@ HEADLINE = [
     "json_extract_agg",
     "ann_bruteforce_topk",
     "text_quality_scores",
+    "tpch_q3_shipping_priority",
+    "tpch_q6_forecast_revenue",
+    "tpch_q9_product_type_profit",
+    "tpch_q18_large_volume_customer",
+    "tpch_q21_waiting_supplier",
 ]
 
 

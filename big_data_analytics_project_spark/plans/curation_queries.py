@@ -587,3 +587,71 @@ def mask_span_corruption(spark, sf_dir):
         F.size(masked).cast("long").alias("n_masked"),
         (F.size(masked).cast("double") / F.size("t")).alias("mask_ratio"),
     )
+
+
+# --- deterministic interleave schedule (data-mixing order) ----------------
+
+_TIER_HI = "('src0','src1','src2','src3','src4')"
+_TIER_LO = "('src15','src16','src17','src18','src19')"
+
+_INTERLEAVE_SQL = f"""
+WITH ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY {hash60("CAST(doc_id AS VARCHAR)")}, doc_id
+         ) AS src_rank,
+         CASE WHEN source IN {_TIER_HI} THEN CAST(2.0 AS DOUBLE)
+              WHEN source IN {_TIER_LO} THEN CAST(0.5 AS DOUBLE)
+              ELSE CAST(1.0 AS DOUBLE) END AS weight
+  FROM documents
+)
+SELECT doc_id, source, CAST(src_rank AS BIGINT) AS src_rank, weight,
+       (CAST(src_rank AS DOUBLE) - 0.5) / weight AS position
+FROM ranked
+"""
+
+
+@query("mix_interleave_schedule", sql=_INTERLEAVE_SQL, tags=("mixing", "curation"))
+def mix_interleave_schedule(spark, sf_dir):
+    """Deterministic stride-scheduled interleave order for training-data
+    mixing: within each source, documents are ranked by the portable
+    md5-60-bit hash of doc_id (a reproducible shuffle — no rand(), so
+    reruns, engines, and retried tasks agree), and each doc's global
+    stream position is (rank − 0.5) / weight.  Reading the corpus sorted
+    by position yields sources at exactly their weight ratios with no
+    RNG and no coordination — the stride-scheduling identity.  One
+    window shuffle partitioned by source; the position arithmetic is a
+    per-row double op on an integer rank, so it is bit-identical across
+    engines.  Weights here pin a 3-tier example (2.0 / 1.0 / 0.5); any
+    weight table slots in via the same CASE or a broadcast join."""
+    from pyspark.sql import Window
+
+    from ..operators.dedup import md5_hash60
+
+    docs = read_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        md5_hash60(F.col("doc_id").cast("string")), "doc_id"
+    )
+    hi = {"src0", "src1", "src2", "src3", "src4"}
+    lo = {"src15", "src16", "src17", "src18", "src19"}
+    weight = (
+        F.when(F.col("source").isin(*hi), F.lit(2.0))
+        .when(F.col("source").isin(*lo), F.lit(0.5))
+        .otherwise(F.lit(1.0))
+        .cast("double")
+    )
+    return docs.select(
+        "doc_id",
+        "source",
+        F.row_number().over(w).cast("long").alias("src_rank"),
+        weight.alias("weight"),
+    ).select(
+        "doc_id",
+        "source",
+        "src_rank",
+        "weight",
+        ((F.col("src_rank").cast("double") - 0.5) / F.col("weight")).alias(
+            "position"
+        ),
+    )

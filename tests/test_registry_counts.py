@@ -9,8 +9,8 @@ from pathlib import Path
 
 from big_data_analytics_project_spark.registry import load_all
 
-TOTAL = 132
-ORACLE = 121
+TOTAL = 133
+ORACLE = 122
 
 
 def test_counts_match_registry():
