@@ -655,3 +655,62 @@ def mix_interleave_schedule(spark, sf_dir):
             "position"
         ),
     )
+
+
+# --- L2 normalization (cosine-ready embeddings) ---------------------------
+
+_L2_SQL = """
+WITH n AS (
+  SELECT vec_id, embedding,
+         sqrt(list_reduce(
+           list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+           (a, b) -> a + b)) AS norm
+  FROM embeddings
+)
+SELECT vec_id, norm, pos,
+       CASE WHEN norm = 0 THEN CAST(0 AS DOUBLE) ELSE x / norm END AS val
+FROM (
+  SELECT vec_id, norm,
+         CAST(unnest(range(len(embedding))) AS BIGINT) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM n
+)
+"""
+
+
+@query("embedding_l2_normalize", sql=_L2_SQL, tags=("embedding", "curation"))
+def embedding_l2_normalize(spark, sf_dir):
+    """Unit-normalize the embedding corpus so cosine similarity becomes a
+    plain dot product (the precondition every ANN stage here assumes).
+    Map-only higher-order functions at scan speed.  Determinism is
+    arithmetic, not rounding: the sum of squares folds LEFT-TO-RIGHT on
+    both engines (Spark F.aggregate ≡ DuckDB list_reduce; the 0.0 init
+    is exact for non-negative squares), IEEE sqrt is correctly rounded,
+    and the final division is a single double op — so normalized values
+    are bit-identical cross-engine with NO rounding step.  Zero vectors
+    normalize to zero (guard, not NaN).  Output flattened to scalar
+    (vec_id, norm, pos, val) rows for the driver canonicalizer."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    sq_sum = F.aggregate(
+        F.transform(
+            F.col("embedding"), lambda x: x.cast("double") * x.cast("double")
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    n = emb.select("vec_id", "embedding", F.sqrt(sq_sum).alias("norm"))
+    return (
+        n.select(
+            "vec_id",
+            "norm",
+            F.posexplode(F.col("embedding")).alias("pos", "x"),
+        )
+        .select(
+            "vec_id",
+            "norm",
+            F.col("pos").cast("bigint").alias("pos"),
+            F.when(F.col("norm") == 0.0, F.lit(0.0))
+            .otherwise(F.col("x").cast("double") / F.col("norm"))
+            .alias("val"),
+        )
+    )

@@ -116,3 +116,38 @@ def date_partitioned(df: DataFrame, ts_col: str) -> DataFrame:
     """Attach the standard date partition column (year-month) used for
     time-series layouts."""
     return df.withColumn("pt_month", F.date_format(F.col(ts_col), "yyyy-MM"))
+
+
+def write_jsonl_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    shard_key: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Training-data export: newline-delimited JSON in a controlled number
+    of shard files — the interchange format every tokenizer/dataloader
+    pipeline consumes.
+
+    Shard-count control matters at 100 TB exactly like partitioned
+    parquet: the default task-per-file layout yields tens of thousands of
+    tiny shards.  With ``shard_key`` the repartition is hash(key) →
+    deterministic doc→shard placement (reruns co-locate the same docs);
+    without it a round-robin repartition balances shard sizes exactly.
+    Timestamps serialize as ISO-8601 (session-UTC), so the export is
+    re-ingestable by ``spark.read.json`` with the same schema."""
+    out = (
+        df.repartition(n_shards, F.col(shard_key))
+        if shard_key
+        else df.repartition(n_shards)
+    )
+    out.write.mode(mode).json(path)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """Read a JSONL export back.  Always pass the explicit schema in
+    production — schema inference is a full extra pass over the data."""
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return r.json(path)

@@ -9,8 +9,8 @@ from pathlib import Path
 
 from big_data_analytics_project_spark.registry import load_all
 
-TOTAL = 133
-ORACLE = 122
+TOTAL = 134
+ORACLE = 123
 
 
 def test_counts_match_registry():

@@ -147,3 +147,41 @@ def test_compact_parquet_shrinks_file_count(spark, sf_dir, tmp_path):
     assert n_big < n_small / 10
     back = spark.read.parquet(compacted)
     assert {tuple(r) for r in back.collect()} == {tuple(r) for r in ev.collect()}
+
+
+def test_jsonl_shard_export_roundtrip(spark, sf_dir, tmp_path):
+    """JSONL export: shard-count control, deterministic keyed placement,
+    exact value roundtrip under an explicit schema."""
+    from big_data_analytics_project_spark.sources.sinks import (
+        read_jsonl,
+        write_jsonl_shards,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "docs_jsonl")
+    write_jsonl_shards(docs, out, n_shards=4, shard_key="doc_id")
+
+    import glob
+
+    parts = glob.glob(os.path.join(out, "part-*"))
+    assert len(parts) == 4  # shard-count control, no small-files explosion
+
+    back = read_jsonl(spark, out, schema=docs.schema)
+    assert back.schema == docs.schema
+    a = {tuple(r) for r in docs.collect()}
+    b = {tuple(r) for r in back.collect()}
+    assert a == b
+
+    # keyed placement is deterministic: same key -> same shard across runs
+    out2 = str(tmp_path / "docs_jsonl2")
+    write_jsonl_shards(docs, out2, n_shards=4, shard_key="doc_id")
+    def shard_map(p):
+        m = {}
+        for i, f in enumerate(sorted(glob.glob(os.path.join(p, "part-*")))):
+            with open(f) as fh:
+                for line in fh:
+                    import json as _json
+
+                    m[_json.loads(line)["doc_id"]] = i
+        return m
+    assert shard_map(out) == shard_map(out2)
