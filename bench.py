@@ -66,6 +66,10 @@ HEADLINE = [
     "tpch_q13_customer_distribution",
     "tpch_q18_large_volume_customer",
     "tpch_q21_waiting_supplier",
+    # round-6 curation/quality additions: the corpus-LM double shuffle and
+    # the md5-per-position map kernel — both throughput-bound text passes
+    "quality_unigram_logprob",
+    "mask_span_corruption",
 ]
 
 

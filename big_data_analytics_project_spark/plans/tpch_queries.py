@@ -720,6 +720,14 @@ def tpch_q2_min_cost_supplier(spark, sf_dir):
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    # push the part predicate into the FACT scan: only qualifying parts'
+    # lineitems enter the groupBy/window (the correlated subquery is
+    # per-part, so pruning parts early is semantics-preserving)
+    li = li.join(
+        F.broadcast(p.select(F.col("p_partkey").alias("_fk"))),
+        F.col("l_partkey") == F.col("_fk"),
+        "left_semi",
+    )
     ps = li.groupBy("l_partkey", "l_suppkey").agg(
         F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supplycost")
     )
