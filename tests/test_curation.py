@@ -225,3 +225,77 @@ def test_chunk_documents_overlap_and_reconstruction(spark):
     assert a[48:] == b[:16]  # 16-token overlap carried
     # every token appears; stride-union reconstructs the doc
     assert a + b[16:] == text.split()
+
+
+def test_mask_span_corruption_accounting(spark, sf_dir, registry):
+    """Structural invariants of the deterministic masker: every span masks
+    at most 3 tokens (overlaps only shrink coverage), ratios are
+    consistent, and the corpus-level realized mask rate sits near the
+    0.08 x 3 = 24% target (below it, because spans overlap and truncate
+    at the document end)."""
+    rows = registry["mask_span_corruption"].fn(spark, sf_dir).collect()
+    assert rows
+    tot_tokens = tot_masked = 0
+    for r in rows:
+        assert 0 <= r.n_spans <= r.n_tokens
+        assert r.n_masked <= 3 * r.n_spans
+        assert r.n_masked >= r.n_spans  # each start masks >= itself
+        assert abs(r.mask_ratio - r.n_masked / r.n_tokens) < 1e-12
+        tot_tokens += r.n_tokens
+        tot_masked += r.n_masked
+    rate = tot_masked / tot_tokens
+    assert 0.15 < rate < 0.24, rate
+
+
+def test_mask_span_corruption_is_rerun_deterministic(spark, sf_dir, registry):
+    fn = registry["mask_span_corruption"].fn
+    a = sorted(map(tuple, fn(spark, sf_dir).collect()))
+    b = sorted(map(tuple, fn(spark, sf_dir).collect()))
+    assert a == b
+
+
+def test_interleave_schedule_stride_property(spark, sf_dir, registry):
+    """Stride scheduling: within each source, positions advance by exactly
+    1/weight; and in any position-sorted prefix the per-source share
+    tracks weight share to within one stride."""
+    rows = registry["mix_interleave_schedule"].fn(spark, sf_dir).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    total_w = sum(rs[0].weight for rs in by_src.values())
+    n = len(rows)
+    for src, rs in by_src.items():
+        rs.sort(key=lambda r: r.src_rank)
+        w = rs[0].weight
+        for i, r in enumerate(rs, start=1):
+            assert r.src_rank == i
+            assert abs(r.position - (i - 0.5) / w) < 1e-9
+    # proportionality: first half of the merged stream carries each source
+    # at ~ w/total_w of its docs-per-weight budget
+    merged = sorted(rows, key=lambda r: (r.position, r.source, r.doc_id))
+    half = merged[: n // 2]
+    cut = half[-1].position
+    for src, rs in by_src.items():
+        w = rs[0].weight
+        expect = min(len(rs), int(cut * w + 0.5))
+        got = sum(1 for r in half if r.source == src)
+        assert abs(got - expect) <= 1, (src, got, expect)
+
+
+def test_l2_normalize_unit_norm(spark, sf_dir, registry):
+    """Reassembled vectors must have unit L2 norm (within fp eps) unless
+    the source vector was zero."""
+    import math
+
+    rows = registry["embedding_l2_normalize"].fn(spark, sf_dir).collect()
+    by_vec = {}
+    for r in rows:
+        by_vec.setdefault(r.vec_id, []).append(r)
+    assert by_vec
+    for vec_id, rs in by_vec.items():
+        norm = rs[0].norm
+        s = sum(r.val * r.val for r in rs)
+        if norm == 0.0:
+            assert all(r.val == 0.0 for r in rs)
+        else:
+            assert abs(math.sqrt(s) - 1.0) < 1e-9, (vec_id, s)
