@@ -1,0 +1,142 @@
+"""Graph analytics over a co-occurrence graph derived from the fact table.
+
+The graph: parts are nodes; an undirected edge connects two parts that
+appear in the same order (the classic co-purchase graph).  Edges are
+CANONICAL (src < dst, distinct) so every undirected edge exists exactly
+once — the representation that makes triangle counting's ordering trick
+and degree math exact.
+
+Scale shape: the pair-generation self-join is quadratic in ORDER SIZE,
+not order count — order sizes are bounded small (≤ ~20 items), so the
+explosion is bounded per group and the join shuffles once on the order
+key.  For pathological mega-baskets, cap items per order before pairing
+(documented knob, same idea as the LSH ``max_bucket`` cap in
+``operators/dedup.py``).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def copurchase_edges(lineitem: DataFrame) -> DataFrame:
+    """Canonical undirected co-purchase edges (src < dst, distinct).
+
+    distinct (order, part) first — a part twice in one order is one
+    membership — then the bounded within-order self-join, then a global
+    edge distinct (two shuffles total: order key, then edge key)."""
+    items = lineitem.select("l_orderkey", "l_partkey").distinct()
+    a = items.alias("a")
+    b = items.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .distinct()
+    )
+
+
+def directed(edges: DataFrame) -> DataFrame:
+    """Both directions of the canonical edge list (for degree/PageRank)."""
+    return edges.unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+
+def degrees(edges: DataFrame) -> DataFrame:
+    """(node, deg) from the canonical edge list — one count per endpoint."""
+    return (
+        directed(edges)
+        .groupBy(F.col("src").alias("node"))
+        .agg(F.count("*").alias("deg"))
+    )
+
+
+def pagerank(
+    edges: DataFrame, iterations: int = 3, damping: float = 0.85
+) -> DataFrame:
+    """Fixed-iteration PageRank on the undirected graph, cross-engine
+    deterministic via FIXED-POINT arithmetic.
+
+    Ranks live as BIGINT on a 10¹² grid.  Per iteration: each node sends
+    rank_k DIV deg to every neighbor (true integer division — exact and
+    identical on both engines, unlike any double or decimal rounding),
+    contributions sum as BIGINT (exact, order-insensitive), and the new
+    rank is floor(0.15·10¹²/N + 0.85·sum + 0.5) — the only float ops are
+    on identical inputs (sum < 2⁵³ is exactly representable), so the
+    result bits match engine-for-engine.  (Earlier forms using
+    round(x, 12) or CAST(x AS DECIMAL) drifted: engines implement
+    decimal rounding of doubles differently — exact-BigDecimal in Spark,
+    FP-scaled in DuckDB — and near-boundary values flip.  Integer
+    message passing has no such boundary.)
+
+    The DIV truncation leaks ≤ deg·10⁻¹² rank per node per iteration —
+    bounded and deterministic, the standard fixed-point trade.
+
+    Scale shape: the canonical iterative-Spark loop — edges and degrees
+    are computed once and persisted; each iteration is one shuffle
+    (contributions grouped by destination).  Every node has degree ≥ 1
+    by construction (it came from an edge), so there are no dangling
+    nodes."""
+    scale = 1_000_000_000_000  # 12-dp fixed-point grid
+    dir_edges = directed(edges).persist()
+    deg = degrees(edges).persist()
+    n = deg.agg(F.count("*").cast("double").alias("_n"))
+    pr = deg.join(F.broadcast(n)).select(
+        "node",
+        "deg",
+        F.floor(F.lit(float(scale)) / F.col("_n") + 0.5)
+        .cast("long")
+        .alias("pr_k"),
+    )
+    for _ in range(iterations):
+        contrib = dir_edges.join(pr, dir_edges.src == pr.node).select(
+            F.col("dst").alias("node"),
+            F.expr("pr_k div deg").alias("_c"),
+        )
+        sums = contrib.groupBy("node").agg(F.sum("_c").alias("_s"))
+        pr = (
+            sums.join(deg, "node")
+            .join(F.broadcast(n))
+            .select(
+                "node",
+                "deg",
+                F.floor(
+                    (1.0 - damping) * float(scale) / F.col("_n")
+                    + damping * F.col("_s").cast("double")
+                    + 0.5
+                )
+                .cast("long")
+                .alias("pr_k"),
+            )
+        )
+    return pr.select(
+        "node", "deg", (F.col("pr_k").cast("double") / float(scale)).alias("pr")
+    )
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Exact triangle count via the ordering trick: with canonical edges
+    (a<b) ⋈ (b<c) builds each wedge a<b<c exactly once, and the closing
+    (a,c) probe finds each triangle exactly once — no division by 6, no
+    double counting, and the wedge intermediate is bounded by
+    Σ_b in(b)·out(b) instead of Σ deg² (canonical orientation roughly
+    quarters it).  Integer-exact on both engines."""
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    e3 = edges.alias("e3")
+    wedges = e1.join(e2, F.col("e1.dst") == F.col("e2.src")).select(
+        F.col("e1.src").alias("a"), F.col("e2.dst").alias("c")
+    )
+    # inner join, NOT left_semi: wedges sharing (a, c) but differing in
+    # the middle node are distinct triangles and must each count
+    tri = wedges.join(
+        e3, (F.col("a") == F.col("e3.src")) & (F.col("c") == F.col("e3.dst"))
+    )
+    return tri.agg(F.count("*").alias("n_triangles"))

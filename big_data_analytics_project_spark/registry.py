@@ -155,6 +155,7 @@ def load_all() -> dict[str, QuerySpec]:
             extras_queries,
             flagship,
             funnel_queries,
+            graph_queries,
             ml_queries,
             multimodal_queries,
             relational,

@@ -9,8 +9,8 @@ from pathlib import Path
 
 from big_data_analytics_project_spark.registry import load_all
 
-TOTAL = 134
-ORACLE = 123
+TOTAL = 137
+ORACLE = 126
 
 
 def test_counts_match_registry():

@@ -33,6 +33,9 @@ EXPECTED_WINDOW = (
     "mask_span_corruption",
     "mix_interleave_schedule",
     "embedding_l2_normalize",
+    "graph_degree_distribution",
+    "graph_triangle_count",
+    "graph_pagerank_copurchase",
     "session_gap_assignment",
     "text_boilerplate_ngram_share",
     "tfidf_top_terms",
@@ -74,10 +77,7 @@ EXPECTED_WINDOW = (
     "null_impute_coalesce",
     "json_extract_agg",
     "string_funcs",
-    "join_multiway_revenue",
-    "join_left_order_items",
-    "join_semi_active_customers",
-    # (agg_pricing_summary, agg_distinct_exact, agg_rollup/null_audit/funnel_share, window_*, topk/sort,
+    # (join_multiway/left/semi, agg_pricing_summary, agg_distinct_exact, agg_rollup/null_audit/funnel_share, window_*, topk/sort,
     # scalar-func families, ann_*,
     # embedding_cosine_neardup, streaming_tumbling/session_window, the
     # text_* r4 block and the r5 greens rotated out by the twenty-six new
