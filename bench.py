@@ -70,6 +70,12 @@ HEADLINE = [
     # the md5-per-position map kernel — both throughput-bound text passes
     "quality_unigram_logprob",
     "mask_span_corruption",
+    # graph family representative: exercises the bounded pair-explosion
+    # edge build + degree aggregation (pagerank/triangles share the same
+    # edge pipeline and are benched ad hoc — 6.5/6.6 s at sf0.1, dominated
+    # by the 1.2M-edge wedge/contribution shuffles, costs inherent to the
+    # graph size rather than plan shape)
+    "graph_degree_distribution",
 ]
 
 
