@@ -164,6 +164,30 @@ def test_every_query_has_fn_and_consistent_spec():
         assert callable(spec.fn)
 
 
+def test_rows_only_lift_dropped_once_recorded():
+    """The lift is declared ONE-round (registry.py): as soon as any
+    CORRECTNESS file shows a driver row for a lifted query (rows-only
+    rows never enter the digest, so check the files directly), the
+    purpose is served — this fails until ROWS_ONLY_WINDOW_LIFT is
+    emptied and EXPECTED_WINDOW re-pinned, the same start-of-round
+    forcing function as the digest guard below."""
+    import glob
+    import json
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    recorded = set()
+    for p in glob.glob(str(repo / "CORRECTNESS_r*.json")):
+        for name, row in json.loads(Path(p).read_text()).items():
+            if row.get("spark_rows") is not None:
+                recorded.add(name)
+    served = [n for n in ROWS_ONLY_WINDOW_LIFT if n in recorded]
+    assert not served, (
+        f"lifted rows-only queries now have driver rows on record {served} "
+        "— drop ROWS_ONLY_WINDOW_LIFT and re-pin EXPECTED_WINDOW"
+    )
+
+
 def test_driver_history_digest_is_current():
     """Fails as soon as a CORRECTNESS_r*.json newer than the digest lands
     (i.e. at the start of the next round), forcing the rotation refresh:
