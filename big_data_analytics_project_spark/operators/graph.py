@@ -140,3 +140,45 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         e3, (F.col("a") == F.col("e3.src")) & (F.col("c") == F.col("e3.dst"))
     )
     return tri.agg(F.count("*").alias("n_triangles"))
+
+
+def common_neighbors(edges: DataFrame) -> DataFrame:
+    """(a, c, cn) for every non-adjacent-or-adjacent pair with ≥1 common
+    neighbor, pair canonicalized a < c.  Uses the DIRECTED view on both
+    legs — unlike the triangle wedge (a<b<c), link prediction needs every
+    middle b, whichever side of a and c it sorts on.  Intermediate is
+    Σ deg² wedges; the groupBy collapses it map-side first."""
+    d1 = directed(edges).alias("d1")
+    d2 = directed(edges).alias("d2")
+    return (
+        d1.join(
+            d2,
+            (F.col("d1.dst") == F.col("d2.src"))
+            & (F.col("d1.src") < F.col("d2.dst")),
+        )
+        .groupBy(F.col("d1.src").alias("a"), F.col("d2.dst").alias("c"))
+        .agg(F.count("*").alias("cn"))
+    )
+
+
+def triangles_per_node(edges: DataFrame) -> DataFrame:
+    """(node, triangles) — each triangle credits all three corners.
+    Same canonical wedge join as ``triangle_count``, keeping the middle."""
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    e3 = edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.dst") == F.col("e2.src"))
+        .join(
+            e3,
+            (F.col("e1.src") == F.col("e3.src"))
+            & (F.col("e2.dst") == F.col("e3.dst")),
+        )
+        .select(
+            F.col("e1.src").alias("a"),
+            F.col("e1.dst").alias("b"),
+            F.col("e2.dst").alias("c"),
+        )
+    )
+    corners = tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+    return corners.groupBy("node").agg(F.count("*").alias("triangles"))

@@ -123,3 +123,117 @@ def graph_pagerank_copurchase(spark, sf_dir):
     li = read_table(spark, sf_dir, "lineitem")
     pr = G.pagerank(G.copurchase_edges(li), iterations=3)
     return pr.select("node", F.col("deg").cast("long").alias("deg"), "pr")
+
+
+@query(
+    "graph_link_prediction_topk",
+    sql=f"""
+    WITH {_EDGES_SQL},
+    cn AS (
+      SELECT d1.src AS a, d2.dst AS c, count(*) AS cn
+      FROM dir d1 JOIN dir d2
+        ON d1.dst = d2.src AND d1.src < d2.dst
+      GROUP BY d1.src, d2.dst
+    ),
+    nonadj AS (
+      SELECT cn.a, cn.c, cn.cn FROM cn
+      WHERE NOT EXISTS (SELECT 1 FROM edges e
+                        WHERE e.src = cn.a AND e.dst = cn.c)
+    )
+    SELECT n.a, n.c, n.cn,
+           CAST(n.cn AS DOUBLE) / (da.deg + dc.deg - n.cn) AS jaccard
+    FROM nonadj n
+    JOIN deg da ON n.a = da.node
+    JOIN deg dc ON n.c = dc.node
+    ORDER BY jaccard DESC, n.a, n.c
+    LIMIT 200
+    """,
+    tags=("graph", "link-prediction", "topk"),
+)
+def graph_link_prediction_topk(spark, sf_dir):
+    """Common-neighbor link prediction: for every NON-adjacent pair with a
+    shared neighbor, the neighborhood Jaccard cn/(deg_a + deg_c − cn);
+    global top-200 (the "customers also bought together" candidate set).
+    The Jaccard is one double division of exact integers — deterministic
+    with the (a, c) tie-break.  Scale: the Σ deg² wedge intermediate is
+    collapsed map-side by the count; existing edges leave via a single
+    anti-join against the (much smaller) canonical edge list; top-200
+    stays in-plan as TakeOrdered."""
+    li = read_table(spark, sf_dir, "lineitem")
+    edges = G.copurchase_edges(li).persist()
+    deg = G.degrees(edges)
+    cn = G.common_neighbors(edges)
+    nonadj = cn.join(
+        edges,
+        (cn.a == edges.src) & (cn.c == edges.dst),
+        "left_anti",
+    )
+    da = deg.select(F.col("node").alias("_na"), F.col("deg").alias("_da"))
+    dc = deg.select(F.col("node").alias("_nc"), F.col("deg").alias("_dc"))
+    return (
+        nonadj.join(F.broadcast(da), nonadj.a == F.col("_na"))
+        .join(F.broadcast(dc), nonadj.c == F.col("_nc"))
+        .select(
+            "a",
+            "c",
+            "cn",
+            (
+                F.col("cn").cast("double")
+                / (F.col("_da") + F.col("_dc") - F.col("cn"))
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), "a", "c")
+        .limit(200)
+    )
+
+
+@query(
+    "graph_clustering_coefficient",
+    sql=f"""
+    WITH {_EDGES_SQL},
+    w AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+          FROM edges e1 JOIN edges e2 ON e1.dst = e2.src),
+    tri AS (SELECT w.a, w.b, w.c FROM w JOIN edges e3
+            ON w.a = e3.src AND w.c = e3.dst),
+    per_node AS (
+      SELECT node, count(*) AS triangles
+      FROM (SELECT a AS node FROM tri UNION ALL
+            SELECT b FROM tri UNION ALL
+            SELECT c FROM tri)
+      GROUP BY node
+    )
+    SELECT d.node, CAST(d.deg AS BIGINT) AS deg,
+           CAST(coalesce(p.triangles, 0) AS BIGINT) AS triangles,
+           CASE WHEN d.deg < 2 THEN CAST(0 AS DOUBLE)
+                ELSE 2.0 * coalesce(p.triangles, 0) / (d.deg * (d.deg - 1))
+           END AS coefficient
+    FROM deg d LEFT JOIN per_node p ON d.node = p.node
+    """,
+    tags=("graph", "agg"),
+)
+def graph_clustering_coefficient(spark, sf_dir):
+    """Local clustering coefficient per node: 2·T(v) / (deg·(deg−1)) —
+    how close each part's co-purchase neighborhood is to a clique (the
+    basket-cohesion signal behind bundle recommendations).  The triangle
+    listing credits all three corners in one pass (canonical wedge join),
+    and the coefficient is one double division of exact integer products
+    — deterministic, no rounding.  Degree-1 nodes define 0."""
+    li = read_table(spark, sf_dir, "lineitem")
+    edges = G.copurchase_edges(li).persist()
+    deg = G.degrees(edges)
+    tri = G.triangles_per_node(edges)
+    return (
+        deg.join(tri, "node", "left")
+        .select(
+            "node",
+            F.col("deg").cast("long").alias("deg"),
+            F.coalesce(F.col("triangles"), F.lit(0)).cast("long").alias("triangles"),
+            F.when(F.col("deg") < 2, F.lit(0.0))
+            .otherwise(
+                2.0
+                * F.coalesce(F.col("triangles"), F.lit(0))
+                / (F.col("deg") * (F.col("deg") - 1))
+            )
+            .alias("coefficient"),
+        )
+    )

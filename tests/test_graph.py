@@ -51,3 +51,20 @@ def test_pagerank_rerun_deterministic(li):
     a = sorted(map(tuple, G.pagerank(edges, 3).collect()))
     b = sorted(map(tuple, G.pagerank(edges, 3).collect()))
     assert a == b
+
+
+def test_triangles_per_node(li):
+    tri = {r.node: r.triangles for r in G.triangles_per_node(G.copurchase_edges(li)).collect()}
+    # triangles {1,2,3} and {3,4,5}: node 3 corners both
+    assert tri == {1: 1, 2: 1, 3: 2, 4: 1, 5: 1}
+
+
+def test_common_neighbors_counts(li):
+    cn = {(r.a, r.c): r.cn for r in G.common_neighbors(G.copurchase_edges(li)).collect()}
+    # non-adjacent pairs via node 3: (1,4),(1,5),(2,4),(2,5) each share only 3
+    for pair in [(1, 4), (1, 5), (2, 4), (2, 5)]:
+        assert cn[pair] == 1
+    # adjacent pairs inside a triangle share exactly one common neighbor
+    assert cn[(1, 2)] == 1 and cn[(4, 5)] == 1
+    # (1,3) share 2; (3,5) share 4
+    assert cn[(1, 3)] == 1 and cn[(3, 5)] == 1

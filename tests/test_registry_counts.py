@@ -9,8 +9,8 @@ from pathlib import Path
 
 from big_data_analytics_project_spark.registry import load_all
 
-TOTAL = 137
-ORACLE = 126
+TOTAL = 139
+ORACLE = 128
 
 
 def test_counts_match_registry():

@@ -25,8 +25,9 @@ from big_data_analytics_project_spark.registry import (
 # queries lifted into the window tail for ONE round (VERDICT r5 item 4).
 EXPECTED_WINDOW = (
     # tier 0 — never driver-green: the reshaped quantize query plus the
-    # five round-6 operators (gopher gates, mixture weights, gap
-    # sessionization, boilerplate share, TF-IDF)
+    # round-6 operator additions (quality gates, mixing/interleave,
+    # masking, L2 normalize, the graph family, gap sessionization,
+    # boilerplate share, TF-IDF, unigram LM, length histogram)
     "embedding_quantize_int8",
     "quality_gopher_rules",
     "mix_domain_weights",
@@ -36,6 +37,8 @@ EXPECTED_WINDOW = (
     "graph_degree_distribution",
     "graph_triangle_count",
     "graph_pagerank_copurchase",
+    "graph_link_prediction_topk",
+    "graph_clustering_coefficient",
     "session_gap_assignment",
     "text_boilerplate_ngram_share",
     "tfidf_top_terms",
@@ -75,9 +78,7 @@ EXPECTED_WINDOW = (
     "proj_filter_revenue",
     "case_when_bucketing",
     "null_impute_coalesce",
-    "json_extract_agg",
-    "string_funcs",
-    # (join_multiway/left/semi, agg_pricing_summary, agg_distinct_exact, agg_rollup/null_audit/funnel_share, window_*, topk/sort,
+    # (json_extract_agg, string_funcs, join_multiway/left/semi, agg_pricing_summary, agg_distinct_exact, agg_rollup/null_audit/funnel_share, window_*, topk/sort,
     # scalar-func families, ann_*,
     # embedding_cosine_neardup, streaming_tumbling/session_window, the
     # text_* r4 block and the r5 greens rotated out by the twenty-six new
