@@ -714,3 +714,49 @@ def embedding_l2_normalize(spark, sf_dir):
             .alias("val"),
         )
     )
+
+
+# --- exact-n per-stratum deterministic sample -----------------------------
+
+_N_PER_GROUP = 400
+
+_EXACT_N_SQL = f"""
+SELECT event_id, event_type, user_id
+FROM (
+  SELECT event_id, event_type, user_id,
+         row_number() OVER (
+           PARTITION BY event_type
+           ORDER BY {hash60("CAST(event_id AS VARCHAR)")}, event_id
+         ) AS rk
+  FROM events
+)
+WHERE rk <= {_N_PER_GROUP}
+"""
+
+
+@query("sample_exact_n_per_group", sql=_EXACT_N_SQL, tags=("sampling", "curation"))
+def sample_exact_n_per_group(spark, sf_dir):
+    """Exact-n per-stratum sampling (the eval-set builder: exactly N
+    examples per class, reproducibly).  Bernoulli sampling gives
+    approximate counts; this ranks each stratum by the portable
+    md5-60-bit hash (a deterministic shuffle) and keeps the first
+    {_N_PER_GROUP} — same rows on every rerun, every engine, every task
+    retry.  One window shuffle partitioned by the stratum; at 100 TB
+    strata are processed independently, and a skewed stratum can be
+    pre-filtered with an approximate hash-threshold pass (keep hash <
+    (N/|stratum|-estimate)·2·2⁶⁰) before the exact rank, bounding the
+    window input (same two-stage idea as the LSH bucket cap)."""
+    from pyspark.sql import Window
+
+    from ..operators.dedup import md5_hash60
+
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        md5_hash60(F.col("event_id").cast("string")), "event_id"
+    )
+    return (
+        ev.select("event_id", "event_type", "user_id")
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _N_PER_GROUP)
+        .drop("rk")
+    )

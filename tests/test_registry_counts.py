@@ -9,8 +9,8 @@ from pathlib import Path
 
 from big_data_analytics_project_spark.registry import load_all
 
-TOTAL = 139
-ORACLE = 128
+TOTAL = 140
+ORACLE = 129
 
 
 def test_counts_match_registry():
