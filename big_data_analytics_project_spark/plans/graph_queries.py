@@ -168,11 +168,13 @@ def graph_link_prediction_topk(spark, sf_dir):
         (cn.a == edges.src) & (cn.c == edges.dst),
         "left_anti",
     )
+    # degrees are node-sized (unbounded at scale) — NO broadcast hint;
+    # AQE broadcasts when small, shuffles on the node key otherwise
     da = deg.select(F.col("node").alias("_na"), F.col("deg").alias("_da"))
     dc = deg.select(F.col("node").alias("_nc"), F.col("deg").alias("_dc"))
     return (
-        nonadj.join(F.broadcast(da), nonadj.a == F.col("_na"))
-        .join(F.broadcast(dc), nonadj.c == F.col("_nc"))
+        nonadj.join(da, nonadj.a == F.col("_na"))
+        .join(dc, nonadj.c == F.col("_nc"))
         .select(
             "a",
             "c",
