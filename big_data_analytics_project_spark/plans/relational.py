@@ -227,9 +227,13 @@ def string_funcs(spark, sf_dir):
     tags=("join", "agg"),
 )
 def join_multiway_revenue(spark, sf_dir):
-    """Multi-table equi-join (TPC-H Q5 shape).  customer/nation/region are
-    dimension-sized → explicit broadcast hints keep the big side shuffle-free;
-    only the final groupBy exchanges data."""
+    """Multi-table equi-join (TPC-H Q5 shape) in its BOUNDED-DIM form:
+    this query models generic dimension enrichment (the reference's
+    clickstream lookups are fixed-size), so customer/nation/region carry
+    explicit broadcast hints and the big side never shuffles until the
+    final groupBy.  For the SF-scaling reading of the same shape — where
+    customer grows with the data and must NOT be hint-broadcast — see
+    plans/tpch_queries.py's unhinted policy (tpch_q5)."""
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
@@ -255,8 +259,10 @@ def join_multiway_revenue(spark, sf_dir):
     tags=("join", "broadcast"),
 )
 def join_broadcast_part(spark, sf_dir):
-    """Fact⋈dim broadcast-hash join: at 100 TB the part dim stays far under
-    the broadcast threshold per brand rollup; zero shuffle on lineitem until
+    """Fact⋈dim broadcast-hash join — the named demonstration of the hint,
+    for a catalog assumed BOUNDED (the reference's enrichment tables).
+    When the part side scales with the data, drop the hint and let AQE
+    size it (see plans/tpch_queries.py).  Zero shuffle on lineitem until
     the (tiny) final aggregate."""
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")

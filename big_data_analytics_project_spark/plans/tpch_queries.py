@@ -5,8 +5,14 @@ generalizes it to the operator families TPC-H exercises.  This module pins the
 *canonical* forms of those families — the published TPC-H queries themselves,
 adapted only where the fixture schema lacks a column (noted per query).  Each
 is a judge-visible worked example of the scale rules from ``relational.py``:
-broadcast every dimension, shuffle the fact side once per logical key, push
-every filter into the parquet scan, and keep top-k in-plan (TakeOrdered).
+shuffle the fact side once per logical key, push every filter into the
+parquet scan, and keep top-k in-plan (TakeOrdered).  Broadcast policy: in
+TPC-H every table except nation (25 rows) and region (5) SCALES with SF —
+customer/part/supplier are billions of rows at 100 TB — so explicit
+``F.broadcast`` hints are pinned ONLY on nation/region and 1-row scalar
+subqueries; the scaling sides are left to statistics + AQE, which
+broadcast them at small SF and switch to shuffle joins at scale (a forced
+hint would OOM the driver there).
 
 Determinism (see ``docs/determinism.md``): revenue terms are IEEE-double
 products cast to DECIMAL(18,4) *per row* before the sum — the product has at
@@ -63,8 +69,9 @@ _REVENUE_SQL = (
 )
 def tpch_q3_shipping_priority(spark, sf_dir):
     """TPC-H Q3 (shipping priority), faithful modulo the fixture's missing
-    o_shippriority column.  Plan shape at 100 TB: customer is a broadcast
-    dim (the segment filter prunes it further before the hint), lineitem ⋈
+    o_shippriority column.  Plan shape at 100 TB: the segment-filtered
+    customer side is unhinted (AQE broadcasts it at small SF, shuffles at
+    scale — customer grows with SF), lineitem ⋈
     orders shuffles once on the order key — which is ALSO the groupBy key,
     so AQE coalesces the join and the aggregation into the same exchange.
     Top-10 stays in-plan as TakeOrderedAndProject, never a global sort."""
@@ -77,7 +84,7 @@ def tpch_q3_shipping_priority(spark, sf_dir):
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(_revenue())
         .select("l_orderkey", "revenue", "o_orderdate")
@@ -142,10 +149,11 @@ def tpch_q4_order_priority(spark, sf_dir):
 )
 def tpch_q5_local_supplier_volume(spark, sf_dir):
     """TPC-H Q5 (local supplier volume), faithful.  Six-way join where only
-    ONE shuffle moves fact-table data (lineitem ⋈ orders on the order key);
-    customer, supplier, nation, region are all broadcast, and the
-    local-supplier condition c_nationkey = s_nationkey rides the supplier
-    broadcast join as an extra predicate instead of a separate exchange."""
+    ONE shuffle moves fact-table data at fixture scale (lineitem ⋈ orders
+    on the order key); nation/region are pinned broadcast, customer and
+    supplier are left to AQE (broadcast at small SF, shuffled at 100 TB),
+    and the local-supplier condition c_nationkey = s_nationkey rides the
+    supplier join as an extra predicate instead of a separate exchange."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders").where(
         (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
@@ -157,9 +165,9 @@ def tpch_q5_local_supplier_volume(spark, sf_dir):
     r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(s),
+            s,
             (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
         )
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
@@ -227,8 +235,8 @@ def tpch_q10_returned_items(spark, sf_dir):
     """TPC-H Q10 (returned item reporting), faithful modulo the fixture's
     missing address/phone/comment columns.  Returnflag and the quarter
     filter prune both fact scans before the single orderkey shuffle;
-    customer and nation broadcast; top-20 is TakeOrdered with the unique
-    custkey tie-break."""
+    nation is pinned broadcast, customer AQE-sized (scales with SF);
+    top-20 is TakeOrdered with the unique custkey tie-break."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders").where(
         (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
@@ -238,7 +246,7 @@ def tpch_q10_returned_items(spark, sf_dir):
     n = _t(spark, sf_dir, "nation")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(_revenue())
@@ -266,7 +274,8 @@ def tpch_q10_returned_items(spark, sf_dir):
 def tpch_q14_promo_effect(spark, sf_dir):
     """TPC-H Q14 (promotion effect), faithful — the fixture's p_type is the
     bare family name so the predicate is equality rather than LIKE 'PROMO%'.
-    part broadcasts; the month filter prunes lineitem at the scan; both
+    part joins unhinted (AQE-sized); the month filter prunes lineitem at
+    the scan; both
     decimal sums ride one partial-agg pass, and the final division happens
     on two bit-identical doubles, so the ratio is cross-engine exact."""
     li = _t(spark, sf_dir, "lineitem").where(
@@ -278,7 +287,7 @@ def tpch_q14_promo_effect(spark, sf_dir):
         "decimal(18,4)"
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .agg(
             (
                 100.0
@@ -319,8 +328,8 @@ def tpch_q18_large_volume_customer(spark, sf_dir):
     key, so the per-order quantity sum IS the outer aggregate — ONE
     map-side-combined groupBy over lineitem produces both the qualifying
     filter and sum_qty, the second fact scan disappears, and orders +
-    customer attach afterwards (the qualifying set is tiny, so both
-    joins are effectively dimension joins).  The decimal sum keeps the
+    customer attach afterwards (the qualifying set is tiny, so AQE plans
+    both joins as broadcasts with the qualifying side as build).  The decimal sum keeps the
     threshold comparison and the output exact cross-engine."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
@@ -332,7 +341,7 @@ def tpch_q18_large_volume_customer(spark, sf_dir):
     )
     return (
         per_order.join(o, per_order.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .select(
             "c_name",
             "c_custkey",
@@ -369,7 +378,7 @@ def tpch_q19_bracketed_revenue(spark, sf_dir):
     derivable brand IN (...) residual to the part side."""
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
-    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    j = li.join(p, li.l_partkey == p.p_partkey)
     b = (
         (
             (F.col("p_brand") == "Brand#3")
@@ -446,8 +455,8 @@ def tpch_q7_volume_shipping(spark, sf_dir):
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(ns), F.col("s_nationkey") == F.col("_s_nk"))
         .join(F.broadcast(nc), F.col("c_nationkey") == F.col("_c_nk"))
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
@@ -516,11 +525,11 @@ def tpch_q8_market_share(spark, sf_dir):
     )
     zero = F.lit(0).cast("decimal(18,4)")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(nc), F.col("c_nationkey") == F.col("_c_nk"))
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(ns), F.col("s_nationkey") == F.col("_s_nk"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
@@ -559,8 +568,9 @@ def tpch_q9_product_type_profit(spark, sf_dir):
     table, so supply cost is proxied as 60% of p_retailprice (documented
     constant — the operator under test, a profit expression spanning
     columns of THREE joined tables aggregated by supplier nation and
-    year, is unchanged).  The LIKE '%widget%' predicate prunes part
-    before its broadcast; profit is cast to decimal per row so the sum
+    year, is unchanged).  The LIKE '%widget%' predicate prunes part at
+    the scan (part scales with SF, so its join is AQE-sized, not
+    hint-broadcast); profit is cast to decimal per row so the sum
     is order-insensitive across engines."""
     p = _t(spark, sf_dir, "part").where(F.col("p_name").like("%widget%"))
     li = _t(spark, sf_dir, "lineitem")
@@ -572,8 +582,8 @@ def tpch_q9_product_type_profit(spark, sf_dir):
         - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
     ).cast("decimal(18,4)")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
@@ -724,7 +734,7 @@ def tpch_q2_min_cost_supplier(spark, sf_dir):
     # lineitems enter the groupBy/window (the correlated subquery is
     # per-part, so pruning parts early is semantics-preserving)
     li = li.join(
-        F.broadcast(p.select(F.col("p_partkey").alias("_fk"))),
+        p.select(F.col("p_partkey").alias("_fk")),
         F.col("l_partkey") == F.col("_fk"),
         "left_semi",
     )
@@ -732,7 +742,7 @@ def tpch_q2_min_cost_supplier(spark, sf_dir):
         F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supplycost")
     )
     europe = (
-        ps.join(F.broadcast(s), ps.l_suppkey == s.s_suppkey)
+        ps.join(s, ps.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
     )
@@ -740,7 +750,7 @@ def tpch_q2_min_cost_supplier(spark, sf_dir):
     return (
         europe.withColumn("_min_cost", F.min("supplycost").over(w))
         .where(F.col("supplycost") == F.col("_min_cost"))
-        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .join(p, F.col("l_partkey") == p.p_partkey)
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type", "supplycost")
         .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
         .limit(100)
@@ -786,7 +796,7 @@ def tpch_q11_important_stock(spark, sf_dir):
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
     val = (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("l_partkey")
@@ -861,7 +871,7 @@ def tpch_q15_top_supplier(spark, sf_dir):
     return (
         revenue.join(F.broadcast(mx))
         .where(F.col("total_revenue") == F.col("_max_rev"))
-        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .join(s, F.col("supplier_no") == s.s_suppkey)
         .select(
             "s_suppkey",
             "s_name",
@@ -895,7 +905,8 @@ def tpch_q17_small_quantity_revenue(spark, sf_dir):
     quantities).  The correlated per-part average is decorrelated the
     canonical way: pre-aggregate quantity per part over ALL lineitems
     (decimal sum / count so the average is bit-identical across
-    engines), broadcast it, and filter.  At 100 TB the per-part agg is a
+    engines), join it back on the part key (AQE-sized — it scales with
+    the part count), and filter.  At 100 TB the per-part agg is a
     map-side-combined shuffle on the part key — same key as the join, so
     AQE reuses the exchange — and the brand-filtered probe side is tiny."""
     li = _t(spark, sf_dir, "lineitem")
@@ -909,8 +920,8 @@ def tpch_q17_small_quantity_revenue(spark, sf_dir):
         ).alias("_avg_qty")
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(avg_qty), li.l_partkey == F.col("_pk"))
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(avg_qty, li.l_partkey == F.col("_pk"))
         .where(F.col("l_quantity") < F.lit(0.5).cast("double") * F.col("_avg_qty"))
         .agg(
             (
@@ -945,8 +956,9 @@ def tpch_q16_supplier_part_count(spark, sf_dir):
     complaints" exclusion is proxied by s_acctbal < 1000 (the operator —
     a NOT IN pushed through as a join-side exclusion feeding a
     count-distinct — is unchanged).  The supplier table has no NULL keys,
-    so NOT IN is exactly a left-anti join; Spark broadcasts the (tiny)
-    complaint list.  The count-distinct shuffles (brand,type,size,supp)
+    so NOT IN is exactly a left-anti join on the complaint list
+    (AQE-sized — it scales with the supplier count).  The
+    count-distinct shuffles (brand,type,size,supp)
     once, then collapses — never a global distinct."""
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part").where(
@@ -960,8 +972,8 @@ def tpch_q16_supplier_part_count(spark, sf_dir):
         .select("s_suppkey")
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(complaints), li.l_suppkey == F.col("s_suppkey"), "left_anti")
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(complaints, li.l_suppkey == F.col("s_suppkey"), "left_anti")
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
@@ -993,9 +1005,9 @@ def tpch_q20_part_promotion(spark, sf_dir):
     name-pattern scan (innermost) → a HAVING-filtered aggregate over
     lineitem (middle, decimal sum so the threshold comparison is exact
     cross-engine) → a semi-join against supplier (outer).  Spark turns
-    both INs into semi-joins — the part list and the qualifying-supplier
-    list are tiny, so both broadcast; lineitem is scanned once with the
-    date filter pushed down."""
+    both INs into semi-joins, sized by AQE (the part and supplier lists
+    scale with SF; at fixture scale both broadcast); lineitem is scanned
+    once with the date filter pushed down."""
     li = _t(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
@@ -1008,14 +1020,14 @@ def tpch_q20_part_promotion(spark, sf_dir):
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
     qualifying = (
-        li.join(F.broadcast(bolts), li.l_partkey == F.col("p_partkey"), "left_semi")
+        li.join(bolts, li.l_partkey == F.col("p_partkey"), "left_semi")
         .groupBy("l_suppkey")
         .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("_qty"))
         .where(F.col("_qty") > 200)
         .select("l_suppkey")
     )
     return (
-        s.join(F.broadcast(qualifying), s.s_suppkey == F.col("l_suppkey"), "left_semi")
+        s.join(qualifying, s.s_suppkey == F.col("l_suppkey"), "left_semi")
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .select("s_name", "n_name")
         .orderBy("s_name")
@@ -1075,7 +1087,7 @@ def tpch_q21_waiting_supplier(spark, sf_dir):
     return (
         per_order.groupBy("_late_supp")
         .agg(F.sum("_late_lines").alias("numwait"))
-        .join(F.broadcast(s), F.col("_late_supp") == s.s_suppkey)
+        .join(s, F.col("_late_supp") == s.s_suppkey)
         .select("s_name", "numwait")
         .orderBy(F.desc("numwait"), "s_name")
         .limit(100)
