@@ -760,3 +760,64 @@ def sample_exact_n_per_group(spark, sf_dir):
         .where(F.col("rk") <= _N_PER_GROUP)
         .drop("rk")
     )
+
+
+# --- order-statistic winsorization (outlier clipping) ---------------------
+
+_WINSOR_SQL = """
+WITH ranked AS (
+  SELECT event_id, event_type, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS rk,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events WHERE value IS NOT NULL
+),
+thr AS (
+  SELECT event_type, value AS p99
+  FROM ranked
+  WHERE rk = CAST(ceil(0.99 * n) AS BIGINT)
+)
+SELECT r.event_id, r.event_type, r.value,
+       least(r.value, t.p99) AS clipped,
+       CAST(r.value > t.p99 AS BIGINT) AS was_clipped
+FROM ranked r JOIN thr t USING (event_type)
+"""
+
+
+@query("quality_value_winsorize", sql=_WINSOR_SQL, tags=("quality", "curation"))
+def quality_value_winsorize(spark, sf_dir):
+    """Per-group p99 winsorization (outlier clipping before features/
+    training), with the threshold defined as an ORDER STATISTIC — the
+    ceil(0.99·n)-th smallest actual value — instead of an interpolated
+    percentile.  Interpolated quantiles (percentile/quantile_cont) are an
+    engine trap: the interpolation arithmetic differs in the last ulp
+    across engines, and any rounding of that double inherits the
+    boundary-flip problem (docs/determinism.md, round-6).  An order
+    statistic IS a data value: both engines select the identical double,
+    and the clip comparison is exact.  One window shuffle on the group
+    key; the thresholds relation is group-cardinality-sized and joins
+    back AQE-sized."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rk"),
+        F.count("*").over(Window.partitionBy("event_type")).alias("n"),
+    )
+    thr = ranked.where(
+        F.col("rk") == F.ceil(0.99 * F.col("n")).cast("long")
+    ).select("event_type", F.col("value").alias("p99"))
+    return (
+        ranked.join(thr, "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.least(F.col("value"), F.col("p99")).alias("clipped"),
+            (F.col("value") > F.col("p99")).cast("long").alias("was_clipped"),
+        )
+    )

@@ -9,8 +9,8 @@ from pathlib import Path
 
 from big_data_analytics_project_spark.registry import load_all
 
-TOTAL = 140
-ORACLE = 129
+TOTAL = 141
+ORACLE = 130
 
 
 def test_counts_match_registry():

@@ -35,6 +35,7 @@ EXPECTED_WINDOW = (
     "mix_interleave_schedule",
     "embedding_l2_normalize",
     "sample_exact_n_per_group",
+    "quality_value_winsorize",
     "graph_degree_distribution",
     "graph_triangle_count",
     "graph_pagerank_copurchase",
@@ -77,8 +78,7 @@ EXPECTED_WINDOW = (
     "multimodal_decode_meta",
     "multimodal_frame_index",
     "proj_filter_revenue",
-    "case_when_bucketing",
-    # (null_impute_coalesce, json_extract_agg, string_funcs, join_multiway/left/semi, agg_pricing_summary, agg_distinct_exact, agg_rollup/null_audit/funnel_share, window_*, topk/sort,
+    # (case_when_bucketing, null_impute_coalesce, json_extract_agg, string_funcs, join_multiway/left/semi, agg_pricing_summary, agg_distinct_exact, agg_rollup/null_audit/funnel_share, window_*, topk/sort,
     # scalar-func families, ann_*,
     # embedding_cosine_neardup, streaming_tumbling/session_window, the
     # text_* r4 block and the r5 greens rotated out by the twenty-six new
