@@ -24,10 +24,7 @@ from big_data_analytics_project_spark.registry import (
 # rotate out), with the four never-driver-checked rows-only streaming
 # queries lifted into the window tail for ONE round (VERDICT r5 item 4).
 EXPECTED_WINDOW = (
-    # tier 0 — never driver-green: the reshaped quantize query plus the
-    # round-6 operator additions (quality gates, mixing/interleave,
-    # masking, L2 normalize, the graph family, gap sessionization,
-    # boilerplate share, TF-IDF, unigram LM, length histogram)
+    # tier 0 — never driver-green
     "embedding_quantize_int8",
     "quality_gopher_rules",
     "mix_domain_weights",
@@ -46,9 +43,6 @@ EXPECTED_WINDOW = (
     "tfidf_top_terms",
     "quality_unigram_logprob",
     "tokens_length_histogram",
-    # tier 0 (cont.) — the twenty-one canonical TPC-H worked examples
-    # (q1 lives as agg_pricing_summary), new this round, never
-    # driver-checked, in registration order
     "tpch_q3_shipping_priority",
     "tpch_q4_order_priority",
     "tpch_q5_local_supplier_volume",
@@ -70,7 +64,7 @@ EXPECTED_WINDOW = (
     "tpch_q20_part_promotion",
     "tpch_q21_waiting_supplier",
     "tpch_q22_idle_balance",
-    # tier 1 — last green r04, registration order
+    # tier 1 — last green r04
     "skew_salted_agg",
     "skew_salted_join",
     "flagship_sessionization",
@@ -78,13 +72,7 @@ EXPECTED_WINDOW = (
     "multimodal_decode_meta",
     "multimodal_frame_index",
     "proj_filter_revenue",
-    # (case_when_bucketing, null_impute_coalesce, json_extract_agg, string_funcs, join_multiway/left/semi, agg_pricing_summary, agg_distinct_exact, agg_rollup/null_audit/funnel_share, window_*, topk/sort,
-    # scalar-func families, ann_*,
-    # embedding_cosine_neardup, streaming_tumbling/session_window, the
-    # text_* r4 block and the r5 greens rotated out by the twenty-six new
-    # tier-0 queries — still parity-checked at sf0.001 every session by
-    # tests/test_oracle_parity.py)
-    # one-round rows-only lift (never in any CORRECTNESS file before r6)
+    # declared one-round rows-only lift (registry.py)
     "streaming_tumbling_append",
     "streaming_dedup",
     "streaming_custom_sessionization",
