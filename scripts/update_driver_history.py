@@ -5,6 +5,7 @@ round's correctness file) so the registry's driver-window derivation sees
 the latest last-green round per query:
 
     python scripts/update_driver_history.py
+    python scripts/repin_window.py          # then re-pin the window test
 
 The digest maps query name -> last round number the driver recorded a
 hash_match.  Queries absent from the digest are treated as

@@ -6,7 +6,9 @@ These tests pin the registry's driver-window derivation (see
 then stalest-green first — and the EXACT expected round-6 window is pinned
 here so adding a query can never silently evict a verified one.  If the
 window composition changes (new query registered, history refreshed),
-this test fails until ``EXPECTED_WINDOW`` is deliberately updated.
+this test fails until ``EXPECTED_WINDOW`` is deliberately updated
+(``python scripts/repin_window.py`` regenerates the block; committing
+the diff is the acknowledgement).
 """
 
 from big_data_analytics_project_spark.registry import (
