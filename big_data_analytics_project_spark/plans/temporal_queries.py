@@ -255,3 +255,136 @@ def session_gap_assignment(spark, sf_dir):
     ev = read_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
     out = gap_sessionize(ev, "user_id", "ts", gap_sec=_GAP_SEC, tiebreak="event_id")
     return out.select("event_id", "user_id", "session_idx")
+
+
+# --- hypertable gap-fill + linear interpolation ---------------------------
+
+_GAPFILL_SQL = """
+WITH bounds AS (
+  SELECT date_trunc('hour', min(ts)) AS t0, date_trunc('hour', max(ts)) AS t1
+  FROM events
+),
+grid AS (
+  SELECT t.event_type, g.h
+  FROM (SELECT DISTINCT event_type FROM events) t
+  CROSS JOIN (SELECT unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS h
+              FROM bounds) g
+),
+agg AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n,
+         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS measured
+  FROM events GROUP BY 1, 2
+),
+j AS (
+  SELECT g.event_type, g.h, coalesce(a.n, 0) AS n_events, a.measured
+  FROM grid g LEFT JOIN agg a USING (event_type, h)
+),
+w AS (
+  SELECT *,
+    last_value(measured IGNORE NULLS) OVER (
+      PARTITION BY event_type ORDER BY h
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+    last_value(CASE WHEN measured IS NOT NULL THEN h END IGNORE NULLS) OVER (
+      PARTITION BY event_type ORDER BY h
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+    first_value(measured IGNORE NULLS) OVER (
+      PARTITION BY event_type ORDER BY h
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+    first_value(CASE WHEN measured IS NOT NULL THEN h END IGNORE NULLS) OVER (
+      PARTITION BY event_type ORDER BY h
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+  FROM j
+)
+SELECT event_type, h AS bucket_ts, CAST(n_events AS BIGINT) AS n_events,
+       measured,
+       CASE WHEN measured IS NOT NULL THEN measured
+            WHEN pv IS NULL THEN nv
+            WHEN nv IS NULL THEN pv
+            ELSE pv + (nv - pv)
+                 * (CAST(CAST(floor(epoch(h)) AS BIGINT)
+                         - CAST(floor(epoch(ph)) AS BIGINT) AS DOUBLE)
+                    / CAST(CAST(floor(epoch(nh)) AS BIGINT)
+                           - CAST(floor(epoch(ph)) AS BIGINT) AS DOUBLE))
+       END AS filled,
+       CAST(measured IS NULL AS BIGINT) AS was_gap
+FROM w
+"""
+
+
+@query("timeseries_gapfill_interpolate", sql=_GAPFILL_SQL, tags=("temporal", "gapfill"))
+def timeseries_gapfill_interpolate(spark, sf_dir):
+    """Hypertable gap-fill with linear interpolation (the TimescaleDB
+    time_bucket_gapfill + interpolate idiom): densify each series to a
+    complete hourly grid, then fill empty buckets by interpolating
+    between the nearest measured neighbors (edges fall back to
+    locf/nocb).  All window-function machinery: last/first_value with
+    IGNORE NULLS over the densified series — one window shuffle on the
+    series key, no self-joins, no driver loop.  Determinism: the
+    measured values are decimal-summed doubles, the interpolation ratio
+    is a single double division of exact hour-aligned epoch integers,
+    and the blend pv + (nv−pv)·ratio is per-row IEEE arithmetic —
+    identical on both engines with no rounding step.  At scale the grid
+    is |series| × |buckets| rows — generated, never shuffled until the
+    one window pass."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("_t0"),
+        F.date_trunc("hour", F.max("ts")).alias("_t1"),
+    )
+    types = ev.select("event_type").distinct()
+    grid = (
+        types.join(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("_t0", "_t1", F.expr("INTERVAL 1 HOUR"))
+            ).alias("h"),
+        )
+    )
+    agg = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(
+        F.count("*").alias("_n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("measured"),
+    )
+    j = grid.join(agg, ["event_type", "h"], "left").select(
+        "event_type",
+        "h",
+        F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("n_events"),
+        "measured",
+    )
+    wb = Window.partitionBy("event_type").orderBy("h").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wf = Window.partitionBy("event_type").orderBy("h").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    mh = F.when(F.col("measured").isNotNull(), F.col("h"))
+    w = j.select(
+        "event_type",
+        "h",
+        "n_events",
+        "measured",
+        F.last("measured", ignorenulls=True).over(wb).alias("pv"),
+        F.last(mh, ignorenulls=True).over(wb).alias("ph"),
+        F.first("measured", ignorenulls=True).over(wf).alias("nv"),
+        F.first(mh, ignorenulls=True).over(wf).alias("nh"),
+    )
+    ratio = (
+        (F.unix_timestamp("h") - F.unix_timestamp("ph")).cast("double")
+        / (F.unix_timestamp("nh") - F.unix_timestamp("ph")).cast("double")
+    )
+    return w.select(
+        "event_type",
+        F.col("h").alias("bucket_ts"),
+        "n_events",
+        "measured",
+        F.when(F.col("measured").isNotNull(), F.col("measured"))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(F.col("pv") + (F.col("nv") - F.col("pv")) * ratio)
+        .alias("filled"),
+        F.col("measured").isNull().cast("long").alias("was_gap"),
+    )

@@ -9,8 +9,8 @@ from pathlib import Path
 
 from big_data_analytics_project_spark.registry import load_all
 
-TOTAL = 141
-ORACLE = 130
+TOTAL = 142
+ORACLE = 131
 
 
 def test_counts_match_registry():

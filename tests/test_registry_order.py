@@ -41,6 +41,7 @@ EXPECTED_WINDOW = (
     "graph_link_prediction_topk",
     "graph_clustering_coefficient",
     "session_gap_assignment",
+    "timeseries_gapfill_interpolate",
     "text_boilerplate_ngram_share",
     "tfidf_top_terms",
     "quality_unigram_logprob",
@@ -73,7 +74,6 @@ EXPECTED_WINDOW = (
     "multimodal_binary_meta",
     "multimodal_decode_meta",
     "multimodal_frame_index",
-    "proj_filter_revenue",
     # declared one-round rows-only lift (registry.py)
     "streaming_tumbling_append",
     "streaming_dedup",
