@@ -22,7 +22,7 @@ skew automatically; these are for the cases AQE can't see — skewed
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 
 
 def with_salt(df: DataFrame, n_salts: int, col_name: str = "__salt") -> DataFrame:

@@ -4,7 +4,6 @@ Orders: o1 = {1,2,3} (a triangle), o2 = {3,4}, o3 = {4,5,3} — known
 edges, degrees, triangle count, and PageRank mass to check against.
 """
 
-import pyspark.sql.functions as F
 import pytest
 
 from big_data_analytics_project_spark.operators import graph as G

@@ -2,7 +2,6 @@
 style (AUC-tolerance, not value hashes; SURVEY §5/§6)."""
 
 import numpy as np
-import pyspark.sql.functions as F
 
 from big_data_analytics_project_spark.ml.intent import run_intent_pipeline, undersample
 from big_data_analytics_project_spark.ml.online import OnlineIntentModel
