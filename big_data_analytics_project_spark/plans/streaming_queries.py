@@ -390,3 +390,36 @@ def streaming_online_scoring(spark, sf_dir):
         "conversion_rate", "mean_predicted_proba", "rolling_accuracy",
         "model_fitted",
     )
+
+
+@query("pyds_clickstream_gen_agg", sql=None, tags=("source", "pyds", "generator"))
+def pyds_clickstream_gen_agg(spark, sf_dir):
+    """S4-class source, container-honest: the reference's CSV→Kafka event
+    simulator (``src/streaming/kafka_producer.py:64-232``) re-expressed as
+    a registered Spark 4 Python Data Source — partition-parallel,
+    counter-hash deterministic, Arrow-batched (``sources/eventgen.py``).
+    Rows-only by design: the generated data exists only in Spark, so there
+    is no DuckDB-side table to diff; the determinism contract (partition
+    invariance, stream/batch parity, pinned first row) is pinned in
+    ``tests/test_eventgen.py``.  The aggregate here is itself
+    deterministic: same seed → same per-type counts, any cluster size."""
+    from ..sources.eventgen import register
+
+    register(spark)
+    df = (
+        spark.read.format("clickstream_gen")
+        .option("rows", 20000)
+        .option("seed", 42)
+        .option("partitions", 8)
+        .load()
+    )
+    return (
+        df.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
