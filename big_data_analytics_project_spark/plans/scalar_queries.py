@@ -277,3 +277,40 @@ def agg_approx_percentile_check(spark, sf_dir):
             <= 0.01
         ).alias("approx_within_1pct"),
     )
+
+
+@query(
+    "variant_semi_structured",
+    sql="""
+    SELECT event_type,
+           count(*) AS n,
+           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+           count(*) FILTER (CAST(json_extract_string(props, '$.k') AS BIGINT) % 2 = 0)
+               AS n_even_k
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 10
+    GROUP BY event_type
+    """,
+    tags=("json", "variant", "agg"),
+)
+def variant_semi_structured(spark, sf_dir):
+    """P11 upgraded to Spark 4's VARIANT type: ``parse_json`` decodes the
+    JSON payload ONCE into the binary variant encoding, then every typed
+    field access (`variant_get`) is an O(1) binary read — versus
+    ``get_json_object``, which re-parses the raw string per extraction.
+    At 100 TB with many extracted fields per event that repeated string
+    parse is the dominant scan cost; parse-once is the scale idiom
+    (same role as the reference's one-shot ``from_json`` schema projection,
+    stream_processor.py:146).  All-integer aggregates, so cross-engine
+    determinism is exact."""
+    ev = read_table(spark, sf_dir, "events")
+    v = ev.select("event_type", F.parse_json("props").alias("pv"))
+    k = F.variant_get("pv", "$.k", "long")
+    vk = v.select("event_type", k.alias("k")).where(F.col("k") >= 10)
+    return vk.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("k").alias("sum_k"),
+        F.max("k").alias("max_k"),
+        F.count_if((F.col("k") % 2) == 0).alias("n_even_k"),
+    )

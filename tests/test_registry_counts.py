@@ -9,8 +9,8 @@ from pathlib import Path
 
 from big_data_analytics_project_spark.registry import load_all
 
-TOTAL = 143
-ORACLE = 131
+TOTAL = 144
+ORACLE = 132
 
 
 def test_counts_match_registry():

@@ -40,6 +40,7 @@ EXPECTED_WINDOW = (
     "graph_pagerank_copurchase",
     "graph_link_prediction_topk",
     "graph_clustering_coefficient",
+    "variant_semi_structured",
     "session_gap_assignment",
     "timeseries_gapfill_interpolate",
     "text_boilerplate_ngram_share",
@@ -73,7 +74,6 @@ EXPECTED_WINDOW = (
     "flagship_sessionization",
     "multimodal_binary_meta",
     "multimodal_decode_meta",
-    "multimodal_frame_index",
     # declared one-round rows-only lift (registry.py)
     "streaming_tumbling_append",
     "streaming_dedup",
