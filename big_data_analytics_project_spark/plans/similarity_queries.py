@@ -86,6 +86,49 @@ def ann_lsh_topk(spark, sf_dir):
     return S.lsh_bucketed_topk(emb, emb.where(F.col("vec_id") < 5), k=10, n_bits=4)
 
 
+_DUCK_LSH_MULTIPROBE_TOPK = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+probes AS (
+  SELECT a.vec_id,
+         CASE WHEN b.i < 0 THEN {_BUCKET_A}
+              ELSE xor({_BUCKET_A}, (1 << b.i)::BIGINT) END AS bucket
+  FROM v a, (VALUES (-1), (0), (1), (2), (3)) b(i)
+  WHERE a.vec_id < 5
+),
+sims AS (
+  SELECT p.vec_id AS query_id, b.vec_id AS neighbor_id,
+         round({_COS}, 6) AS cosine_sim
+  FROM probes p
+  JOIN v a ON a.vec_id = p.vec_id
+  JOIN v b ON {_BUCKET_B} = p.bucket AND b.vec_id != p.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine_sim DESC, neighbor_id) AS rank
+  FROM sims
+)
+SELECT query_id, neighbor_id, cosine_sim, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 10
+"""
+
+
+@query(
+    "ann_lsh_multiprobe_topk",
+    sql=_DUCK_LSH_MULTIPROBE_TOPK,
+    tags=("similarity", "ann", "lsh"),
+)
+def ann_lsh_multiprobe_topk(spark, sf_dir):
+    """Multi-probe sign-LSH approximate top-10: probes the query's bucket
+    plus all Hamming-1 neighbors (5 probes at n_bits=4) — the standard
+    recall lever over single-probe LSH at linear, not exponential,
+    candidate cost.  Fully deterministic (axis-aligned hyperplanes,
+    exact-cosine scoring), so the oracle diff is exact."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return S.lsh_multiprobe_topk(
+        emb, emb.where(F.col("vec_id") < 5), k=10, n_bits=4
+    )
+
+
 # The IVF oracle embeds the SAME pre-trained centroid literals the Spark
 # query uses (plans/ivf_centroids.py), so assignment (argmin over l2sq),
 # probing (4 nearest lists) and rescoring are deterministic expression

@@ -20,6 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 METHODS = [
     "ann_bruteforce_topk",  # ground truth
     "ann_lsh_topk",
+    "ann_lsh_multiprobe_topk",
     "ann_ivf_topk",
     "ann_ivfpq_topk",
 ]

@@ -9,8 +9,8 @@ from pathlib import Path
 
 from big_data_analytics_project_spark.registry import load_all
 
-TOTAL = 144
-ORACLE = 132
+TOTAL = 145
+ORACLE = 133
 
 
 def test_counts_match_registry():

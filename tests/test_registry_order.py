@@ -41,6 +41,7 @@ EXPECTED_WINDOW = (
     "graph_link_prediction_topk",
     "graph_clustering_coefficient",
     "variant_semi_structured",
+    "ann_lsh_multiprobe_topk",
     "session_gap_assignment",
     "timeseries_gapfill_interpolate",
     "text_boilerplate_ngram_share",
@@ -73,7 +74,6 @@ EXPECTED_WINDOW = (
     "skew_salted_join",
     "flagship_sessionization",
     "multimodal_binary_meta",
-    "multimodal_decode_meta",
     # declared one-round rows-only lift (registry.py)
     "streaming_tumbling_append",
     "streaming_dedup",
