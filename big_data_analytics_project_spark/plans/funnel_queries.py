@@ -119,3 +119,66 @@ def cohort_retention_daily(spark, sf_dir):
     return activity.groupBy("cohort_day", "day_offset").agg(
         F.count("*").alias("n_active_users")
     )
+
+
+# Path mining: the per-user event sequence is ordered by (ts, event_id) —
+# the event_id tie-break makes the path deterministic even if two events
+# share a timestamp — and every consecutive 3-step path is counted.
+_PATHS_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type, 1) OVER w AS e2,
+         lead(event_type, 2) OVER w AS e3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+paths AS (
+  SELECT event_type || '>' || e2 || '>' || e3 AS path
+  FROM seq WHERE e3 IS NOT NULL
+),
+counted AS (
+  SELECT path, count(*) AS n_occurrences FROM paths GROUP BY path
+),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY n_occurrences DESC, path) AS rank
+  FROM counted
+)
+SELECT path, n_occurrences, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 20
+"""
+
+
+@query("path_common_journeys", sql=_PATHS_SQL, tags=("funnel", "path", "window"))
+def path_common_journeys(spark, sf_dir):
+    """Clickstream path mining: the top-20 most common 3-step event paths
+    (`view>cart>purchase`, ...) across all users — the journey-analysis
+    question the reference's e-commerce domain asks beyond per-session
+    conversion.  Plan: one window shuffle keyed by user (lead ×2 shares a
+    single sort), map-side-combined path counts, in-plan TakeOrdered for
+    the top-20 (never a global sort).  The (ts, event_id) ordering makes
+    the path — and therefore the counts — deterministic under timestamp
+    ties."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).where(F.col("e3").isNotNull())
+    counted = (
+        seq.select(
+            F.concat_ws(">", "event_type", "e2", "e3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count("*").alias("n_occurrences"))
+    )
+    # orderBy+limit compiles to TakeOrderedAndProject (per-partition heaps,
+    # 20-row merge); the row_number window then runs over 20 rows only.
+    wr = Window.orderBy(F.desc("n_occurrences"), "path")
+    return (
+        counted.orderBy(F.desc("n_occurrences"), "path")
+        .limit(20)
+        .withColumn("rank", F.row_number().over(wr).cast("long"))
+    )

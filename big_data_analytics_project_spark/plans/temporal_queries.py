@@ -388,3 +388,47 @@ def timeseries_gapfill_interpolate(spark, sf_dir):
         .alias("filled"),
         F.col("measured").isNull().cast("long").alias("was_gap"),
     )
+
+
+# EWMA: recursive per-user state (ewma_i = α·x_i + (1−α)·ewma_{i−1}) is
+# not expressible as a frame-based window aggregate, so both engines run
+# the SAME left-fold over the (ts, event_id)-ordered value list — an
+# identical sequence of double ops, hence an exact diff.  α = 0.3.
+_EWMA_SQL = """
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(list_reduce(list(value ORDER BY ts, event_id),
+                         (acc, x) -> acc * 0.7 + x * 0.3), 6) AS ewma_value
+FROM events
+GROUP BY user_id
+"""
+
+
+@query("timeseries_ewma_by_user", sql=_EWMA_SQL, tags=("timeseries", "fold"))
+def timeseries_ewma_by_user(spark, sf_dir):
+    """Per-user exponentially-weighted moving average of event values
+    (α = 0.3) — the classic smoothing feature for activity scoring.
+    EWMA is a linear recurrence, so it cannot be a frame-based window
+    aggregate; the scale-correct Spark form is ONE hash aggregation
+    (collect_list per user, map-side partial) followed by a JVM-side
+    `aggregate` fold over the time-ordered array — per-user state never
+    leaves the executor and there is exactly one shuffle, keyed by user.
+    The (ts, event_id) sort key makes the fold order — and thus the
+    float result — deterministic and identical to the DuckDB
+    `list_reduce` mirror."""
+    ev = read_table(spark, sf_dir, "events")
+    seq = ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "value"))
+        ).alias("seq"),
+    )
+    vals = F.transform("seq", lambda x: x["value"])
+    ewma = F.aggregate(
+        F.slice(vals, 2, F.size(vals) - 1),
+        F.element_at(vals, 1),
+        lambda acc, x: acc * F.lit(0.7) + x * F.lit(0.3),
+    )
+    return seq.select(
+        "user_id", "n_events", F.round(ewma, 6).alias("ewma_value")
+    )

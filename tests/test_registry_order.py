@@ -35,6 +35,7 @@ EXPECTED_WINDOW = (
     "embedding_l2_normalize",
     "sample_exact_n_per_group",
     "quality_value_winsorize",
+    "path_common_journeys",
     "graph_degree_distribution",
     "graph_triangle_count",
     "graph_pagerank_copurchase",
@@ -44,6 +45,7 @@ EXPECTED_WINDOW = (
     "ann_lsh_multiprobe_topk",
     "session_gap_assignment",
     "timeseries_gapfill_interpolate",
+    "timeseries_ewma_by_user",
     "text_boilerplate_ngram_share",
     "tfidf_top_terms",
     "quality_unigram_logprob",
@@ -72,8 +74,6 @@ EXPECTED_WINDOW = (
     # tier 1 — last green r04
     "skew_salted_agg",
     "skew_salted_join",
-    "flagship_sessionization",
-    "multimodal_binary_meta",
     # declared one-round rows-only lift (registry.py)
     "streaming_tumbling_append",
     "streaming_dedup",
