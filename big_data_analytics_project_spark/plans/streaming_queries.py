@@ -423,3 +423,91 @@ def pyds_clickstream_gen_agg(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# Left-outer variant: null-padded rows only FINALIZE when the global
+# watermark passes the purchase's event time, and the watermark stops at
+# max(ts) − delay when the bounded replay ends — so purchases inside that
+# final gap never emit their no-match verdict.  Both engines therefore
+# restrict the RESULT to purchases at least two days before every
+# fixture's timeline end (fixtures span Jan 1–30; cutoff Jan 29), where
+# finalization is guaranteed.  The cutoff is applied AFTER the join on
+# the Spark side: filtering the purchase STREAM would stall its
+# per-stream watermark at the cutoff and re-create the very gap the
+# cutoff removes (global watermark = min over streams).
+_SS_FINAL_CUTOFF = "2024-01-29 00:00:00"
+
+_SS_LEFT_JOIN_SQL = f"""
+SELECT p.event_id AS p_event_id,
+       p.user_id,
+       CAST(floor(epoch(p.ts)) AS BIGINT) AS p_ts_epoch,
+       v.event_id AS v_event_id,
+       CAST(floor(epoch(p.ts)) - floor(epoch(v.ts)) AS BIGINT) AS gap_sec,
+       CAST(v.event_id IS NULL AS BIGINT) AS no_prior_view
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id
+ AND v.ts >= p.ts - INTERVAL {_SS_LOOKBACK_SEC} SECONDS
+ AND v.ts <= p.ts
+WHERE p.ts <= TIMESTAMP '{_SS_FINAL_CUTOFF}'
+"""
+
+
+@query(
+    "streaming_interval_join_left",
+    sql=_SS_LEFT_JOIN_SQL,
+    tags=("streaming", "join", "interval", "outer"),
+)
+def streaming_interval_join_left(spark, sf_dir):
+    """Stream-stream LEFT OUTER interval join: every purchase pairs with
+    its prior-4 h views, and purchases with NO prior view still emit one
+    null-padded row once the watermark proves no match can arrive — the
+    production shape for \"conversion without attribution\" detection.
+    Same bounded join state as the inner form (watermark + event-time
+    range); the only extra machinery is outer-row finalization, whose
+    end-of-replay gap is excluded by a fixed cutoff mirrored in the
+    oracle (see _SS_FINAL_CUTOFF note)."""
+    json_dir = _staged(spark, sf_dir)
+    purchases = (
+        P.read_event_stream(spark, json_dir, max_files_per_trigger=2)
+        .where(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("p_ts"), F.col("event_id").alias("p_event_id"))
+    )
+    views = (
+        P.read_event_stream(spark, json_dir, max_files_per_trigger=2)
+        .where(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+            F.col("event_id").alias("v_event_id"),
+        )
+    )
+    lw = purchases.withWatermark("p_ts", "10 minutes").alias("l")
+    rw = views.withWatermark("v_ts", "10 minutes").alias("r")
+    joined = lw.join(
+        rw,
+        F.expr(
+            f"l.user_id = r.v_user"
+            f" AND r.v_ts >= l.p_ts - INTERVAL {_SS_LOOKBACK_SEC} SECONDS"
+            f" AND r.v_ts <= l.p_ts"
+        ),
+        "left_outer",
+    )
+    out = P.run_to_completion(
+        joined.select(
+            "p_event_id",
+            F.col("l.user_id").alias("user_id"),
+            F.unix_timestamp("p_ts").cast("long").alias("p_ts_epoch"),
+            "v_event_id",
+            (F.unix_timestamp("p_ts") - F.unix_timestamp("v_ts"))
+            .cast("long")
+            .alias("gap_sec"),
+            F.col("v_event_id").isNull().cast("long").alias("no_prior_view"),
+            F.col("p_ts").alias("__p_ts"),
+        ),
+        "t_ssjoin_left",
+        output_mode="append",
+    )
+    return out.where(
+        F.col("__p_ts") <= F.lit(_SS_FINAL_CUTOFF).cast("timestamp")
+    ).drop("__p_ts")

@@ -9,8 +9,8 @@ from pathlib import Path
 
 from big_data_analytics_project_spark.registry import load_all
 
-TOTAL = 147
-ORACLE = 135
+TOTAL = 148
+ORACLE = 136
 
 
 def test_counts_match_registry():

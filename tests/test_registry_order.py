@@ -43,6 +43,7 @@ EXPECTED_WINDOW = (
     "graph_clustering_coefficient",
     "variant_semi_structured",
     "ann_lsh_multiprobe_topk",
+    "streaming_interval_join_left",
     "session_gap_assignment",
     "timeseries_gapfill_interpolate",
     "timeseries_ewma_by_user",
@@ -73,7 +74,6 @@ EXPECTED_WINDOW = (
     "tpch_q22_idle_balance",
     # tier 1 — last green r04
     "skew_salted_agg",
-    "skew_salted_join",
     # declared one-round rows-only lift (registry.py)
     "streaming_tumbling_append",
     "streaming_dedup",
