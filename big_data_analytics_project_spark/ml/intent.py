@@ -117,3 +117,59 @@ def load_intent_model(path: str):
     from pyspark.ml.classification import RandomForestClassificationModel
 
     return RandomForestClassificationModel.load(path)
+
+
+def tune_intent_model(
+    features: DataFrame,
+    num_trees_grid: tuple[int, ...] = (10, 20),
+    max_depth_grid: tuple[int, ...] = (3, 5),
+    seed: int = 42,
+):
+    """Hyperparameter sweep (M-family extension): TrainValidationSplit
+    over a numTrees × maxDepth grid, scored by AUC on a held-out 25%.
+
+    TrainValidationSplit, not CrossValidator, is the default at scale:
+    one fit per grid point instead of k — with 100 TB behind the feature
+    table the k× multiplier is the difference between a sweep that runs
+    tonight and one that doesn't.  Every grid fit is independent, so
+    Spark parallelizes them (``parallelism=2``) on top of each fit's own
+    data parallelism.  Returns (best_model, rows) where rows hold the
+    full grid's validation AUC — the sweep is auditable, not just its
+    argmax.  Seeded split + seeded RF → deterministic metrics for fixed
+    input (pinned floors in tests/test_ml.py).
+    """
+    from pyspark.ml.classification import RandomForestClassifier
+    from pyspark.ml.evaluation import BinaryClassificationEvaluator
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.tuning import ParamGridBuilder, TrainValidationSplit
+
+    assembler = VectorAssembler(inputCols=FEATURES, outputCol="features")
+    data = assembler.transform(features.fillna(0)).select("label", "features").cache()
+    rf = RandomForestClassifier(labelCol="label", featuresCol="features", seed=seed)
+    grid = (
+        ParamGridBuilder()
+        .addGrid(rf.numTrees, list(num_trees_grid))
+        .addGrid(rf.maxDepth, list(max_depth_grid))
+        .build()
+    )
+    tvs = TrainValidationSplit(
+        estimator=rf,
+        estimatorParamMaps=grid,
+        evaluator=BinaryClassificationEvaluator(
+            labelCol="label", metricName="areaUnderROC"
+        ),
+        trainRatio=0.75,
+        parallelism=2,
+        seed=seed,
+    )
+    fitted = tvs.fit(data)
+    rows = [
+        {
+            "num_trees": pm[rf.numTrees],
+            "max_depth": pm[rf.maxDepth],
+            "val_auc": round(float(m), 6),
+            "is_best": bool(m == max(fitted.validationMetrics)),
+        }
+        for pm, m in zip(grid, fitted.validationMetrics)
+    ]
+    return fitted.bestModel, rows

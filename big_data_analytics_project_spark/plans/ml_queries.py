@@ -63,3 +63,18 @@ def ml_als_recommendations(spark, sf_dir):
         F.round(F.col("r.rating"), 4).alias("score"),
         F.lit(round(recall, 6)).alias("recall_at_10"),
     )
+
+
+@query("ml_intent_tuning_grid", sql=None, tags=("ml", "tuning"))
+def ml_intent_tuning_grid(spark, sf_dir):
+    """Hyperparameter sweep audit: the full TrainValidationSplit grid
+    (numTrees × maxDepth → validation AUC, best flagged).  Rows-only:
+    MLlib's RF is seeded-deterministic for fixed input, but the metric is
+    engine-internal; floors are pinned in tests/test_ml.py."""
+    from ..ml.intent import build_feature_table, tune_intent_model, undersample
+
+    feats = undersample(build_feature_table(spark, sf_dir)).cache()
+    _, rows = tune_intent_model(feats)
+    return spark.createDataFrame(rows).select(
+        "num_trees", "max_depth", "val_auc", F.col("is_best").cast("long").alias("is_best")
+    )

@@ -161,3 +161,25 @@ def test_mllib_model_save_load_roundtrip(spark, sf_dir, tmp_path):
         for r in reloaded.transform(holdout).collect()
     ]
     assert got == want
+
+
+def test_tuning_grid_sweep(spark, sf_dir):
+    """TrainValidationSplit sweep: full grid reported, metrics floored,
+    best model's params are one of the grid points."""
+    from big_data_analytics_project_spark.ml.intent import (
+        build_feature_table,
+        tune_intent_model,
+        undersample,
+    )
+
+    feats = undersample(build_feature_table(spark, sf_dir)).cache()
+    best, rows = tune_intent_model(
+        feats, num_trees_grid=(5, 10), max_depth_grid=(3,)
+    )
+    assert len(rows) == 2
+    assert {(r["num_trees"], r["max_depth"]) for r in rows} == {(5, 3), (10, 3)}
+    # the fixture's intent labels are near-separable (same floor as
+    # test_intent_pipeline_metrics); every grid point must clear it
+    assert all(r["val_auc"] >= 0.95 for r in rows)
+    assert any(r["is_best"] for r in rows)
+    assert best.getNumTrees in (5, 10)
