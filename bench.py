@@ -76,6 +76,16 @@ HEADLINE = [
     # by the 1.2M-edge wedge/contribution shuffles, costs inherent to the
     # graph size rather than plan shape)
     "graph_degree_distribution",
+    # round-6 late additions: Spark 4 surfaces (variant parse-once,
+    # Python Data Source generator), path mining's user-keyed lead
+    # window, the EWMA collect_list fold, multi-probe LSH, and the
+    # left-outer stream-stream join's state machinery
+    "variant_semi_structured",
+    "path_common_journeys",
+    "timeseries_ewma_by_user",
+    "ann_lsh_multiprobe_topk",
+    "streaming_interval_join_left",
+    "pyds_clickstream_gen_agg",
 ]
 
 

@@ -381,3 +381,51 @@ def decontaminate_benchmark_ngrams(spark, sf_dir):
         .distinct()
         .select("doc_id", F.lit(1).cast("long").alias("contaminated"))
     )
+
+
+# CDC compaction: the events table read as a changelog keyed by
+# (user_id, event_type) — "latest state per key" is THE upsert-log
+# compaction every lakehouse MERGE performs internally.
+_KEEP_LATEST_SQL = """
+WITH ranked AS (
+  SELECT user_id, event_type, event_id, value,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, event_type, event_id AS latest_event_id, value AS latest_value,
+       ts_epoch AS latest_ts_epoch
+FROM ranked WHERE rn = 1
+"""
+
+
+@query("dedup_keep_latest", sql=_KEEP_LATEST_SQL, tags=("dedup", "cdc", "window"))
+def dedup_keep_latest(spark, sf_dir):
+    """Changelog compaction (keep-latest-per-key): one row per
+    (user_id, event_type) — the newest by (ts, event_id) — exactly what a
+    lakehouse MERGE does to an upsert log before applying it.  Distinct
+    from the CONTENT-dedup family (fingerprint/MinHash/SimHash dedupe
+    equal/near-equal payloads; this dedupes KEY HISTORY).  Plan: one
+    shuffle keyed by the compaction key, per-partition sort, rank-1
+    filter — Catalyst's WindowGroupLimit pushes the rn=1 predicate into
+    the sort so only each group's top row survives the exchange at
+    scale.  The (ts DESC, event_id DESC) tie-break keeps the winner —
+    and the diff — deterministic."""
+    ev = read_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("event_id").alias("latest_event_id"),
+            F.col("value").alias("latest_value"),
+            F.unix_timestamp("ts").cast("long").alias("latest_ts_epoch"),
+        )
+    )

@@ -71,10 +71,13 @@ _LOADED = False
 # registration-order shift silently evicted a verified query).  Round 5 ran
 # the first digest-derived rotation: 49/50 driver rows green (every r02-
 # stale query re-verified; the one red was a canonicalizer-incompatible
-# array output, reshaped in round 6).  Round 6 grew the surface by 37
-# tier-0 queries (the 21-query TPC-H suite, the graph family, and the
-# round-6 curation/quality/mixing operators), which front-load this
-# round's window and rotate the freshest greens out to the parity suite.
+# array output, reshaped in round 6).  Round 6 grew the surface by 45
+# tier-0 queries (the 21-query TPC-H suite, the graph family, the
+# curation/quality/mixing operators, and the late-round Spark-4 batch:
+# variant, multi-probe LSH, path mining, EWMA fold, left-outer
+# stream-stream join), which — plus the 4-query rows-only lift below —
+# fill this round's window completely and rotate every green out to the
+# parity suite for one round.
 #
 # The window is therefore now DERIVED from the recorded driver history
 # (``driver_history.json`` — a checked-in digest of CORRECTNESS_r*.json

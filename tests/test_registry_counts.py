@@ -9,8 +9,8 @@ from pathlib import Path
 
 from big_data_analytics_project_spark.registry import load_all
 
-TOTAL = 149
-ORACLE = 136
+TOTAL = 150
+ORACLE = 137
 
 
 def test_counts_match_registry():

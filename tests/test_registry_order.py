@@ -35,6 +35,7 @@ EXPECTED_WINDOW = (
     "embedding_l2_normalize",
     "sample_exact_n_per_group",
     "quality_value_winsorize",
+    "dedup_keep_latest",
     "path_common_journeys",
     "graph_degree_distribution",
     "graph_triangle_count",
@@ -72,8 +73,6 @@ EXPECTED_WINDOW = (
     "tpch_q20_part_promotion",
     "tpch_q21_waiting_supplier",
     "tpch_q22_idle_balance",
-    # tier 1 — last green r04
-    "skew_salted_agg",
     # declared one-round rows-only lift (registry.py)
     "streaming_tumbling_append",
     "streaming_dedup",
