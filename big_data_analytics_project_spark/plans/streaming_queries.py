@@ -516,3 +516,30 @@ def streaming_interval_join_left(spark, sf_dir):
     return out.where(
         F.col("__p_ts") <= F.lit(_SS_FINAL_CUTOFF).cast("timestamp")
     ).drop("__p_ts")
+
+
+@query("pyds_clickstream_stream_agg", sql=None, tags=("source", "pyds", "streaming"))
+def pyds_clickstream_stream_agg(spark, sf_dir):
+    """The generator source's STREAMING face: readStream over the
+    registered Python Data Source, drained with availableNow into a
+    per-type aggregate.  Deterministic by the generator's counter-hash
+    contract (stream/batch parity is pinned in tests/test_eventgen.py),
+    rows-only because the data never exists DuckDB-side."""
+    import tempfile
+
+    from ..sources.eventgen import register
+
+    register(spark)
+    stream = (
+        spark.readStream.format("clickstream_gen")
+        .option("rows", 20000)
+        .option("seed", 42)
+        .option("partitions", 8)
+        .load()
+    )
+    agg = stream.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("total_cents"),
+    )
+    out = P.run_to_completion(agg, "t_pyds_stream", output_mode="complete")
+    return out.orderBy("event_type")

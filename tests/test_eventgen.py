@@ -134,3 +134,19 @@ def test_generated_events_compose_downstream(gen):
     )
     assert out.count() > 0
     assert out.agg(F.sum("n")).collect()[0][0] == 10000
+
+
+def test_stream_agg_query_pinned_values(gen, registry):
+    """Pin the registry streaming-PyDS query's exact aggregate (the
+    generator's determinism contract makes these stable literals)."""
+    rows = {
+        r["event_type"]: (r["n_events"], r["total_cents"])
+        for r in registry["pyds_clickstream_stream_agg"].fn(gen, "unused").collect()
+    }
+    assert rows == {
+        "click": (4045, 24314109),
+        "error": (4058, 24153543),
+        "purchase": (3903, 24290491),
+        "signup": (4026, 24579762),
+        "view": (3968, 23800793),
+    }
