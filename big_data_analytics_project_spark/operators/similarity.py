@@ -502,3 +502,41 @@ def ivfpq_topk(
         rescored.withColumn("rank", F.row_number().over(w2).cast("long"))
         .where(F.col("rank") <= k)
     )
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    m: int = 8,
+    k: int = 16,
+    max_iter: int = 5,
+    seed: int = 42,
+) -> list[list[list[float]]]:
+    """PQ sub-codebooks: the vector is split into ``m`` contiguous
+    subspaces and each gets its own seeded k-means (k sub-centroids) over
+    the L2-NORMALIZED corpus subvectors — normalization must match
+    ``ivfpq_topk``'s encoding path or the codebooks quantize the wrong
+    manifold.  This is the generator behind the pinned literals in
+    ``plans/pq_codebooks.py`` (train once on a sample, pin, reuse — the
+    same provenance pattern as ``train_coarse_centroids``).  At 100 TB
+    the m fits run over a driver-chosen sample; each codebook is k×(D/m)
+    doubles — always driver-sized."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    nv = corpus.select(l2_normalize(as_double(vec_col)).alias("__nv")).cache()
+    dim = len(nv.first()["__nv"])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub_dim = dim // m
+    books = []
+    for j in range(m):
+        sub = nv.select(
+            array_to_vector(
+                F.slice(F.col("__nv"), j * sub_dim + 1, sub_dim)
+            ).alias("features")
+        )
+        model = KMeans(k=k, maxIter=max_iter, seed=seed, featuresCol="features").fit(sub)
+        books.append([[float(x) for x in c] for c in model.clusterCenters()])
+    nv.unpersist()
+    return books

@@ -204,3 +204,41 @@ def test_broadcast_assignment_plan_has_no_shuffle(spark, sf_dir):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan, plan
     assert "ShuffleExchange" not in plan and "hashpartitioning" not in plan, plan
+
+
+def test_train_pq_codebooks_shapes_and_encode(spark, sf_dir):
+    """The codebook generator behind plans/pq_codebooks.py: per-subspace
+    seeded k-means over normalized subvectors — shapes, finiteness, and
+    produced codes all in range."""
+    import math
+
+    import pyspark.sql.functions as F
+
+    from big_data_analytics_project_spark.functions.vector import (
+        as_double,
+        l2_normalize,
+    )
+    from big_data_analytics_project_spark.operators.similarity import (
+        pq_encode,
+        train_pq_codebooks,
+    )
+    from big_data_analytics_project_spark.sources.readers import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    dim = len(emb.first()["embedding"])
+    books = train_pq_codebooks(emb, m=2, k=4, max_iter=2, seed=7)
+    assert len(books) == 2
+    assert all(len(b) == 4 for b in books)
+    assert all(len(c) == dim // 2 for b in books for c in b)
+    assert all(math.isfinite(x) for b in books for c in b for x in c)
+
+    codes = (
+        emb.select(l2_normalize(as_double("embedding")).alias("__nv"))
+        .select(pq_encode(F.col("__nv"), books).alias("codes"))
+        .agg(
+            F.min(F.array_min("codes")).alias("lo"),
+            F.max(F.array_max("codes")).alias("hi"),
+        )
+        .collect()[0]
+    )
+    assert 0 <= codes["lo"] and codes["hi"] <= 3
