@@ -176,6 +176,11 @@ class ClickstreamGenStreamReader(DataSourceStreamReader):
 
     def partitions(self, start, end):
         lo, hi = int(start["index"]), int(end["index"])
+        # checkpoint-restart guard: a fresh reader instance starts its
+        # advertised counter at 0, which can trail the checkpointed start
+        # for a few triggers; learning the real position here makes the
+        # advertised offset monotone from the first planned batch on.
+        self._advertised = max(self._advertised, lo, hi)
         return self.o.slices(lo, hi) or [_Slice(lo, lo)]
 
     def read(self, partition: _Slice):

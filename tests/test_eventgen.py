@@ -150,3 +150,54 @@ def test_stream_agg_query_pinned_values(gen, registry):
         "signup": (4026, 24579762),
         "view": (3968, 23800793),
     }
+
+
+def test_stream_checkpoint_restart_resumes(gen):
+    """Kill a paced stream mid-way, restart from the same checkpoint:
+    the file sink must end up holding exactly the batch dataset — no gap
+    from the fresh reader instance's advertised-offset counter restarting
+    at zero (the partitions() monotonicity guard), no duplicates."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    ckpt = tempfile.mkdtemp()
+    out_dir = os.path.join(tempfile.mkdtemp(), "sink")
+
+    def run(min_rows, timeout_s=90):
+        s = (
+            gen.readStream.format("clickstream_gen")
+            .option("rows", 16000)
+            .option("rowsPerBatch", 4000)
+            .option("seed", 21)
+            .load()
+        )
+        q = (
+            s.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="300 milliseconds")
+            .start()
+        )
+        deadline = time.time() + timeout_s
+        while time.time() < deadline:
+            try:
+                if gen.read.parquet(out_dir).count() >= min_rows:
+                    break
+            except Exception:
+                pass
+            time.sleep(0.3)
+        q.stop()
+        q.awaitTermination(30)
+        return gen.read.parquet(out_dir)
+
+    first = run(8000)
+    n_first = first.count()
+    assert 4000 <= n_first
+    if n_first < 16000:
+        run(16000)
+    final = gen.read.parquet(out_dir)
+    batch = _read(gen, rows=16000, seed=21)
+    assert final.count() == 16000
+    assert final.exceptAll(batch).count() == 0
+    assert batch.exceptAll(final).count() == 0
