@@ -821,3 +821,199 @@ def quality_value_winsorize(spark, sf_dir):
             (F.col("value") > F.col("p99")).cast("long").alias("was_clipped"),
         )
     )
+
+
+# --- length-bucketed inference batching -----------------------------------
+# Pad-efficient batch assignment: docs grouped into power-of-two length
+# buckets (exact integer log2 via length(bin(n)) - 1, no libm), then
+# sharded by an engine-portable hash so each (bucket, shard) forms batches
+# independently — the window sort is per (bucket, shard) key, never a
+# global order, so the plan scales by adding shards.  Batch membership is
+# hash-ranked (no rand()), so the batches are reproducible across engines,
+# re-runs, and repartitions.
+
+_BATCH_SIZE = 16
+_BATCH_SHARDS = 4
+
+_BATCH_SQL = rf"""
+WITH n AS (
+  SELECT doc_id, len(regexp_split_to_array(lower(text), '\s+')) AS n_tokens,
+         {hash60("CAST(doc_id AS VARCHAR)")} AS h
+  FROM documents
+),
+b AS (
+  SELECT doc_id, n_tokens, h,
+         CAST(length(printf('%b', n_tokens)) - 1 AS BIGINT) AS log2_bucket,
+         CAST(h % {_BATCH_SHARDS} AS BIGINT) AS shard
+  FROM n
+),
+r AS (
+  SELECT log2_bucket, shard, n_tokens,
+         row_number() OVER (PARTITION BY log2_bucket, shard
+                            ORDER BY h, doc_id) AS rn
+  FROM b
+)
+SELECT log2_bucket, shard,
+       CAST((rn - 1) // {_BATCH_SIZE} AS BIGINT) AS batch_id,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       CAST(max(n_tokens) AS BIGINT) AS max_tokens,
+       CAST(count(*) * max(n_tokens) - sum(n_tokens) AS BIGINT) AS pad_waste
+FROM r
+GROUP BY 1, 2, 3
+"""
+
+
+@query(
+    "batch_length_buckets",
+    sql=_BATCH_SQL,
+    tags=("curation", "batching", "window"),
+)
+def batch_length_buckets(spark, sf_dir):
+    """Length-bucketed inference batching: assign documents to fixed-size
+    batches within power-of-two token-length buckets so padding waste is
+    bounded by the bucket width (the serving-side dual of sequence
+    packing).  Per batch: doc count, token sum, max length, and the exact
+    padding waste (n_docs·max − sum, all-integer).  Plan: map-only
+    tokenize/bucket/shard, ONE window shuffle keyed by (bucket, shard) —
+    sharding keeps every sort partition-sized at 100 TB (more shards =
+    more parallelism, same semantics) — then a keyed aggregation over
+    batch ids.  Ordering by (hash, doc_id) makes assignment deterministic
+    across engines with no RNG."""
+    from pyspark.sql import Window
+
+    from ..operators import text as T
+    from ..operators.dedup import md5_hash60
+
+    docs = read_table(spark, sf_dir, "documents")
+    n = docs.select(
+        "doc_id",
+        F.size(T.ws_tokens(F.col("text"))).alias("n_tokens"),
+        md5_hash60(F.col("doc_id").cast("string")).alias("h"),
+    )
+    b = n.select(
+        "doc_id",
+        "n_tokens",
+        "h",
+        (F.length(F.bin(F.col("n_tokens"))) - 1)
+        .cast("long")
+        .alias("log2_bucket"),
+        (F.col("h") % _BATCH_SHARDS).cast("long").alias("shard"),
+    )
+    w = Window.partitionBy("log2_bucket", "shard").orderBy("h", "doc_id")
+    r = b.withColumn("rn", F.row_number().over(w))
+    return (
+        r.groupBy(
+            "log2_bucket",
+            "shard",
+            F.expr(
+                f"CAST((rn - 1) DIV {_BATCH_SIZE} AS BIGINT)"
+            ).alias("batch_id"),
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("sum_tokens"),
+            F.max("n_tokens").cast("long").alias("max_tokens"),
+            (
+                F.count("*") * F.max("n_tokens") - F.sum("n_tokens")
+            ).cast("long").alias("pad_waste"),
+        )
+    )
+
+
+# --- population-stability drift (PSI) -------------------------------------
+# Train/serve drift monitor: the value distribution of the first half of
+# the time range (reference) vs the second half (candidate), binned at
+# fixed width, with the per-bin PSI term (p−q)·ln(p/q) under Laplace
+# smoothing.  All counts are exact integers; p and q are each ONE double
+# division; only the ln() is libm-dependent, so the final term is rounded
+# to 6dp over ≤10 bins (docs/determinism.md "transcendentals").
+
+_PSI_BIN_WIDTH = 50.0
+_PSI_MAX_BIN = 9  # 10 bins total; smoothing denominator adds 10
+
+_PSI_SQL = f"""
+WITH d AS (
+  SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         LEAST({_PSI_MAX_BIN},
+               CAST(floor(value / {_PSI_BIN_WIDTH}) AS BIGINT)) AS bin
+  FROM events
+),
+cut AS (
+  SELECT (min(day) + max(day) + 1) // 2 AS cutoff FROM d
+),
+c AS (
+  SELECT bin,
+         CAST(sum(CASE WHEN day < cutoff THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_ref,
+         CAST(sum(CASE WHEN day >= cutoff THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_new
+  FROM d, cut GROUP BY bin
+),
+t AS (
+  SELECT bin, n_ref, n_new,
+         CAST(sum(n_ref) OVER () AS BIGINT) AS tot_ref,
+         CAST(sum(n_new) OVER () AS BIGINT) AS tot_new
+  FROM c
+)
+SELECT bin, n_ref, n_new,
+       round((CAST(n_ref + 1 AS DOUBLE) / (tot_ref + 10)
+              - CAST(n_new + 1 AS DOUBLE) / (tot_new + 10))
+             * ln((CAST(n_ref + 1 AS DOUBLE) / (tot_ref + 10))
+                  / (CAST(n_new + 1 AS DOUBLE) / (tot_new + 10))), 6)
+         AS psi_term
+FROM t
+"""
+
+
+@query("drift_psi_bins", sql=_PSI_SQL, tags=("curation", "quality", "drift"))
+def drift_psi_bins(spark, sf_dir):
+    """Population Stability Index between the first and second half of the
+    event-time range: per value-bin counts for both periods plus the
+    smoothed PSI term — the drift gate a pipeline checks before promoting
+    a new training snapshot.  Plan: map-only day/bin projection, the
+    (min,max)-day cutoff is a 1-row aggregate broadcast back (no second
+    scan shuffle), one keyed aggregation over ≤10 bins, then a window on
+    that tiny result for the totals.  Scales as a single pass over the
+    fact table."""
+    ev = read_table(spark, sf_dir, "events")
+    day = F.floor(F.unix_timestamp("ts") / 86400).cast("long")
+    d = ev.select(
+        day.alias("day"),
+        F.least(
+            F.lit(_PSI_MAX_BIN),
+            F.floor(F.col("value") / _PSI_BIN_WIDTH).cast("long"),
+        ).alias("bin"),
+    )
+    cut = d.agg(
+        F.expr("CAST((min(day) + max(day) + 1) DIV 2 AS BIGINT)").alias(
+            "cutoff"
+        )
+    )
+    c = (
+        d.crossJoin(F.broadcast(cut))
+        .groupBy("bin")
+        .agg(
+            F.sum(F.when(F.col("day") < F.col("cutoff"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_ref"),
+            F.sum(F.when(F.col("day") >= F.col("cutoff"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_new"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy()
+    p = (F.col("n_ref") + 1).cast("double") / (F.col("tot_ref") + 10)
+    q = (F.col("n_new") + 1).cast("double") / (F.col("tot_new") + 10)
+    return (
+        c.withColumn("tot_ref", F.sum("n_ref").over(w).cast("long"))
+        .withColumn("tot_new", F.sum("n_new").over(w).cast("long"))
+        .select(
+            "bin",
+            "n_ref",
+            "n_new",
+            F.round((p - q) * F.log(p / q), 6).alias("psi_term"),
+        )
+    )

@@ -182,3 +182,57 @@ def path_common_journeys(spark, sf_dir):
         .limit(20)
         .withColumn("rank", F.row_number().over(wr).cast("long"))
     )
+
+
+# Markov transition matrix: P(next event | current event) over per-user
+# event sequences.  The per-src normalizer is an exact BIGINT sum, so the
+# probability is ONE double division — IEEE-deterministic, no rounding
+# needed (docs/determinism.md "row-level arithmetic").
+_TRANSITIONS_SQL = """
+WITH seq AS (
+  SELECT event_type AS src,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS dst
+  FROM events
+),
+c AS (
+  SELECT src, dst, count(*) AS n_transitions
+  FROM seq WHERE dst IS NOT NULL GROUP BY src, dst
+)
+SELECT src, dst, n_transitions,
+       CAST(n_transitions AS DOUBLE)
+         / sum(n_transitions) OVER (PARTITION BY src) AS p_transition
+FROM c
+"""
+
+
+@query(
+    "path_transition_matrix",
+    sql=_TRANSITIONS_SQL,
+    tags=("funnel", "path", "window"),
+)
+def path_transition_matrix(spark, sf_dir):
+    """First-order Markov transition matrix over the clickstream: for each
+    (current, next) event-type pair, the transition count and conditional
+    probability P(next | current) — the input to journey simulation and
+    next-action prediction.  Plan: one window shuffle keyed by user_id for
+    the lead(), map-side-combined pair counts (|event_types|² ≤ 25 rows),
+    then a window over that tiny aggregate for the per-src normalizer.
+    The (ts, event_id) ordering pins sequences under timestamp ties."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).where(F.col("dst").isNotNull())
+    counted = seq.groupBy("src", "dst").agg(
+        F.count("*").alias("n_transitions")
+    )
+    norm = Window.partitionBy("src")
+    return counted.withColumn(
+        "p_transition",
+        F.col("n_transitions").cast("double")
+        / F.sum("n_transitions").over(norm),
+    )

@@ -28,6 +28,14 @@ from ..streaming import processor as P
 # repartitionByRange + JSON write on every call.  Cleaned up at exit.
 _STAGE_CACHE: dict[tuple[str, int], str] = {}
 
+# State-store partition count for the bounded fixture replays: per-trigger
+# volume here is ≤~100k rows, where 32 state partitions are pure lifecycle
+# overhead (see processor._state_partitions — measured 8.2 s → 2.9 s on the
+# stream-stream outer join at sf0.1).  Production deployments size this to
+# rows-per-trigger ÷ target-partition-rows via the same knob; results are
+# partition-count-independent either way.
+_STATE_PARTS = 8
+
 
 # Sliding-window geometry shared by the Spark call AND the oracle SQL —
 # single source of truth so the two formulations cannot drift (changing
@@ -112,7 +120,7 @@ def streaming_tumbling_window(spark, sf_dir):
     json_dir = _staged(spark, sf_dir)
     stream = P.read_event_stream(spark, json_dir, max_files_per_trigger=2)
     agg = P.tumbling_features(stream)
-    out = P.run_to_completion(agg, "t_tumbling", output_mode="complete")
+    out = P.run_to_completion(agg, "t_tumbling", output_mode="complete", state_partitions=_STATE_PARTS)
     return out.select(
         F.unix_timestamp(F.col("win.start")).cast("long").alias("window_start_epoch"),
         "user_id",
@@ -132,7 +140,7 @@ def streaming_session_window(spark, sf_dir):
     json_dir = _staged(spark, sf_dir)
     stream = P.read_event_stream(spark, json_dir, max_files_per_trigger=2)
     agg = P.session_features(stream, gap="30 minutes")
-    out = P.run_to_completion(agg, "t_session", output_mode="complete")
+    out = P.run_to_completion(agg, "t_session", output_mode="complete", state_partitions=_STATE_PARTS)
     return out.select(
         "user_id",
         F.unix_timestamp(F.col("win.start")).cast("long").alias("session_start_epoch"),
@@ -156,7 +164,7 @@ def streaming_sliding_window(spark, sf_dir):
         window=f"{SLIDING_WINDOW_SEC} seconds",
         slide=f"{SLIDING_SLIDE_SEC} seconds",
     )
-    out = P.run_to_completion(agg, "t_sliding", output_mode="complete")
+    out = P.run_to_completion(agg, "t_sliding", output_mode="complete", state_partitions=_STATE_PARTS)
     return out.select(
         F.unix_timestamp(F.col("win.start")).cast("long").alias("window_start_epoch"),
         "user_id",
@@ -217,7 +225,7 @@ def streaming_static_enrich(spark, sf_dir):
             .alias("total_value"),
         )
     )
-    out = P.run_to_completion(agg, "t_enrich", output_mode="complete")
+    out = P.run_to_completion(agg, "t_enrich", output_mode="complete", state_partitions=_STATE_PARTS)
     return out.select(
         F.unix_timestamp(F.col("win.start")).cast("long").alias("window_start_epoch"),
         "segment",
@@ -278,6 +286,7 @@ def streaming_interval_join(spark, sf_dir):
         ),
         "t_ssjoin",
         output_mode="append",
+        state_partitions=_STATE_PARTS,
     )
     return out
 
@@ -299,7 +308,7 @@ def streaming_tumbling_append(spark, sf_dir):
     try:
         stream = P.read_event_stream(spark, json_dir, max_files_per_trigger=2)
         agg = P.tumbling_features(stream)
-        out = P.run_append_to_files(agg, out_dir)
+        out = P.run_append_to_files(agg, out_dir, state_partitions=_STATE_PARTS)
         result = out.select(
             F.unix_timestamp(F.col("win.start")).cast("long").alias("window_start_epoch"),
             "user_id",
@@ -337,7 +346,7 @@ def streaming_dedup(spark, sf_dir):
     collapse semantics are pinned in tests/test_streaming.py."""
     json_dir = _staged(spark, sf_dir, n_files=2)
     stream = P.read_event_stream(spark, json_dir, max_files_per_trigger=2)
-    out = P.run_to_completion(P.dedup_stream(stream), "t_dedup", "append")
+    out = P.run_to_completion(P.dedup_stream(stream), "t_dedup", "append", state_partitions=_STATE_PARTS)
     return out.groupBy("event_type").agg(
         F.count("*").alias("n_unique_payload_events")
     )
@@ -356,7 +365,8 @@ def streaming_custom_sessionization(spark, sf_dir):
     json_dir = _staged(spark, sf_dir)
     stream = P.read_event_stream(spark, json_dir, max_files_per_trigger=2)
     out = P.run_to_completion(
-        sessionize_with_state(stream, gap_sec=1800), "t_custom_sess", "append"
+        sessionize_with_state(stream, gap_sec=1800), "t_custom_sess", "append",
+        state_partitions=_STATE_PARTS,
     )
     return out.select(
         "user_id", "session_start_epoch", "session_end_epoch",
@@ -512,6 +522,7 @@ def streaming_interval_join_left(spark, sf_dir):
         ),
         "t_ssjoin_left",
         output_mode="append",
+        state_partitions=_STATE_PARTS,
     )
     return out.where(
         F.col("__p_ts") <= F.lit(_SS_FINAL_CUTOFF).cast("timestamp")
@@ -541,5 +552,5 @@ def pyds_clickstream_stream_agg(spark, sf_dir):
         F.count("*").alias("n_events"),
         F.sum(F.round(F.col("value") * 100).cast("long")).alias("total_cents"),
     )
-    out = P.run_to_completion(agg, "t_pyds_stream", output_mode="complete")
+    out = P.run_to_completion(agg, "t_pyds_stream", output_mode="complete", state_partitions=_STATE_PARTS)
     return out.orderBy("event_type")

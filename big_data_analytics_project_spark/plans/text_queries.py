@@ -598,3 +598,61 @@ def tokens_length_histogram(spark, sf_dir):
         )
         .orderBy("log2_bucket")
     )
+
+
+# --- vocabulary coverage / OOV rate ---------------------------------------
+
+_OOV_VOCAB_K = 100
+
+_OOV_SQL = rf"""
+WITH toks AS (
+  SELECT source, unnest(regexp_split_to_array(lower(text), '\s+')) AS gram
+  FROM documents
+),
+vocab AS (
+  SELECT gram FROM (
+    SELECT gram, row_number() OVER (ORDER BY count(*) DESC, gram) AS rank
+    FROM toks GROUP BY gram
+  ) WHERE rank <= {_OOV_VOCAB_K}
+)
+SELECT t.source,
+       count(*) AS n_tokens,
+       CAST(count(*) - count(v.gram) AS BIGINT) AS n_oov,
+       CAST(count(*) - count(v.gram) AS DOUBLE) / count(*) AS oov_rate
+FROM toks t LEFT JOIN vocab v ON t.gram = v.gram
+GROUP BY t.source
+"""
+
+
+@query("vocab_oov_rate", sql=_OOV_SQL, tags=("text", "vocab", "curation"))
+def vocab_oov_rate(spark, sf_dir):
+    """Vocabulary coverage audit: per-source share of token occurrences
+    NOT covered by the global top-100 vocabulary — the out-of-vocabulary
+    rate a tokenizer-training loop watches per data source.  Plan: one
+    explode + map-side-combined count builds the vocab (in-plan TakeOrdered
+    for the top-K, (freq desc, gram) tie-break so the cut is engine-
+    independent), which is top-K-sized and therefore BROADCAST to the
+    token stream — the coverage join is map-only, no shuffle of the corpus.
+    The rate is one double division of two exact counts (no rounding
+    needed)."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(T.ws_tokens(F.col("text"))).alias("gram")
+    )
+    vocab = (
+        toks.groupBy("gram")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), "gram")
+        .limit(_OOV_VOCAB_K)
+        .select("gram", F.lit(1).alias("in_vocab"))
+    )
+    n_oov = F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+    return (
+        toks.join(F.broadcast(vocab), "gram", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            n_oov.cast("long").alias("n_oov"),
+            (n_oov.cast("double") / F.count("*")).alias("oov_rate"),
+        )
+    )

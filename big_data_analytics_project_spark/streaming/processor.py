@@ -239,8 +239,38 @@ def dedup_stream(
     return wm.dropDuplicatesWithinWatermark(keys)
 
 
+class _state_partitions:
+    """Pin the number of stateful-operator partitions for a streaming query.
+
+    Spark fixes state partitioning (= ``spark.sql.shuffle.partitions``) at
+    the query's FIRST checkpoint and every stateful operator then carries
+    that many state-store instances per micro-batch — so production jobs
+    size it deliberately: rows-per-trigger ÷ target-partition-rows, not the
+    batch-side shuffle default.  For the bounded fixture replays here the
+    per-trigger volume is ≤~100k rows, where 32 state stores are pure
+    lifecycle overhead (measured 8.2 s → 2.9 s on the stream-stream outer
+    join at sf0.1 going 32 → 8).  On a real cluster the same knob scales
+    UP with trigger volume; semantics never depend on it.
+    """
+
+    def __init__(self, spark: SparkSession, n: int | None):
+        self.spark, self.n = spark, n
+
+    def __enter__(self):
+        if self.n is not None:
+            self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
+            self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+
+    def __exit__(self, *exc):
+        if self.n is not None:
+            self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
+
+
 def run_to_completion(
-    agg: DataFrame, query_name: str, output_mode: str = "complete"
+    agg: DataFrame,
+    query_name: str,
+    output_mode: str = "complete",
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Execute a streaming aggregate over all available input (availableNow
     trigger → deterministic micro-batch sequence) into a memory sink and
@@ -252,20 +282,24 @@ def run_to_completion(
     production path at scale is :func:`run_append_to_files`."""
     spark = agg.sparkSession
     with tempfile.TemporaryDirectory(prefix="bdap_ckpt_") as ckpt:
-        q = (
-            agg.writeStream.outputMode(output_mode)
-            .format("memory")
-            .queryName(query_name)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        with _state_partitions(spark, state_partitions):
+            q = (
+                agg.writeStream.outputMode(output_mode)
+                .format("memory")
+                .queryName(query_name)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
     return spark.table(query_name)
 
 
 def run_append_to_files(
-    agg: DataFrame, out_dir: str, fmt: str = "parquet"
+    agg: DataFrame,
+    out_dir: str,
+    fmt: str = "parquet",
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """The production streaming shape (100 TB path): ``append`` output mode
     into a file sink.  Each window group is written exactly once, when the
@@ -282,15 +316,16 @@ def run_append_to_files(
     """
     spark = agg.sparkSession
     with tempfile.TemporaryDirectory(prefix="bdap_ckpt_") as ckpt:
-        q = (
-            agg.writeStream.outputMode("append")
-            .format(fmt)
-            .option("path", out_dir)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        with _state_partitions(spark, state_partitions):
+            q = (
+                agg.writeStream.outputMode("append")
+                .format(fmt)
+                .option("path", out_dir)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
     has_data = any(
         f.startswith("part-") for f in os.listdir(out_dir) if not f.startswith(".")
     )
