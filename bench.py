@@ -86,6 +86,14 @@ HEADLINE = [
     "ann_lsh_multiprobe_topk",
     "streaming_interval_join_left",
     "pyds_clickstream_gen_agg",
+    # round-6 curation/analytics additions: OOV needs the corpus token
+    # stream twice (vocab build + coverage join), batching is the pow2
+    # window shuffle, transitions reuse the user-keyed lead window, PSI
+    # is a single fact-table pass
+    "vocab_oov_rate",
+    "batch_length_buckets",
+    "path_transition_matrix",
+    "drift_psi_bins",
 ]
 
 

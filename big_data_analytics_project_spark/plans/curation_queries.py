@@ -1017,3 +1017,67 @@ def drift_psi_bins(spark, sf_dir):
             F.round((p - q) * F.log(p / q), 6).alias("psi_term"),
         )
     )
+
+
+# --- single-pass in-flight pipeline metrics (Observation API) -------------
+# The production answer to "don't scan the data twice for DQ counters": a
+# named Observation attached to the pipeline's own pass collects exact
+# aggregates as a side channel of the action that was running anyway —
+# zero extra jobs, zero extra shuffles, metrics wired from executors to
+# the driver with the task results.  Here the "pipeline action" is a
+# noop-sink write (the format Spark ships for exactly this measure-the-
+# pass pattern); in production it is the real parquet/Kafka write.
+
+_OBSERVE_SQL = """
+SELECT count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+       CAST(floor(epoch(min(ts))) AS BIGINT) AS min_ts_epoch,
+       CAST(floor(epoch(max(ts))) AS BIGINT) AS max_ts_epoch,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_purchases
+FROM events
+"""
+
+
+@query(
+    "observe_inflight_metrics",
+    sql=_OBSERVE_SQL,
+    tags=("quality", "audit", "orchestration"),
+)
+def observe_inflight_metrics(spark, sf_dir):
+    """In-flight data-quality counters via ``DataFrame.observe``: row
+    count, exact decimal value total, time-range bounds, and a per-class
+    count, all collected DURING a single pipeline pass (a noop-sink write
+    stands in for the production sink) rather than by re-scanning.  The
+    observed metrics are exact aggregates, so the returned 1-row frame is
+    oracle-checkable like any query.  At 100 TB this is the difference
+    between free metrics and a second full-table job."""
+    from pyspark.sql import Observation
+
+    ev = read_table(spark, sf_dir, "events")
+    obs = Observation()
+    observed = ev.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value_dec"),
+        F.min(F.unix_timestamp("ts")).alias("min_ts_epoch"),
+        F.max(F.unix_timestamp("ts")).alias("max_ts_epoch"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("n_purchases"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                m["n_events"],
+                float(m["total_value_dec"]),
+                m["min_ts_epoch"],
+                m["max_ts_epoch"],
+                m["n_purchases"],
+            )
+        ],
+        "n_events long, total_value double, min_ts_epoch long,"
+        " max_ts_epoch long, n_purchases long",
+    )

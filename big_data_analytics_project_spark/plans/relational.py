@@ -940,6 +940,45 @@ def set_except(spark, sf_dir):
 
 
 @query(
+    "set_except_all",
+    sql="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    EXCEPT ALL
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+    """,
+    tags=("setop", "except"),
+)
+def set_except_all(spark, sf_dir):
+    """EXCEPT ALL (bag semantics — multiplicity max(m−n, 0) per value):
+    each customer keeps one row per completed order beyond their pending
+    count.  One hash aggregation per side, counts differenced — no row
+    explosion (Spark plans `exceptAll` as a counted anti-aggregate)."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    b = o.where(F.col("o_orderstatus") == "P").select("o_custkey")
+    return a.exceptAll(b)
+
+
+@query(
+    "set_intersect_all",
+    sql="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT ALL
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+    tags=("setop", "intersect"),
+)
+def set_intersect_all(spark, sf_dir):
+    """INTERSECT ALL (bag semantics — multiplicity min(m, n) per value):
+    one row per paired completed/open order of the same customer.  Same
+    counted-aggregate plan shape as EXCEPT ALL."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    b = o.where(F.col("o_orderstatus") == "O").select("o_custkey")
+    return a.intersectAll(b)
+
+
+@query(
     "distinct_pairs",
     sql="SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
     tags=("setop", "distinct"),

@@ -9,8 +9,8 @@ from pathlib import Path
 
 from big_data_analytics_project_spark.registry import load_all
 
-TOTAL = 155
-ORACLE = 141
+TOTAL = 158
+ORACLE = 144
 
 
 def test_counts_match_registry():

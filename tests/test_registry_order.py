@@ -37,6 +37,7 @@ EXPECTED_WINDOW = (
     "quality_value_winsorize",
     "batch_length_buckets",
     "drift_psi_bins",
+    "observe_inflight_metrics",
     "dedup_keep_latest",
     "path_common_journeys",
     "path_transition_matrix",
@@ -45,6 +46,8 @@ EXPECTED_WINDOW = (
     "graph_pagerank_copurchase",
     "graph_link_prediction_topk",
     "graph_clustering_coefficient",
+    "set_except_all",
+    "set_intersect_all",
     "variant_semi_structured",
     "ann_lsh_multiprobe_topk",
     "streaming_interval_join_left",
@@ -70,9 +73,6 @@ EXPECTED_WINDOW = (
     "tpch_q12_priority_by_linestatus",
     "tpch_q13_customer_distribution",
     "tpch_q2_min_cost_supplier",
-    "tpch_q11_important_stock",
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_quantity_revenue",
     # declared one-round rows-only lift (registry.py)
     "streaming_tumbling_append",
     "streaming_dedup",
