@@ -144,6 +144,28 @@ def write_jsonl_shards(
     out.write.mode(mode).json(path)
 
 
+def overwrite_partitions_dynamic(
+    df: DataFrame, path: str, partition_cols: list[str]
+) -> None:
+    """Backfill/restatement write: replace ONLY the partitions present in
+    ``df``, leaving every other partition of the dataset untouched
+    (``partitionOverwriteMode=dynamic``; the default STATIC mode would
+    truncate the whole table first).  This is how a 100 TB date-partitioned
+    table takes a one-day correction — rewrite day=2024-01-17, never the
+    other 4 years.  The conf is set per-write via ``DataFrameWriter
+    .option``, so the session default stays untouched.  Idempotent per
+    partition: re-running the same backfill converges to the same files.
+    Behavior (replaced vs preserved partitions) is pinned in
+    tests/test_sinks.py."""
+    out = df.repartition(*[F.col(c) for c in partition_cols])
+    (
+        out.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
+
+
 def read_jsonl(spark: SparkSession, path: str, schema=None) -> DataFrame:
     """Read a JSONL export back.  Always pass the explicit schema in
     production — schema inference is a full extra pass over the data."""

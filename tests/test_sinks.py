@@ -185,3 +185,48 @@ def test_jsonl_shard_export_roundtrip(spark, sf_dir, tmp_path):
                     m[_json.loads(line)["doc_id"]] = i
         return m
     assert shard_map(out) == shard_map(out2)
+
+
+def test_dynamic_partition_overwrite_replaces_only_touched(spark, sf_dir, tmp_path):
+    """A backfill write with partitionOverwriteMode=dynamic must replace
+    ONLY the partitions present in the incoming frame; static mode would
+    truncate the whole dataset first."""
+    from big_data_analytics_project_spark.sources.sinks import (
+        overwrite_partitions_dynamic,
+    )
+
+    out = str(tmp_path / "orders_by_status")
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    write_partitioned(orders, out, ["o_orderstatus"])
+    before = {
+        r["o_orderstatus"]: r["n"]
+        for r in read_parquet(spark, out).groupBy("o_orderstatus").agg(
+            F.count("*").alias("n")
+        ).collect()
+    }
+    assert len(before) >= 2
+
+    # restate ONE partition with half its rows
+    target = sorted(before)[0]
+    patch = (
+        read_parquet(spark, out)
+        .where(F.col("o_orderstatus") == target)
+        .where(F.col("o_orderkey") % 2 == 0)
+        .persist()  # pin before writing over our own input files
+    )
+    n_patch = patch.count()
+    overwrite_partitions_dynamic(patch, out, ["o_orderstatus"])
+    patch.unpersist()
+
+    after = {
+        r["o_orderstatus"]: r["n"]
+        for r in read_parquet(spark, out).groupBy("o_orderstatus").agg(
+            F.count("*").alias("n")
+        ).collect()
+    }
+    assert after[target] == n_patch  # replaced
+    for k in before:
+        if k != target:
+            assert after[k] == before[k]  # untouched
