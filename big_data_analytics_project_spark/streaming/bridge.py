@@ -97,3 +97,55 @@ def run_scored_stream(agg: DataFrame, bridge: OnlineScoringBridge) -> list[dict]
         )
         q.awaitTermination()
     return bridge.batches
+
+
+# --- multi-sink fan-out ---------------------------------------------------
+
+def idempotent_parquet_writer(base_dir: str):
+    """A fan-out writer that lands each micro-batch in its own
+    ``batch_id=N`` directory with overwrite semantics: a foreachBatch
+    REPLAY of batch N (at-least-once delivery after a failure) rewrites
+    the same directory instead of appending duplicates — the standard
+    batch-id idempotence contract.  Readers see the union via partition
+    discovery on ``base_dir``."""
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(base_dir, f"batch_id={batch_id}")
+        )
+
+    return write
+
+
+def run_fanout_stream(
+    stream_df: DataFrame, writers: list, state_partitions: int | None = None
+) -> None:
+    """Fan one stream out to N sinks with the batch computed ONCE.
+
+    The naive form — N ``writeStream`` queries on the same source — scans
+    and transforms the input N times and keeps N sets of offsets/state.
+    ``foreachBatch`` + persist computes each micro-batch once and hands
+    the materialized frame to every writer (raw archive + aggregate +
+    alerting is the canonical trio).  Exactly-once then rests on each
+    writer's (batch_id, data) idempotence, e.g.
+    :func:`idempotent_parquet_writer`."""
+    from .processor import _state_partitions
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            for w in writers:
+                w(batch_df, batch_id)
+        finally:
+            batch_df.unpersist()
+
+    spark = stream_df.sparkSession
+    with tempfile.TemporaryDirectory(prefix="bdap_ckpt_") as ckpt:
+        with _state_partitions(spark, state_partitions):
+            q = (
+                stream_df.writeStream.option("checkpointLocation", ckpt)
+                .foreachBatch(handle)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()

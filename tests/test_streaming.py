@@ -186,3 +186,40 @@ def test_foreachbatch_bridge_learns_and_sinks(spark, sf_dir, tmp_path):
         import shutil
 
         shutil.rmtree(json_dir, ignore_errors=True)
+
+
+def test_fanout_computes_once_and_feeds_every_sink(spark, sf_dir, tmp_path):
+    """One stream → two sinks via foreachBatch fan-out: both sinks see the
+    complete data, batch directories carry the idempotence contract, and
+    the raw archive row count equals the source (computed-once semantics
+    are the point; N independent writeStream queries would re-scan)."""
+    from big_data_analytics_project_spark.streaming.bridge import (
+        idempotent_parquet_writer,
+        run_fanout_stream,
+    )
+
+    json_dir = P.stage_events_as_json_stream(spark, sf_dir, n_files=2)
+    stream = P.read_event_stream(spark, json_dir, max_files_per_trigger=1)
+
+    raw_dir = str(tmp_path / "raw")
+    agg_rows = []
+
+    def agg_writer(batch_df, batch_id):
+        agg_rows.append(
+            (batch_id, batch_df.groupBy("event_type").count().count())
+        )
+
+    run_fanout_stream(
+        stream,
+        [idempotent_parquet_writer(raw_dir), agg_writer],
+        state_partitions=4,
+    )
+
+    src_n = spark.read.json(json_dir).count()
+    archived = spark.read.parquet(raw_dir)
+    assert archived.count() == src_n
+    # one batch dir per micro-batch (maxFilesPerTrigger=1 over 2 files)
+    batch_dirs = [d for d in os.listdir(raw_dir) if d.startswith("batch_id=")]
+    assert len(batch_dirs) == 2
+    assert [b for b, _ in agg_rows] == [0, 1]
+    assert all(n > 0 for _, n in agg_rows)
