@@ -230,3 +230,30 @@ def test_dynamic_partition_overwrite_replaces_only_touched(spark, sf_dir, tmp_pa
     for k in before:
         if k != target:
             assert after[k] == before[k]  # untouched
+
+
+def test_round6_additions_plan_shapes(spark, sf_dir):
+    """Plan pins for the round-6 additions: the OOV coverage join must be
+    broadcast (the vocab is top-K-sized — a sort-merge join would shuffle
+    the whole token stream), the batching window must ride ONE exchange
+    keyed by (bucket, shard), and the PSI cutoff join must be a broadcast
+    of the 1-row aggregate."""
+    from big_data_analytics_project_spark.registry import load_all
+
+    spark.catalog.clearCache()
+    reg = load_all()
+
+    oov = reg["vocab_oov_rate"].fn(spark, sf_dir)
+    oov_plan = oov._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in oov_plan, oov_plan
+    # the corpus-side token stream never sort-merge-joins
+    assert "SortMergeJoin" not in oov_plan, oov_plan
+
+    batch = reg["batch_length_buckets"].fn(spark, sf_dir)
+    bplan = batch._jdf.queryExecution().executedPlan().toString()
+    assert bplan.count("Exchange") == 1, bplan
+    assert "Window" in bplan
+
+    psi = reg["drift_psi_bins"].fn(spark, sf_dir)
+    pplan = psi._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in pplan or "BroadcastHashJoin" in pplan, pplan
