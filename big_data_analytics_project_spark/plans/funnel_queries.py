@@ -236,3 +236,107 @@ def path_transition_matrix(spark, sf_dir):
         F.col("n_transitions").cast("double")
         / F.sum("n_transitions").over(norm),
     )
+
+
+# A/B experiment readout: variants assigned by the engine-portable hash
+# (the same user always lands in the same arm, on any engine/rerun), the
+# per-arm conversion rates are single double divisions of exact counts,
+# and only the z-score's sqrt() is libm-dependent → rounded to 6dp on the
+# one output row (docs/determinism.md "transcendentals").
+_ABTEST_SQL = """
+WITH u AS (
+  SELECT user_id,
+         list_sum([((strpos('0123456789abcdef',
+             md5(CAST(user_id AS VARCHAR))[i]) - 1)::BIGINT
+             << (4*(15-i))) for i in range(1,16)]) % 2 AS variant,
+         CASE WHEN coalesce(sum(CAST(value AS DECIMAL(18,2)))
+                    FILTER (event_type = 'purchase'), 0) > 700
+              THEN 1 ELSE 0 END AS converted
+  FROM events GROUP BY user_id
+),
+v AS (
+  SELECT variant, count(*) AS n_users,
+         CAST(sum(converted) AS BIGINT) AS n_conv,
+         CAST(sum(converted) AS DOUBLE) / count(*) AS rate
+  FROM u GROUP BY variant
+)
+SELECT a.n_users AS n_users_a, a.n_conv AS n_conv_a, a.rate AS rate_a,
+       b.n_users AS n_users_b, b.n_conv AS n_conv_b, b.rate AS rate_b,
+       b.rate - a.rate AS lift,
+       CASE WHEN a.n_conv + b.n_conv > 0
+             AND a.n_conv + b.n_conv < a.n_users + b.n_users
+            THEN round((b.rate - a.rate)
+                 / sqrt((CAST(a.n_conv + b.n_conv AS DOUBLE)
+                         / (a.n_users + b.n_users))
+                        * (1.0 - CAST(a.n_conv + b.n_conv AS DOUBLE)
+                           / (a.n_users + b.n_users))
+                        * (1.0 / a.n_users + 1.0 / b.n_users)), 6)
+            ELSE NULL END AS z_score
+FROM (SELECT * FROM v WHERE variant = 0) a,
+     (SELECT * FROM v WHERE variant = 1) b
+"""
+
+
+@query("abtest_conversion_lift", sql=_ABTEST_SQL, tags=("abtest", "clickstream"))
+def abtest_conversion_lift(spark, sf_dir):
+    """Two-proportion experiment readout: users hash-assigned to arms
+    (deterministic membership — backfills and reruns keep every user in
+    the same arm, unlike RNG assignment), conversion = lifetime purchase
+    value above a threshold (decimal-exact), per-arm rate, lift,
+    and the pooled two-proportion z-score.  Plan: one user-keyed
+    aggregation reduces the fact table to one row per user, a two-row
+    aggregate per arm, then a driver-sized broadcast cross of the two
+    rows.  The 100 TB cost is the single keyed aggregation — everything
+    after is constant-size."""
+    from ..operators.dedup import md5_hash60
+
+    ev = read_table(spark, sf_dir, "events")
+    purchase_total = F.coalesce(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.col("value").cast("decimal(18,2)"),
+            )
+        ),
+        F.lit(0).cast("decimal(18,2)"),
+    )
+    u = ev.groupBy("user_id").agg(
+        F.when(purchase_total > 700, 1).otherwise(0).alias("converted")
+    ).select(
+        (md5_hash60(F.col("user_id").cast("string")) % 2).alias("variant"),
+        "converted",
+    )
+    v = u.groupBy("variant").agg(
+        F.count("*").alias("n_users"),
+        F.sum("converted").cast("long").alias("n_conv"),
+        (F.sum("converted").cast("double") / F.count("*")).alias("rate"),
+    )
+    a = v.where(F.col("variant") == 0).select(
+        F.col("n_users").alias("n_users_a"),
+        F.col("n_conv").alias("n_conv_a"),
+        F.col("rate").alias("rate_a"),
+    )
+    b = v.where(F.col("variant") == 1).select(
+        F.col("n_users").alias("n_users_b"),
+        F.col("n_conv").alias("n_conv_b"),
+        F.col("rate").alias("rate_b"),
+    )
+    pooled = (F.col("n_conv_a") + F.col("n_conv_b")).cast("double") / (
+        F.col("n_users_a") + F.col("n_users_b")
+    )
+    se = F.sqrt(
+        pooled
+        * (F.lit(1.0) - pooled)
+        * (F.lit(1.0) / F.col("n_users_a") + F.lit(1.0) / F.col("n_users_b"))
+    )
+    n_conv = F.col("n_conv_a") + F.col("n_conv_b")
+    n_all = F.col("n_users_a") + F.col("n_users_b")
+    return a.crossJoin(F.broadcast(b)).select(
+        "n_users_a", "n_conv_a", "rate_a",
+        "n_users_b", "n_conv_b", "rate_b",
+        (F.col("rate_b") - F.col("rate_a")).alias("lift"),
+        F.when(
+            (n_conv > 0) & (n_conv < n_all),
+            F.round((F.col("rate_b") - F.col("rate_a")) / se, 6),
+        ).alias("z_score"),
+    )

@@ -432,3 +432,59 @@ def timeseries_ewma_by_user(spark, sf_dir):
     return seq.select(
         "user_id", "n_events", F.round(ewma, 6).alias("ewma_value")
     )
+
+
+# --- seasonal-naive forecast backtest -------------------------------------
+# The simplest defensible baseline forecast (y_hat[d] = y[d-7]) and its
+# backtest error, all in EXACT decimal arithmetic: daily totals are
+# DECIMAL sums, the 7-day shift is a key join (day = day-7) rather than a
+# row-offset lag — correct under calendar gaps — and the error is a
+# decimal difference, so both engines agree bit-for-bit with no rounding.
+
+_SEASONAL_SQL = """
+WITH daily AS (
+  SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         sum(CAST(value AS DECIMAL(18,2))) AS total
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+)
+SELECT a.day,
+       CAST(a.total AS DOUBLE) AS actual,
+       CAST(f.total AS DOUBLE) AS forecast,
+       CAST(abs(a.total - f.total) AS DOUBLE) AS abs_err
+FROM daily a LEFT JOIN daily f ON f.day = a.day - 7
+"""
+
+
+@query(
+    "forecast_seasonal_naive",
+    sql=_SEASONAL_SQL,
+    tags=("timeseries", "forecast"),
+)
+def forecast_seasonal_naive(spark, sf_dir):
+    """Seasonal-naive revenue backtest: each day's forecast is the total
+    from 7 days earlier, with per-day absolute error — the baseline every
+    forecasting pipeline must beat, and the shape of its backtesting scan.
+    Plan: one keyed aggregation reduces the fact table to ~|days| rows;
+    the lag is then a BROADCAST self-join on the shifted day key (exact
+    under calendar gaps, unlike a row-offset lag), costing nothing at any
+    scale.  Decimal-exact throughout: no float rounding on either engine."""
+    ev = read_table(spark, sf_dir, "events")
+    day = F.floor(F.unix_timestamp("ts") / 86400).cast("long")
+    daily = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy(day.alias("day"))
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("total"))
+    )
+    fc = daily.select(
+        (F.col("day") + 7).alias("fday"), F.col("total").alias("ftotal")
+    )
+    return daily.join(
+        F.broadcast(fc), daily.day == fc.fday, "left"
+    ).select(
+        "day",
+        F.col("total").cast("double").alias("actual"),
+        F.col("ftotal").cast("double").alias("forecast"),
+        F.abs(F.col("total") - F.col("ftotal"))
+        .cast("double")
+        .alias("abs_err"),
+    )

@@ -9,8 +9,8 @@ from pathlib import Path
 
 from big_data_analytics_project_spark.registry import load_all
 
-TOTAL = 158
-ORACLE = 144
+TOTAL = 160
+ORACLE = 146
 
 
 def test_counts_match_registry():

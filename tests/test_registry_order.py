@@ -41,6 +41,7 @@ EXPECTED_WINDOW = (
     "dedup_keep_latest",
     "path_common_journeys",
     "path_transition_matrix",
+    "abtest_conversion_lift",
     "graph_degree_distribution",
     "graph_triangle_count",
     "graph_pagerank_copurchase",
@@ -54,6 +55,7 @@ EXPECTED_WINDOW = (
     "session_gap_assignment",
     "timeseries_gapfill_interpolate",
     "timeseries_ewma_by_user",
+    "forecast_seasonal_naive",
     "text_boilerplate_ngram_share",
     "tfidf_top_terms",
     "quality_unigram_logprob",
@@ -71,8 +73,6 @@ EXPECTED_WINDOW = (
     "tpch_q8_market_share",
     "tpch_q9_product_type_profit",
     "tpch_q12_priority_by_linestatus",
-    "tpch_q13_customer_distribution",
-    "tpch_q2_min_cost_supplier",
     # declared one-round rows-only lift (registry.py)
     "streaming_tumbling_append",
     "streaming_dedup",
