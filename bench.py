@@ -94,6 +94,10 @@ HEADLINE = [
     "batch_length_buckets",
     "path_transition_matrix",
     "drift_psi_bins",
+    # last round-6 batch: both reduce the fact table to a driver-sized
+    # aggregate in one keyed pass
+    "forecast_seasonal_naive",
+    "abtest_conversion_lift",
 ]
 
 

@@ -110,12 +110,35 @@ def run_one(spark, con, spec, sf_dir: str) -> CompareReport:
     return compare_frames(spec.name, sdf, odf)
 
 
+def _hostile_session():
+    """A driver-like session that has NONE of our factory's settings: odd
+    timezone, odd shuffle partitioning, ANSI default.  Every query must
+    still match its oracle — the ``@query`` wrapper is responsible for
+    pinning whatever it needs (UTC, nanos handling); relying on the
+    engine's own session factory would hide that dependency until the
+    external driver breaks it.  Enabled via ``SPARK_GRAFT_HOSTILE=1``."""
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master("local[8]")
+        .appName("verify-hostile")
+        .config("spark.sql.session.timeZone", "America/New_York")
+        .config("spark.sql.shuffle.partitions", "17")
+        .getOrCreate()
+    )
+
+
 def main(sf_dir: str = "/root/testdata/sf0.01", names: list[str] | None = None) -> int:
+    import os
+
     from .registry import load_all
     from .session import get_spark
 
     registry = load_all()
-    spark = get_spark("verify")
+    hostile = os.environ.get("SPARK_GRAFT_HOSTILE") == "1"
+    spark = _hostile_session() if hostile else get_spark("verify")
+    if hostile:
+        print("# hostile session: tz=America/New_York, shuffle.partitions=17")
     con = duck_connect(sf_dir)
     failures = 0
     for name, spec in sorted(registry.items()):
