@@ -13,6 +13,7 @@ import pyspark.sql.functions as F
 
 from ..registry import query
 from ..sources import read_table
+from ._duck import hash60
 
 # Stage k's timestamp must be >= stage k-1's (ordered funnel, not mere
 # presence): min(view) → first cart AT OR AFTER it → first purchase AT OR
@@ -243,12 +244,10 @@ def path_transition_matrix(spark, sf_dir):
 # per-arm conversion rates are single double divisions of exact counts,
 # and only the z-score's sqrt() is libm-dependent → rounded to 6dp on the
 # one output row (docs/determinism.md "transcendentals").
-_ABTEST_SQL = """
+_ABTEST_SQL = f"""
 WITH u AS (
   SELECT user_id,
-         list_sum([((strpos('0123456789abcdef',
-             md5(CAST(user_id AS VARCHAR))[i]) - 1)::BIGINT
-             << (4*(15-i))) for i in range(1,16)]) % 2 AS variant,
+         {hash60("CAST(user_id AS VARCHAR)")} % 2 AS variant,
          CASE WHEN coalesce(sum(CAST(value AS DECIMAL(18,2)))
                     FILTER (event_type = 'purchase'), 0) > 700
               THEN 1 ELSE 0 END AS converted
