@@ -98,6 +98,7 @@ HEADLINE = [
     # aggregate in one keyed pass
     "forecast_seasonal_naive",
     "abtest_conversion_lift",
+    "mix_budget_select",
 ]
 
 

@@ -1081,3 +1081,75 @@ def observe_inflight_metrics(spark, sf_dir):
         "n_events long, total_value double, min_ts_epoch long,"
         " max_ts_epoch long, n_purchases long",
     )
+
+
+# --- token-budget corpus subsetting ---------------------------------------
+# Mixture construction: take documents per source, in deterministic hash
+# order, until the source's token budget is spent (first crossing doc
+# included) — how a fixed-size pretraining mix is actually drawn from an
+# oversized corpus.  One window cumsum per source key; membership depends
+# only on (hash, doc_id) order, so reruns/backfills select identical docs.
+
+_MIX_BUDGET_TOKENS = 1000
+
+_MIX_BUDGET_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, source,
+         len(regexp_split_to_array(lower(text), '\s+')) AS n_tokens,
+         {hash60("CAST(doc_id AS VARCHAR)")} AS h
+  FROM documents
+),
+r AS (
+  SELECT doc_id, source, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+)
+SELECT doc_id, source,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(cum AS BIGINT) AS cum_tokens
+FROM r WHERE cum - n_tokens < {_MIX_BUDGET_TOKENS}
+"""
+
+
+@query(
+    "mix_budget_select",
+    sql=_MIX_BUDGET_SQL,
+    tags=("curation", "mixing", "window"),
+)
+def mix_budget_select(spark, sf_dir):
+    """Token-budget corpus subsetting: per source, keep documents in
+    deterministic hash order until the source's token budget is spent
+    (the doc that crosses the budget is included, so every budget is
+    met).  This is the draw step of mixture construction — an oversized
+    corpus cut down to a fixed per-source token allocation,
+    reproducibly.  Plan: map-only tokenize/hash, ONE window shuffle
+    keyed by source for the running sum, then a map-only filter.  The
+    running sum is integer-exact; selection is identical on any engine,
+    rerun, or repartitioning."""
+    from pyspark.sql import Window
+
+    from ..operators import text as T
+    from ..operators.dedup import md5_hash60
+
+    docs = read_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "source",
+        F.size(T.ws_tokens(F.col("text"))).alias("n_tokens"),
+        md5_hash60(F.col("doc_id").cast("string")).alias("h"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    r = t.withColumn("cum", F.sum("n_tokens").over(w))
+    return r.where(
+        F.col("cum") - F.col("n_tokens") < _MIX_BUDGET_TOKENS
+    ).select(
+        "doc_id",
+        "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("cum").cast("long").alias("cum_tokens"),
+    )

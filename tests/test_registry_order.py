@@ -38,6 +38,7 @@ EXPECTED_WINDOW = (
     "batch_length_buckets",
     "drift_psi_bins",
     "observe_inflight_metrics",
+    "mix_budget_select",
     "dedup_keep_latest",
     "path_common_journeys",
     "path_transition_matrix",
@@ -72,7 +73,6 @@ EXPECTED_WINDOW = (
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
     "tpch_q9_product_type_profit",
-    "tpch_q12_priority_by_linestatus",
     # declared one-round rows-only lift (registry.py)
     "streaming_tumbling_append",
     "streaming_dedup",

@@ -97,3 +97,31 @@ def test_abtest_arms_partition_users(spark, sf_dir):
     # hash assignment is deterministic: a rerun reproduces the same arms
     r2 = _q("abtest_conversion_lift", spark, sf_dir).collect()[0]
     assert r == r2
+
+
+def test_budget_select_meets_or_exhausts_each_source(spark, sf_dir):
+    from big_data_analytics_project_spark.plans.curation_queries import (
+        _MIX_BUDGET_TOKENS,
+    )
+    from big_data_analytics_project_spark.sources import read_table
+
+    sel = _q("mix_budget_select", spark, sf_dir).collect()
+    per_src = {}
+    for r in sel:
+        cur = per_src.setdefault(r["source"], {"n": 0, "last_cum": 0})
+        cur["n"] += 1
+        cur["last_cum"] = max(cur["last_cum"], r["cum_tokens"])
+    n_docs_by_src = {
+        r["source"]: r["n"]
+        for r in read_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for src, cur in per_src.items():
+        # either the budget is met (first-crossing doc included) or the
+        # source ran out of documents entirely
+        assert (
+            cur["last_cum"] >= _MIX_BUDGET_TOKENS
+            or cur["n"] == n_docs_by_src[src]
+        ), (src, cur)
