@@ -99,6 +99,9 @@ HEADLINE = [
     "forecast_seasonal_naive",
     "abtest_conversion_lift",
     "mix_budget_select",
+    # Spark 4 DataSketches: theta set-algebra + day->total KLL merge fold
+    "sketch_theta_set_ops",
+    "sketch_kll_value_quantiles",
 ]
 
 

@@ -1045,3 +1045,172 @@ def sort_by_aggregate(spark, sf_dir):
     return ev.groupBy("event_type").count().withColumnRenamed("count", "n").orderBy(
         F.desc("n"), "event_type"
     )
+
+
+@query(
+    "sketch_theta_set_ops",
+    sql="""
+    WITH u AS (
+      SELECT user_id,
+             max(CASE WHEN event_type = 'purchase' AND value > 300
+                 THEN 1 ELSE 0 END) AS p,
+             max(CASE WHEN event_type = 'error'
+                       AND ts < TIMESTAMP '2024-01-08 00:00:00'
+                 THEN 1 ELSE 0 END) AS e
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(sum(p) AS BIGINT) AS n_purchasers,
+           CAST(sum(e) AS BIGINT) AS n_error_users,
+           CAST(sum(CASE WHEN p = 1 OR e = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_union,
+           CAST(sum(p * e) AS BIGINT) AS n_overlap,
+           CAST(sum(CASE WHEN p = 1 AND e = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clean_purchasers,
+           CAST(TRUE AS BOOLEAN) AS theta_within_5pct
+    FROM u
+    """,
+    tags=("agg", "approx", "sketch"),
+)
+def sketch_theta_set_ops(spark, sf_dir):
+    """Audience-overlap algebra on Theta sketches (Spark 4 DataSketches):
+    big-spender users ∪/∩/∖ early-error-affected users computed from two
+    MERGEABLE sketches — the capability HLL lacks (no intersection /
+    difference), and the way audience overlap is answered at 100 TB:
+    per-partition/per-day sketches union in bytes, never re-scanning raw
+    data.  Oracle-checked via the tolerance CONTRACT pattern
+    (agg_approx_distinct): the output carries EXACT counts from one
+    flag-aggregation pass plus a boolean asserting every sketch estimate
+    landed within 5% (below k=2¹² retained hashes the sketch is exact,
+    so the margin is pure safety); a drifting estimator flips the
+    boolean and fails the driver hash."""
+    ev = _t(spark, sf_dir, "events")
+    big_purchase = (F.col("event_type") == "purchase") & (F.col("value") > 300)
+    early_error = (F.col("event_type") == "error") & (
+        F.col("ts") < F.lit("2024-01-08 00:00:00").cast("timestamp")
+    )
+    u = ev.groupBy("user_id").agg(
+        F.max(F.when(big_purchase, 1).otherwise(0)).alias("p"),
+        F.max(F.when(early_error, 1).otherwise(0)).alias("e"),
+    )
+    exact = u.agg(
+        F.sum("p").cast("long").alias("n_purchasers"),
+        F.sum("e").cast("long").alias("n_error_users"),
+        F.sum(
+            F.when((F.col("p") == 1) | (F.col("e") == 1), 1).otherwise(0)
+        ).cast("long").alias("n_union"),
+        F.sum(F.col("p") * F.col("e")).cast("long").alias("n_overlap"),
+        F.sum(
+            F.when((F.col("p") == 1) & (F.col("e") == 0), 1).otherwise(0)
+        ).cast("long").alias("n_clean_purchasers"),
+    )
+    sk = (
+        ev.agg(
+            F.theta_sketch_agg(
+                F.when(big_purchase, F.col("user_id"))
+            ).alias("sk_p"),
+            F.theta_sketch_agg(
+                F.when(early_error, F.col("user_id"))
+            ).alias("sk_e"),
+        )
+        .select(
+            F.theta_sketch_estimate(F.col("sk_p")).alias("t_p"),
+            F.theta_sketch_estimate(F.col("sk_e")).alias("t_e"),
+            F.theta_sketch_estimate(
+                F.theta_union(F.col("sk_p"), F.col("sk_e"))
+            ).alias("t_union"),
+            F.theta_sketch_estimate(
+                F.theta_intersection(F.col("sk_p"), F.col("sk_e"))
+            ).alias("t_overlap"),
+            F.theta_sketch_estimate(
+                F.theta_difference(F.col("sk_p"), F.col("sk_e"))
+            ).alias("t_clean"),
+        )
+    )
+
+    def close(est, ex):
+        # absolute margin, no division: exact counts can legitimately be
+        # zero (empty difference), and ANSI mode errors on /0
+        exd = F.col(ex).cast("double")
+        return F.abs(est - exd) <= F.greatest(F.lit(0.5), 0.05 * exd)
+
+    return exact.crossJoin(F.broadcast(sk)).select(
+        "n_purchasers",
+        "n_error_users",
+        "n_union",
+        "n_overlap",
+        "n_clean_purchasers",
+        (
+            close(F.col("t_p"), "n_purchasers")
+            & close(F.col("t_e"), "n_error_users")
+            & close(F.col("t_union"), "n_union")
+            & close(F.col("t_overlap"), "n_overlap")
+            & close(F.col("t_clean"), "n_clean_purchasers")
+        ).alias("theta_within_5pct"),
+    )
+
+
+@query(
+    "sketch_kll_value_quantiles",
+    sql="""
+    SELECT event_type,
+           count(value) AS n_values,
+           CAST(TRUE AS BOOLEAN) AS p50_rank_ok,
+           CAST(TRUE AS BOOLEAN) AS p90_rank_ok
+    FROM events GROUP BY event_type
+    """,
+    tags=("agg", "approx", "sketch"),
+)
+def sketch_kll_value_quantiles(spark, sf_dir):
+    """Hierarchically-merged quantiles via KLL sketches (Spark 4
+    DataSketches): one sketch per (event_type, day), folded day→total
+    with ``kll_sketch_merge_double`` — the rollup shape that lets a
+    100 TB store answer quantile queries from per-partition sketch bytes
+    instead of re-scanning raw values (the quantile analog of the
+    hypertable's mergeable HLL).  Oracle contract: KLL guarantees
+    NORMALIZED RANK error (~1.7% at k=200), so the check computes each
+    estimate's exact rank against the raw data and asserts
+    |rank/n − q| ≤ 0.03; the estimates themselves are engine-specific
+    and never leave the plan."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.floor(F.unix_timestamp("ts") / 86400).cast("long")
+    daily = ev.groupBy("event_type", day.alias("day")).agg(
+        F.expr("kll_sketch_agg_double(value)").alias("sk")
+    )
+    merged = (
+        daily.groupBy("event_type")
+        .agg(F.collect_list("sk").alias("sks"))
+        .select(
+            "event_type",
+            F.expr(
+                "aggregate(slice(sks, 2, size(sks) - 1), sks[1],"
+                " (acc, x) -> kll_sketch_merge_double(acc, x))"
+            ).alias("sk"),
+        )
+        .select(
+            "event_type",
+            F.expr("kll_sketch_get_quantile_double(sk, 0.5)").alias("m50"),
+            F.expr("kll_sketch_get_quantile_double(sk, 0.9)").alias("m90"),
+        )
+    )
+    joined = ev.join(F.broadcast(merged), "event_type")
+    return joined.groupBy("event_type").agg(
+        F.count("value").alias("n_values"),
+        (
+            F.abs(
+                F.sum(F.when(F.col("value") <= F.col("m50"), 1).otherwise(0))
+                .cast("double")
+                / F.count("value")
+                - 0.5
+            )
+            <= 0.03
+        ).alias("p50_rank_ok"),
+        (
+            F.abs(
+                F.sum(F.when(F.col("value") <= F.col("m90"), 1).otherwise(0))
+                .cast("double")
+                / F.count("value")
+                - 0.9
+            )
+            <= 0.03
+        ).alias("p90_rank_ok"),
+    )

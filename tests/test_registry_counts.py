@@ -9,8 +9,8 @@ from pathlib import Path
 
 from big_data_analytics_project_spark.registry import load_all
 
-TOTAL = 161
-ORACLE = 147
+TOTAL = 163
+ORACLE = 149
 
 
 def test_counts_match_registry():

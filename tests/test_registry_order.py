@@ -50,6 +50,8 @@ EXPECTED_WINDOW = (
     "graph_clustering_coefficient",
     "set_except_all",
     "set_intersect_all",
+    "sketch_theta_set_ops",
+    "sketch_kll_value_quantiles",
     "variant_semi_structured",
     "ann_lsh_multiprobe_topk",
     "streaming_interval_join_left",
@@ -71,8 +73,6 @@ EXPECTED_WINDOW = (
     "tpch_q18_large_volume_customer",
     "tpch_q19_bracketed_revenue",
     "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_product_type_profit",
     # declared one-round rows-only lift (registry.py)
     "streaming_tumbling_append",
     "streaming_dedup",
