@@ -77,12 +77,14 @@ _LOADED = False
 # variant, multi-probe LSH, path mining, EWMA fold, left-outer
 # stream-stream join), which — plus the 4-query rows-only lift below —
 # fill this round's window completely and rotate every green out to the
-# parity suite for one round.  Seven final round-6 additions (OOV audit,
+# parity suite for one round.  Twelve final round-6 additions (OOV audit,
 # length-bucketed batching, Markov transitions, PSI drift, observe()
-# metrics, EXCEPT/INTERSECT ALL) enter the overfull tier-0 pool by
-# registration order, displacing the tail of the TPC-H suite into an
-# overflow queue just past the window — still tier 0, landing at the
-# round-7 head (tests/test_registry_order.py pins the overflow ordering).
+# metrics, EXCEPT/INTERSECT ALL, seasonal-naive forecast, A/B readout,
+# token-budget subsetting, theta/KLL sketch contracts) enter the overfull
+# tier-0 pool by registration order, displacing later-registered tier-0
+# queries into an overflow queue just past the window — still tier 0,
+# landing at the round-7 head (tests/test_registry_order.py pins the
+# overflow ordering).
 #
 # The window is therefore now DERIVED from the recorded driver history
 # (``driver_history.json`` — a checked-in digest of CORRECTNESS_r*.json
