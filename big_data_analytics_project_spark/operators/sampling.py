@@ -35,6 +35,35 @@ def deterministic_sample(
     return df.where(hash_bucket(key, buckets) < pct)
 
 
+def budget_select(
+    df: DataFrame,
+    stratum: str,
+    key: str,
+    weight: str,
+    budget: int,
+) -> DataFrame:
+    """Weight-budget subsetting per stratum: keep rows in deterministic
+    hash order until the stratum's budget of ``weight`` (e.g. tokens) is
+    spent; the first row crossing the budget is included, so every budget
+    is met unless the stratum runs dry.  Adds ``cum_<weight>`` (the
+    running total through each kept row).  ONE window shuffle keyed by
+    the stratum; membership depends only on (hash, key) order, so reruns,
+    backfills, and other engines select identical rows."""
+    from pyspark.sql import Window
+
+    h = md5_hash60(F.col(key).cast("string"))
+    w = (
+        Window.partitionBy(stratum)
+        .orderBy(h.asc(), key)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(weight).over(w)
+    return (
+        df.withColumn(f"cum_{weight}", cum)
+        .where(F.col(f"cum_{weight}") - F.col(weight) < budget)
+    )
+
+
 def stratified_hash_sample(
     df: DataFrame, key: Column, stratum: Column, rates: dict[str, int],
     default_pct: int, buckets: int = 100

@@ -7,7 +7,9 @@ One call chains the curation operators the way a 100 TB run would:
       → Gopher-style quality gates        (map-only)
       → exact dedup                        (hash-groupBy, keep min doc_id)
       → MinHash-LSH near-dup clustering    (banded, keep cluster canonical)
+      → per-source token-budget draw       (optional; hash-ordered cumsum)
       → deterministic hash split           (train/holdout, engine-portable)
+      → train/holdout leakage audit        (13-gram overlap count)
       → context-window sequence packing    (per-shard window cumsum)
       → JSONL shard export                 (bounded shard count)
 
@@ -26,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from .operators import dedup as D
 from .operators.clusters import dedup_clusters
 from .operators.packing import pack_linear, whitespace_token_count
-from .operators.sampling import hash_bucket
+from .operators.sampling import budget_select, hash_bucket
 from .sources import read_table
 from .sources.sinks import write_jsonl_shards
 
@@ -39,6 +41,7 @@ def build_pretraining_corpus(
     token_budget: int = 512,
     holdout_pct: int = 5,
     n_shards: int = 4,
+    source_token_budget: int | None = None,
 ) -> dict[str, int | DataFrame]:
     """Run the full curation chain; return row accounting per stage and
     the final packed DataFrames (written as JSONL when ``out_dir``)."""
@@ -80,6 +83,20 @@ def build_pretraining_corpus(
     )
     n_neardup = survivors.count()
 
+    # 3b. optional mixture draw: cap each source at a token budget, rows
+    # chosen in deterministic hash order (operators/sampling.budget_select)
+    if source_token_budget is not None:
+        survivors = budget_select(
+            survivors.withColumn(
+                "n_tokens", whitespace_token_count(F.col("text"))
+            ),
+            stratum="source",
+            key="doc_id",
+            weight="n_tokens",
+            budget=source_token_budget,
+        ).drop("n_tokens", "cum_n_tokens")
+    n_budget = survivors.count()
+
     # 4. deterministic split (engine-portable, retry-stable)
     with_bucket = survivors.withColumn(
         "_b", hash_bucket(F.col("doc_id").cast("string"), 100)
@@ -87,6 +104,21 @@ def build_pretraining_corpus(
     train = with_bucket.where(F.col("_b") >= holdout_pct).drop("_b")
     holdout = with_bucket.where(F.col("_b") < holdout_pct).drop("_b")
     n_train, n_holdout = train.count(), holdout.count()
+
+    # 4b. eval hygiene: holdout docs sharing any 13-gram with train are
+    # leakage (same math as decontaminate_benchmark_ngrams, applied to
+    # our own split) — reported, not silently dropped
+    train_grams = (
+        D.shingled(train.select("doc_id", "text"), "doc_id", "text", 13)
+        .select(F.explode("shingle_set").alias("gram"))
+        .distinct()
+    )
+    holdout_grams = D.shingled(
+        holdout.select("doc_id", "text"), "doc_id", "text", 13
+    ).select("doc_id", F.explode("shingle_set").alias("gram"))
+    n_leaked = (
+        holdout_grams.join(train_grams, "gram").select("doc_id").distinct().count()
+    )
 
     # 5. pack into context windows per source shard
     counted = train.withColumn("n_tokens", whitespace_token_count(F.col("text")))
@@ -107,8 +139,10 @@ def build_pretraining_corpus(
         "n_after_quality": n_gated,
         "n_after_exact_dedup": n_exact,
         "n_after_neardup": n_neardup,
+        "n_after_budget": n_budget,
         "n_train": n_train,
         "n_holdout": n_holdout,
+        "n_holdout_leaked": n_leaked,
         "packed": packed,
         "holdout": holdout,
     }

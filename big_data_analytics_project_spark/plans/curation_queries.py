@@ -1127,29 +1127,22 @@ def mix_budget_select(spark, sf_dir):
     keyed by source for the running sum, then a map-only filter.  The
     running sum is integer-exact; selection is identical on any engine,
     rerun, or repartitioning."""
-    from pyspark.sql import Window
-
     from ..operators import text as T
-    from ..operators.dedup import md5_hash60
+    from ..operators.sampling import budget_select
 
     docs = read_table(spark, sf_dir, "documents")
     t = docs.select(
         "doc_id",
         "source",
         F.size(T.ws_tokens(F.col("text"))).alias("n_tokens"),
-        md5_hash60(F.col("doc_id").cast("string")).alias("h"),
     )
-    w = (
-        Window.partitionBy("source")
-        .orderBy("h", "doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    kept = budget_select(
+        t, stratum="source", key="doc_id", weight="n_tokens",
+        budget=_MIX_BUDGET_TOKENS,
     )
-    r = t.withColumn("cum", F.sum("n_tokens").over(w))
-    return r.where(
-        F.col("cum") - F.col("n_tokens") < _MIX_BUDGET_TOKENS
-    ).select(
+    return kept.select(
         "doc_id",
         "source",
         F.col("n_tokens").cast("long").alias("n_tokens"),
-        F.col("cum").cast("long").alias("cum_tokens"),
+        F.col("cum_n_tokens").cast("long").alias("cum_tokens"),
     )
