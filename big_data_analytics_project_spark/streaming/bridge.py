@@ -149,3 +149,48 @@ def run_fanout_stream(
                 .start()
             )
             q.awaitTermination()
+
+
+class RedisMetricsStore:
+    """S10: the Redis deployment of the metrics sink (reference
+    ``src/streaming/metrics_store.py:105-122`` keeps current metrics in a
+    Redis key and bounded history in a list).  Same contract as
+    :class:`MetricsStore`: ``update`` publishes the current snapshot and
+    appends to a history capped at ``max_history``.
+
+    The client is injected (any object with ``set``/``lpush``/``ltrim``/
+    ``get``/``lrange`` — redis-py's API); without one, the constructor
+    probes for the ``redis`` package and raises a clear error in
+    environments (like this container) that have no Redis — the honest
+    seam, mirroring the PIL-gated image decoder."""
+
+    def __init__(self, client=None, *, key_prefix: str = "bdap:metrics",
+                 max_history: int = 1000, url: str | None = None):
+        if client is None:
+            try:
+                import redis  # noqa: F401
+            except ImportError as e:  # pragma: no cover - container has no redis
+                raise ImportError(
+                    "RedisMetricsStore needs either an injected client or "
+                    "the 'redis' package (plus a reachable server)"
+                ) from e
+            client = redis.Redis.from_url(url or "redis://localhost:6379/0")
+        self.client = client
+        self.current_key = f"{key_prefix}:current"
+        self.history_key = f"{key_prefix}:history"
+        self.max_history = max_history
+
+    def update(self, metrics: dict) -> None:
+        doc = json.dumps(metrics)
+        self.client.set(self.current_key, doc)
+        self.client.lpush(self.history_key, doc)
+        # LTRIM keeps the newest max_history entries (LPUSH puts newest at 0)
+        self.client.ltrim(self.history_key, 0, self.max_history - 1)
+
+    def snapshot(self) -> dict:
+        cur = self.client.get(self.current_key)
+        hist = self.client.lrange(self.history_key, 0, self.max_history - 1)
+        return {
+            "current": json.loads(cur) if cur else None,
+            "history": [json.loads(h) for h in hist],
+        }

@@ -223,3 +223,42 @@ def test_fanout_computes_once_and_feeds_every_sink(spark, sf_dir, tmp_path):
     assert len(batch_dirs) == 2
     assert [b for b, _ in agg_rows] == [0, 1]
     assert all(n > 0 for _, n in agg_rows)
+
+
+class _FakeRedis:
+    """Minimal redis-py-shaped client: SET/GET strings, LPUSH/LTRIM/LRANGE
+    lists — just the five commands the store issues."""
+
+    def __init__(self):
+        self.kv = {}
+        self.lists = {}
+
+    def set(self, k, v):
+        self.kv[k] = v
+
+    def get(self, k):
+        return self.kv.get(k)
+
+    def lpush(self, k, v):
+        self.lists.setdefault(k, []).insert(0, v)
+
+    def ltrim(self, k, start, stop):
+        self.lists[k] = self.lists.get(k, [])[start : stop + 1]
+
+    def lrange(self, k, start, stop):
+        return self.lists.get(k, [])[start : stop + 1]
+
+
+def test_redis_metrics_store_contract():
+    """S10: current snapshot + bounded newest-first history, same contract
+    as the file-backed MetricsStore, against an injected client."""
+    from big_data_analytics_project_spark.streaming.bridge import (
+        RedisMetricsStore,
+    )
+
+    store = RedisMetricsStore(client=_FakeRedis(), max_history=3)
+    for i in range(5):
+        store.update({"batch_id": i})
+    snap = store.snapshot()
+    assert snap["current"] == {"batch_id": 4}
+    assert [h["batch_id"] for h in snap["history"]] == [4, 3, 2]  # capped, newest first
