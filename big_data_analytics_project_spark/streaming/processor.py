@@ -253,17 +253,38 @@ class _state_partitions:
     UP with trigger volume; semantics never depend on it.
     """
 
-    def __init__(self, spark: SparkSession, n: int | None):
-        self.spark, self.n = spark, n
+    def __init__(
+        self, spark: SparkSession, n: int | None, rocksdb: bool = False
+    ):
+        self.spark, self.n, self.rocksdb = spark, n, rocksdb
+        self._saved: dict[str, str] = {}
+
+    _PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
+    _ROCKSDB = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+
+    def _set(self, key: str, value: str) -> None:
+        self._saved[key] = self.spark.conf.get(key, None)
+        self.spark.conf.set(key, value)
 
     def __enter__(self):
         if self.n is not None:
-            self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
-            self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+            self._set("spark.sql.shuffle.partitions", str(self.n))
+        if self.rocksdb:
+            # the at-scale state backend: state lives off-heap/on-disk in
+            # RocksDB instead of in-heap hash maps — large watermark
+            # horizons and key cardinalities stop pressuring the JVM heap.
+            # Bundled with Spark (no extra jar); picked up at query start.
+            self._set(self._PROVIDER_KEY, self._ROCKSDB)
 
     def __exit__(self, *exc):
-        if self.n is not None:
-            self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
+        for key, prev in self._saved.items():
+            if prev is None:
+                self.spark.conf.unset(key)
+            else:
+                self.spark.conf.set(key, prev)
 
 
 def run_to_completion(
@@ -271,6 +292,7 @@ def run_to_completion(
     query_name: str,
     output_mode: str = "complete",
     state_partitions: int | None = None,
+    rocksdb: bool = False,
 ) -> DataFrame:
     """Execute a streaming aggregate over all available input (availableNow
     trigger → deterministic micro-batch sequence) into a memory sink and
@@ -282,7 +304,7 @@ def run_to_completion(
     production path at scale is :func:`run_append_to_files`."""
     spark = agg.sparkSession
     with tempfile.TemporaryDirectory(prefix="bdap_ckpt_") as ckpt:
-        with _state_partitions(spark, state_partitions):
+        with _state_partitions(spark, state_partitions, rocksdb):
             q = (
                 agg.writeStream.outputMode(output_mode)
                 .format("memory")
@@ -300,6 +322,7 @@ def run_append_to_files(
     out_dir: str,
     fmt: str = "parquet",
     state_partitions: int | None = None,
+    rocksdb: bool = False,
 ) -> DataFrame:
     """The production streaming shape (100 TB path): ``append`` output mode
     into a file sink.  Each window group is written exactly once, when the
@@ -316,7 +339,7 @@ def run_append_to_files(
     """
     spark = agg.sparkSession
     with tempfile.TemporaryDirectory(prefix="bdap_ckpt_") as ckpt:
-        with _state_partitions(spark, state_partitions):
+        with _state_partitions(spark, state_partitions, rocksdb):
             q = (
                 agg.writeStream.outputMode("append")
                 .format(fmt)

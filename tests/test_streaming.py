@@ -262,3 +262,31 @@ def test_redis_metrics_store_contract():
     snap = store.snapshot()
     assert snap["current"] == {"batch_id": 4}
     assert [h["batch_id"] for h in snap["history"]] == [4, 3, 2]  # capped, newest first
+
+
+def test_rocksdb_state_store_gives_identical_results(spark, sf_dir):
+    """The at-scale state backend (RocksDBStateStoreProvider, bundled)
+    must be a pure deployment swap: the same windowed aggregate over the
+    same staged replay returns value-identical results under the default
+    in-heap provider and under RocksDB."""
+    json_dir = P.stage_events_as_json_stream(spark, sf_dir, n_files=2)
+
+    def run(rocksdb, name):
+        stream = P.read_event_stream(spark, json_dir, max_files_per_trigger=2)
+        out = P.run_to_completion(
+            P.tumbling_features(stream), name,
+            output_mode="complete", state_partitions=4, rocksdb=rocksdb,
+        )
+        return {tuple(r) for r in out.collect()}
+
+    default_rows = run(False, "t_sb_default")
+    rocks_rows = run(True, "t_sb_rocks")
+    assert rocks_rows == default_rows and len(rocks_rows) > 0
+    # the conf swap must not leak into the session afterwards
+    assert (
+        spark.conf.get(
+            "spark.sql.streaming.stateStore.providerClass",
+            "default-sentinel",
+        )
+        == "default-sentinel"
+    )
