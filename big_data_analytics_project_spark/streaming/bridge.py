@@ -194,3 +194,44 @@ class RedisMetricsStore:
             "current": json.loads(cur) if cur else None,
             "history": [json.loads(h) for h in hist],
         }
+
+
+def attach_progress_listener(spark, store: MetricsStore):
+    """Production observability: a ``StreamingQueryListener`` that records
+    each micro-batch's progress (rows/sec, duration, state rows) into the
+    metrics sink — the engine-side feed a dashboard polls, with no hooks
+    inside any query.  Returns the listener; detach with
+    ``spark.streams.removeListener``."""
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    class _Listener(StreamingQueryListener):
+        def onQueryStarted(self, event):
+            pass
+
+        def onQueryProgress(self, event):
+            p = event.progress
+            first_state = p.stateOperators[0] if p.stateOperators else None
+            store.update(
+                {
+                    "query": p.name,
+                    "batch_id": p.batchId,
+                    "num_input_rows": p.numInputRows,
+                    "processed_rows_per_sec": p.processedRowsPerSecond,
+                    "batch_duration_ms": (p.durationMs or {}).get(
+                        "triggerExecution"
+                    ),
+                    "state_rows": (
+                        first_state.numRowsTotal if first_state else None
+                    ),
+                }
+            )
+
+        def onQueryTerminated(self, event):
+            pass
+
+        def onQueryIdle(self, event):
+            pass
+
+    listener = _Listener()
+    spark.streams.addListener(listener)
+    return listener

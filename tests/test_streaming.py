@@ -290,3 +290,37 @@ def test_rocksdb_state_store_gives_identical_results(spark, sf_dir):
         )
         == "default-sentinel"
     )
+
+
+def test_progress_listener_records_batches(spark, sf_dir, tmp_path):
+    """The StreamingQueryListener feed: every micro-batch of a run lands
+    in the metrics store with rows/sec + duration — observability without
+    touching the query itself."""
+    import time as _time
+
+    from big_data_analytics_project_spark.streaming.bridge import (
+        MetricsStore,
+        attach_progress_listener,
+    )
+
+    store = MetricsStore(str(tmp_path / "progress.json"))
+    listener = attach_progress_listener(spark, store)
+    try:
+        json_dir = P.stage_events_as_json_stream(spark, sf_dir, n_files=2)
+        stream = P.read_event_stream(spark, json_dir, max_files_per_trigger=1)
+        P.run_to_completion(
+            P.tumbling_features(stream), "t_progress",
+            output_mode="complete", state_partitions=4,
+        )
+        # listener delivery is async; wait briefly for the progress events
+        deadline = _time.time() + 20
+        while _time.time() < deadline and len(store.history) < 2:
+            _time.sleep(0.2)
+    finally:
+        spark.streams.removeListener(listener)
+    batches = [
+        m for m in store.history if m.get("query") == "t_progress"
+        and m.get("num_input_rows", 0) > 0
+    ]
+    assert len(batches) >= 2  # one per staged file
+    assert all(m["batch_duration_ms"] is not None for m in batches)
