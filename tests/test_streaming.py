@@ -324,3 +324,48 @@ def test_progress_listener_records_batches(spark, sf_dir, tmp_path):
     ]
     assert len(batches) >= 2  # one per staged file
     assert all(m["batch_duration_ms"] is not None for m in batches)
+
+
+def test_streaming_scd2_maintains_dimension_history(spark, sf_dir, tmp_path):
+    """foreachBatch CDC consumer: the change stream folds into an SCD2
+    snapshot per micro-batch (version=N merges onto version=N-1 — the
+    replay-idempotent contract).  Final state invariants: exactly one
+    open row per key, closed ranges ordered, and the open attribute
+    equals each user's last event_type in (ts, event_id) order."""
+    from big_data_analytics_project_spark.streaming.bridge import (
+        run_scd2_stream,
+    )
+
+    json_dir = P.stage_events_as_json_stream(spark, sf_dir, n_files=2)
+    stream = P.read_event_stream(spark, json_dir, max_files_per_trigger=1)
+    snap_dir = str(tmp_path / "dim_user_activity")
+    final = run_scd2_stream(
+        stream, snap_dir, key="user_id", attr="event_type",
+        ts_col="ts", order_col="event_id", state_partitions=4,
+    )
+
+    rows = final.collect()
+    open_rows = [r for r in rows if r["valid_to_epoch"] is None]
+    users = {r["user_id"] for r in rows}
+    assert len(open_rows) == len(users)  # exactly one open row per key
+
+    # closed history never overlaps: valid_from <= valid_to per row
+    for r in rows:
+        if r["valid_to_epoch"] is not None:
+            assert r["valid_from_epoch"] <= r["valid_to_epoch"]
+
+    # the open attribute is each user's LAST change in event-time order
+    src = spark.read.json(json_dir)
+    last = {
+        r["user_id"]: r["event_type"]
+        for r in src.orderBy("ts", "event_id").collect()
+    }
+    got = {r["user_id"]: r["event_type"] for r in open_rows}
+    assert got == last
+
+    # both batch versions landed
+    import os as _os
+
+    assert sorted(
+        d for d in _os.listdir(snap_dir) if d.startswith("version=")
+    ) == ["version=0", "version=1"]
