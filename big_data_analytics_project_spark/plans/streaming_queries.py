@@ -554,3 +554,31 @@ def pyds_clickstream_stream_agg(spark, sf_dir):
     )
     out = P.run_to_completion(agg, "t_pyds_stream", output_mode="complete", state_partitions=_STATE_PARTS)
     return out.orderBy("event_type")
+
+
+@query("streaming_scd2_dimension", sql=None, tags=("streaming", "scd2", "cdc"))
+def streaming_scd2_dimension(spark, sf_dir):
+    """Streaming SCD2 dimension maintenance (bridge.run_scd2_stream): the
+    event stream consumed as a CDC feed, folded per micro-batch into a
+    history-keeping user-activity dimension; batch N merges onto snapshot
+    version N−1, so replays are idempotent.  Rows-only: the per-batch
+    fold depends on the replay's batch boundaries, which DuckDB has no
+    analog for; the final-state invariants are pinned in
+    tests/test_streaming.py."""
+    import tempfile
+
+    from ..streaming.bridge import run_scd2_stream
+
+    json_dir = _staged(spark, sf_dir)
+    stream = P.read_event_stream(spark, json_dir, max_files_per_trigger=2)
+    snap_dir = tempfile.mkdtemp(prefix="bdap_scd2_")
+    final = run_scd2_stream(
+        stream, snap_dir, key="user_id", attr="event_type",
+        ts_col="ts", order_col="event_id", state_partitions=_STATE_PARTS,
+    )
+    return final.select(
+        "user_id",
+        F.col("event_type").alias("activity_state"),
+        "valid_from_epoch",
+        "valid_to_epoch",
+    )
