@@ -571,7 +571,10 @@ def streaming_scd2_dimension(spark, sf_dir):
 
     json_dir = _staged(spark, sf_dir)
     stream = P.read_event_stream(spark, json_dir, max_files_per_trigger=2)
+    # the returned frame reads the final snapshot lazily, so the dir must
+    # outlive this call; reuse the staged-dir exit cleanup
     snap_dir = tempfile.mkdtemp(prefix="bdap_scd2_")
+    _STAGE_CACHE[("__scd2_snapshot__", snap_dir)] = snap_dir
     final = run_scd2_stream(
         stream, snap_dir, key="user_id", attr="event_type",
         ts_col="ts", order_col="event_id", state_partitions=_STATE_PARTS,
