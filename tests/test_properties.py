@@ -165,3 +165,55 @@ def test_pack_linear_matches_sequential_cumsum_property(spark, rows, budget):
             want[doc_id] = (pos // budget, pos)
             pos += n
     assert got == want
+
+
+budget_rows_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),        # stratum id
+        st.integers(min_value=1, max_value=50),       # weight (tokens)
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows=budget_rows_strategy, budget=st.integers(min_value=1, max_value=120))
+def test_budget_select_matches_sequential_draw_property(spark, rows, budget):
+    """budget_select equals the obvious sequential reference: walk each
+    stratum in (hash, key) order accumulating weights, keep rows while
+    the running total BEFORE the row is under budget (first crossing
+    included)."""
+    from big_data_analytics_project_spark.operators.dedup import md5_hash60
+    from big_data_analytics_project_spark.operators.sampling import budget_select
+
+    data = [(i, f"s{s}", w) for i, (s, w) in enumerate(rows)]
+    df = spark.createDataFrame(data, "rid long, stratum string, w long")
+
+    got = {
+        r["rid"]: r["cum_w"]
+        for r in budget_select(
+            df, stratum="stratum", key="rid", weight="w", budget=budget
+        ).collect()
+    }
+
+    # sequential reference, ordered by the SAME portable hash
+    hashes = {
+        r["rid"]: r["h"]
+        for r in df.select(
+            "rid", md5_hash60(F.col("rid").cast("string")).alias("h")
+        ).collect()
+    }
+    want = {}
+    by_stratum = {}
+    for rid, s, w in data:
+        by_stratum.setdefault(s, []).append((hashes[rid], rid, w))
+    for s, members in by_stratum.items():
+        cum = 0
+        for _, rid, w in sorted(members):
+            if cum < budget:
+                cum += w
+                want[rid] = cum
+            else:
+                break
+    assert got == want
