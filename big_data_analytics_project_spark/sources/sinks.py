@@ -173,3 +173,77 @@ def read_jsonl(spark: SparkSession, path: str, schema=None) -> DataFrame:
     if schema is not None:
         r = r.schema(schema)
     return r.json(path)
+
+
+def delete_keys_partitioned(
+    spark: SparkSession,
+    path: str,
+    partition_cols: list[str],
+    key_col: str,
+    keys: DataFrame,
+) -> dict[str, int]:
+    """Right-to-be-forgotten delete on a partitioned dataset WITHOUT a
+    full rewrite: only partitions actually containing the keys are
+    rewritten (keys anti-joined out, landed via dynamic partition
+    overwrite); partitions the delete empties entirely are removed
+    through the Hadoop FileSystem API (dynamic overwrite only replaces
+    partitions present in the written frame, so an emptied partition
+    would otherwise keep its stale files).  Every untouched partition's
+    files stay byte-identical — at 100 TB that is the difference between
+    rewriting gigabytes and rewriting the table.
+
+    Returns counts: rewritten/removed partition directories."""
+    data = spark.read.parquet(path)
+    keys = F.broadcast(keys.select(key_col).distinct())
+
+    affected = {
+        tuple(str(r[c]) for c in partition_cols)
+        for r in data.join(keys, key_col, "leftsemi")
+        .select(*partition_cols)
+        .distinct()
+        .collect()
+    }
+    if not affected:
+        return {"rewritten_partitions": 0, "removed_partitions": 0}
+
+    import functools
+
+    def match(t):
+        return functools.reduce(
+            lambda a, b: a & b,
+            [
+                F.col(c).cast("string") == v
+                for c, v in zip(partition_cols, t)
+            ],
+        )
+
+    in_affected = functools.reduce(
+        lambda a, b: a | b, [match(t) for t in affected]
+    )
+    # pin the surviving rows BEFORE overwriting the very files they come
+    # from (read-then-overwrite of the same partitions)
+    remaining = (
+        data.where(in_affected).join(keys, key_col, "left_anti").persist()
+    )
+    surviving = {
+        tuple(str(r[c]) for c in partition_cols)
+        for r in remaining.select(*partition_cols).distinct().collect()
+    }
+    # rewrite partitions that still have rows
+    if surviving:
+        overwrite_partitions_dynamic(remaining, path, partition_cols)
+    remaining.unpersist()
+    # drop emptied partition dirs via the FileSystem API (works on
+    # HDFS/object stores, not just local paths)
+    emptied = affected - surviving
+    jvm = spark._jvm  # noqa: SLF001
+    hconf = spark._jsc.hadoopConfiguration()  # noqa: SLF001
+    for t in emptied:
+        sub = "/".join(f"{c}={v}" for c, v in zip(partition_cols, t))
+        p = jvm.org.apache.hadoop.fs.Path(f"{path}/{sub}")
+        fs = p.getFileSystem(hconf)
+        fs.delete(p, True)
+    return {
+        "rewritten_partitions": len(surviving),
+        "removed_partitions": len(emptied),
+    }

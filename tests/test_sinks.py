@@ -287,3 +287,41 @@ def test_dynamic_partition_pruning_fires_on_partitioned_join(spark, sf_dir, tmp_
     # back type-inferred as DATEs; compare canonically as strings)
     days = {str(r["pt_day"]) for r in j.collect()}
     assert days == {f"2024-01-{d:02d}" for d in range(1, 8)}
+
+
+def test_delete_keys_rewrites_only_affected_partitions(spark, tmp_path):
+    """GDPR-style keyed delete: only partitions containing the keys are
+    rewritten, untouched partitions keep their exact files, and a
+    partition the delete empties is REMOVED (dynamic overwrite alone
+    would leave its stale files behind)."""
+    from big_data_analytics_project_spark.sources.sinks import (
+        delete_keys_partitioned,
+    )
+
+    # pt=A holds victims+others (rewritten), pt=B holds no victims
+    # (untouched), pt=C holds only victims (emptied+removed)
+    rows = (
+        [(u, "A", u * 10) for u in range(1, 7)]
+        + [(u, "B", u * 10) for u in range(5, 11)]
+        + [(u, "C", u * 10) for u in (1, 2)]
+    )
+    df = spark.createDataFrame(rows, "user_id long, pt string, v long")
+    out = str(tmp_path / "keyed")
+    write_partitioned(df, out, ["pt"])
+    before_b_files = sorted(os.listdir(os.path.join(out, "pt=B")))
+
+    victims = spark.createDataFrame([(1,), (2,)], "user_id long")
+    stats = delete_keys_partitioned(spark, out, ["pt"], "user_id", victims)
+    assert stats == {"rewritten_partitions": 1, "removed_partitions": 1}
+
+    after = read_parquet(spark, out)
+    assert after.join(victims, "user_id", "leftsemi").count() == 0
+    dirs = {d for d in os.listdir(out) if d.startswith("pt=")}
+    assert dirs == {"pt=A", "pt=B"}  # C removed entirely
+    # untouched partition kept its exact files
+    assert sorted(os.listdir(os.path.join(out, "pt=B"))) == before_b_files
+    # rewritten partition kept the non-victim rows
+    assert {
+        r["user_id"] for r in after.where(F.col("pt") == "A").collect()
+    } == {3, 4, 5, 6}
+    assert after.where(F.col("pt") == "B").count() == 6
