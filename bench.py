@@ -102,6 +102,8 @@ HEADLINE = [
     # Spark 4 DataSketches: theta set-algebra + day->total KLL merge fold
     "sketch_theta_set_ops",
     "sketch_kll_value_quantiles",
+    # sliding-distinct DAU/WAU via the bounded covered-day explode
+    "retention_dau_wau",
 ]
 
 

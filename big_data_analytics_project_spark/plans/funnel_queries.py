@@ -339,3 +339,57 @@ def abtest_conversion_lift(spark, sf_dir):
             F.round((F.col("rate_b") - F.col("rate_a")) / se, 6),
         ).alias("z_score"),
     )
+
+
+# DAU/WAU: exact distinct actives per day and per trailing 7-day window.
+# Count-distinct over a SLIDING window has no distributed native form;
+# the scalable identity: user u (active on day a) is a weekly-active on
+# day d iff a ∈ [d−6, d] ⇔ d ∈ [a, a+6] — so explode each distinct
+# (user, day) into its 7 covered days (bounded ×7 map-only fan-out) and
+# the sliding distinct becomes a plain keyed count-distinct.
+_DAU_WAU_SQL = """
+WITH ud AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+  FROM events
+),
+dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY day),
+cover AS (
+  SELECT user_id, day + offs.k AS day
+  FROM ud CROSS JOIN (SELECT unnest(range(0, 7)) AS k) offs
+),
+wau AS (SELECT day, count(DISTINCT user_id) AS wau FROM cover GROUP BY day)
+SELECT d.day, d.dau, w.wau,
+       CAST(d.dau AS DOUBLE) / w.wau AS stickiness
+FROM dau d JOIN wau w ON d.day = w.day
+"""
+
+
+@query("retention_dau_wau", sql=_DAU_WAU_SQL, tags=("retention", "clickstream"))
+def retention_dau_wau(spark, sf_dir):
+    """Daily and weekly active users with the DAU/WAU stickiness ratio —
+    exact distincts, computed scalably: sliding-window count-distinct is
+    rewritten as a bounded ×7 covered-day explode of the deduped
+    (user, day) pairs, turning it into two plain keyed aggregations
+    (never a per-day self-join or a window distinct).  Stickiness is one
+    double division of exact counts.  Cost at 100 TB: the (user, day)
+    dedup shuffle, then driver-sized aggregates."""
+    ev = read_table(spark, sf_dir, "events")
+    day = F.floor(F.unix_timestamp("ts") / 86400).cast("long")
+    ud = ev.select("user_id", day.alias("day")).distinct()
+    dau = ud.groupBy("day").agg(F.count("*").alias("dau"))
+    cover = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.col("day") + 6)
+        ).alias("day"),
+    )
+    wau = cover.groupBy("day").agg(
+        F.countDistinct("user_id").alias("wau")
+    )
+    return dau.join(wau, "day").select(
+        "day",
+        "dau",
+        "wau",
+        (F.col("dau").cast("double") / F.col("wau")).alias("stickiness"),
+    )

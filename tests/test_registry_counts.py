@@ -9,8 +9,8 @@ from pathlib import Path
 
 from big_data_analytics_project_spark.registry import load_all
 
-TOTAL = 164
-ORACLE = 149
+TOTAL = 165
+ORACLE = 150
 
 
 def test_counts_match_registry():
