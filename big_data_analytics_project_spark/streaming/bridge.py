@@ -264,8 +264,10 @@ def run_scd2_stream(
     from .processor import _state_partitions
 
     spark = stream.sparkSession
+    key_t = stream.schema[key].dataType.simpleString()
+    attr_t = stream.schema[attr].dataType.simpleString()
     state_schema = (
-        f"{key} long, {attr} string,"
+        f"{key} {key_t}, {attr} {attr_t},"
         " valid_from_epoch long, valid_to_epoch long"
     )
 
