@@ -393,3 +393,83 @@ def retention_dau_wau(spark, sf_dir):
         "wau",
         (F.col("dau").cast("double") / F.col("wau")).alias("stickiness"),
     )
+
+
+# Cohort LTV: cumulative revenue per first-seen-day cohort across day
+# offsets.  Daily sums are exact decimals; the running total is a window
+# cumsum over the driver-sized (cohort × offset) aggregate, and the
+# per-user normalization is one double division.
+_LTV_SQL = """
+WITH firsts AS (
+  SELECT user_id,
+         CAST(min(floor(epoch(ts) / 86400)) AS BIGINT) AS cohort_day
+  FROM events GROUP BY user_id
+),
+sized AS (
+  SELECT cohort_day, count(*) AS cohort_users FROM firsts GROUP BY cohort_day
+),
+daily AS (
+  SELECT f.cohort_day,
+         CAST(floor(epoch(e.ts) / 86400) AS BIGINT) - f.cohort_day
+           AS day_offset,
+         sum(CAST(e.value AS DECIMAL(18,2))) AS rev
+  FROM events e JOIN firsts f ON e.user_id = f.user_id
+  WHERE e.event_type = 'purchase'
+  GROUP BY 1, 2
+)
+SELECT d.cohort_day, d.day_offset, s.cohort_users,
+       CAST(d.rev AS DOUBLE) AS day_revenue,
+       CAST(sum(d.rev) OVER (PARTITION BY d.cohort_day ORDER BY d.day_offset
+                             ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+         AS cum_revenue,
+       CAST(sum(d.rev) OVER (PARTITION BY d.cohort_day ORDER BY d.day_offset
+                             ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+         / s.cohort_users AS cum_ltv_per_user
+FROM daily d JOIN sized s ON d.cohort_day = s.cohort_day
+"""
+
+
+@query("cohort_ltv_curve", sql=_LTV_SQL, tags=("cohort", "clickstream"))
+def cohort_ltv_curve(spark, sf_dir):
+    """Cohort lifetime-value curves: per first-seen-day cohort, purchase
+    revenue by day offset, its running total, and cumulative LTV per
+    cohort user — the revenue companion to the retention matrix.  The
+    cumsum runs on decimals (exact on both engines) over the tiny
+    (cohort × offset) aggregate; the division is one double op.  Cost at
+    100 TB: the user-keyed first-seen aggregate + one broadcast-join
+    revenue pass."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    day = F.floor(F.unix_timestamp("ts") / 86400).cast("long")
+    firsts = ev.groupBy("user_id").agg(F.min(day).alias("cohort_day"))
+    sized = firsts.groupBy("cohort_day").agg(
+        F.count("*").alias("cohort_users")
+    )
+    daily = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(firsts, "user_id")
+        .groupBy(
+            "cohort_day", (day - F.col("cohort_day")).alias("day_offset")
+        )
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("rev"))
+    )
+    w = (
+        Window.partitionBy("cohort_day")
+        .orderBy("day_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        daily.withColumn("cum", F.sum("rev").over(w))
+        .join(F.broadcast(sized), "cohort_day")
+        .select(
+            "cohort_day",
+            "day_offset",
+            "cohort_users",
+            F.col("rev").cast("double").alias("day_revenue"),
+            F.col("cum").cast("double").alias("cum_revenue"),
+            (
+                F.col("cum").cast("double") / F.col("cohort_users")
+            ).alias("cum_ltv_per_user"),
+        )
+    )

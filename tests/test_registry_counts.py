@@ -9,8 +9,8 @@ from pathlib import Path
 
 from big_data_analytics_project_spark.registry import load_all
 
-TOTAL = 165
-ORACLE = 150
+TOTAL = 166
+ORACLE = 151
 
 
 def test_counts_match_registry():

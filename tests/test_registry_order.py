@@ -44,6 +44,7 @@ EXPECTED_WINDOW = (
     "path_transition_matrix",
     "abtest_conversion_lift",
     "retention_dau_wau",
+    "cohort_ltv_curve",
     "graph_degree_distribution",
     "graph_triangle_count",
     "graph_pagerank_copurchase",
@@ -72,7 +73,6 @@ EXPECTED_WINDOW = (
     "tpch_q10_returned_items",
     "tpch_q14_promo_effect",
     "tpch_q18_large_volume_customer",
-    "tpch_q19_bracketed_revenue",
     # declared one-round rows-only lift (registry.py)
     "streaming_tumbling_append",
     "streaming_dedup",
