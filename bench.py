@@ -104,6 +104,7 @@ HEADLINE = [
     "sketch_kll_value_quantiles",
     # sliding-distinct DAU/WAU via the bounded covered-day explode
     "retention_dau_wau",
+    "cohort_ltv_curve",
 ]
 
 

@@ -585,3 +585,40 @@ def streaming_scd2_dimension(spark, sf_dir):
         "valid_from_epoch",
         "valid_to_epoch",
     )
+
+
+@query("streaming_fanout_dual_sink", sql=None, tags=("streaming", "fanout", "sink"))
+def streaming_fanout_dual_sink(spark, sf_dir):
+    """Multi-sink fan-out (bridge.run_fanout_stream): one stream feeds a
+    raw batch-id-idempotent parquet archive AND a per-type aggregate,
+    each micro-batch computed ONCE (persist inside foreachBatch).
+    Returns the per-type counts read back from the archive — proving the
+    archive is complete.  Rows-only: sink-side effects and batch
+    boundaries have no SQL-oracle analog; compute-once and delivery are
+    pinned in tests/test_streaming.py."""
+    import tempfile
+
+    from ..streaming.bridge import (
+        idempotent_parquet_writer,
+        run_fanout_stream,
+    )
+
+    json_dir = _staged(spark, sf_dir)
+    stream = P.read_event_stream(spark, json_dir, max_files_per_trigger=2)
+    raw_dir = tempfile.mkdtemp(prefix="bdap_fanout_")
+    _STAGE_CACHE[("__fanout_archive__", raw_dir)] = raw_dir
+    agg_counts: list[tuple[int, int]] = []
+
+    def agg_writer(batch_df, batch_id):
+        agg_counts.append((batch_id, batch_df.count()))
+
+    run_fanout_stream(
+        stream,
+        [idempotent_parquet_writer(raw_dir), agg_writer],
+        state_partitions=_STATE_PARTS,
+    )
+    archived = spark.read.parquet(raw_dir)
+    return archived.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
