@@ -373,6 +373,109 @@ def cosine_near_duplicates(
     )
 
 
+def semantic_dedup(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """SemDeDup (Abbas et al., 2023): semantic deduplication by k-means
+    clustering + within-cluster cosine pruning.  Every vector is assigned
+    to its nearest centroid (map-only argmin over inlined literals — no
+    shuffle); candidate duplicate pairs are *within-cluster only* (self
+    equi-join on cluster id — never all-pairs); pairs with cosine ≥
+    ``threshold`` are semantic duplicates.  The keep-rule is the paper's:
+    within a duplicate neighborhood, keep the member with the LOWEST
+    cosine similarity to its cluster centroid (the least prototypical
+    example carries the most marginal information), applied pairwise-
+    greedily with the vector id as a deterministic tie-break — a vector
+    is pruned iff some duplicate partner has a lexicographically smaller
+    (centroid_sim, id).
+
+    Returns one row per corpus vector: (vec_id, cluster_id,
+    centroid_sim, n_dups, keep) — ``keep=false`` marks the rows a
+    curation pipeline drops.
+
+    Scale shape: at 100 TB the cluster count is sized ~√N (the paper
+    runs 100k clusters on billions of vectors) so within-cluster pair
+    volume stays ~N²/C; assignment switches to the broadcast-data form
+    (:func:`with_centroid_assignment`) above ``_LITERAL_MAX_CENTROIDS``
+    and stays map-only; the pair join is an equi-join on cluster id with
+    AQE skew-split as the backstop for lopsided clusters.
+    """
+    cent_arr = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    )
+    v = corpus.select(
+        F.col(id_col).alias("vec_id"), as_double(vec_col).alias("__v")
+    ).select(
+        "vec_id",
+        "__v",
+        nearest_centroid(F.col("__v"), centroids).alias("__cluster"),
+    ).select(
+        "vec_id",
+        "__v",
+        "__cluster",
+        F.round(
+            cosine(F.col("__v"), F.element_at(cent_arr, F.col("__cluster") + 1)),
+            round_digits,
+        ).alias("centroid_sim"),
+    )
+    a = v.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("__v").alias("__va"),
+        "__cluster",
+        F.col("centroid_sim").alias("__ca"),
+    )
+    b = v.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("__v").alias("__vb"),
+        "__cluster",
+        F.col("centroid_sim").alias("__cb"),
+    )
+    edges = (
+        a.join(b, "__cluster")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(
+            F.round(cosine(F.col("__va"), F.col("__vb")), round_digits)
+            >= threshold
+        )
+        .select("id_a", "__ca", "id_b", "__cb")
+    )
+    partners = edges.select(
+        F.col("id_a").alias("vec_id"),
+        F.col("__ca").alias("__my"),
+        F.col("__cb").alias("__pc"),
+        F.col("id_b").alias("__pid"),
+    ).unionByName(
+        edges.select(
+            F.col("id_b").alias("vec_id"),
+            F.col("__cb").alias("__my"),
+            F.col("__ca").alias("__pc"),
+            F.col("id_a").alias("__pid"),
+        )
+    )
+    better = (F.col("__pc") < F.col("__my")) | (
+        (F.col("__pc") == F.col("__my")) & (F.col("__pid") < F.col("vec_id"))
+    )
+    pagg = partners.groupBy("vec_id").agg(
+        F.count("*").alias("__n_dups"),
+        F.max(better.cast("int")).alias("__has_better"),
+    )
+    return (
+        v.join(pagg, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("__cluster").cast("long").alias("cluster_id"),
+            "centroid_sim",
+            F.coalesce(F.col("__n_dups"), F.lit(0)).cast("long").alias("n_dups"),
+            (F.coalesce(F.col("__has_better"), F.lit(0)) == 0).alias("keep"),
+        )
+    )
+
+
 def pq_encode(
     vec: Column, codebooks: list[list[list[float]]]
 ) -> Column:

@@ -242,6 +242,78 @@ def ann_ivf_recall_audit(spark, sf_dir):
     )
 
 
+# SemDeDup: same pinned coarse centroids as IVF, so cluster assignment,
+# cosine-to-centroid, and the within-cluster pair scan are deterministic
+# expression evaluation on both engines; the keep-rule's float comparisons
+# run on identically-rounded doubles.
+_SEMDEDUP_THRESHOLD = 0.5
+
+_DUCK_SEMDEDUP = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT * FROM (VALUES
+    {_CENT_VALUES}) AS t(i, c)),
+dists AS (
+  SELECT v.vec_id, cent.i, {duck_l2sq("v.v", "cent.c")} AS d
+  FROM v CROSS JOIN cent
+),
+ranked_d AS (
+  SELECT vec_id, i, row_number() OVER (PARTITION BY vec_id ORDER BY d, i) AS rn
+  FROM dists
+),
+av AS (
+  SELECT v.vec_id, v.v, a.i AS cluster_id,
+         round({duck_cosine("v.v", "cent.c")}, 6) AS centroid_sim
+  FROM v
+  JOIN ranked_d a ON a.vec_id = v.vec_id AND a.rn = 1
+  JOIN cent ON cent.i = a.i
+),
+edges AS (
+  SELECT a.vec_id AS id_a, a.centroid_sim AS ca,
+         b.vec_id AS id_b, b.centroid_sim AS cb
+  FROM av a JOIN av b
+    ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+  WHERE round({duck_cosine("a.v", "b.v")}, 6) >= {_SEMDEDUP_THRESHOLD}
+),
+partners AS (
+  SELECT id_a AS vec_id, ca AS my, cb AS pc, id_b AS pid FROM edges
+  UNION ALL
+  SELECT id_b AS vec_id, cb AS my, ca AS pc, id_a AS pid FROM edges
+),
+pagg AS (
+  SELECT vec_id, count(*) AS n_dups,
+         max(CASE WHEN pc < my OR (pc = my AND pid < vec_id)
+                  THEN 1 ELSE 0 END) AS has_better
+  FROM partners GROUP BY vec_id
+)
+SELECT av.vec_id,
+       CAST(cluster_id AS BIGINT) AS cluster_id,
+       centroid_sim,
+       CAST(coalesce(n_dups, 0) AS BIGINT) AS n_dups,
+       coalesce(has_better, 0) = 0 AS keep
+FROM av LEFT JOIN pagg ON pagg.vec_id = av.vec_id
+"""
+
+
+@query(
+    "dedup_semantic_clusters",
+    sql=_DUCK_SEMDEDUP,
+    tags=("dedup", "similarity", "curation"),
+)
+def dedup_semantic_clusters(spark, sf_dir):
+    """SemDeDup semantic deduplication (Abbas et al., 2023): k-means
+    cluster assignment (pinned centroids, map-only argmin) → within-
+    cluster cosine pairs ≥0.5 → prune every vector that has a duplicate
+    partner with lower cosine-to-centroid (keep the least prototypical
+    member, id tie-break).  One row per corpus vector with its cluster,
+    centroid similarity, duplicate-partner count, and keep flag.  No
+    all-pairs join anywhere: candidates are bounded by cluster
+    membership, the production knob being cluster count ~√N."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return S.semantic_dedup(
+        emb, IVF_CENTROIDS, threshold=_SEMDEDUP_THRESHOLD
+    )
+
+
 # IVF-PQ: coarse lists bound candidates, PQ codes + ADC score them.  Both
 # the coarse centroids AND the 4x8 sub-codebooks are pinned literals, so
 # encoding (argmin per subspace) and ADC (fixed-order chain of 4

@@ -9,8 +9,8 @@ from pathlib import Path
 
 from big_data_analytics_project_spark.registry import load_all
 
-TOTAL = 167
-ORACLE = 151
+TOTAL = 168
+ORACLE = 152
 
 
 def test_counts_match_registry():

@@ -56,6 +56,7 @@ EXPECTED_WINDOW = (
     "sketch_kll_value_quantiles",
     "variant_semi_structured",
     "ann_lsh_multiprobe_topk",
+    "dedup_semantic_clusters",
     "streaming_interval_join_left",
     "session_gap_assignment",
     "timeseries_gapfill_interpolate",
@@ -72,7 +73,6 @@ EXPECTED_WINDOW = (
     "tpch_q6_forecast_revenue",
     "tpch_q10_returned_items",
     "tpch_q14_promo_effect",
-    "tpch_q18_large_volume_customer",
     # declared one-round rows-only lift (registry.py)
     "streaming_tumbling_append",
     "streaming_dedup",

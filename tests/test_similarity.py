@@ -242,3 +242,52 @@ def test_train_pq_codebooks_shapes_and_encode(spark, sf_dir):
         .collect()[0]
     )
     assert 0 <= codes["lo"] and codes["hi"] <= 3
+
+
+def test_semantic_dedup_properties(spark, sf_dir):
+    """SemDeDup invariants: one row per corpus vector; duplicate partners
+    always share a cluster; every duplicate neighborhood keeps at least
+    one member, and the kept member has the neighborhood-minimal
+    (centroid_sim, vec_id); vectors with no duplicate partner are kept."""
+    import numpy as np
+
+    from big_data_analytics_project_spark.plans.ivf_centroids import IVF_CENTROIDS
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    thr = 0.5
+    out = S.semantic_dedup(emb, IVF_CENTROIDS, threshold=thr).collect()
+    assert len(out) == emb.count()
+    assert len({r.vec_id for r in out}) == len(out)
+
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb.collect()}
+    cents = [np.array(c) for c in IVF_CENTROIDS]
+    info = {r.vec_id: r for r in out}
+
+    # reference assignment + pairwise check
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    partners = {vid: [] for vid in vecs}
+    for vid, v in vecs.items():
+        d = [float(((v - c) ** 2).sum()) for c in cents]
+        assert info[vid].cluster_id == int(np.argmin(d))
+    for ia, va in vecs.items():
+        for ib, vb in vecs.items():
+            if ia < ib and info[ia].cluster_id == info[ib].cluster_id:
+                if round(cos(va, vb), 6) >= thr:
+                    partners[ia].append(ib)
+                    partners[ib].append(ia)
+    for vid, ps in partners.items():
+        r = info[vid]
+        assert r.n_dups == len(ps)
+        if not ps:
+            assert r.keep
+        else:
+            my = (r.centroid_sim, vid)
+            best = min((info[p].centroid_sim, p) for p in ps)
+            assert r.keep == (my < best)
+    # the globally least-prototypical involved vector always survives
+    involved = [vid for vid, ps in partners.items() if ps]
+    if involved:
+        gmin = min(involved, key=lambda vid: (info[vid].centroid_sim, vid))
+        assert info[gmin].keep
