@@ -72,3 +72,30 @@ def tune_for_oracle(spark: SparkSession) -> SparkSession:
     session passed to ``__spark_entry__.queries()``)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark
+
+
+# Keys that only make sense on the local test harness and must NOT ride a
+# cluster properties file: driver sizing belongs to the submitter, and the
+# UI is disabled locally only to keep the 32-thread harness lean.
+_LOCAL_ONLY_KEYS = ("spark.driver.memory", "spark.ui.enabled")
+
+
+def emit_properties(shuffle_partitions: int | None = None) -> str:
+    """The engine's defaults as a ``spark-submit --properties-file`` body —
+    the single source of truth the U5 submit wrapper
+    (``scripts/submit_job.sh``) ships to a cluster, so in-process sessions
+    and submitted jobs can never drift apart on Spark-level tuning."""
+    conf = {k: v for k, v in _DEFAULTS.items() if k not in _LOCAL_ONLY_KEYS}
+    if shuffle_partitions is not None:
+        conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    return "\n".join(f"{k} {v}" for k, v in sorted(conf.items())) + "\n"
+
+
+if __name__ == "__main__":
+    import argparse
+
+    p = argparse.ArgumentParser(description="emit engine Spark conf")
+    p.add_argument("--emit-conf", action="store_true", required=True)
+    p.add_argument("--shuffle-partitions", type=int, default=None)
+    args = p.parse_args()
+    print(emit_properties(args.shuffle_partitions), end="")
