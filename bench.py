@@ -105,6 +105,8 @@ HEADLINE = [
     # sliding-distinct DAU/WAU via the bounded covered-day explode
     "retention_dau_wau",
     "cohort_ltv_curve",
+    # SemDeDup: cluster-blocked within-cluster cosine pair scan + keep rule
+    "dedup_semantic_clusters",
 ]
 
 

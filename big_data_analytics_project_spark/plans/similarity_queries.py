@@ -242,6 +242,82 @@ def ann_ivf_recall_audit(spark, sf_dir):
     )
 
 
+# NDCG@10 retrieval-quality audit.  Binary relevance (brute-force top-10 =
+# the relevant set), so DCG = Σ 1/log2(rank+1) over hit ranks.  The ten
+# possible per-rank gains are PRE-ROUNDED DECIMAL LITERALS shared verbatim
+# by both engines and summed as exact decimals (order-independent — a
+# double SUM here would be addition-order-dependent and flake the value
+# hash); only the final ndcg division runs in double, then rounds.
+import math as _math
+
+_NDCG_K = 10
+_NDCG_WEIGHTS = [
+    str(round(1.0 / _math.log2(i + 1), 12)) for i in range(1, _NDCG_K + 1)
+]
+_NDCG_IDCG = float(sum(float(w) for w in _NDCG_WEIGHTS))
+
+_NDCG_W_VALUES = ",\n    ".join(
+    f"({i + 1}, {w}::DECIMAL(14,12))" for i, w in enumerate(_NDCG_WEIGHTS)
+)
+
+_DUCK_IVF_NDCG = f"""
+WITH brute AS ({_DUCK_BRUTE_TOPK}),
+ivf AS ({_DUCK_IVF_TOPK}),
+w AS (SELECT * FROM (VALUES
+    {_NDCG_W_VALUES}) AS t(rank, w)),
+hits AS (
+  SELECT i.query_id, i.rank
+  FROM ivf i JOIN brute b
+    ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+),
+agg AS (
+  SELECT h.query_id, count(*) AS n_hits, sum(w.w) AS dcg
+  FROM hits h JOIN w ON w.rank = h.rank
+  GROUP BY h.query_id
+),
+base AS (SELECT DISTINCT query_id FROM brute)
+SELECT base.query_id,
+       CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+       round(CAST(coalesce(dcg, 0) AS DOUBLE), 6) AS dcg,
+       round(CAST(coalesce(dcg, 0) AS DOUBLE) / {_NDCG_IDCG!r}, 6) AS ndcg_at_10
+FROM base LEFT JOIN agg ON agg.query_id = base.query_id
+"""
+
+
+@query("ann_ivf_ndcg_audit", sql=_DUCK_IVF_NDCG, tags=("similarity", "ann", "audit"))
+def ann_ivf_ndcg_audit(spark, sf_dir):
+    """NDCG@10 of IVF (nprobe=4/16) against the exact brute-force top-10:
+    the rank-sensitive companion to the recall audit (recall says the
+    neighbors were found; NDCG says they were found NEAR THE TOP).  DCG
+    gains are shared pre-rounded decimal literals summed exactly, so the
+    score is engine-independent despite being a float metric."""
+    from decimal import Decimal
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 5)
+    brute = S.brute_force_topk(emb, q, k=10).select("query_id", "neighbor_id")
+    ivf = S.ivf_topk(emb, q, k=10, nprobe=4, centroids=IVF_CENTROIDS).select(
+        "query_id", "neighbor_id", "rank"
+    )
+    warr = F.array(
+        *[F.lit(Decimal(w)).cast("decimal(14,12)") for w in _NDCG_WEIGHTS]
+    )
+    hits = ivf.join(brute, ["query_id", "neighbor_id"]).select(
+        "query_id", F.element_at(warr, F.col("rank").cast("int")).alias("__w")
+    )
+    agg = hits.groupBy("query_id").agg(
+        F.count("*").alias("__n_hits"), F.sum("__w").alias("__dcg")
+    )
+    base = brute.select("query_id").distinct()
+    dcg = F.coalesce(F.col("__dcg"), F.lit(0)).cast("double")
+    return base.join(agg, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("__n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+        F.round(dcg, 6).alias("dcg"),
+        F.round(dcg / F.lit(_NDCG_IDCG), 6).alias("ndcg_at_10"),
+    )
+
+
 # SemDeDup: same pinned coarse centroids as IVF, so cluster assignment,
 # cosine-to-centroid, and the within-cluster pair scan are deterministic
 # expression evaluation on both engines; the keep-rule's float comparisons

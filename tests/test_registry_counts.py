@@ -9,8 +9,8 @@ from pathlib import Path
 
 from big_data_analytics_project_spark.registry import load_all
 
-TOTAL = 168
-ORACLE = 152
+TOTAL = 169
+ORACLE = 153
 
 
 def test_counts_match_registry():

@@ -56,6 +56,7 @@ EXPECTED_WINDOW = (
     "sketch_kll_value_quantiles",
     "variant_semi_structured",
     "ann_lsh_multiprobe_topk",
+    "ann_ivf_ndcg_audit",
     "dedup_semantic_clusters",
     "streaming_interval_join_left",
     "session_gap_assignment",
@@ -72,7 +73,6 @@ EXPECTED_WINDOW = (
     "tpch_q5_local_supplier_volume",
     "tpch_q6_forecast_revenue",
     "tpch_q10_returned_items",
-    "tpch_q14_promo_effect",
     # declared one-round rows-only lift (registry.py)
     "streaming_tumbling_append",
     "streaming_dedup",
