@@ -23,21 +23,31 @@ from pyspark.sql import DataFrame
 def copurchase_edges(lineitem: DataFrame) -> DataFrame:
     """Canonical undirected co-purchase edges (src < dst, distinct).
 
-    distinct (order, part) first — a part twice in one order is one
-    membership — then the bounded within-order self-join, then a global
-    edge distinct (two shuffles total: order key, then edge key)."""
-    items = lineitem.select("l_orderkey", "l_partkey").distinct()
-    a = items.alias("a")
-    b = items.alias("b")
+    One ``collect_set`` aggregation groups each order's distinct parts
+    (map-side partial aggregation, one shuffle on the order key), then
+    the bounded within-order pair explosion runs entirely inside
+    codegen as higher-order array functions — sorted set, so ``src <
+    dst`` by construction — followed by the global edge distinct.  TWO
+    shuffles total (order key, edge key); the earlier self-join form
+    spent a third exchange re-clustering the distinct (order, part)
+    pairs onto the order key and moved k rows per order through it
+    instead of one array row."""
+    arrs = (
+        lineitem.select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("__parts"))
+    )
+    parts = F.col("__parts")
+    pair_lists = F.transform(
+        parts,
+        lambda x, i: F.transform(
+            F.slice(parts, i + F.lit(2), F.size(parts)),
+            lambda y: F.struct(x.alias("src"), y.alias("dst")),
+        ),
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
-        )
+        arrs.select(F.explode(F.flatten(pair_lists)).alias("e"))
+        .select("e.src", "e.dst")
         .distinct()
     )
 
