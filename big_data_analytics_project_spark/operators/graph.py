@@ -53,10 +53,19 @@ def copurchase_edges(lineitem: DataFrame) -> DataFrame:
 
 
 def directed(edges: DataFrame) -> DataFrame:
-    """Both directions of the canonical edge list (for degree/PageRank)."""
-    return edges.unionAll(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    """Both directions of the canonical edge list (for degree/PageRank).
+
+    Each edge row explodes into its two directions in ONE pass — the
+    union-of-two-selects form executed the whole upstream edge build
+    twice, because exchange reuse does not span union branches."""
+    return edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("src").alias("src"), F.col("dst").alias("dst")),
+                F.struct(F.col("dst").alias("src"), F.col("src").alias("dst")),
+            )
+        ).alias("__e")
+    ).select("__e.src", "__e.dst")
 
 
 def degrees(edges: DataFrame) -> DataFrame:
