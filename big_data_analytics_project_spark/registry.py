@@ -84,7 +84,9 @@ _LOADED = False
 # tier-0 pool by registration order, displacing later-registered tier-0
 # queries into an overflow queue just past the window — still tier 0,
 # landing at the round-7 head (tests/test_registry_order.py pins the
-# overflow ordering).
+# overflow ordering).  The closing round-6 pair (SemDeDup semantic
+# dedup, IVF NDCG@10 audit) joins the same overflow pool; EXPECTED_WINDOW
+# was re-pinned at each addition.
 #
 # The window is therefore now DERIVED from the recorded driver history
 # (``driver_history.json`` — a checked-in digest of CORRECTNESS_r*.json
