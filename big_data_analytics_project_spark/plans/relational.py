@@ -350,20 +350,25 @@ def join_anti_inactive_customers(spark, sf_dir):
 @query(
     "agg_pricing_summary",
     sql="""
+    WITH cents AS (
+      SELECT l_returnflag, l_linestatus,
+             CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS qty_c,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS ext_c,
+             CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS disc_c,
+             CAST(floor(l_tax * 100 + 0.5) AS BIGINT) AS tax_c
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+    )
     SELECT l_returnflag, l_linestatus,
-           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
-                    * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
-                    * (1 - CAST(l_discount AS DECIMAL(12,2)))
-                    * (1 + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
-           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(l_quantity) AS avg_qty,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(l_extendedprice) AS avg_price,
-           CAST(sum(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / count(l_discount) AS avg_disc,
+           CAST(sum(qty_c) AS DOUBLE) / 100 AS sum_qty,
+           CAST(sum(ext_c) AS DOUBLE) / 100 AS sum_base_price,
+           CAST(sum(ext_c * (100 - disc_c)) AS DOUBLE) / 10000 AS sum_disc_price,
+           CAST(sum(ext_c * (100 - disc_c) * (100 + tax_c)) AS DOUBLE) / 1000000 AS sum_charge,
+           CAST(sum(qty_c) AS DOUBLE) / 100 / count(*) AS avg_qty,
+           CAST(sum(ext_c) AS DOUBLE) / 100 / count(*) AS avg_price,
+           CAST(sum(disc_c) AS DOUBLE) / 100 / count(*) AS avg_disc,
            count(*) AS count_order
-    FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+    FROM cents
     GROUP BY l_returnflag, l_linestatus
     """,
     tags=("agg", "tpch_q1"),
@@ -371,32 +376,49 @@ def join_anti_inactive_customers(spark, sf_dir):
 def agg_pricing_summary(spark, sf_dir):
     """TPC-H Q1-shaped multi-measure hash aggregate (reference A1's shape,
     preprocessing.py:81-100): map-side partial agg → single exchange on the
-    2-column grouping key → final agg.  All sums exact decimal."""
+    2-column grouping key → final agg.
+
+    Exact-sum strategy: the 2dp inputs are integer-scaled to cents with
+    the portable quantizer ``floor(x*100 + 0.5)`` (IEEE-identical on both
+    engines) and summed as BIGINT — exact, order-independent, and it
+    stays on the codegen long fast-path.  The earlier DECIMAL(12,2) sums
+    were equally exact but promote past 18 digits of precision, dropping
+    aggregation onto the boxed-Decimal slow path (~4× the per-row cost —
+    measured; see docs/determinism.md).  Product measures sum the scaled
+    integer product (≤1e11/row — no overflow below ~1e7 rows per group
+    of 9e18/1e11; at larger scale widen the scale split) and divide once
+    at the end."""
     li = _t(spark, sf_dir, "lineitem")
-    d = lambda c: F.col(c).cast("decimal(12,2)")  # noqa: E731
-    return (
-        li.where(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.sum(d("l_quantity")).cast("double").alias("sum_qty"),
-            F.sum(d("l_extendedprice")).cast("double").alias("sum_base_price"),
-            F.sum(d("l_extendedprice") * (F.lit(1) - d("l_discount")))
-            .cast("double")
-            .alias("sum_disc_price"),
+    cents = lambda c: F.floor(F.col(c) * 100 + 0.5).cast("bigint")  # noqa: E731
+    pre = li.where(
+        F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp")
+    ).select(
+        "l_returnflag",
+        "l_linestatus",
+        cents("l_quantity").alias("qty_c"),
+        cents("l_extendedprice").alias("ext_c"),
+        cents("l_discount").alias("disc_c"),
+        cents("l_tax").alias("tax_c"),
+    )
+    return pre.groupBy("l_returnflag", "l_linestatus").agg(
+        (F.sum("qty_c").cast("double") / 100).alias("sum_qty"),
+        (F.sum("ext_c").cast("double") / 100).alias("sum_base_price"),
+        (
+            F.sum(F.col("ext_c") * (F.lit(100) - F.col("disc_c"))).cast("double")
+            / 10000
+        ).alias("sum_disc_price"),
+        (
             F.sum(
-                d("l_extendedprice")
-                * (F.lit(1) - d("l_discount"))
-                * (F.lit(1) + d("l_tax"))
-            )
-            .cast("double")
-            .alias("sum_charge"),
-            (F.sum(d("l_quantity")).cast("double") / F.count("l_quantity")).alias("avg_qty"),
-            (F.sum(d("l_extendedprice")).cast("double") / F.count("l_extendedprice")).alias(
-                "avg_price"
-            ),
-            (F.sum(d("l_discount")).cast("double") / F.count("l_discount")).alias("avg_disc"),
-            F.count("*").alias("count_order"),
-        )
+                F.col("ext_c")
+                * (F.lit(100) - F.col("disc_c"))
+                * (F.lit(100) + F.col("tax_c"))
+            ).cast("double")
+            / 1000000
+        ).alias("sum_charge"),
+        (F.sum("qty_c").cast("double") / 100 / F.count("*")).alias("avg_qty"),
+        (F.sum("ext_c").cast("double") / 100 / F.count("*")).alias("avg_price"),
+        (F.sum("disc_c").cast("double") / 100 / F.count("*")).alias("avg_disc"),
+        F.count("*").alias("count_order"),
     )
 
 
