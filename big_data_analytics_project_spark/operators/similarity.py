@@ -498,6 +498,87 @@ def semantic_dedup(
     )
 
 
+def semantic_leakage(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    is_eval: Column,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Embedding-space train/eval decontamination audit: find eval
+    vectors whose nearest TRAIN vector is semantically too close
+    (cosine ≥ ``threshold``) — the leakage n-gram overlap can't see
+    (paraphrases, translations, near-dups that share no 13-gram).
+
+    Same scale machinery as :func:`semantic_dedup`: cluster assignment
+    is map-only over pinned centroids, candidates are cluster-
+    cohabitants only (eval ⋈ train equi-join on cluster id — never
+    eval × train), norms are hoisted out of the pair loop.  A leaked
+    eval item whose nearest train twin landed in a DIFFERENT cluster is
+    missed — the standard blocking recall trade, tuned by cluster count
+    exactly as in SemDeDup.
+
+    Returns one row per CONTAMINATED eval vector: (eval_id, cluster_id,
+    n_contaminated, top_train_id, top_sim) with the top partner chosen
+    by (sim desc, train id) — deterministic across engines.
+    """
+    from ..functions.vector import dot, norm2
+
+    base = corpus.select(
+        F.col(id_col).alias("vec_id"), as_double(vec_col).alias("__v"), is_eval.alias("__is_eval")
+    ).select(
+        "vec_id",
+        "__v",
+        "__is_eval",
+        norm2(F.col("__v")).alias("__n"),
+        nearest_centroid(F.col("__v"), centroids).alias("__cluster"),
+    )
+    ev = base.where(F.col("__is_eval")).select(
+        F.col("vec_id").alias("eval_id"),
+        F.col("__v").alias("__ev"),
+        F.col("__n").alias("__en"),
+        "__cluster",
+    )
+    tr = base.where(~F.col("__is_eval")).select(
+        F.col("vec_id").alias("train_id"),
+        F.col("__v").alias("__tv"),
+        F.col("__n").alias("__tn"),
+        "__cluster",
+    )
+    sim = F.round(
+        dot(F.col("__ev"), F.col("__tv")) / (F.col("__en") * F.col("__tn")),
+        round_digits,
+    )
+    pairs = (
+        ev.join(tr, "__cluster")
+        .select(
+            "eval_id",
+            F.col("__cluster").cast("long").alias("cluster_id"),
+            "train_id",
+            sim.alias("__sim"),
+        )
+        .where(F.col("__sim") >= threshold)
+    )
+    w = Window.partitionBy("eval_id")
+    rn = F.row_number().over(
+        w.orderBy(F.desc("__sim"), "train_id")
+    )
+    return (
+        pairs.withColumn("__rn", rn)
+        .withColumn("__n_cont", F.count("*").over(w))
+        .where(F.col("__rn") == 1)
+        .select(
+            "eval_id",
+            "cluster_id",
+            F.col("__n_cont").cast("long").alias("n_contaminated"),
+            F.col("train_id").alias("top_train_id"),
+            F.col("__sim").alias("top_sim"),
+        )
+    )
+
+
 def pq_encode(
     vec: Column, codebooks: list[list[list[float]]]
 ) -> Column:

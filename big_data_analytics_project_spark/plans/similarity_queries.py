@@ -390,6 +390,75 @@ def dedup_semantic_clusters(spark, sf_dir):
     )
 
 
+# Semantic decontamination: the 80/20 split is the portable 60-bit md5
+# hash (engine-identical), clustering reuses the pinned IVF centroids,
+# and the top-partner choice ranks on the rounded sim with the train id
+# as tie-break — all deterministic expression evaluation on both engines.
+from ._duck import hash60 as _hash60
+
+_LEAK_THRESHOLD = 0.4
+
+_DUCK_SEMANTIC_LEAKAGE = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                  {_hash60("CAST(vec_id AS VARCHAR)")} % 10 >= 8 AS is_eval
+           FROM embeddings),
+cent AS (SELECT * FROM (VALUES
+    {_CENT_VALUES}) AS t(i, c)),
+dists AS (
+  SELECT v.vec_id, cent.i, {duck_l2sq("v.v", "cent.c")} AS d
+  FROM v CROSS JOIN cent
+),
+ranked_d AS (
+  SELECT vec_id, i, row_number() OVER (PARTITION BY vec_id ORDER BY d, i) AS rn
+  FROM dists
+),
+av AS (
+  SELECT v.vec_id, v.v, v.is_eval, a.i AS cluster_id
+  FROM v JOIN ranked_d a ON a.vec_id = v.vec_id AND a.rn = 1
+),
+pairs AS (
+  SELECT e.vec_id AS eval_id, CAST(e.cluster_id AS BIGINT) AS cluster_id,
+         t.vec_id AS train_id,
+         round({duck_cosine("e.v", "t.v")}, 6) AS sim
+  FROM av e JOIN av t
+    ON e.cluster_id = t.cluster_id AND e.is_eval AND NOT t.is_eval
+),
+leaked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY eval_id
+                            ORDER BY sim DESC, train_id) AS rn,
+         count(*) OVER (PARTITION BY eval_id) AS n_cont
+  FROM pairs WHERE sim >= {_LEAK_THRESHOLD}
+)
+SELECT eval_id, cluster_id,
+       CAST(n_cont AS BIGINT) AS n_contaminated,
+       train_id AS top_train_id,
+       sim AS top_sim
+FROM leaked WHERE rn = 1
+"""
+
+
+@query(
+    "decontaminate_semantic_pairs",
+    sql=_DUCK_SEMANTIC_LEAKAGE,
+    tags=("dedup", "curation", "audit"),
+)
+def decontaminate_semantic_pairs(spark, sf_dir):
+    """Embedding-space train/eval decontamination: hash-split the corpus
+    80/20 (portable md5 split — the same split any engine reproduces),
+    then flag every eval vector with a train neighbor at cosine ≥0.4,
+    reporting its contamination count and nearest train twin.  Catches
+    the leakage n-gram overlap can't see (paraphrase/near-dup); the
+    candidate set is cluster-cohabitants only, never eval × train."""
+    from ..operators.dedup import md5_hash60
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    is_eval = md5_hash60(F.col("vec_id").cast("string")) % 10 >= 8
+    return S.semantic_leakage(
+        emb, IVF_CENTROIDS, is_eval, threshold=_LEAK_THRESHOLD
+    )
+
+
 # IVF-PQ: coarse lists bound candidates, PQ codes + ADC score them.  Both
 # the coarse centroids AND the 4x8 sub-codebooks are pinned literals, so
 # encoding (argmin per subspace) and ADC (fixed-order chain of 4

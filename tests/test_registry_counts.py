@@ -9,8 +9,8 @@ from pathlib import Path
 
 from big_data_analytics_project_spark.registry import load_all
 
-TOTAL = 169
-ORACLE = 153
+TOTAL = 170
+ORACLE = 154
 
 
 def test_counts_match_registry():

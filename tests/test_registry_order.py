@@ -58,6 +58,7 @@ EXPECTED_WINDOW = (
     "ann_lsh_multiprobe_topk",
     "ann_ivf_ndcg_audit",
     "dedup_semantic_clusters",
+    "decontaminate_semantic_pairs",
     "streaming_interval_join_left",
     "session_gap_assignment",
     "timeseries_gapfill_interpolate",
@@ -72,7 +73,6 @@ EXPECTED_WINDOW = (
     "tpch_q4_order_priority",
     "tpch_q5_local_supplier_volume",
     "tpch_q6_forecast_revenue",
-    "tpch_q10_returned_items",
     # declared one-round rows-only lift (registry.py)
     "streaming_tumbling_append",
     "streaming_dedup",

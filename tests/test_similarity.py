@@ -291,3 +291,49 @@ def test_semantic_dedup_properties(spark, sf_dir):
     if involved:
         gmin = min(involved, key=lambda vid: (info[vid].centroid_sim, vid))
         assert info[gmin].keep
+
+
+def test_semantic_leakage_properties(spark, sf_dir):
+    """Decontamination invariants vs a numpy reference: reported rows are
+    eval-side only, partners train-side only, counts and the top twin
+    (sim desc, id asc) exact."""
+    import hashlib
+
+    import numpy as np
+
+    from big_data_analytics_project_spark.operators.dedup import md5_hash60
+    from big_data_analytics_project_spark.plans.ivf_centroids import IVF_CENTROIDS
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    is_eval = md5_hash60(F.col("vec_id").cast("string")) % 10 >= 8
+    out = {r.eval_id: r for r in S.semantic_leakage(
+        emb, IVF_CENTROIDS, is_eval, threshold=0.4).collect()}
+
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb.collect()}
+    cents = [np.array(c) for c in IVF_CENTROIDS]
+
+    def ev(vid):
+        return int(hashlib.md5(str(vid).encode()).hexdigest()[:15], 16) % 10 >= 8
+
+    def cl(v):
+        return int(np.argmin([((v - c) ** 2).sum() for c in cents]))
+
+    expect = {}
+    for a, va in vecs.items():
+        if not ev(a):
+            continue
+        ps = []
+        for b, vb in vecs.items():
+            if ev(b) or cl(va) != cl(vb):
+                continue
+            s = round(float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb))), 6)
+            if s >= 0.4:
+                ps.append((s, b))
+        if ps:
+            top = max(ps, key=lambda p: (p[0], -p[1]))
+            expect[a] = (len(ps), top[1], top[0])
+    assert set(out) == set(expect)
+    for vid, (n, tid, ts) in expect.items():
+        r = out[vid]
+        assert (r.n_contaminated, r.top_train_id, r.top_sim) == (n, tid, ts)
+        assert r.cluster_id == cl(vecs[vid])
