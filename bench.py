@@ -107,6 +107,10 @@ HEADLINE = [
     "cohort_ltv_curve",
     # SemDeDup: cluster-blocked within-cluster cosine pair scan + keep rule
     "dedup_semantic_clusters",
+    # embedding-space train/eval leakage audit (same blocking machinery)
+    "decontaminate_semantic_pairs",
+    # Spark 4 frequent-items sketch with exactness contract
+    "sketch_topk_frequent_events",
 ]
 
 

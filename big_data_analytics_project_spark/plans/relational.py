@@ -1236,3 +1236,46 @@ def sketch_kll_value_quantiles(spark, sf_dir):
             <= 0.03
         ).alias("p90_rank_ok"),
     )
+
+
+@query(
+    "sketch_topk_frequent_events",
+    sql="""
+    SELECT event_type,
+           CAST(c AS BIGINT) AS est_count,
+           CAST(c AS BIGINT) AS exact_count,
+           CAST(TRUE AS BOOLEAN) AS est_exact
+    FROM (SELECT event_type, count(*) AS c FROM events GROUP BY event_type
+          ORDER BY c DESC, event_type LIMIT 3)
+    """,
+    tags=("topk", "approx", "sketch"),
+)
+def sketch_topk_frequent_events(spark, sf_dir):
+    """Frequent-items top-3 via the Spark 4 ``approx_top_k`` sketch —
+    the heavy-hitters answer at 100 TB: per-partition summaries merge in
+    the agg, the raw column never re-scans.  Oracle-checked via the
+    tolerance-contract pattern (sketch_theta_set_ops): with
+    maxItemsTracked (10k) ≥ the column's NDV the sketch is EXACT, so the
+    output carries the estimate, the exact count from a second
+    aggregation pass, and an ``est_exact`` boolean — an estimator drift
+    flips the boolean and fails the driver hash.  The k=3 cut is
+    deterministic on the fixture (all event-type counts distinct, gap ≥2
+    at every SF; ties at the boundary would be engine-arbitrary)."""
+    ev = _t(spark, sf_dir, "events")
+    est = (
+        ev.agg(F.expr("approx_top_k(event_type, 3)").alias("tk"))
+        .select(F.explode("tk").alias("t"))
+        .select(
+            F.col("t.item").alias("event_type"),
+            F.col("t.count").cast("long").alias("est_count"),
+        )
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("exact_count")
+    )
+    return est.join(F.broadcast(exact), "event_type").select(
+        "event_type",
+        "est_count",
+        "exact_count",
+        (F.col("est_count") == F.col("exact_count")).alias("est_exact"),
+    )

@@ -54,6 +54,7 @@ EXPECTED_WINDOW = (
     "set_intersect_all",
     "sketch_theta_set_ops",
     "sketch_kll_value_quantiles",
+    "sketch_topk_frequent_events",
     "variant_semi_structured",
     "ann_lsh_multiprobe_topk",
     "ann_ivf_ndcg_audit",
@@ -72,7 +73,6 @@ EXPECTED_WINDOW = (
     "tpch_q3_shipping_priority",
     "tpch_q4_order_priority",
     "tpch_q5_local_supplier_volume",
-    "tpch_q6_forecast_revenue",
     # declared one-round rows-only lift (registry.py)
     "streaming_tumbling_append",
     "streaming_dedup",
