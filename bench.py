@@ -111,6 +111,8 @@ HEADLINE = [
     "decontaminate_semantic_pairs",
     # Spark 4 frequent-items sketch with exactness contract
     "sketch_topk_frequent_events",
+    # BM25 lexical retrieval: broadcast term filter, integer-micro scoring
+    "retrieval_bm25_topk",
 ]
 
 

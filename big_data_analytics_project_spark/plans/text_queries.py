@@ -656,3 +656,165 @@ def vocab_oov_rate(spark, sf_dir):
             (n_oov.cast("double") / F.count("*")).alias("oov_rate"),
         )
     )
+
+
+# --- BM25 query-conditioned retrieval -------------------------------------
+
+_BM25_TOP_K = 5
+# (query_id, term) — pre-lowercased; 'hyperloglog' is deliberately OOV and
+# 'join' is shared between queries 1 and 3 to exercise the term fan-out.
+_BM25_QUERIES = [
+    (1, "hash"), (1, "join"),
+    (2, "stream"), (2, "window"), (2, "slow"),
+    (3, "vector"), (3, "scan"), (3, "filter"), (3, "join"), (3, "hyperloglog"),
+]
+
+_BM25_VALUES = ", ".join(f"({q}, '{t}')" for q, t in _BM25_QUERIES)
+
+_BM25_SQL = rf"""
+WITH qterms(query_id, term) AS (VALUES {_BM25_VALUES}),
+docs AS (
+  SELECT doc_id, len(regexp_split_to_array(lower(text), '\s+')) AS dl,
+         regexp_split_to_array(lower(text), '\s+') AS toks
+  FROM documents
+),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+  FROM docs
+),
+tok AS (SELECT doc_id, dl, unnest(toks) AS term FROM docs),
+postings AS (
+  SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+  FROM tok WHERE term IN (SELECT DISTINCT term FROM qterms)
+  GROUP BY doc_id, term
+),
+idf AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df,
+         floor(ln((s.n_docs - count(*) + 0.5) / (count(*) + 0.5) + 1.0)
+               * 1000000.0 + 0.5) / 1000000.0 AS idf
+  FROM postings CROSS JOIN stats s
+  GROUP BY term, s.n_docs
+),
+contrib AS (
+  SELECT q.query_id, p.doc_id,
+         CAST(floor(i.idf * (p.tf * 2.2)
+                    / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / s.avgdl))
+                    * 1000000.0 + 0.5) AS BIGINT) AS c_micro
+  FROM postings p
+  JOIN idf i ON p.term = i.term
+  JOIN qterms q ON p.term = q.term
+  CROSS JOIN stats s
+),
+scored AS (
+  SELECT query_id, doc_id,
+         CAST(count(*) AS BIGINT) AS n_terms_matched,
+         sum(c_micro) AS score_micro
+  FROM contrib GROUP BY query_id, doc_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY score_micro DESC, doc_id) AS rank
+  FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, n_terms_matched,
+       CAST(score_micro AS DOUBLE) / 1000000.0 AS score,
+       CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {_BM25_TOP_K}
+"""
+
+
+@query("retrieval_bm25_topk", sql=_BM25_SQL, tags=("text", "retrieval"))
+def retrieval_bm25_topk(spark, sf_dir):
+    """BM25 (k1=1.2, b=0.75) top-{_BM25_TOP_K} document retrieval for a
+    literal query set — the lexical half of a RAG / eval-retrieval
+    pipeline, next to the embedding ANN family.
+
+    Plan shape at 100 TB: the corpus scan is map-only (tokenize + doc
+    length inline); only postings whose term appears in SOME query survive
+    the broadcast term filter, so the one (doc_id, term) shuffle is
+    proportional to MATCHED postings, not the corpus.  df/idf are
+    query-vocabulary-sized (broadcast back), the per-(query, doc) regroup
+    is candidate-sized, and the final row_number runs per query over
+    candidates only — never a global sort.
+
+    Determinism contract: tf/dl/df are exact integers; idf's ln() is
+    quantized with the portable floor(x*1e6+0.5) grid BEFORE the multiply;
+    each term contribution is quantized to integer MICRO-units and summed
+    as BIGINT (order-independent, codegen-friendly — the integer-scaled
+    form of the decimal-sum trick), so ranking compares exact integers
+    with a doc_id tie-break and the one double division happens after the
+    sum."""
+    from pyspark.sql import Window
+
+    qterms = spark.createDataFrame(_BM25_QUERIES, "query_id long, term string")
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = T.ws_tokens(F.col("text"))
+    base = docs.select("doc_id", F.size(toks).alias("dl"), toks.alias("toks"))
+
+    stats = base.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+
+    postings = (
+        base.select("doc_id", "dl", F.explode("toks").alias("term"))
+        .join(F.broadcast(qterms.select("term").distinct()), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"), F.max("dl").alias("dl"))
+    )
+
+    idf = (
+        postings.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "term",
+            F.col("df").cast("long").alias("df"),
+            (
+                F.floor(
+                    F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+                    * 1000000.0
+                    + 0.5
+                )
+                / 1000000.0
+            ).alias("idf"),
+        )
+    )
+
+    contrib = (
+        postings.join(F.broadcast(idf), "term")
+        .join(F.broadcast(qterms), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            "doc_id",
+            F.floor(
+                F.col("idf")
+                * (F.col("tf") * 2.2)
+                / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl")))
+                * 1000000.0
+                + 0.5
+            )
+            .cast("long")
+            .alias("c_micro"),
+        )
+    )
+
+    scored = contrib.groupBy("query_id", "doc_id").agg(
+        F.count("*").cast("long").alias("n_terms_matched"),
+        F.sum("c_micro").alias("score_micro"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score_micro"), "doc_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= _BM25_TOP_K)
+        .select(
+            "query_id",
+            "doc_id",
+            "n_terms_matched",
+            (F.col("score_micro").cast("double") / 1000000.0).alias("score"),
+            "rank",
+        )
+    )

@@ -9,8 +9,8 @@ from pathlib import Path
 
 from big_data_analytics_project_spark.registry import load_all
 
-TOTAL = 171
-ORACLE = 155
+TOTAL = 172
+ORACLE = 156
 
 
 def test_counts_match_registry():

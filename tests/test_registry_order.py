@@ -70,9 +70,9 @@ EXPECTED_WINDOW = (
     "quality_unigram_logprob",
     "tokens_length_histogram",
     "vocab_oov_rate",
+    "retrieval_bm25_topk",
     "tpch_q3_shipping_priority",
     "tpch_q4_order_priority",
-    "tpch_q5_local_supplier_volume",
     # declared one-round rows-only lift (registry.py)
     "streaming_tumbling_append",
     "streaming_dedup",
