@@ -113,6 +113,8 @@ HEADLINE = [
     "sketch_topk_frequent_events",
     # BM25 lexical retrieval: broadcast term filter, integer-micro scoring
     "retrieval_bm25_topk",
+    # small-file compaction rewrite + preservation audit (table maintenance)
+    "maintenance_compact_files",
 ]
 
 

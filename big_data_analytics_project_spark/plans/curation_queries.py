@@ -1146,3 +1146,69 @@ def mix_budget_select(spark, sf_dir):
         F.col("n_tokens").cast("long").alias("n_tokens"),
         F.col("cum_n_tokens").cast("long").alias("cum_tokens"),
     )
+
+
+# --- small-file compaction (table maintenance) ----------------------------
+
+_COMPACT_FRAGMENTS = 48
+_COMPACT_TARGET = 256 * 1024
+
+
+@query("maintenance_compact_files", sql=None, tags=("maintenance", "compaction"))
+def maintenance_compact_files(spark, sf_dir):
+    """Small-file compaction with a built-in preservation audit: fragment
+    the events table into {_COMPACT_FRAGMENTS} files (simulating
+    micro-batch accretion), compact to ~256 KiB targets via
+    ``operators/maintenance.compact``, and emit one stats row proving the
+    rewrite lost nothing (exact row count + exact decimal value sum
+    compared before/after).
+
+    File counts and byte sizes depend on the parquet encoder, so this is
+    rows-only by design; the invariants (files_after == planned ==
+    ceil(bytes/target), content preservation, range-clustered sort_by
+    variant) are pinned in tests/test_maintenance.py.  At 100 TB the same
+    call runs per hive-partition directory so each bin-packing shuffle is
+    partition-sized — see the operator docstring."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators import maintenance as M
+
+    work = tempfile.mkdtemp(prefix="bdap_compact_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    frag_dir = os.path.join(work, "fragmented")
+    dest_dir = os.path.join(work, "compacted")
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    ev.repartition(_COMPACT_FRAGMENTS).write.parquet(frag_dir)
+
+    stats = M.compact(
+        spark, frag_dir, dest_dir, target_bytes=_COMPACT_TARGET
+    )
+
+    def _audit(path):
+        df = spark.read.parquet(path)
+        return df.agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("v"),
+        ).collect()[0]
+
+    src, dst = _audit(frag_dir), _audit(dest_dir)
+    return spark.createDataFrame(
+        [
+            (
+                stats["files_before"],
+                stats["files_after"],
+                stats["planned_files"],
+                bool(src["n"] == dst["n"]),
+                bool(src["v"] == dst["v"]),
+                int(dst["n"]),
+            )
+        ],
+        "files_before long, files_after long, planned_files long, "
+        "rows_preserved boolean, value_sum_preserved boolean, n_rows long",
+    )

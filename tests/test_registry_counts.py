@@ -9,7 +9,7 @@ from pathlib import Path
 
 from big_data_analytics_project_spark.registry import load_all
 
-TOTAL = 172
+TOTAL = 173
 ORACLE = 156
 
 
