@@ -115,6 +115,8 @@ HEADLINE = [
     "retrieval_bm25_topk",
     # small-file compaction rewrite + preservation audit (table maintenance)
     "maintenance_compact_files",
+    # CDC snapshot reconciliation: fingerprinted full-outer diff
+    "diff_snapshot_customers",
 ]
 
 

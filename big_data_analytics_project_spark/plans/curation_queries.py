@@ -1212,3 +1212,63 @@ def maintenance_compact_files(spark, sf_dir):
         "files_before long, files_after long, planned_files long, "
         "rows_preserved boolean, value_sum_preserved boolean, n_rows long",
     )
+
+
+# --- snapshot diff (CDC reconciliation) -----------------------------------
+
+_DIFF_SQL = f"""
+WITH b AS (
+  SELECT c_custkey,
+         {hash60("CAST(c_custkey AS VARCHAR)")} % 100 AS bucket
+  FROM customer
+)
+SELECT c_custkey, 'removed' AS status FROM b WHERE bucket < 3
+UNION ALL
+SELECT c_custkey, 'changed' AS status FROM b WHERE bucket >= 3 AND bucket < 10
+UNION ALL
+SELECT c_custkey + 1000000 AS c_custkey, 'added' AS status
+FROM b WHERE bucket >= 10 AND bucket < 12
+"""
+
+
+@query("diff_snapshot_customers", sql=_DIFF_SQL, tags=("diff", "cdc", "maintenance"))
+def diff_snapshot_customers(spark, sf_dir):
+    """Snapshot reconciliation: build a v2 of the customer table by a
+    deterministic hash rule (3% of keys deleted, 7% with c_acctbal
+    shifted, 2% re-inserted under shifted keys), run the generic
+    ``operators/diff.snapshot_diff`` full-outer-join differ against v1,
+    and emit the non-unchanged (key, status) rows.
+
+    The differ sees only the two tables, never the rule; the DuckDB
+    oracle derives the EXPECTED statuses from the rule alone (same
+    portable md5-60-bit hash) — so the check proves the join-based change
+    detection reconstructs the mutation log exactly.  One column-pruned
+    full-outer shuffle join, no broadcast (both sides fact-sized),
+    unchanged rows filtered in-plan; with both snapshots bucket-written
+    on the key the join plans with zero exchanges (tests/test_sinks.py
+    pattern)."""
+    from ..operators.dedup import md5_hash60
+    from ..operators.diff import snapshot_diff
+
+    cust = read_table(spark, sf_dir, "customer")
+    base = cust.withColumn(
+        "_b", md5_hash60(F.col("c_custkey").cast("string")) % 100
+    )
+    v2 = (
+        base.where(F.col("_b") >= 3)
+        .withColumn(
+            "c_acctbal",
+            F.when(F.col("_b") < 10, F.col("c_acctbal") + 100.0).otherwise(
+                F.col("c_acctbal")
+            ),
+        )
+        .drop("_b")
+        .unionByName(
+            base.where((F.col("_b") >= 10) & (F.col("_b") < 12))
+            .withColumn("c_custkey", (F.col("c_custkey") + 1000000).cast("long"))
+            .drop("_b")
+        )
+    )
+    return snapshot_diff(cust, v2, ["c_custkey"]).select(
+        F.col("c_custkey").cast("long").alias("c_custkey"), "status"
+    )

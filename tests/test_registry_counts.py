@@ -9,8 +9,8 @@ from pathlib import Path
 
 from big_data_analytics_project_spark.registry import load_all
 
-TOTAL = 173
-ORACLE = 156
+TOTAL = 174
+ORACLE = 157
 
 
 def test_counts_match_registry():
