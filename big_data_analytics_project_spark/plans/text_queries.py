@@ -733,10 +733,12 @@ def retrieval_bm25_topk(spark, sf_dir):
     Plan shape at 100 TB: the corpus scan is map-only (tokenize + doc
     length inline); only postings whose term appears in SOME query survive
     the broadcast term filter, so the one (doc_id, term) shuffle is
-    proportional to MATCHED postings, not the corpus.  df/idf are
-    query-vocabulary-sized (broadcast back), the per-(query, doc) regroup
-    is candidate-sized, and the final row_number runs per query over
-    candidates only — never a global sort.
+    proportional to MATCHED postings, not the corpus.  df comes from a
+    window count over those postings (candidate-sized term reshuffle, no
+    second corpus scan), the per-(query, doc) regroup is candidate-sized,
+    and the final row_number runs per query over candidates only — never
+    a global sort.  Two corpus scans total: postings and the (N, avgdl)
+    statistics row.
 
     Determinism contract: tf/dl/df are exact integers; idf's ln() is
     quantized with the portable floor(x*1e6+0.5) grid BEFORE the multiply;
@@ -765,28 +767,20 @@ def retrieval_bm25_topk(spark, sf_dir):
         .agg(F.count("*").alias("tf"), F.max("dl").alias("dl"))
     )
 
-    idf = (
-        postings.groupBy("term")
-        .agg(F.count("*").alias("df"))
-        .crossJoin(F.broadcast(stats))
-        .select(
-            "term",
-            F.col("df").cast("long").alias("df"),
-            (
-                F.floor(
-                    F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
-                    * 1000000.0
-                    + 0.5
-                )
-                / 1000000.0
-            ).alias("idf"),
-        )
-    )
+    # df via a window count over the postings themselves (tfidf_top_terms
+    # pattern): a candidate-sized reshuffle on term instead of re-deriving
+    # the postings subtree, which would scan the corpus a second time.
+    idf = F.floor(
+        F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+        * 1000000.0
+        + 0.5
+    ) / 1000000.0
 
     contrib = (
-        postings.join(F.broadcast(idf), "term")
-        .join(F.broadcast(qterms), "term")
+        postings.withColumn("df", F.count("*").over(Window.partitionBy("term")))
         .crossJoin(F.broadcast(stats))
+        .withColumn("idf", idf)
+        .join(F.broadcast(qterms), "term")
         .select(
             "query_id",
             "doc_id",

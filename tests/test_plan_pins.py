@@ -39,3 +39,30 @@ def test_copurchase_edges_build_is_join_free(registry, spark, sf_dir):
     plan = _plan(registry, spark, sf_dir, "graph_degree_distribution")
     assert "Join" not in plan, plan
     assert plan.count("lineitem.parquet") == 1, plan
+
+
+def test_bm25_scans_corpus_twice_and_joins_broadcast(registry, spark, sf_dir):
+    """BM25's only corpus reads are the postings build and the (N, avgdl)
+    statistics row; df must come from the in-flight window count (a third
+    scan means the idf branch re-derived postings).  The term filter and
+    query mapping join as broadcasts; the sole nested-loop is the 1-row
+    statistics crossJoin.  No fact-sized cartesian ever."""
+    plan = _plan(registry, spark, sf_dir, "retrieval_bm25_topk")
+    assert plan.count("documents.parquet") == 2, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan  # 1-row stats only
+    assert plan.count("BroadcastHashJoin") == 2, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+
+
+def test_snapshot_diff_is_one_shuffled_join_no_broadcast(registry, spark, sf_dir):
+    """The differ compares two fact-sized snapshots: exactly one shuffled
+    equi-join (sort-merge or shuffled-hash), and NO broadcast anywhere —
+    a BroadcastHashJoin here would mean Spark was hinted to ship a whole
+    snapshot to every executor, the thing that OOMs at 100 TB."""
+    plan = _plan(registry, spark, sf_dir, "diff_snapshot_customers")
+    n_shuffled = plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin")
+    assert n_shuffled == 1, plan
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
