@@ -86,7 +86,8 @@ _LOADED = False
 # landing at the round-7 head (tests/test_registry_order.py pins the
 # overflow ordering).  The closing round-6 pair (SemDeDup semantic
 # dedup, IVF NDCG@10 audit) joins the same overflow pool; EXPECTED_WINDOW
-# was re-pinned at each addition.
+# was re-pinned at each addition, as it was for the final trio (BM25
+# retrieval, small-file compaction, CDC snapshot diff).
 #
 # The window is therefore now DERIVED from the recorded driver history
 # (``driver_history.json`` — a checked-in digest of CORRECTNESS_r*.json
