@@ -117,6 +117,8 @@ HEADLINE = [
     "maintenance_compact_files",
     # CDC snapshot reconciliation: fingerprinted full-outer diff
     "diff_snapshot_customers",
+    # MAD robust outlier flags: order-statistic median/MAD, no division
+    "anomaly_mad_outliers",
 ]
 
 

@@ -1272,3 +1272,95 @@ def diff_snapshot_customers(spark, sf_dir):
     return snapshot_diff(cust, v2, ["c_custkey"]).select(
         F.col("c_custkey").cast("long").alias("c_custkey"), "status"
     )
+
+
+# --- MAD robust outlier detection (Iglewicz–Hoaglin modified z) -----------
+
+_MAD_SQL = """
+WITH ranked AS (
+  SELECT event_id, event_type, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS rk,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events WHERE value IS NOT NULL
+),
+med AS (
+  SELECT event_type, value AS med FROM ranked WHERE rk = (n + 1) // 2
+),
+dev AS (
+  SELECT r.event_id, r.event_type, r.value, m.med,
+         abs(r.value - m.med) AS adev
+  FROM ranked r JOIN med m USING (event_type)
+),
+devranked AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY adev, event_id) AS rk2,
+         count(*) OVER (PARTITION BY event_type) AS n2
+  FROM dev
+),
+madt AS (
+  SELECT event_type, adev AS mad FROM devranked WHERE rk2 = (n2 + 1) // 2
+)
+SELECT d.event_id, d.event_type, d.value, d.med, m.mad, d.adev
+FROM dev d JOIN madt m USING (event_type)
+WHERE d.adev > 3.5 * 1.4826 * m.mad
+"""
+
+
+@query("anomaly_mad_outliers", sql=_MAD_SQL, tags=("quality", "anomaly"))
+def anomaly_mad_outliers(spark, sf_dir):
+    """Robust per-group outlier detection: flag values whose
+    Iglewicz–Hoaglin modified z-score exceeds 3.5, i.e.
+    ``|x − median| > 3.5 · 1.4826 · MAD`` — the median/MAD filter that
+    survives the very outliers a mean/stddev z-score would absorb.
+
+    Both the median and the MAD are ORDER STATISTICS (the lower-median
+    rule ``rk = (n+1) div 2``), never interpolated quantiles — the same
+    engine-portability contract as quality_value_winsorize: each
+    statistic IS a data value, ``abs(x − med)`` is a single IEEE
+    subtraction on identical doubles, and the threshold comparison
+    multiplies exact constants — so the flag set needs no rounding and no
+    division (MAD = 0 degrades gracefully: every nonzero deviation
+    flags, no divide-by-zero).  Two window shuffles on the group key
+    (value rank, then deviation rank) + two group-cardinality-sized
+    threshold joins back (AQE broadcasts them); a skewed group bounds
+    like the winsorize/exact-n pattern."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    w_cnt = Window.partitionBy("event_type")
+
+    ranked = ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("value", "event_id"))
+        .alias("rk"),
+        F.count("*").over(w_cnt).alias("n"),
+    )
+    med = ranked.where(F.col("rk") == F.expr("(n + 1) div 2")).select(
+        "event_type", F.col("value").alias("med")
+    )
+    dev = ranked.join(med, "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+    )
+    devranked = dev.select(
+        "*",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("adev", "event_id"))
+        .alias("rk2"),
+        F.count("*").over(w_cnt).alias("n2"),
+    )
+    mad = devranked.where(F.col("rk2") == F.expr("(n2 + 1) div 2")).select(
+        "event_type", F.col("adev").alias("mad")
+    )
+    return (
+        dev.join(mad, "event_type")
+        .where(F.col("adev") > 3.5 * 1.4826 * F.col("mad"))
+        .select("event_id", "event_type", "value", "med", "mad", "adev")
+    )

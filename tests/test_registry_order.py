@@ -40,6 +40,7 @@ EXPECTED_WINDOW = (
     "observe_inflight_metrics",
     "mix_budget_select",
     "diff_snapshot_customers",
+    "anomaly_mad_outliers",
     "dedup_keep_latest",
     "path_common_journeys",
     "path_transition_matrix",
@@ -72,7 +73,6 @@ EXPECTED_WINDOW = (
     "tokens_length_histogram",
     "vocab_oov_rate",
     "retrieval_bm25_topk",
-    "tpch_q3_shipping_priority",
     # declared one-round rows-only lift (registry.py)
     "streaming_tumbling_append",
     "streaming_dedup",
