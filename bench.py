@@ -119,6 +119,8 @@ HEADLINE = [
     "diff_snapshot_customers",
     # MAD robust outlier flags: order-statistic median/MAD, no division
     "anomaly_mad_outliers",
+    # first/last-touch attribution via purchase-epoch window segmentation
+    "attribution_first_last_touch",
 ]
 
 

@@ -473,3 +473,141 @@ def cohort_ltv_curve(spark, sf_dir):
             ).alias("cum_ltv_per_user"),
         )
     )
+
+
+# --- first/last-touch attribution -----------------------------------------
+# A purchase's "epoch" = the run of touches since the previous purchase.
+# pseq = purchases strictly BEFORE the row (running window count): every
+# touch carries the pseq of the purchase it precedes, and purchase #k+1
+# itself has pseq=k — so (user_id, pseq) equi-joins each conversion to
+# exactly its own touch window.  No range join, no interval explosion.
+
+_ATTR_SQL = """
+WITH seq AS (
+  SELECT event_id, user_id, event_type, value, ts,
+         coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS pseq
+  FROM events
+),
+touches AS (
+  SELECT user_id, pseq, event_type,
+         row_number() OVER (PARTITION BY user_id, pseq
+                            ORDER BY ts, event_id) AS rn,
+         count(*) OVER (PARTITION BY user_id, pseq) AS n
+  FROM seq WHERE event_type <> 'purchase'
+),
+conv AS (
+  SELECT p.user_id, p.pseq,
+         f.event_type AS first_touch, l.event_type AS last_touch,
+         CAST(p.value AS DECIMAL(18,2)) AS revenue
+  FROM seq p
+  JOIN touches f ON p.user_id = f.user_id AND p.pseq = f.pseq AND f.rn = 1
+  JOIN touches l ON p.user_id = l.user_id AND p.pseq = l.pseq AND l.rn = l.n
+  WHERE p.event_type = 'purchase'
+),
+fa AS (
+  SELECT first_touch AS touch_type, CAST(count(*) AS BIGINT) AS first_touch_conversions,
+         sum(revenue) AS fr
+  FROM conv GROUP BY first_touch
+),
+la AS (
+  SELECT last_touch AS touch_type, CAST(count(*) AS BIGINT) AS last_touch_conversions,
+         sum(revenue) AS lr
+  FROM conv GROUP BY last_touch
+)
+SELECT coalesce(fa.touch_type, la.touch_type) AS touch_type,
+       coalesce(first_touch_conversions, 0) AS first_touch_conversions,
+       coalesce(last_touch_conversions, 0) AS last_touch_conversions,
+       CAST(coalesce(fa.fr, 0) AS DOUBLE) AS first_touch_revenue,
+       CAST(coalesce(la.lr, 0) AS DOUBLE) AS last_touch_revenue
+FROM fa FULL JOIN la ON fa.touch_type = la.touch_type
+"""
+
+
+@query("attribution_first_last_touch", sql=_ATTR_SQL, tags=("funnel", "attribution"))
+def attribution_first_last_touch(spark, sf_dir):
+    """Marketing attribution: credit each purchase to the FIRST and LAST
+    non-purchase touch in its epoch (the touches since the user's
+    previous purchase), reporting conversions and revenue per touch type
+    under both models.
+
+    The epoch trick makes this one keyed pass instead of a range join:
+    a running window count of prior purchases (pseq) stamps every row,
+    so touches and their conversion share an exact (user_id, pseq) key —
+    the window ordering is always (ts, event_id)-tie-broken, first/last
+    selection is row_number against the partition count, and revenue
+    sums as DECIMAL(18,2) with one final double cast.  All shuffles key
+    on user_id (the pseq refinement and the epoch join reuse that
+    clustering); the two model aggregates are touch-type-sized and meet
+    in a FULL JOIN with zero-coalesced measures."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        "ts",
+        F.coalesce(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).over(w_run),
+            F.lit(0),
+        ).alias("pseq"),
+    )
+    w_epoch = Window.partitionBy("user_id", "pseq").orderBy("ts", "event_id")
+    touches = seq.where(F.col("event_type") != "purchase").select(
+        "user_id",
+        "pseq",
+        "event_type",
+        F.row_number().over(w_epoch).alias("rn"),
+        F.count("*").over(Window.partitionBy("user_id", "pseq")).alias("n"),
+    )
+    first = touches.where(F.col("rn") == 1).select(
+        "user_id", "pseq", F.col("event_type").alias("first_touch")
+    )
+    last = touches.where(F.col("rn") == F.col("n")).select(
+        "user_id", "pseq", F.col("event_type").alias("last_touch")
+    )
+    conv = (
+        seq.where(F.col("event_type") == "purchase")
+        .select(
+            "user_id", "pseq", F.col("value").cast("decimal(18,2)").alias("revenue")
+        )
+        .join(first, ["user_id", "pseq"])
+        .join(last, ["user_id", "pseq"])
+    )
+    fa = conv.groupBy(F.col("first_touch").alias("touch_type")).agg(
+        F.count("*").cast("long").alias("first_touch_conversions"),
+        F.sum("revenue").alias("fr"),
+    )
+    la = conv.groupBy(F.col("last_touch").alias("touch_type")).agg(
+        F.count("*").cast("long").alias("last_touch_conversions"),
+        F.sum("revenue").alias("lr"),
+    )
+    return (
+        fa.join(la, "touch_type", "full_outer")
+        .select(
+            "touch_type",
+            F.coalesce("first_touch_conversions", F.lit(0).cast("long")).alias(
+                "first_touch_conversions"
+            ),
+            F.coalesce("last_touch_conversions", F.lit(0).cast("long")).alias(
+                "last_touch_conversions"
+            ),
+            F.coalesce(F.col("fr").cast("double"), F.lit(0.0)).alias(
+                "first_touch_revenue"
+            ),
+            F.coalesce(F.col("lr").cast("double"), F.lit(0.0)).alias(
+                "last_touch_revenue"
+            ),
+        )
+    )

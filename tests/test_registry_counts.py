@@ -9,8 +9,8 @@ from pathlib import Path
 
 from big_data_analytics_project_spark.registry import load_all
 
-TOTAL = 175
-ORACLE = 158
+TOTAL = 176
+ORACLE = 159
 
 
 def test_counts_match_registry():

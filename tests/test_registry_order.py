@@ -47,6 +47,7 @@ EXPECTED_WINDOW = (
     "abtest_conversion_lift",
     "retention_dau_wau",
     "cohort_ltv_curve",
+    "attribution_first_last_touch",
     "graph_degree_distribution",
     "graph_triangle_count",
     "graph_pagerank_copurchase",
@@ -72,7 +73,6 @@ EXPECTED_WINDOW = (
     "quality_unigram_logprob",
     "tokens_length_histogram",
     "vocab_oov_rate",
-    "retrieval_bm25_topk",
     # declared one-round rows-only lift (registry.py)
     "streaming_tumbling_append",
     "streaming_dedup",
