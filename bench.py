@@ -121,6 +121,8 @@ HEADLINE = [
     "anomaly_mad_outliers",
     # first/last-touch attribution via purchase-epoch window segmentation
     "attribution_first_last_touch",
+    # in-plan closed-form OLS: BIGINT cent moments, two final divisions
+    "regression_daily_revenue_trend",
 ]
 
 

@@ -488,3 +488,92 @@ def forecast_seasonal_naive(spark, sf_dir):
         .cast("double")
         .alias("abs_err"),
     )
+
+
+# --- in-plan closed-form OLS (daily revenue trend) ------------------------
+
+_OLS_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS y
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY CAST(ts AS DATE)
+),
+dmin AS (SELECT min(d) AS d0 FROM daily),
+xy AS (
+  SELECT CAST(date_diff('day', m.d0, daily.d) AS BIGINT) AS x, y
+  FROM daily CROSS JOIN dmin m
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM xy
+)
+SELECT n AS n_days,
+       CASE WHEN n * sxx - sx * sx > 0
+            THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE) END
+         AS slope_cents_per_day,
+       CASE WHEN n * sxx - sx * sx > 0
+            THEN CAST(sy * sxx - sx * sxy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE) END
+         AS intercept_cents
+FROM s
+"""
+
+
+@query(
+    "regression_daily_revenue_trend",
+    sql=_OLS_SQL,
+    tags=("temporal", "regression", "analytics"),
+)
+def regression_daily_revenue_trend(spark, sf_dir):
+    """Closed-form OLS trend of daily purchase revenue — regression as a
+    single aggregation pass, no MLlib, no iteration: slope and intercept
+    from the normal equations over (day index, revenue) pairs.
+
+    Exactness: revenue is quantized to integer CENTS with the portable
+    floor(x*100+0.5) grid and every moment (Σx, Σy, Σxy, Σx²) is a BIGINT
+    sum of exact integers — x is days-since-first-day, so the products
+    stay far from the long range at any realistic timeline — leaving two
+    IEEE divisions at the very end (numerator/denominator each exact, so
+    both engines divide identical doubles).  The degenerate single-day
+    denominator guards with CASE (ANSI rule).  Plan: map-side-combined
+    day rollup (one shuffle), a 1-row min-date broadcast, then a scalar
+    moment aggregate — at 100 TB the cost is the purchase scan; the
+    regression itself touches only day-cardinality rows."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(
+            F.sum(
+                F.floor(F.col("value") * 100.0 + 0.5).cast("long")
+            ).alias("y")
+        )
+    )
+    dmin = daily.agg(F.min("d").alias("d0"))
+    xy = daily.crossJoin(F.broadcast(dmin)).select(
+        F.datediff(F.col("d"), F.col("d0")).cast("long").alias("x"), "y"
+    )
+    s = xy.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return s.select(
+        F.col("n").alias("n_days"),
+        F.when(
+            den > 0,
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / den.cast("double"),
+        ).alias("slope_cents_per_day"),
+        F.when(
+            den > 0,
+            (F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")).cast("double")
+            / den.cast("double"),
+        ).alias("intercept_cents"),
+    )

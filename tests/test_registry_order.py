@@ -68,11 +68,11 @@ EXPECTED_WINDOW = (
     "timeseries_gapfill_interpolate",
     "timeseries_ewma_by_user",
     "forecast_seasonal_naive",
+    "regression_daily_revenue_trend",
     "text_boilerplate_ngram_share",
     "tfidf_top_terms",
     "quality_unigram_logprob",
     "tokens_length_histogram",
-    "vocab_oov_rate",
     # declared one-round rows-only lift (registry.py)
     "streaming_tumbling_append",
     "streaming_dedup",
