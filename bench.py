@@ -123,6 +123,8 @@ HEADLINE = [
     "attribution_first_last_touch",
     # in-plan closed-form OLS: BIGINT cent moments, two final divisions
     "regression_daily_revenue_trend",
+    # RFM quintiles via three two-pass distributed global ranks
+    "rfm_customer_segments",
 ]
 
 

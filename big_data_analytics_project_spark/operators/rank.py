@@ -1,0 +1,80 @@
+"""Distributed global rank — the scale-safe replacement for
+``Window.orderBy(...)`` with no partition key.
+
+A global window funnels the whole dataset through ONE reducer; this is
+the classic two-pass alternative (the same shape ``zipWithIndex`` used in
+the RDD era, restated on DataFrames):
+
+1. ``repartitionByRange`` on the sort key (sampling-based range
+   partitioner — the same mechanism as a distributed ``orderBy``), then
+   ``row_number`` WITHIN each range partition: parallel per-partition
+   sorts, no single-reducer stage;
+2. per-partition counts → cumulative offsets (a partition-count-sized
+   driver array — the only ``collect`` — broadcast back) turn local row
+   numbers into global ranks.
+
+The range partitioning is materialized ONCE (``localCheckpoint``):
+repartitionByRange samples to pick boundaries, so re-executing it in the
+counts job and the ranks job could yield different partitions and corrupt
+the offsets.  The two-pass algorithm inherently reads the partitioned
+data twice, so this persist is the algorithm's working set, not overhead.
+
+Callers must order by a UNIQUE compound (tie-break on an id) — ranks are
+then total and engine-independent.  Used by ``window_distribution``
+(ntile/percent_rank/cume_dist vs the oracle's window functions) and the
+RFM segmentation's three metric quintiles.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+
+def distributed_global_rank(
+    df: DataFrame, cols: Sequence[str], rank_col: str = "__rank"
+) -> tuple[DataFrame, int]:
+    """(df + 1-based global ``rank_col`` over the unique ordering ``cols``,
+    total row count)."""
+    spark = df.sparkSession
+    parts = spark.sparkContext.defaultParallelism
+    ranged = (
+        df.repartitionByRange(parts, *cols)
+        .localCheckpoint(eager=True)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    wp = Window.partitionBy("__pid").orderBy(*cols)
+    local = ranged.withColumn("__rn", F.row_number().over(wp))
+    sizes = sorted(
+        (r["__pid"], r["cnt"])
+        for r in ranged.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()
+    )
+    n = sum(cnt for _, cnt in sizes)
+    offsets, acc = [], 0
+    for pid, cnt in sizes:
+        offsets.append((pid, acc))
+        acc += cnt
+    off = F.broadcast(spark.createDataFrame(offsets, "__pid int, __off long"))
+    out = (
+        local.join(off, "__pid")
+        .withColumn(rank_col, (F.col("__rn") + F.col("__off")).cast("long"))
+        .drop("__pid", "__rn", "__off")
+    )
+    return out, n
+
+
+def ntile_from_rank(rank: Column, n: int, k: int) -> Column:
+    """SQL ``ntile(k)`` from a 1-based global rank with ``n`` total rows:
+    the standard base/remainder bucket-size rule, bit-identical to the
+    window function (first ``n mod k`` buckets get ``base+1`` rows)."""
+    base, rem = divmod(n, k)
+    if base == 0:
+        return rank.cast("long")
+    return (
+        F.when(rank <= rem * (base + 1), (rank - 1) / (base + 1))
+        .otherwise(rem + (rank - rem * (base + 1) - 1) / base)
+        .cast("long")
+        + 1
+    )

@@ -823,49 +823,19 @@ def window_distribution(spark, sf_dir):
     percent_rank = (rank-1)/(n-1), cume_dist = rank/n, and ntile follows
     the standard base/remainder bucket-size rule — all pure expressions on
     the global rank, bit-identical to the oracle's window functions."""
+    from ..operators.rank import distributed_global_rank, ntile_from_rank
+
     c = _t(spark, sf_dir, "customer")
-    parts = spark.sparkContext.defaultParallelism
-    # Materialize the range partitioning ONCE: repartitionByRange samples to
-    # pick boundaries, so re-executing it in the counts job and the ranks job
-    # could yield different partitions and corrupt the offsets.  The two-pass
-    # algorithm inherently reads the partitioned data twice, so this persist
-    # is the algorithm's working set, not overhead.
-    ranged = (
-        c.repartitionByRange(parts, "c_acctbal", "c_custkey")
-        .localCheckpoint(eager=True)
-        .withColumn("__pid", F.spark_partition_id())
-    )
-    wp = Window.partitionBy("__pid").orderBy("c_acctbal", "c_custkey")
-    local = ranged.withColumn("__rn", F.row_number().over(wp))
-    sizes = sorted(
-        (r["__pid"], r["cnt"])
-        for r in ranged.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()
-    )
-    n = sum(cnt for _, cnt in sizes)
-    offsets, acc = [], 0
-    for pid, cnt in sizes:
-        offsets.append((pid, acc))
-        acc += cnt
-    off = F.broadcast(spark.createDataFrame(offsets, "__pid int, __off long"))
-    base, rem = divmod(n, 4)
-    r = F.col("__rn") + F.col("__off")
-    if base == 0:
-        quartile = r
-    else:
-        quartile = (
-            F.when(r <= rem * (base + 1), (r - 1) / (base + 1))
-            .otherwise(rem + (r - rem * (base + 1) - 1) / base)
-            .cast("long")
-            + 1
-        )
+    ranked, n = distributed_global_rank(c, ["c_acctbal", "c_custkey"])
+    r = F.col("__rank")
     # n is known at plan time; with a single row percent_rank is defined as
     # 0.0 (the oracle's convention) while (r-1)/(n-1) would be NULL via /0.
     pct_rank = (
         ((r - 1).cast("double") / F.lit(float(n - 1))) if n > 1 else F.lit(0.0)
     )
-    return local.join(off, "__pid").select(
+    return ranked.select(
         "c_custkey",
-        quartile.cast("long").alias("quartile"),
+        ntile_from_rank(r, n, 4).alias("quartile"),
         pct_rank.alias("pct_rank"),
         (r.cast("double") / F.lit(float(n))).alias("cum_dist"),
     )

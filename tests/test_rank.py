@@ -1,0 +1,40 @@
+"""distributed_global_rank / ntile_from_rank vs the single-reducer window
+functions they replace — equivalence at awkward sizes (n < k, n % k != 0)."""
+
+import pyspark.sql.functions as F
+import pytest
+from pyspark.sql import Window
+
+from big_data_analytics_project_spark.operators.rank import (
+    distributed_global_rank,
+    ntile_from_rank,
+)
+
+
+@pytest.mark.parametrize("n", [1, 2, 3, 5, 8, 23])
+@pytest.mark.parametrize("k", [2, 4, 5])
+def test_ntile_matches_window_function(spark, n, k):
+    df = spark.createDataFrame(
+        [(i, (i * 37) % 11) for i in range(n)], "id long, v long"
+    )
+    ranked, total = distributed_global_rank(df, ["v", "id"])
+    assert total == n
+    got = {
+        r["id"]: r["q"]
+        for r in ranked.select(
+            "id", ntile_from_rank(F.col("__rank"), n, k).alias("q")
+        ).collect()
+    }
+    w = Window.orderBy("v", "id")
+    want = {
+        r["id"]: r["q"]
+        for r in df.select("id", F.ntile(k).over(w).alias("q")).collect()
+    }
+    assert got == want
+
+
+def test_rank_is_total_and_unique(spark):
+    df = spark.createDataFrame([(i, i % 3) for i in range(50)], "id long, v long")
+    ranked, n = distributed_global_rank(df, ["v", "id"])
+    ranks = [r["__rank"] for r in ranked.collect()]
+    assert sorted(ranks) == list(range(1, n + 1))

@@ -9,8 +9,8 @@ from pathlib import Path
 
 from big_data_analytics_project_spark.registry import load_all
 
-TOTAL = 177
-ORACLE = 160
+TOTAL = 178
+ORACLE = 161
 
 
 def test_counts_match_registry():

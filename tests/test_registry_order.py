@@ -48,6 +48,7 @@ EXPECTED_WINDOW = (
     "retention_dau_wau",
     "cohort_ltv_curve",
     "attribution_first_last_touch",
+    "rfm_customer_segments",
     "graph_degree_distribution",
     "graph_triangle_count",
     "graph_pagerank_copurchase",
@@ -72,7 +73,6 @@ EXPECTED_WINDOW = (
     "text_boilerplate_ngram_share",
     "tfidf_top_terms",
     "quality_unigram_logprob",
-    "tokens_length_histogram",
     # declared one-round rows-only lift (registry.py)
     "streaming_tumbling_append",
     "streaming_dedup",
