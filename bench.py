@@ -125,6 +125,8 @@ HEADLINE = [
     "regression_daily_revenue_trend",
     # RFM quintiles via three two-pass distributed global ranks
     "rfm_customer_segments",
+    # chi-square independence: portable weekday, micro-quantized terms
+    "abtest_chi_square_mix",
 ]
 
 

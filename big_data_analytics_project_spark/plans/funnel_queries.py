@@ -702,3 +702,96 @@ def rfm_customer_segments(spark, sf_dir):
         F.count("*").cast("long").alias("n_users"),
         F.sum("monetary_cents").alias("total_monetary_cents"),
     )
+
+
+# --- chi-square test of independence (event mix vs weekday) ---------------
+
+_CHI2_SQL = """
+WITH e AS (
+  SELECT event_type,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7 AS dow
+  FROM events
+),
+cells AS (
+  SELECT event_type, dow, CAST(count(*) AS BIGINT) AS o
+  FROM e GROUP BY event_type, dow
+),
+rowt AS (SELECT event_type, sum(o) AS rt FROM cells GROUP BY event_type),
+colt AS (SELECT dow, sum(o) AS ct FROM cells GROUP BY dow),
+tot AS (
+  SELECT sum(o) AS n,
+         CAST(count(DISTINCT event_type) AS BIGINT) AS nr,
+         CAST(count(DISTINCT dow) AS BIGINT) AS nc
+  FROM cells
+),
+terms AS (
+  SELECT CAST(floor(
+           (c.o - CAST(r.rt * ct.ct AS DOUBLE) / t.n)
+           * (c.o - CAST(r.rt * ct.ct AS DOUBLE) / t.n)
+           / (CAST(r.rt * ct.ct AS DOUBLE) / t.n)
+           * 1000000.0 + 0.5) AS BIGINT) AS term_micro
+  FROM cells c
+  JOIN rowt r ON c.event_type = r.event_type
+  JOIN colt ct ON c.dow = ct.dow
+  CROSS JOIN tot t
+)
+SELECT CAST(sum(term_micro) AS DOUBLE) / 1000000.0 AS chi_square,
+       (SELECT (nr - 1) * (nc - 1) FROM tot) AS dof,
+       (SELECT n FROM tot) AS n_events
+FROM terms
+"""
+
+
+@query("abtest_chi_square_mix", sql=_CHI2_SQL, tags=("funnel", "stats"))
+def abtest_chi_square_mix(spark, sf_dir):
+    """Chi-square test of independence between event type and weekday —
+    'does the event mix shift by day of week?', the k×m generalization of
+    the two-proportion A/B readout.
+
+    Portability: the weekday is epoch-day mod 7 in exact integer
+    arithmetic (Spark's dayofweek() is 1-based Sunday, DuckDB's 0-based —
+    a cross-engine trap dodged entirely); every observed/expected input
+    (O, row/col totals, N) is an exact BIGINT, each cell's expected value
+    is ONE double division of exact operands repeated in identical op
+    order, and the 35 (O−E)²/E terms are quantized on the portable
+    floor(x*1e6+0.5) grid and summed as BIGINT — order-independent, one
+    final division.  Plan: one map-side-combined cell aggregate over the
+    events scan; everything after is cell-cardinality-sized (broadcast
+    joins of the marginals)."""
+    ev = read_table(spark, sf_dir, "events")
+    cells = (
+        ev.select(
+            "event_type",
+            (
+                F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")) % 7
+            ).alias("dow"),
+        )
+        .groupBy("event_type", "dow")
+        .agg(F.count("*").cast("long").alias("o"))
+    )
+    rowt = cells.groupBy("event_type").agg(F.sum("o").alias("rt"))
+    colt = cells.groupBy("dow").agg(F.sum("o").alias("ct"))
+    tot = cells.agg(
+        F.sum("o").alias("n"),
+        F.countDistinct("event_type").cast("long").alias("nr"),
+        F.countDistinct("dow").cast("long").alias("nc"),
+    )
+    e = (F.col("rt") * F.col("ct")).cast("double") / F.col("n")
+    term = (
+        F.floor((F.col("o") - e) * (F.col("o") - e) / e * 1000000.0 + 0.5)
+        .cast("long")
+        .alias("term_micro")
+    )
+    terms = (
+        cells.join(F.broadcast(rowt), "event_type")
+        .join(F.broadcast(colt), "dow")
+        .crossJoin(F.broadcast(tot))
+        .select(term, "nr", "nc", "n")
+    )
+    return terms.groupBy("nr", "nc", "n").agg(
+        F.sum("term_micro").alias("sm")
+    ).select(
+        (F.col("sm").cast("double") / 1000000.0).alias("chi_square"),
+        ((F.col("nr") - 1) * (F.col("nc") - 1)).alias("dof"),
+        F.col("n").alias("n_events"),
+    )

@@ -49,6 +49,7 @@ EXPECTED_WINDOW = (
     "cohort_ltv_curve",
     "attribution_first_last_touch",
     "rfm_customer_segments",
+    "abtest_chi_square_mix",
     "graph_degree_distribution",
     "graph_triangle_count",
     "graph_pagerank_copurchase",
@@ -72,7 +73,6 @@ EXPECTED_WINDOW = (
     "regression_daily_revenue_trend",
     "text_boilerplate_ngram_share",
     "tfidf_top_terms",
-    "quality_unigram_logprob",
     # declared one-round rows-only lift (registry.py)
     "streaming_tumbling_append",
     "streaming_dedup",
