@@ -127,6 +127,8 @@ HEADLINE = [
     "rfm_customer_segments",
     # chi-square independence: portable weekday, micro-quantized terms
     "abtest_chi_square_mix",
+    # conversion-latency percentiles: exact order statistics via rank op
+    "funnel_conversion_latency",
 ]
 
 

@@ -795,3 +795,84 @@ def abtest_chi_square_mix(spark, sf_dir):
         ((F.col("nr") - 1) * (F.col("nc") - 1)).alias("dof"),
         F.col("n").alias("n_events"),
     )
+
+
+# --- conversion-latency percentiles ---------------------------------------
+
+_LATENCY_SQL = """
+WITH v AS (
+  SELECT user_id, min(ts) AS v_ts FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+conv AS (
+  SELECT v.user_id,
+         date_diff('second', v.v_ts, min(e.ts)) AS latency_sec
+  FROM v JOIN events e
+    ON e.user_id = v.user_id AND e.event_type = 'purchase' AND e.ts >= v.v_ts
+  GROUP BY v.user_id, v.v_ts
+),
+ranked AS (
+  SELECT latency_sec,
+         row_number() OVER (ORDER BY latency_sec, user_id) AS rk,
+         count(*) OVER () AS n
+  FROM conv
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM conv) AS n_converted,
+       max(CASE WHEN rk = CAST(ceil(0.5 * n) AS BIGINT)
+                THEN latency_sec END) AS p50_sec,
+       max(CASE WHEN rk = CAST(ceil(0.9 * n) AS BIGINT)
+                THEN latency_sec END) AS p90_sec,
+       max(CASE WHEN rk = CAST(ceil(0.99 * n) AS BIGINT)
+                THEN latency_sec END) AS p99_sec
+FROM ranked
+"""
+
+
+@query("funnel_conversion_latency", sql=_LATENCY_SQL, tags=("funnel", "latency"))
+def funnel_conversion_latency(spark, sf_dir):
+    """Time-to-convert distribution: seconds from a user's first view to
+    their first purchase at-or-after it, summarized as exact p50/p90/p99
+    ORDER STATISTICS — each percentile IS an actual user's latency (the
+    winsorize/MAD portability contract; never an interpolated quantile).
+
+    Latencies are exact integer seconds (``date_diff('second')`` ↔
+    ``unix_timestamp`` subtraction, the determinism.md timestamp rule);
+    the global percentile ranks come from the two-pass
+    ``operators/rank.distributed_global_rank`` over the CONVERTED-user
+    rollup (conversion-cardinality, not event-cardinality), with
+    (latency, user_id) uniqueness making every pick engine-independent.
+    One user-keyed funnel join + one rank pass; output is a single row."""
+    import math
+
+    from ..operators.rank import distributed_global_rank
+
+    ev = read_table(spark, sf_dir, "events")
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts")
+    )
+    conv = (
+        v.join(p, "user_id")
+        .where(F.col("p_ts") >= F.col("v_ts"))
+        .groupBy("user_id", "v_ts")
+        .agg(F.min("p_ts").alias("p_ts"))
+        .select(
+            "user_id",
+            (
+                F.unix_timestamp("p_ts") - F.unix_timestamp("v_ts")
+            ).cast("long").alias("latency_sec"),
+        )
+    )
+    ranked, n = distributed_global_rank(conv, ["latency_sec", "user_id"])
+    picks = {q: max(1, math.ceil(q * n)) for q in (0.5, 0.9, 0.99)}
+    pick = F.col("__rank")
+    return ranked.agg(
+        F.lit(n).cast("long").alias("n_converted"),
+        F.max(F.when(pick == picks[0.5], F.col("latency_sec"))).alias("p50_sec"),
+        F.max(F.when(pick == picks[0.9], F.col("latency_sec"))).alias("p90_sec"),
+        F.max(F.when(pick == picks[0.99], F.col("latency_sec"))).alias("p99_sec"),
+    )

@@ -9,8 +9,8 @@ from pathlib import Path
 
 from big_data_analytics_project_spark.registry import load_all
 
-TOTAL = 179
-ORACLE = 162
+TOTAL = 180
+ORACLE = 163
 
 
 def test_counts_match_registry():

@@ -50,6 +50,7 @@ EXPECTED_WINDOW = (
     "attribution_first_last_touch",
     "rfm_customer_segments",
     "abtest_chi_square_mix",
+    "funnel_conversion_latency",
     "graph_degree_distribution",
     "graph_triangle_count",
     "graph_pagerank_copurchase",
@@ -72,7 +73,6 @@ EXPECTED_WINDOW = (
     "forecast_seasonal_naive",
     "regression_daily_revenue_trend",
     "text_boilerplate_ngram_share",
-    "tfidf_top_terms",
     # declared one-round rows-only lift (registry.py)
     "streaming_tumbling_append",
     "streaming_dedup",
