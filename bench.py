@@ -129,6 +129,8 @@ HEADLINE = [
     "abtest_chi_square_mix",
     # conversion-latency percentiles: exact order statistics via rank op
     "funnel_conversion_latency",
+    # Gini revenue concentration: exact BIGINT Lorenz moments
+    "inequality_gini_revenue",
 ]
 
 

@@ -876,3 +876,66 @@ def funnel_conversion_latency(spark, sf_dir):
         F.max(F.when(pick == picks[0.9], F.col("latency_sec"))).alias("p90_sec"),
         F.max(F.when(pick == picks[0.99], F.col("latency_sec"))).alias("p99_sec"),
     )
+
+
+# --- Gini coefficient of revenue concentration ----------------------------
+
+_GINI_SQL = """
+WITH u AS (
+  SELECT user_id, sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS y
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+),
+ranked AS (
+  SELECT y, row_number() OVER (ORDER BY y, user_id) AS i,
+         count(*) OVER () AS n
+  FROM u
+)
+SELECT CAST(max(n) AS BIGINT) AS n_users,
+       sum(y) AS total_cents,
+       CASE WHEN max(n) * sum(y) > 0
+            THEN CAST(2 * sum(i * y) - (max(n) + 1) * sum(y) AS DOUBLE)
+                 / CAST(max(n) * sum(y) AS DOUBLE) END AS gini
+FROM ranked
+"""
+
+
+@query("inequality_gini_revenue", sql=_GINI_SQL, tags=("funnel", "stats"))
+def inequality_gini_revenue(spark, sf_dir):
+    """Gini coefficient of per-user purchase revenue — 'how concentrated
+    is spend across customers?' (0 = uniform, →1 = one whale), the Lorenz
+    summary a marketplace health dashboard tracks.
+
+    The discrete-population identity G = (2·Σi·yᵢ − (n+1)·Σy)/(n·Σy)
+    over ascending-ranked revenues needs exactly one global rank — the
+    two-pass ``operators/rank.distributed_global_rank`` over the
+    purchaser rollup (fourth consumer of that operator).  Revenue is
+    BIGINT cents on the portable floor grid, every moment is an exact
+    integer sum, and the single division casts two identical exact
+    BIGINTs to double on both engines (IEEE casts agree even past 2^53);
+    an empty/zero-revenue corpus guards with CASE.  Long-range headroom:
+    Σi·y stays under 2⁶³ while n · total_cents < 9.2·10¹⁸ — past that,
+    recast the moments to DECIMAL(38,0)."""
+    from ..operators.rank import distributed_global_rank
+
+    u = (
+        read_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.floor(F.col("value") * 100.0 + 0.5).cast("long")
+            ).alias("y")
+        )
+    )
+    ranked, n = distributed_global_rank(u, ["y", "user_id"])
+    s = ranked.agg(
+        F.sum("y").alias("sy"),
+        F.sum(F.col("__rank") * F.col("y")).alias("siy"),
+    )
+    num = 2 * F.col("siy") - (F.lit(n) + 1) * F.col("sy")
+    den = F.lit(n) * F.col("sy")
+    return s.select(
+        F.lit(n).cast("long").alias("n_users"),
+        F.col("sy").alias("total_cents"),
+        F.when(den > 0, num.cast("double") / den.cast("double")).alias("gini"),
+    )

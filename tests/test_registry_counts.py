@@ -9,8 +9,8 @@ from pathlib import Path
 
 from big_data_analytics_project_spark.registry import load_all
 
-TOTAL = 180
-ORACLE = 163
+TOTAL = 181
+ORACLE = 164
 
 
 def test_counts_match_registry():

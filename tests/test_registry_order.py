@@ -51,6 +51,7 @@ EXPECTED_WINDOW = (
     "rfm_customer_segments",
     "abtest_chi_square_mix",
     "funnel_conversion_latency",
+    "inequality_gini_revenue",
     "graph_degree_distribution",
     "graph_triangle_count",
     "graph_pagerank_copurchase",
@@ -72,7 +73,6 @@ EXPECTED_WINDOW = (
     "timeseries_ewma_by_user",
     "forecast_seasonal_naive",
     "regression_daily_revenue_trend",
-    "text_boilerplate_ngram_share",
     # declared one-round rows-only lift (registry.py)
     "streaming_tumbling_append",
     "streaming_dedup",
