@@ -131,6 +131,8 @@ HEADLINE = [
     "funnel_conversion_latency",
     # Gini revenue concentration: exact BIGINT Lorenz moments
     "inequality_gini_revenue",
+    # Holt level+trend: two-state mirrored fold, exact float diff
+    "timeseries_holt_trend",
 ]
 
 

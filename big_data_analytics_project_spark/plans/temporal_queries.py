@@ -577,3 +577,83 @@ def regression_daily_revenue_trend(spark, sf_dir):
             / den.cast("double"),
         ).alias("intercept_cents"),
     )
+
+
+# --- Holt linear-trend smoothing (two-state mirrored fold) ----------------
+# Extends the EWMA contract to a TWO-variable linear recurrence: level and
+# trend evolve together (l' = αx + (1−α)(l+t); t' = β(l'−l) + (1−β)t), so
+# the fold carries an [l, t] array as its state.  Both engines run the
+# SAME op sequence — including the deliberately duplicated l' expression
+# inside the trend update — over the same (ts, event_id)-ordered values,
+# so the doubles match exactly.  α = 0.5, β = 0.3; init l₀ = x₁,
+# t₀ = x₂ − x₁ (users need ≥ 2 events, filtered identically both sides).
+
+_HOLT_SQL = """
+WITH seq AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+         list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS vals
+  FROM events GROUP BY user_id
+),
+ht AS (
+  SELECT user_id, n_events,
+         list_reduce(
+           [[vals[1], vals[2] - vals[1]]] || [[v, 0.0] for v in vals[3:]],
+           (acc, x) -> [0.5 * x[1] + 0.5 * (acc[1] + acc[2]),
+                        0.3 * (0.5 * x[1] + 0.5 * (acc[1] + acc[2]) - acc[1])
+                        + 0.7 * acc[2]]
+         ) AS lt
+  FROM seq WHERE n_events >= 2
+)
+SELECT user_id, n_events,
+       round(lt[1], 6) AS level,
+       round(lt[2], 6) AS trend,
+       round(lt[1] + lt[2], 6) AS forecast_1
+FROM ht
+"""
+
+
+@query("timeseries_holt_trend", sql=_HOLT_SQL, tags=("timeseries", "fold"))
+def timeseries_holt_trend(spark, sf_dir):
+    """Per-user Holt double exponential smoothing (level + trend,
+    α = 0.5, β = 0.3) with a one-step-ahead forecast — the next rung
+    above EWMA for activity trajectories.
+
+    A two-variable linear recurrence can't be a window aggregate either;
+    the scale shape is the EWMA one — ONE user-keyed hash aggregation
+    (map-side-combined collect_list), then a JVM-side ``aggregate`` fold
+    whose STATE IS AN ARRAY [level, trend].  The DuckDB mirror folds the
+    identical op sequence (duplicated l' subexpression and all) over the
+    identically-ordered list, so the floats diff exactly — the
+    determinism.md 'linear recurrences as mirrored left-folds' rule
+    generalized to vector state."""
+    ev = read_table(spark, sf_dir, "events")
+    seq = ev.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "value"))
+        ).alias("seq"),
+    )
+    vals = F.transform("seq", lambda x: x["value"].cast("double"))
+    init = F.array(
+        F.element_at(vals, 1), F.element_at(vals, 2) - F.element_at(vals, 1)
+    )
+    fold = F.aggregate(
+        F.slice(vals, 3, F.size(vals) - 2),
+        init,
+        lambda acc, x: F.array(
+            F.lit(0.5) * x + F.lit(0.5) * (acc[0] + acc[1]),
+            F.lit(0.3)
+            * ((F.lit(0.5) * x + F.lit(0.5) * (acc[0] + acc[1])) - acc[0])
+            + F.lit(0.7) * acc[1],
+        ),
+    )
+    return (
+        seq.where(F.col("n_events") >= 2)
+        .select(
+            "user_id",
+            "n_events",
+            F.round(fold[0], 6).alias("level"),
+            F.round(fold[1], 6).alias("trend"),
+            F.round(fold[0] + fold[1], 6).alias("forecast_1"),
+        )
+    )
