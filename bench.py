@@ -133,6 +133,8 @@ HEADLINE = [
     "inequality_gini_revenue",
     # Holt level+trend: two-state mirrored fold, exact float diff
     "timeseries_holt_trend",
+    # Mann-Whitney U: tie-midranks as doubled BIGINTs, exact half-integer U
+    "abtest_mann_whitney_values",
 ]
 
 

@@ -939,3 +939,97 @@ def inequality_gini_revenue(spark, sf_dir):
         F.col("sy").alias("total_cents"),
         F.when(den > 0, num.cast("double") / den.cast("double")).alias("gini"),
     )
+
+
+# --- Mann-Whitney U (nonparametric two-sample test) -----------------------
+# Midranks with ties stay EXACT by carrying 2*rank as integers:
+# 2*midrank(v) = 2*cum_before(v) + cnt(v) + 1, so 2*R1 is a BIGINT sum and
+# U1 = R1 - n1(n1+1)/2 is a half-integer — exactly representable in double.
+
+_MWU_SQL = """
+WITH pool AS (
+  SELECT value, CAST(event_type = 'purchase' AS BIGINT) AS g
+  FROM events WHERE event_type IN ('click', 'purchase')
+),
+cells AS (
+  SELECT value,
+         CAST(sum(g) AS BIGINT) AS c1,
+         CAST(count(*) - sum(g) AS BIGINT) AS c2
+  FROM pool GROUP BY value
+),
+cum AS (
+  SELECT value, c1, c2,
+         coalesce(sum(c1 + c2) OVER (ORDER BY value
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_before
+  FROM cells
+),
+s AS (
+  SELECT sum(c1) AS n1, sum(c2) AS n2,
+         sum(c1 * (2 * cum_before + (c1 + c2) + 1)) AS r1x2,
+         sum(CAST(c1 + c2 > 1 AS BIGINT)) AS n_tied_values
+  FROM cum
+)
+SELECT n1, n2,
+       CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / 2.0 AS u1,
+       CAST(n1 AS DOUBLE) * n2 - CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / 2.0 AS u2,
+       CAST(r1x2 AS DOUBLE) / 2.0 / n1 AS mean_rank_1,
+       n_tied_values
+FROM s
+"""
+
+
+@query("abtest_mann_whitney_values", sql=_MWU_SQL, tags=("funnel", "stats"))
+def abtest_mann_whitney_values(spark, sf_dir):
+    """Mann-Whitney U between the purchase and click value distributions —
+    the nonparametric A/B readout for metrics too skewed for the
+    z-score's normality assumption.
+
+    Exactness with ties: ranks are tie-midranks over the pooled sample,
+    carried DOUBLED so everything stays integer — 2·midrank(v) =
+    2·|{values < v}| + cnt(v) + 1 — making 2·R1 a BIGINT sum; U1 is then
+    a half-integer, exact in double (binary halves are representable).
+    The only window runs over the distinct-VALUE rollup, whose
+    cardinality is bounded by the value domain (2-decimal currency →
+    ≤ ~50k cells regardless of corpus size — dimension-sized, documented
+    single-range window), after one map-side-combined cell aggregate
+    over the scan."""
+    from pyspark.sql import Window
+
+    pool = (
+        read_table(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("click", "purchase"))
+        .select(
+            "value",
+            (F.col("event_type") == "purchase").cast("long").alias("g"),
+        )
+    )
+    cells = pool.groupBy("value").agg(
+        F.sum("g").alias("c1"),
+        (F.count("*") - F.sum("g")).cast("long").alias("c2"),
+    )
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, -1)
+    cum = cells.withColumn(
+        "cum_before",
+        F.coalesce(F.sum(F.col("c1") + F.col("c2")).over(w), F.lit(0)),
+    )
+    s = cum.agg(
+        F.sum("c1").alias("n1"),
+        F.sum("c2").alias("n2"),
+        F.sum(
+            F.col("c1")
+            * (2 * F.col("cum_before") + (F.col("c1") + F.col("c2")) + 1)
+        ).alias("r1x2"),
+        F.sum((F.col("c1") + F.col("c2") > 1).cast("long")).alias(
+            "n_tied_values"
+        ),
+    )
+    u1 = (F.col("r1x2") - F.col("n1") * (F.col("n1") + 1)).cast("double") / 2.0
+    return s.select(
+        "n1",
+        "n2",
+        u1.alias("u1"),
+        (F.col("n1").cast("double") * F.col("n2") - u1).alias("u2"),
+        (F.col("r1x2").cast("double") / 2.0 / F.col("n1")).alias("mean_rank_1"),
+        "n_tied_values",
+    )

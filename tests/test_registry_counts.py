@@ -9,8 +9,8 @@ from pathlib import Path
 
 from big_data_analytics_project_spark.registry import load_all
 
-TOTAL = 182
-ORACLE = 165
+TOTAL = 183
+ORACLE = 166
 
 
 def test_counts_match_registry():

@@ -52,6 +52,7 @@ EXPECTED_WINDOW = (
     "abtest_chi_square_mix",
     "funnel_conversion_latency",
     "inequality_gini_revenue",
+    "abtest_mann_whitney_values",
     "graph_degree_distribution",
     "graph_triangle_count",
     "graph_pagerank_copurchase",
@@ -72,7 +73,6 @@ EXPECTED_WINDOW = (
     "timeseries_gapfill_interpolate",
     "timeseries_ewma_by_user",
     "forecast_seasonal_naive",
-    "regression_daily_revenue_trend",
     # declared one-round rows-only lift (registry.py)
     "streaming_tumbling_append",
     "streaming_dedup",
