@@ -135,6 +135,8 @@ HEADLINE = [
     "timeseries_holt_trend",
     # Mann-Whitney U: tie-midranks as doubled BIGINTs, exact half-integer U
     "abtest_mann_whitney_values",
+    # Kruskal-Wallis H: ordered-fold scalar sum, BIGINT tie correction
+    "abtest_kruskal_wallis",
 ]
 
 

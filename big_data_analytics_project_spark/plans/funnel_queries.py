@@ -1033,3 +1033,122 @@ def abtest_mann_whitney_values(spark, sf_dir):
         (F.col("r1x2").cast("double") / 2.0 / F.col("n1")).alias("mean_rank_1"),
         "n_tied_values",
     )
+
+
+# --- Kruskal-Wallis H (k-sample nonparametric ANOVA) ----------------------
+# Same doubled-midrank machinery as Mann-Whitney, generalized to all five
+# event types; the five per-group (2R)²/(4n) terms are IEEE-identical per
+# engine, but a plain SUM over them is addition-order-dependent — so both
+# engines fold them in the SAME (event_type-sorted) order, the EWMA
+# mirrored-fold trick applied to a scalar reduction.  Tie correction's
+# Σ(t³−t) stays BIGINT-exact; the final H/C rounds once at 6 dp.
+
+_KW_SQL = """
+WITH pool AS (
+  SELECT value, event_type FROM events WHERE value IS NOT NULL
+),
+cells AS (
+  SELECT value, event_type, CAST(count(*) AS BIGINT) AS c
+  FROM pool GROUP BY value, event_type
+),
+vtot AS (
+  SELECT value, sum(c) AS tot,
+         coalesce(sum(sum(c)) OVER (ORDER BY value
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_before
+  FROM cells GROUP BY value
+),
+groups AS (
+  SELECT c.event_type, sum(c.c) AS n_g,
+         sum(c.c * (2 * v.cum_before + v.tot + 1)) AS r2
+  FROM cells c JOIN vtot v ON c.value = v.value
+  GROUP BY c.event_type
+),
+n AS (SELECT sum(n_g) AS n FROM groups),
+sterm AS (
+  SELECT list_reduce(
+           list(CAST(r2 AS DOUBLE) * r2 / (4.0 * n_g) ORDER BY event_type),
+           (a, x) -> a + x) AS s,
+         CAST(count(*) AS BIGINT) AS k
+  FROM groups
+),
+ties AS (
+  SELECT sum(tot * tot * tot - tot) AS t3t FROM vtot
+)
+SELECT (SELECT n FROM n) AS n_obs, k AS n_groups,
+       round(
+         (12.0 / ((SELECT n FROM n) * ((SELECT n FROM n) + 1.0)) * s
+          - 3.0 * ((SELECT n FROM n) + 1.0))
+         / (1.0 - CAST((SELECT t3t FROM ties) AS DOUBLE)
+                  / (CAST((SELECT n FROM n) AS DOUBLE) * (SELECT n FROM n)
+                     * (SELECT n FROM n) - (SELECT n FROM n))),
+         6) AS h_statistic
+FROM sterm
+"""
+
+
+@query("abtest_kruskal_wallis", sql=_KW_SQL, tags=("funnel", "stats"))
+def abtest_kruskal_wallis(spark, sf_dir):
+    """Kruskal-Wallis H across all five event types' value distributions —
+    the k-sample nonparametric ANOVA completing the experimentation-stats
+    family (z-test, chi-square, Mann-Whitney).
+
+    Determinism: midranks double to BIGINTs exactly as in Mann-Whitney;
+    each group's (2R)²/(4n) term is an identical IEEE op chain on exact
+    operands, and the k-term reduction — the one addition-order-sensitive
+    float sum — runs as the SAME event_type-ordered fold on both engines
+    (the mirrored-fold rule applied to a scalar reduction).  The tie
+    correction's Σ(t³−t) is a BIGINT sum; one rounded output.  The only
+    window is the value-domain-bounded distinct-value cumsum."""
+    from pyspark.sql import Window
+
+    pool = read_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    cells = pool.groupBy("value", "event_type").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, -1)
+    vtot = (
+        cells.groupBy("value")
+        .agg(F.sum("c").alias("tot"))
+        .withColumn(
+            "cum_before", F.coalesce(F.sum("tot").over(w), F.lit(0))
+        )
+    )
+    groups = (
+        cells.join(vtot, "value")
+        .groupBy("event_type")
+        .agg(
+            F.sum("c").alias("n_g"),
+            F.sum(
+                F.col("c") * (2 * F.col("cum_before") + F.col("tot") + 1)
+            ).alias("r2"),
+        )
+    )
+    term = F.col("r2").cast("double") * F.col("r2") / (4.0 * F.col("n_g"))
+    sterm = groups.agg(
+        F.sum("n_g").alias("n"),
+        F.count("*").cast("long").alias("k"),
+        F.array_sort(
+            F.collect_list(F.struct("event_type", term.alias("t")))
+        ).alias("terms"),
+    )
+    t3t = vtot.agg(
+        F.sum(
+            F.col("tot") * F.col("tot") * F.col("tot") - F.col("tot")
+        ).alias("t3t")
+    )
+    folded = sterm.crossJoin(F.broadcast(t3t))
+    s = F.aggregate(
+        F.transform("terms", lambda x: x["t"]),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    nd = F.col("n").cast("double")
+    h = (12.0 / (nd * (nd + 1.0)) * s - 3.0 * (nd + 1.0)) / (
+        1.0 - F.col("t3t").cast("double") / (nd * F.col("n") * F.col("n") - F.col("n"))
+    )
+    return folded.select(
+        F.col("n").alias("n_obs"),
+        F.col("k").alias("n_groups"),
+        F.round(h, 6).alias("h_statistic"),
+    )

@@ -9,8 +9,8 @@ from pathlib import Path
 
 from big_data_analytics_project_spark.registry import load_all
 
-TOTAL = 183
-ORACLE = 166
+TOTAL = 184
+ORACLE = 167
 
 
 def test_counts_match_registry():

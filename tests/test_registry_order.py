@@ -53,6 +53,7 @@ EXPECTED_WINDOW = (
     "funnel_conversion_latency",
     "inequality_gini_revenue",
     "abtest_mann_whitney_values",
+    "abtest_kruskal_wallis",
     "graph_degree_distribution",
     "graph_triangle_count",
     "graph_pagerank_copurchase",
@@ -72,7 +73,6 @@ EXPECTED_WINDOW = (
     "session_gap_assignment",
     "timeseries_gapfill_interpolate",
     "timeseries_ewma_by_user",
-    "forecast_seasonal_naive",
     # declared one-round rows-only lift (registry.py)
     "streaming_tumbling_append",
     "streaming_dedup",
