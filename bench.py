@@ -137,6 +137,8 @@ HEADLINE = [
     "abtest_mann_whitney_values",
     # Kruskal-Wallis H: ordered-fold scalar sum, BIGINT tie correction
     "abtest_kruskal_wallis",
+    # daily session health: bounce rate / depth / duration on one exchange
+    "session_daily_metrics",
 ]
 
 

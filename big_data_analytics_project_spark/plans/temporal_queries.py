@@ -657,3 +657,87 @@ def timeseries_holt_trend(spark, sf_dir):
             F.round(fold[0] + fold[1], 6).alias("forecast_1"),
         )
     )
+
+
+# --- daily session metrics (bounce rate, depth, duration) -----------------
+
+_SESSION_METRICS_SQL = f"""
+WITH lagged AS (
+  SELECT event_id, user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+tagged AS (
+  SELECT user_id, ts,
+         sum(CASE WHEN prev_ts IS NULL
+                    OR date_diff('second', prev_ts, ts) > {_GAP_SEC}
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM lagged
+),
+sessions AS (
+  SELECT user_id, session_idx,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(date_diff('second', min(ts), max(ts)) AS BIGINT) AS duration_sec,
+         CAST(floor(epoch(min(ts)) / 86400) AS BIGINT) AS day
+  FROM tagged GROUP BY user_id, session_idx
+)
+SELECT day,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bounces,
+       CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         / count(*) AS bounce_rate,
+       CAST(sum(n_events) AS BIGINT) AS total_events,
+       CAST(sum(n_events) AS DOUBLE) / count(*) AS avg_session_depth,
+       CAST(sum(duration_sec) AS BIGINT) AS total_duration_sec,
+       CAST(sum(duration_sec) AS DOUBLE) / count(*) AS avg_duration_sec
+FROM sessions GROUP BY day
+"""
+
+
+@query(
+    "session_daily_metrics",
+    sql=_SESSION_METRICS_SQL,
+    tags=("temporal", "session", "analytics"),
+)
+def session_daily_metrics(spark, sf_dir):
+    """The daily session-health rollup every web-analytics dashboard
+    leads with: session count, bounce rate (single-event sessions),
+    average depth, and average duration, keyed by the session's start
+    day (emitted as an epoch-day BIGINT — the portable day key, seasonal-
+    naive precedent).
+
+    Built on the same ``gap_sessionize`` single-exchange window as
+    session_gap_assignment, then ONE (user, session) rollup and one
+    day rollup — counts and second-granularity durations are exact
+    BIGINTs (truncating unix diff rule), so every rate/average is a
+    single IEEE division of exact operands; no rounding anywhere."""
+    from ..operators.sessionization import gap_sessionize
+
+    ev = read_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    tagged = gap_sessionize(
+        ev, "user_id", "ts", gap_sec=_GAP_SEC, tiebreak="event_id"
+    )
+    sessions = tagged.groupBy("user_id", "session_idx").agg(
+        F.count("*").cast("long").alias("n_events"),
+        (
+            F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))
+        ).cast("long").alias("duration_sec"),
+        (F.floor(F.unix_timestamp(F.min("ts")) / 86400)).cast("long").alias("day"),
+    )
+    bounces = F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+    return sessions.groupBy("day").agg(
+        F.count("*").cast("long").alias("n_sessions"),
+        bounces.cast("long").alias("n_bounces"),
+        (bounces.cast("double") / F.count("*")).alias("bounce_rate"),
+        F.sum("n_events").alias("total_events"),
+        (F.sum("n_events").cast("double") / F.count("*")).alias(
+            "avg_session_depth"
+        ),
+        F.sum("duration_sec").alias("total_duration_sec"),
+        (F.sum("duration_sec").cast("double") / F.count("*")).alias(
+            "avg_duration_sec"
+        ),
+    )

@@ -9,8 +9,8 @@ from pathlib import Path
 
 from big_data_analytics_project_spark.registry import load_all
 
-TOTAL = 184
-ORACLE = 167
+TOTAL = 185
+ORACLE = 168
 
 
 def test_counts_match_registry():
