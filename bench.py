@@ -139,6 +139,8 @@ HEADLINE = [
     "abtest_kruskal_wallis",
     # daily session health: bounce rate / depth / duration on one exchange
     "session_daily_metrics",
+    # Jensen-Shannon per-source token drift on the bounded top-K vocab
+    "drift_js_source_tokens",
 ]
 
 

@@ -812,3 +812,121 @@ def retrieval_bm25_topk(spark, sf_dir):
             "rank",
         )
     )
+
+
+# --- Jensen-Shannon source drift ------------------------------------------
+
+_JS_VOCAB_K = 100
+
+_JS_SQL = rf"""
+WITH toks AS (
+  SELECT source, unnest(regexp_split_to_array(lower(text), '\s+')) AS gram
+  FROM documents
+),
+vocab AS (
+  SELECT gram, cnt FROM (
+    SELECT gram, CAST(count(*) AS BIGINT) AS cnt,
+           row_number() OVER (ORDER BY count(*) DESC, gram) AS rank
+    FROM toks GROUP BY gram
+  ) WHERE rank <= {_JS_VOCAB_K}
+),
+corpus AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM vocab),
+sv AS (
+  SELECT t.source, t.gram, CAST(count(*) AS BIGINT) AS scnt
+  FROM toks t JOIN vocab v ON t.gram = v.gram
+  GROUP BY t.source, t.gram
+),
+stot AS (SELECT source, CAST(sum(scnt) AS BIGINT) AS sn FROM sv GROUP BY source),
+grid AS (
+  SELECT s.source, s.sn, v.gram, v.cnt, c.n, coalesce(x.scnt, 0) AS scnt
+  FROM stot s CROSS JOIN vocab v CROSS JOIN corpus c
+  LEFT JOIN sv x ON x.source = s.source AND x.gram = v.gram
+),
+terms AS (
+  SELECT source, sn,
+         CAST(scnt AS DOUBLE) / sn AS p,
+         CAST(cnt AS DOUBLE) / n AS q
+  FROM grid
+),
+nano AS (
+  SELECT source, sn,
+         CASE WHEN p > 0
+              THEN CAST(floor(p * (floor(ln(p / (0.5 * (p + q))) * 1000000.0
+                                         + 0.5) / 1000000.0)
+                              * 1000000000.0 + 0.5) AS BIGINT)
+              ELSE 0 END AS tp,
+         CAST(floor(q * (floor(ln(q / (0.5 * (p + q))) * 1000000.0
+                               + 0.5) / 1000000.0)
+                    * 1000000000.0 + 0.5) AS BIGINT) AS tq
+  FROM terms
+)
+SELECT source, CAST(max(sn) AS BIGINT) AS n_vocab_tokens,
+       CAST(sum(tp) + sum(tq) AS DOUBLE) / 1000000000.0 * 0.5
+         AS js_divergence
+FROM nano GROUP BY source
+"""
+
+
+@query("drift_js_source_tokens", sql=_JS_SQL, tags=("text", "drift", "curation"))
+def drift_js_source_tokens(spark, sf_dir):
+    """Jensen-Shannon divergence of each source's token distribution from
+    the corpus-wide distribution — the text-side drift monitor next to
+    the value-side PSI: a source whose language shifts (new domain,
+    template change, spam influx) moves before its row counts do.
+
+    Distributions live on the tie-broken global top-{_JS_VOCAB_K} vocab
+    (the OOV-audit cut), so the source×vocab grid is BOUNDED regardless
+    of corpus size and joins broadcast.  Determinism: p and q are single
+    IEEE divisions of exact counts; each ln() quantizes on the 1e-6
+    floor grid BEFORE its multiply; each p·ln-term quantizes to 1e-9
+    NANO-units and sums as BIGINT (terms are ≤ ln 2, so the grid is
+    safe); zero-count terms take the KL 0·ln0 = 0 convention via an
+    explicit guard.  One corpus explode feeds both the vocab cut and
+    the per-source counts."""
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(T.ws_tokens(F.col("text"))).alias("gram")
+    )
+    vocab = (
+        toks.groupBy("gram")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .orderBy(F.desc("cnt"), "gram")
+        .limit(_JS_VOCAB_K)
+    )
+    corpus = vocab.agg(F.sum("cnt").cast("long").alias("n"))
+    sv = (
+        toks.join(F.broadcast(vocab.select("gram")), "gram")
+        .groupBy("source", "gram")
+        .agg(F.count("*").cast("long").alias("scnt"))
+    )
+    stot = sv.groupBy("source").agg(F.sum("scnt").cast("long").alias("sn"))
+    grid = (
+        stot.crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(corpus))
+        .join(sv, ["source", "gram"], "left")
+        .select(
+            "source",
+            "sn",
+            (F.coalesce(F.col("scnt"), F.lit(0)).cast("double") / F.col("sn")).alias("p"),
+            (F.col("cnt").cast("double") / F.col("n")).alias("q"),
+        )
+    )
+    ln6 = lambda x: F.floor(F.log(x) * 1000000.0 + 0.5) / 1000000.0
+    nano = lambda t: F.floor(t * 1000000000.0 + 0.5).cast("long")
+    m = 0.5 * (F.col("p") + F.col("q"))
+    tp = F.when(F.col("p") > 0, nano(F.col("p") * ln6(F.col("p") / m))).otherwise(
+        F.lit(0).cast("long")
+    )
+    tq = nano(F.col("q") * ln6(F.col("q") / m))
+    return (
+        grid.select("source", "sn", tp.alias("tp"), tq.alias("tq"))
+        .groupBy("source")
+        .agg(
+            F.max("sn").cast("long").alias("n_vocab_tokens"),
+            (
+                (F.sum("tp") + F.sum("tq")).cast("double") / 1000000000.0 * 0.5
+            ).alias("js_divergence"),
+        )
+    )
