@@ -141,6 +141,8 @@ HEADLINE = [
     "session_daily_metrics",
     # Jensen-Shannon per-source token drift on the bounded top-K vocab
     "drift_js_source_tokens",
+    # equi-depth decile profile via the rank operator, exact cents
+    "profile_decile_order_totals",
 ]
 
 

@@ -1249,3 +1249,56 @@ def sketch_topk_frequent_events(spark, sf_dir):
         "exact_count",
         (F.col("est_count") == F.col("exact_count")).alias("est_exact"),
     )
+
+
+# --- equi-depth decile profile --------------------------------------------
+
+_DECILE_SQL = """
+WITH o AS (
+  SELECT o_orderkey,
+         CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM orders
+),
+ranked AS (
+  SELECT cents, ntile(10) OVER (ORDER BY cents, o_orderkey) AS decile
+  FROM o
+)
+SELECT CAST(decile AS BIGINT) AS decile,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       min(cents) AS lo_cents,
+       max(cents) AS hi_cents,
+       CAST(sum(cents) AS BIGINT) AS total_cents,
+       CAST(sum(cents) AS DOUBLE) / count(*) AS avg_cents
+FROM ranked GROUP BY decile
+"""
+
+
+@query("profile_decile_order_totals", sql=_DECILE_SQL, tags=("profile", "distribution"))
+def profile_decile_order_totals(spark, sf_dir):
+    """Equi-depth decile profile of order totals — the numeric-profiling
+    summary (boundaries, counts, masses per 10%-bucket) that drives
+    skew-aware partitioning choices and pricing dashboards.
+
+    Deciles come from the two-pass ``operators/rank.distributed_global_rank``
+    + bit-exact ``ntile_from_rank`` (fifth consumer — never a
+    single-reducer ntile); amounts are BIGINT cents on the portable floor
+    grid so bucket boundaries, sums, and the one average division are
+    exact."""
+    from ..operators.rank import distributed_global_rank, ntile_from_rank
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long").alias("cents"),
+    )
+    ranked, n = distributed_global_rank(o, ["cents", "o_orderkey"])
+    return (
+        ranked.withColumn("decile", ntile_from_rank(F.col("__rank"), n, 10))
+        .groupBy("decile")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.min("cents").alias("lo_cents"),
+            F.max("cents").alias("hi_cents"),
+            F.sum("cents").cast("long").alias("total_cents"),
+            (F.sum("cents").cast("double") / F.count("*")).alias("avg_cents"),
+        )
+    )

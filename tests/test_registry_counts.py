@@ -9,8 +9,8 @@ from pathlib import Path
 
 from big_data_analytics_project_spark.registry import load_all
 
-TOTAL = 186
-ORACLE = 169
+TOTAL = 187
+ORACLE = 170
 
 
 def test_counts_match_registry():

@@ -64,6 +64,7 @@ EXPECTED_WINDOW = (
     "sketch_theta_set_ops",
     "sketch_kll_value_quantiles",
     "sketch_topk_frequent_events",
+    "profile_decile_order_totals",
     "variant_semi_structured",
     "ann_lsh_multiprobe_topk",
     "ann_ivf_ndcg_audit",
@@ -72,7 +73,6 @@ EXPECTED_WINDOW = (
     "streaming_interval_join_left",
     "session_gap_assignment",
     "timeseries_gapfill_interpolate",
-    "timeseries_ewma_by_user",
     # declared one-round rows-only lift (registry.py)
     "streaming_tumbling_append",
     "streaming_dedup",
