@@ -66,3 +66,27 @@ def test_snapshot_diff_is_one_shuffled_join_no_broadcast(registry, spark, sf_dir
     assert "BroadcastHashJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_rank_consumers_have_no_single_reducer_exchange(registry, spark, sf_dir):
+    """Every consumer of distributed_global_rank exists precisely to avoid
+    a global Window.orderBy — whose plan signature is an Exchange
+    SinglePartition funneling the dataset through one task.  A regression
+    to a naive ntile/row_number would reintroduce it."""
+    for name in (
+        "window_distribution",
+        "rfm_customer_segments",
+        "profile_decile_order_totals",
+    ):
+        plan = _plan(registry, spark, sf_dir, name)
+        assert "Exchange SinglePartition" not in plan, (name, plan)
+        # the only Window is the per-range-partition local row_number
+        assert plan.count("Window") == 1, (name, plan)
+
+
+def test_latency_single_partition_is_only_the_scalar_agg(registry, spark, sf_dir):
+    """funnel_conversion_latency legitimately ends in a one-row scalar
+    aggregate (ONE SinglePartition exchange over 3 percentile picks);
+    more would mean the rank itself regressed to a global window."""
+    plan = _plan(registry, spark, sf_dir, "funnel_conversion_latency")
+    assert plan.count("Exchange SinglePartition") == 1, plan
