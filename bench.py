@@ -143,6 +143,8 @@ HEADLINE = [
     "drift_js_source_tokens",
     # equi-depth decile profile via the rank operator, exact cents
     "profile_decile_order_totals",
+    # PMI collocations: bounded K^2/2 pair grid, quantized ln
+    "text_pmi_collocations",
 ]
 
 

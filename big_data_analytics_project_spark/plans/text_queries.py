@@ -930,3 +930,121 @@ def drift_js_source_tokens(spark, sf_dir):
             ).alias("js_divergence"),
         )
     )
+
+
+# --- PMI collocations over the bounded vocab ------------------------------
+
+_PMI_VOCAB_K = 30
+_PMI_MIN_DF = 5
+
+_PMI_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS gram
+  FROM documents
+),
+vocab AS (
+  SELECT gram FROM (
+    SELECT gram, row_number() OVER (ORDER BY count(*) DESC, gram) AS rank
+    FROM toks GROUP BY gram
+  ) WHERE rank <= {_PMI_VOCAB_K}
+),
+dt AS (
+  SELECT DISTINCT t.doc_id, t.gram
+  FROM toks t JOIN vocab v ON t.gram = v.gram
+),
+n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM dt),
+df AS (SELECT gram, CAST(count(*) AS BIGINT) AS df FROM dt GROUP BY gram),
+pairs AS (
+  SELECT a.gram AS term_a, b.gram AS term_b,
+         CAST(count(*) AS BIGINT) AS df_ab
+  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.gram < b.gram
+  GROUP BY a.gram, b.gram
+)
+SELECT p.term_a, p.term_b, p.df_ab,
+       fa.df AS df_a, fb.df AS df_b,
+       floor(ln(CAST(p.df_ab * n.n_docs AS DOUBLE) / (fa.df * fb.df))
+             * 1000000.0 + 0.5) / 1000000.0 AS pmi
+FROM pairs p
+JOIN df fa ON p.term_a = fa.gram
+JOIN df fb ON p.term_b = fb.gram
+CROSS JOIN n
+WHERE p.df_ab >= {_PMI_MIN_DF}
+"""
+
+
+@query("text_pmi_collocations", sql=_PMI_SQL, tags=("text", "analytics"))
+def text_pmi_collocations(spark, sf_dir):
+    """Pointwise mutual information over document co-occurrence of the
+    global top-{_PMI_VOCAB_K} vocabulary — collocation mining ('which
+    terms travel together beyond chance?'), the association score behind
+    phrase detection and topic seeding.
+
+    The pair space is BOUNDED at K·(K−1)/2 by the tie-broken vocab cut,
+    so this never explodes with the corpus: one (doc, term) dedup keyed
+    by doc, an in-doc pair fan-out capped at K²/2 per document, and
+    vocab-sized count tables broadcast back.  Determinism: df·N and
+    df_a·df_b are exact BIGINT products meeting in ONE IEEE division,
+    and the only transcendental quantizes on the 1e-6 floor grid.
+    Low-support pairs (df_ab < {_PMI_MIN_DF}) are cut identically on
+    both sides."""
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(T.ws_tokens(F.col("text"))).alias("gram")
+    )
+    vocab = (
+        toks.groupBy("gram")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), "gram")
+        .limit(_PMI_VOCAB_K)
+        .select("gram")
+    )
+    dt = toks.join(F.broadcast(vocab), "gram").select("doc_id", "gram").distinct()
+    n = dt.agg(F.countDistinct("doc_id").cast("long").alias("n_docs"))
+    df = dt.groupBy("gram").agg(F.count("*").cast("long").alias("df"))
+    per_doc = dt.groupBy("doc_id").agg(
+        F.array_sort(F.collect_set("gram")).alias("terms")
+    )
+    pair_arrays = per_doc.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "terms",
+                    lambda a: F.filter(
+                        F.transform("terms", lambda b: F.struct(a.alias("a"), b.alias("b"))),
+                        lambda s: s["a"] < s["b"],
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    pairs = pair_arrays.select(
+        F.col("p.a").alias("term_a"), F.col("p.b").alias("term_b")
+    ).groupBy("term_a", "term_b").agg(F.count("*").cast("long").alias("df_ab"))
+    fa = df.select(F.col("gram").alias("term_a"), F.col("df").alias("df_a"))
+    fb = df.select(F.col("gram").alias("term_b"), F.col("df").alias("df_b"))
+    return (
+        pairs.where(F.col("df_ab") >= _PMI_MIN_DF)
+        .join(F.broadcast(fa), "term_a")
+        .join(F.broadcast(fb), "term_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "term_a",
+            "term_b",
+            "df_ab",
+            "df_a",
+            "df_b",
+            (
+                F.floor(
+                    F.log(
+                        (F.col("df_ab") * F.col("n_docs")).cast("double")
+                        / (F.col("df_a") * F.col("df_b"))
+                    )
+                    * 1000000.0
+                    + 0.5
+                )
+                / 1000000.0
+            ).alias("pmi"),
+        )
+    )
