@@ -145,6 +145,8 @@ HEADLINE = [
     "profile_decile_order_totals",
     # PMI collocations: bounded K^2/2 pair grid, quantized ln
     "text_pmi_collocations",
+    # temperature-weighted mixture resampling via hash thresholds
+    "mix_temperature_resample",
 ]
 
 

@@ -1364,3 +1364,105 @@ def anomaly_mad_outliers(spark, sf_dir):
         .where(F.col("adev") > 3.5 * 1.4826 * F.col("mad"))
         .select("event_id", "event_type", "value", "med", "mad", "adev")
     )
+
+
+# --- temperature-weighted mixture resampling ------------------------------
+
+_TEMP_TAU_PM = "0.7"        # written as a literal in BOTH engines' pow()
+_TEMP_BUDGET_SHARE = "0.5"  # keep ~half the corpus, reallocated by tau
+
+_TEMP_SQL = f"""
+WITH counts AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY source
+),
+tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n FROM counts),
+temp AS (
+  SELECT source, n_docs,
+         floor(pow(CAST(n_docs AS DOUBLE), {_TEMP_TAU_PM}) * 1000000.0 + 0.5)
+           / 1000000.0 AS t
+  FROM counts
+),
+norm AS (SELECT CAST(sum(CAST(t AS DECIMAL(28,6))) AS DOUBLE) AS z FROM temp),
+rates AS (
+  SELECT source, n_docs,
+         CAST(floor(least(1.0,
+                 floor({_TEMP_BUDGET_SHARE} * tot.n) * (t / norm.z) / n_docs)
+               * 1000000.0 + 0.5) AS BIGINT) AS rate_pm
+  FROM temp CROSS JOIN tot CROSS JOIN norm
+),
+kept AS (
+  SELECT d.source, count(*) AS n_kept
+  FROM documents d JOIN rates r ON d.source = r.source
+  WHERE {{hash}} % 1000000 < r.rate_pm
+  GROUP BY d.source
+)
+SELECT r.source, r.n_docs, r.rate_pm,
+       CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept
+FROM rates r LEFT JOIN kept k ON r.source = k.source
+"""
+
+
+def _temp_sql() -> str:
+    return _TEMP_SQL.replace("{hash}", hash60("CAST(d.doc_id AS VARCHAR)"))
+
+
+@query("mix_temperature_resample", sql=_temp_sql(), tags=("mixing", "curation"))
+def mix_temperature_resample(spark, sf_dir):
+    """Temperature-weighted mixture resampling (the multilingual-
+    pretraining τ-sampling rule): reallocate a 50%-of-corpus budget
+    across sources proportionally to n_s^0.7, flattening the head and
+    boosting the tail, then materialize each source's keep-rate as a
+    deterministic per-million hash threshold — the same document is kept
+    on every engine, rerun, and retry (no RNG).
+
+    Determinism: the one transcendental pow(n, 0.7) quantizes on the
+    1e-6 floor grid per source before the DECIMAL-exact normalizer sum;
+    the rate chain is IEEE ops in identical order, re-quantized to an
+    INTEGER per-million threshold; membership is then an exact integer
+    compare on the portable md5-60-bit hash.  Source-cardinality tables
+    broadcast; the corpus scan is map-only plus one source rollup."""
+    from ..operators.dedup import md5_hash60
+
+    docs = read_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count("*").cast("long").alias("n_docs"))
+    tot = counts.agg(F.sum("n_docs").cast("long").alias("n"))
+    t = F.floor(
+        F.pow(F.col("n_docs").cast("double"), 0.7) * 1000000.0 + 0.5
+    ) / 1000000.0
+    temp = counts.select("source", "n_docs", t.alias("t"))
+    norm = temp.agg(
+        F.sum(F.col("t").cast("decimal(28,6)")).cast("double").alias("z")
+    )
+    rate = F.floor(
+        F.least(
+            F.lit(1.0),
+            F.floor(0.5 * F.col("n"))
+            * (F.col("t") / F.col("z"))
+            / F.col("n_docs"),
+        )
+        * 1000000.0
+        + 0.5
+    ).cast("long")
+    rates = (
+        temp.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(norm))
+        .select("source", "n_docs", rate.alias("rate_pm"))
+    )
+    kept = (
+        docs.join(F.broadcast(rates), "source")
+        .where(
+            md5_hash60(F.col("doc_id").cast("string")) % 1000000
+            < F.col("rate_pm")
+        )
+        .groupBy("source")
+        .agg(F.count("*").cast("long").alias("n_kept"))
+    )
+    return (
+        rates.join(kept, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "rate_pm",
+            F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
+        )
+    )

@@ -41,6 +41,7 @@ EXPECTED_WINDOW = (
     "mix_budget_select",
     "diff_snapshot_customers",
     "anomaly_mad_outliers",
+    "mix_temperature_resample",
     "dedup_keep_latest",
     "path_common_journeys",
     "path_transition_matrix",
@@ -72,7 +73,6 @@ EXPECTED_WINDOW = (
     "decontaminate_semantic_pairs",
     "streaming_interval_join_left",
     "session_gap_assignment",
-    "timeseries_gapfill_interpolate",
     # declared one-round rows-only lift (registry.py)
     "streaming_tumbling_append",
     "streaming_dedup",
