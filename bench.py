@@ -147,6 +147,8 @@ HEADLINE = [
     "text_pmi_collocations",
     # temperature-weighted mixture resampling via hash thresholds
     "mix_temperature_resample",
+    # matryoshka truncation audit: order-exact folds on a stride probe
+    "embedding_matryoshka_audit",
 ]
 
 

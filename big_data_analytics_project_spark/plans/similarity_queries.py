@@ -574,3 +574,81 @@ def ann_ivfpq_topk(spark, sf_dir):
         nprobe=4,
         refine=50,
     )
+
+
+# --- matryoshka truncation quality audit ----------------------------------
+
+_MRL_HALF_D = 32
+_MRL_PAIR_STRIDE = 5
+_MRL_DELTA_OK = 0.15
+
+_MRL_SQL = f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         a.e AS ea, b.e AS eb,
+         a.e[1:{_MRL_HALF_D}] AS ha, b.e[1:{_MRL_HALF_D}] AS hb
+  FROM v a JOIN v b ON b.vec_id = a.vec_id + {_MRL_PAIR_STRIDE}
+)
+SELECT vec_a, vec_b,
+       round({{cosf}}, 6) AS cos_full,
+       round({{cosh}}, 6) AS cos_half,
+       round(abs({{cosf}} - {{cosh}}), 6) AS abs_delta,
+       CAST(round(abs({{cosf}} - {{cosh}}), 6) <= {_MRL_DELTA_OK} AS BIGINT)
+         AS preserved
+FROM pairs
+"""
+
+
+def _mrl_sql() -> str:
+    from ..functions.vector import duck_cosine
+
+    return _MRL_SQL.replace("{cosf}", duck_cosine("ea", "eb")).replace(
+        "{cosh}", duck_cosine("ha", "hb")
+    )
+
+
+@query("embedding_matryoshka_audit", sql=_mrl_sql(), tags=("embedding", "curation"))
+def embedding_matryoshka_audit(spark, sf_dir):
+    """Matryoshka truncation quality audit: how much does cosine
+    similarity move when embeddings are cut to their first
+    {_MRL_HALF_D} of 64 dimensions?  The go/no-go check before storing
+    MRL-truncated vectors to halve ANN memory and bandwidth.
+
+    The probe set is the deterministic (vec_id, vec_id+{_MRL_PAIR_STRIDE})
+    stride join — no RNG, same pairs everywhere; full and truncated
+    cosines are the documented order-exact sequential folds
+    (functions/vector.py ↔ duck_cosine), so the raw doubles match
+    bit-for-bit before the presentation rounding, and the preservation
+    flag compares the ROUNDED delta identically on both engines.
+    Map-only except the one stride equi-join; output is probe-sized."""
+    from ..functions.vector import as_double, cosine
+
+    v = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("e")
+    )
+    a = v.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"))
+    b = v.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"))
+    pairs = a.join(
+        b, F.col("vec_b") == F.col("vec_a") + _MRL_PAIR_STRIDE
+    ).select(
+        "vec_a",
+        "vec_b",
+        "ea",
+        "eb",
+        F.slice("ea", 1, _MRL_HALF_D).alias("ha"),
+        F.slice("eb", 1, _MRL_HALF_D).alias("hb"),
+    )
+    cosf = cosine(F.col("ea"), F.col("eb"))
+    cosh = cosine(F.col("ha"), F.col("hb"))
+    delta = F.round(F.abs(cosf - cosh), 6)
+    return pairs.select(
+        "vec_a",
+        "vec_b",
+        F.round(cosf, 6).alias("cos_full"),
+        F.round(cosh, 6).alias("cos_half"),
+        delta.alias("abs_delta"),
+        (delta <= _MRL_DELTA_OK).cast("long").alias("preserved"),
+    )

@@ -9,8 +9,8 @@ from pathlib import Path
 
 from big_data_analytics_project_spark.registry import load_all
 
-TOTAL = 189
-ORACLE = 172
+TOTAL = 190
+ORACLE = 173
 
 
 def test_counts_match_registry():

@@ -71,8 +71,8 @@ EXPECTED_WINDOW = (
     "ann_ivf_ndcg_audit",
     "dedup_semantic_clusters",
     "decontaminate_semantic_pairs",
+    "embedding_matryoshka_audit",
     "streaming_interval_join_left",
-    "session_gap_assignment",
     # declared one-round rows-only lift (registry.py)
     "streaming_tumbling_append",
     "streaming_dedup",
