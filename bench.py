@@ -149,6 +149,8 @@ HEADLINE = [
     "mix_temperature_resample",
     # matryoshka truncation audit: order-exact folds on a stride probe
     "embedding_matryoshka_audit",
+    # heuristic-scorer threshold sweep: exact confusion matrices x 5
+    "ml_threshold_sweep",
 ]
 
 

@@ -314,3 +314,113 @@ def variant_semi_structured(spark, sf_dir):
         F.max("k").alias("max_k"),
         F.count_if((F.col("k") % 2) == 0).alias("n_even_k"),
     )
+
+
+# --- threshold sweep for the heuristic scorer -----------------------------
+
+_SWEEP_THRESHOLDS = "(0.05), (0.20), (0.35), (0.60), (0.85)"
+
+_SWEEP_SQL = rf"""
+WITH feats AS (
+  SELECT user_id,
+         count(CASE WHEN event_type = 'view' THEN 1 END) AS view_count,
+         count(CASE WHEN event_type = 'click' THEN 1 END) AS click_count,
+         count(*) AS total_events,
+         count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchases
+  FROM events GROUP BY user_id
+),
+scored AS (
+  SELECT user_id,
+         CASE WHEN click_count >= 3 AND view_count >= 5 THEN 0.85
+              WHEN click_count >= 2 THEN 0.60
+              WHEN view_count >= 3 THEN 0.35
+              WHEN total_events >= 5 THEN 0.20
+              ELSE 0.05 END AS intent_score,
+         CAST(purchases > 0 AS BIGINT) AS label
+  FROM feats
+),
+thresholds(threshold) AS (VALUES {_SWEEP_THRESHOLDS}),
+conf AS (
+  SELECT t.threshold,
+         sum(CASE WHEN s.intent_score >= t.threshold AND s.label = 1 THEN 1 ELSE 0 END) AS tp,
+         sum(CASE WHEN s.intent_score >= t.threshold AND s.label = 0 THEN 1 ELSE 0 END) AS fp,
+         sum(CASE WHEN s.intent_score <  t.threshold AND s.label = 1 THEN 1 ELSE 0 END) AS fn,
+         sum(CASE WHEN s.intent_score <  t.threshold AND s.label = 0 THEN 1 ELSE 0 END) AS tn
+  FROM scored s CROSS JOIN thresholds t
+  GROUP BY t.threshold
+)
+SELECT threshold,
+       CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+       CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp) END AS precision,
+       CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn) END AS recall,
+       CASE WHEN tp + fp > 0 AND tp + fn > 0
+             AND CAST(tp AS DOUBLE) / (tp + fp) + CAST(tp AS DOUBLE) / (tp + fn) > 0
+            THEN 2.0 * (CAST(tp AS DOUBLE) / (tp + fp)) * (CAST(tp AS DOUBLE) / (tp + fn))
+                 / (CAST(tp AS DOUBLE) / (tp + fp) + CAST(tp AS DOUBLE) / (tp + fn)) END AS f1
+FROM conf
+"""
+
+
+@query("ml_threshold_sweep", sql=_SWEEP_SQL, tags=("ml", "eval"))
+def ml_threshold_sweep(spark, sf_dir):
+    """Operating-point sweep for the cold-start heuristic scorer: the
+    full confusion matrix plus precision/recall/F1 at each of the
+    scorer's five output levels, against the did-they-purchase label —
+    the threshold-picking table a launch review reads.
+
+    Everything is exact integer counts from ONE user rollup crossed with
+    a 5-row broadcast threshold table; precision/recall are single IEEE
+    divisions and F1 repeats the identical op chain on both engines,
+    with every denominator CASE-guarded (empty prediction or positive
+    sets yield NULL, never ANSI DIVIDE_BY_ZERO)."""
+    ev = read_table(spark, sf_dir, "events")
+    feats = ev.groupBy("user_id").agg(
+        F.count(F.when(F.col("event_type") == "view", 1)).alias("view_count"),
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("click_count"),
+        F.count("*").alias("total_events"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("purchases"),
+    )
+    score = (
+        F.when((F.col("click_count") >= 3) & (F.col("view_count") >= 5), 0.85)
+        .when(F.col("click_count") >= 2, 0.60)
+        .when(F.col("view_count") >= 3, 0.35)
+        .when(F.col("total_events") >= 5, 0.20)
+        .otherwise(0.05)
+    )
+    scored = feats.select(
+        score.alias("intent_score"),
+        (F.col("purchases") > 0).cast("long").alias("label"),
+    )
+    thresholds = spark.createDataFrame(
+        [(0.05,), (0.20,), (0.35,), (0.60,), (0.85,)], "threshold double"
+    )
+    pred = F.col("intent_score") >= F.col("threshold")
+    pos, neg = F.col("label") == 1, F.col("label") == 0
+    conf = (
+        scored.crossJoin(F.broadcast(thresholds))
+        .groupBy("threshold")
+        .agg(
+            F.sum(F.when(pred & pos, 1).otherwise(0)).cast("long").alias("tp"),
+            F.sum(F.when(pred & neg, 1).otherwise(0)).cast("long").alias("fp"),
+            F.sum(F.when(~pred & pos, 1).otherwise(0)).cast("long").alias("fn"),
+            F.sum(F.when(~pred & neg, 1).otherwise(0)).cast("long").alias("tn"),
+        )
+    )
+    prec = F.col("tp").cast("double") / (F.col("tp") + F.col("fp"))
+    rec = F.col("tp").cast("double") / (F.col("tp") + F.col("fn"))
+    return conf.select(
+        "threshold",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.when(F.col("tp") + F.col("fp") > 0, prec).alias("precision"),
+        F.when(F.col("tp") + F.col("fn") > 0, rec).alias("recall"),
+        F.when(
+            (F.col("tp") + F.col("fp") > 0)
+            & (F.col("tp") + F.col("fn") > 0)
+            & (prec + rec > 0),
+            2.0 * prec * rec / (prec + rec),
+        ).alias("f1"),
+    )

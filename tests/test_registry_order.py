@@ -67,12 +67,12 @@ EXPECTED_WINDOW = (
     "sketch_topk_frequent_events",
     "profile_decile_order_totals",
     "variant_semi_structured",
+    "ml_threshold_sweep",
     "ann_lsh_multiprobe_topk",
     "ann_ivf_ndcg_audit",
     "dedup_semantic_clusters",
     "decontaminate_semantic_pairs",
     "embedding_matryoshka_audit",
-    "streaming_interval_join_left",
     # declared one-round rows-only lift (registry.py)
     "streaming_tumbling_append",
     "streaming_dedup",
