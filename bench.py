@@ -151,6 +151,8 @@ HEADLINE = [
     "embedding_matryoshka_audit",
     # heuristic-scorer threshold sweep: exact confusion matrices x 5
     "ml_threshold_sweep",
+    # inter-event gap histogram: integer bit-length buckets, no floats
+    "timeseries_gap_histogram",
 ]
 
 

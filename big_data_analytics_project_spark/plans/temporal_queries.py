@@ -741,3 +741,63 @@ def session_daily_metrics(spark, sf_dir):
             "avg_duration_sec"
         ),
     )
+
+
+# --- inter-event gap histogram (activity cadence) -------------------------
+
+_GAP_HIST_SQL = """
+WITH lagged AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+gaps AS (
+  SELECT date_diff('second', prev_ts, ts) AS gap_sec
+  FROM lagged WHERE prev_ts IS NOT NULL
+)
+SELECT CAST(length(printf('%b', gap_sec + 1)) - 1 AS BIGINT) AS log2_bucket,
+       CAST(min(gap_sec) AS BIGINT) AS lo_sec,
+       CAST(max(gap_sec) AS BIGINT) AS hi_sec,
+       CAST(count(*) AS BIGINT) AS n_gaps
+FROM gaps GROUP BY 1
+"""
+
+
+@query(
+    "timeseries_gap_histogram",
+    sql=_GAP_HIST_SQL,
+    tags=("temporal", "profile"),
+)
+def timeseries_gap_histogram(spark, sf_dir):
+    """Power-of-two histogram of inter-event gaps per user — the cadence
+    profile that picks sessionization gap thresholds and watermark delays
+    from data instead of folklore (the 30-minute default is exactly the
+    kind of constant this table justifies or refutes).
+
+    Zero float operations anywhere: gaps are exact truncating-second
+    diffs off one user-keyed lag window, and the log2 bucket is the
+    integer bit-length trick (``length(bin(n+1)) - 1`` ≡ DuckDB
+    ``length(printf('%b', n+1)) - 1`` — no libm, no boundary flips;
+    tokens_length_histogram precedent, +1 shifts the zero-gap case onto
+    the grid).  One window exchange, then a bucket-cardinality rollup."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        ev.select(
+            "ts", F.lag("ts").over(w).alias("prev_ts")
+        )
+        .where(F.col("prev_ts").isNotNull())
+        .select(
+            (
+                F.unix_timestamp("ts") - F.unix_timestamp("prev_ts")
+            ).cast("long").alias("gap_sec")
+        )
+    )
+    bucket = (F.length(F.bin(F.col("gap_sec") + 1)) - 1).cast("long")
+    return gaps.groupBy(bucket.alias("log2_bucket")).agg(
+        F.min("gap_sec").alias("lo_sec"),
+        F.max("gap_sec").alias("hi_sec"),
+        F.count("*").cast("long").alias("n_gaps"),
+    )

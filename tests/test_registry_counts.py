@@ -9,8 +9,8 @@ from pathlib import Path
 
 from big_data_analytics_project_spark.registry import load_all
 
-TOTAL = 191
-ORACLE = 174
+TOTAL = 192
+ORACLE = 175
 
 
 def test_counts_match_registry():
