@@ -124,16 +124,11 @@ def _load_history() -> dict[str, int]:
     return json.loads(path.read_text()) if path.exists() else {}
 
 
-# Round-6 one-round tier override (VERDICT r5 item 4): these four rows-only
-# streaming queries have never appeared in ANY CORRECTNESS file.  Lift them
-# into the tail of the driver window for one round so "runs under the driver
-# harness at sf0.01" is on record, then drop the override.
-ROWS_ONLY_WINDOW_LIFT: tuple[str, ...] = (
-    "streaming_tumbling_append",
-    "streaming_dedup",
-    "streaming_custom_sessionization",
-    "streaming_online_scoring",
-)
+# One-round tier override (VERDICT r5 item 4, served in round 6): the four
+# rows-only streaming queries got their CORRECTNESS_r06 rows recorded, so the
+# lift is dropped.  Re-populate only if a future rows-only query needs a
+# one-round driver appearance on record.
+ROWS_ONLY_WINDOW_LIFT: tuple[str, ...] = ()
 
 
 def _driver_order(reg: dict[str, QuerySpec]) -> dict[str, QuerySpec]:

@@ -27,57 +27,57 @@ from big_data_analytics_project_spark.registry import (
 # queries lifted into the window tail for ONE round (VERDICT r5 item 4).
 EXPECTED_WINDOW = (
     # tier 0 — never driver-green
-    "embedding_quantize_int8",
-    "quality_gopher_rules",
-    "mix_domain_weights",
-    "mask_span_corruption",
-    "mix_interleave_schedule",
-    "embedding_l2_normalize",
-    "sample_exact_n_per_group",
-    "quality_value_winsorize",
-    "batch_length_buckets",
-    "drift_psi_bins",
-    "observe_inflight_metrics",
-    "mix_budget_select",
-    "diff_snapshot_customers",
-    "anomaly_mad_outliers",
-    "mix_temperature_resample",
-    "dedup_keep_latest",
-    "path_common_journeys",
-    "path_transition_matrix",
-    "abtest_conversion_lift",
-    "retention_dau_wau",
-    "cohort_ltv_curve",
-    "attribution_first_last_touch",
     "rfm_customer_segments",
     "abtest_chi_square_mix",
-    "funnel_conversion_latency",
     "inequality_gini_revenue",
     "abtest_mann_whitney_values",
     "abtest_kruskal_wallis",
-    "graph_degree_distribution",
-    "graph_triangle_count",
-    "graph_pagerank_copurchase",
-    "graph_link_prediction_topk",
-    "graph_clustering_coefficient",
-    "set_except_all",
-    "set_intersect_all",
-    "sketch_theta_set_ops",
-    "sketch_kll_value_quantiles",
-    "sketch_topk_frequent_events",
-    "profile_decile_order_totals",
     "variant_semi_structured",
-    "ml_threshold_sweep",
-    "ann_lsh_multiprobe_topk",
-    "ann_ivf_ndcg_audit",
-    "dedup_semantic_clusters",
-    "decontaminate_semantic_pairs",
-    "embedding_matryoshka_audit",
-    # declared one-round rows-only lift (registry.py)
-    "streaming_tumbling_append",
-    "streaming_dedup",
-    "streaming_custom_sessionization",
-    "streaming_online_scoring",
+    "streaming_interval_join_left",
+    "session_gap_assignment",
+    "timeseries_gapfill_interpolate",
+    "timeseries_ewma_by_user",
+    "forecast_seasonal_naive",
+    "regression_daily_revenue_trend",
+    "timeseries_holt_trend",
+    "session_daily_metrics",
+    "timeseries_gap_histogram",
+    "text_boilerplate_ngram_share",
+    "tfidf_top_terms",
+    "quality_unigram_logprob",
+    "tokens_length_histogram",
+    "vocab_oov_rate",
+    "retrieval_bm25_topk",
+    "drift_js_source_tokens",
+    "text_pmi_collocations",
+    "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q10_returned_items",
+    "tpch_q14_promo_effect",
+    "tpch_q18_large_volume_customer",
+    "tpch_q19_bracketed_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_type_profit",
+    "tpch_q12_priority_by_linestatus",
+    "tpch_q13_customer_distribution",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q11_important_stock",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q16_supplier_part_count",
+    "tpch_q20_part_promotion",
+    "tpch_q21_waiting_supplier",
+    "tpch_q22_idle_balance",
+    # tier 1 — last green r04
+    "skew_salted_agg",
+    "skew_salted_join",
+    "flagship_sessionization",
+    "multimodal_binary_meta",
+    "multimodal_decode_meta",
+    "multimodal_frame_index",
 )
 
 
