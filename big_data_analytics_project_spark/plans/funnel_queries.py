@@ -640,7 +640,7 @@ q AS (
 SELECT CAST(r_q AS BIGINT) AS r_q, CAST(f_q AS BIGINT) AS f_q,
        CAST(m_q AS BIGINT) AS m_q,
        CAST(count(*) AS BIGINT) AS n_users,
-       sum(monetary_cents) AS total_monetary_cents
+       CAST(sum(monetary_cents) AS BIGINT) AS total_monetary_cents
 FROM q GROUP BY r_q, f_q, m_q
 """
 
@@ -737,7 +737,7 @@ terms AS (
 )
 SELECT CAST(sum(term_micro) AS DOUBLE) / 1000000.0 AS chi_square,
        (SELECT (nr - 1) * (nc - 1) FROM tot) AS dof,
-       (SELECT n FROM tot) AS n_events
+       CAST((SELECT n FROM tot) AS BIGINT) AS n_events
 FROM terms
 """
 
@@ -891,7 +891,7 @@ ranked AS (
   FROM u
 )
 SELECT CAST(max(n) AS BIGINT) AS n_users,
-       sum(y) AS total_cents,
+       CAST(sum(y) AS BIGINT) AS total_cents,
        CASE WHEN max(n) * sum(y) > 0
             THEN CAST(2 * sum(i * y) - (max(n) + 1) * sum(y) AS DOUBLE)
                  / CAST(max(n) * sum(y) AS DOUBLE) END AS gini
@@ -970,11 +970,11 @@ s AS (
          sum(CAST(c1 + c2 > 1 AS BIGINT)) AS n_tied_values
   FROM cum
 )
-SELECT n1, n2,
+SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
        CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / 2.0 AS u1,
        CAST(n1 AS DOUBLE) * n2 - CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / 2.0 AS u2,
        CAST(r1x2 AS DOUBLE) / 2.0 / n1 AS mean_rank_1,
-       n_tied_values
+       CAST(n_tied_values AS BIGINT) AS n_tied_values
 FROM s
 """
 
@@ -1075,7 +1075,7 @@ sterm AS (
 ties AS (
   SELECT sum(tot * tot * tot - tot) AS t3t FROM vtot
 )
-SELECT (SELECT n FROM n) AS n_obs, k AS n_groups,
+SELECT CAST((SELECT n FROM n) AS BIGINT) AS n_obs, k AS n_groups,
        round(
          (12.0 / ((SELECT n FROM n) * ((SELECT n FROM n) + 1.0)) * s
           - 3.0 * ((SELECT n FROM n) + 1.0))

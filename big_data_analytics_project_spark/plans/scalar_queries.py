@@ -137,11 +137,11 @@ def pivot_event_counts(spark, sf_dir):
       FROM events GROUP BY user_id
     )
     SELECT user_id, view_count, click_count, total_events,
-           CASE WHEN click_count >= 3 AND view_count >= 5 THEN 0.85
-                WHEN click_count >= 2 THEN 0.60
-                WHEN view_count >= 3 THEN 0.35
-                WHEN total_events >= 5 THEN 0.20
-                ELSE 0.05 END AS intent_score
+           CAST(CASE WHEN click_count >= 3 AND view_count >= 5 THEN 0.85
+                     WHEN click_count >= 2 THEN 0.60
+                     WHEN view_count >= 3 THEN 0.35
+                     WHEN total_events >= 5 THEN 0.20
+                     ELSE 0.05 END AS DOUBLE) AS intent_score
     FROM feats
     """,
     tags=("ml", "heuristic"),
@@ -284,7 +284,8 @@ def agg_approx_percentile_check(spark, sf_dir):
     sql="""
     SELECT event_type,
            count(*) AS n,
-           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS sum_k,
            max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
            count(*) FILTER (CAST(json_extract_string(props, '$.k') AS BIGINT) % 2 = 0)
                AS n_even_k
@@ -349,7 +350,7 @@ conf AS (
   FROM scored s CROSS JOIN thresholds t
   GROUP BY t.threshold
 )
-SELECT threshold,
+SELECT CAST(threshold AS DOUBLE) AS threshold,
        CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
        CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
        CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp) END AS precision,

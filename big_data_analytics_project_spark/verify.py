@@ -53,12 +53,64 @@ class CompareReport:
     exact_match: bool
     approx_match: bool
     detail: str = ""
+    types_ok: bool = True
 
     @property
     def ok(self) -> bool:
         return (
-            self.rows_spark == self.rows_oracle and self.columns_match and self.exact_match
+            self.rows_spark == self.rows_oracle
+            and self.columns_match
+            and self.exact_match
+            and self.types_ok
         )
+
+
+# --- DuckDB-native result-type guard --------------------------------------
+# The external driver hashes the oracle's NATIVE value representation, not
+# the pandas-converted one — round 6 proved it: every `sum(BIGINT)` DuckDB
+# promoted to HUGEINT (int128) hash-mismatched despite exact value equality
+# after fetchdf().  So every oracle output column must carry a DuckDB type
+# whose representation is hash-compatible with the Spark column's.  The
+# allowlist below is the set of pairings with a driver-green row on record;
+# anything else (HUGEINT, unsigned ints, DECIMAL vs double, …) fails
+# verification locally before the driver ever sees it.  Rule recorded in
+# docs/determinism.md.
+_DUCK_OK: dict[str, set[str]] = {
+    "bigint": {"BIGINT"},
+    "int": {"INTEGER", "BIGINT"},  # int↔BIGINT driver-green (tpch_q9, r06)
+    "smallint": {"SMALLINT"},
+    "tinyint": {"TINYINT"},
+    "double": {"DOUBLE"},
+    "float": {"FLOAT"},
+    "string": {"VARCHAR"},
+    "boolean": {"BOOLEAN"},
+    "date": {"DATE"},
+    "timestamp": {"TIMESTAMP", "TIMESTAMP WITH TIME ZONE"},
+    "timestamp_ntz": {"TIMESTAMP"},
+}
+_DUCK_DENY = ("HUGEINT", "UHUGEINT", "UBIGINT", "UINTEGER", "USMALLINT", "UTINYINT")
+
+
+def duck_result_types(con, sql: str) -> dict[str, str]:
+    """Bind (without fetching) the oracle SQL and return col → DuckDB type."""
+    rel = con.sql(sql)
+    return dict(zip(rel.columns, [str(t) for t in rel.types]))
+
+
+def oracle_type_issues(spark_schema: dict[str, str], duck_types: dict[str, str]) -> list[str]:
+    """Hash-incompatible (spark type, duck type) pairings, as messages."""
+    issues = []
+    for col, dt in duck_types.items():
+        st = spark_schema.get(col)
+        if st is None:
+            continue  # column-name mismatch is reported separately
+        allowed = _DUCK_OK.get(st)
+        if allowed is not None:
+            if dt not in allowed:
+                issues.append(f"{col}: spark={st} but oracle={dt}")
+        elif any(d in dt for d in _DUCK_DENY):
+            issues.append(f"{col}: oracle type {dt} (spark={st}) is driver-unhashable")
+    return issues
 
 
 def compare_frames(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> CompareReport:
@@ -103,11 +155,18 @@ def compare_frames(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> CompareRe
 
 
 def run_one(spark, con, spec, sf_dir: str) -> CompareReport:
-    sdf = spec.fn(spark, sf_dir).toPandas()
+    df = spec.fn(spark, sf_dir)
+    sdf = df.toPandas()
     if spec.sql is None:
         return CompareReport(spec.name, len(sdf), len(sdf), True, True, True, "rows-only")
+    spark_schema = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    type_issues = oracle_type_issues(spark_schema, duck_result_types(con, spec.sql))
     odf = con.execute(spec.sql).fetchdf()
-    return compare_frames(spec.name, sdf, odf)
+    rep = compare_frames(spec.name, sdf, odf)
+    if type_issues:
+        rep.types_ok = False
+        rep.detail = "; ".join(["TYPES: " + ", ".join(type_issues)] + ([rep.detail] if rep.detail else []))
+    return rep
 
 
 def _hostile_session():
