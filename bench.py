@@ -206,14 +206,34 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
+
+    # Emission contract (hardened after BENCH_r06 arrived truncated): the
+    # machine-parsed summary line must stay compact — the 75-query timing
+    # map embedded in round 6's single line overflowed the driver's tail
+    # capture and the bench went ungraded ("parsed": null).  Per-query
+    # timings now go to a sidecar file plus '#'-prefixed comment lines
+    # (unparseable as JSON, so they can't shadow the summary), and the
+    # LAST stdout line is a short headline JSON that fits any tail buffer.
+    detail = {
+        "metric": "per_query",
+        "unit": "sec",
+        "sf": sf_val,
+        "queries": timings,
+    }
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_queries.json")
+    with open(out_path, "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+    for name in HEADLINE:
+        print(f"# {name}: {timings[name]}")
     print(
         json.dumps(
             {
                 "metric": "headline_total",
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
-                "queries": timings,
                 "sf": sf_val,
+                "n_queries": len(timings),
+                "queries_file": "bench_queries.json",
             }
         )
     )

@@ -83,11 +83,17 @@ th { color: var(--text-secondary); font-weight: 600;
 def _fmt(v, pct: bool = False) -> str:
     if v is None:
         return "–"
-    if pct:
+    # metrics JSON is externally produced: a string-valued metric must not
+    # crash the render (f"{v:,}" raises on str) — fall through to str();
+    # escaping happens at the render sites (_tile already does; the table
+    # loop escapes too), never here, so nothing double-escapes.
+    if pct and isinstance(v, (int, float)) and not isinstance(v, bool):
         return f"{100.0 * float(v):.2f}%"
     if isinstance(v, float):
         return f"{v:,.3f}"
-    return f"{v:,}"
+    if isinstance(v, int) and not isinstance(v, bool):
+        return f"{v:,}"
+    return str(v)
 
 
 def _tile(label: str, value: str) -> str:
@@ -206,7 +212,8 @@ def render_dashboard_html(
     rows = []
     for h in history[-10:][::-1]:
         cells = "".join(
-            f"<td>{_fmt(h.get(k), pct)}</td>" for k, _, pct in _TABLE_COLS
+            f"<td>{html.escape(_fmt(h.get(k), pct))}</td>"
+            for k, _, pct in _TABLE_COLS
         )
         rows.append(f"<tr>{cells}</tr>")
     head_cells = "".join(f"<th>{html.escape(lbl)}</th>" for _, lbl, _ in _TABLE_COLS)

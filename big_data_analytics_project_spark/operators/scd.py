@@ -31,10 +31,16 @@ def scd2_merge(
     key: str,
     attr: str,
     effective_epoch: int,
+    pinned: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Apply one update batch to an SCD2 dimension.  ``current`` columns:
     key, attr, valid_from_epoch, valid_to_epoch (null = open).
-    ``updates`` columns: key, attr (the new value)."""
+    ``updates`` columns: key, attr (the new value).
+
+    The classification join is persisted for in-plan reuse; pass ``pinned``
+    (a list) to receive that frame so the caller can ``unpersist()`` it
+    after materializing the result — surgical, unlike a session-wide
+    ``clearCache()`` which would drop every caller-owned cached frame."""
     upd = updates.select(
         F.col(key), F.col(attr).alias("__new_attr")
     )
@@ -48,6 +54,8 @@ def scd2_merge(
     # (verified by the plan test in tests/test_curation.py).  In a nightly
     # build this frame is the natural intermediate table.
     joined = open_rows.join(upd, [key], "full").persist()
+    if pinned is not None:
+        pinned.append(joined)
     in_state = F.col("valid_from_epoch").isNotNull()
     in_upd = F.col("__new_attr").isNotNull()
     changed = in_state & in_upd & (F.col("__new_attr") != F.col(attr))

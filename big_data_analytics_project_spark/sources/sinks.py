@@ -221,9 +221,16 @@ def delete_keys_partitioned(
         lambda a, b: a | b, [match(t) for t in affected]
     )
     # pin the surviving rows BEFORE overwriting the very files they come
-    # from (read-then-overwrite of the same partitions)
+    # from (read-then-overwrite of the same partitions).  localCheckpoint,
+    # not persist: a cached block evicted under memory pressure would be
+    # recomputed from the partially-overwritten input mid-rewrite and
+    # silently corrupt survivors; a checkpoint truncates the lineage, so
+    # losing a block fails the job loudly instead (same pattern as
+    # operators/rank.py).
     remaining = (
-        data.where(in_affected).join(keys, key_col, "left_anti").persist()
+        data.where(in_affected)
+        .join(keys, key_col, "left_anti")
+        .localCheckpoint(eager=True)
     )
     surviving = {
         tuple(str(r[c]) for c in partition_cols)
@@ -232,7 +239,6 @@ def delete_keys_partitioned(
     # rewrite partitions that still have rows
     if surviving:
         overwrite_partitions_dynamic(remaining, path, partition_cols)
-    remaining.unpersist()
     # drop emptied partition dirs via the FileSystem API (works on
     # HDFS/object stores, not just local paths)
     emptied = affected - surviving

@@ -290,14 +290,17 @@ def run_scd2_stream(
             F.max(F.unix_timestamp(ts_col)).cast("long").alias("eff")
         ).collect()[0]
         eff = eff_row["eff"] if eff_row["eff"] is not None else 0
-        merged = scd2_merge(current, latest, key, attr, eff)
+        pinned: list[DataFrame] = []
+        merged = scd2_merge(current, latest, key, attr, eff, pinned=pinned)
         merged.write.mode("overwrite").parquet(
             os.path.join(snapshot_dir, f"version={batch_id}")
         )
         # scd2_merge persists its classification join for the in-plan
-        # reuse; drop it now that this batch's snapshot is on disk, or
-        # the per-batch persists accumulate across the run
-        spark.catalog.clearCache()
+        # reuse; drop exactly that frame now that this batch's snapshot is
+        # on disk (a session-wide clearCache here would also evict any
+        # caller-owned cached frames — a surprising global side effect)
+        for df in pinned:
+            df.unpersist()
 
     with tempfile.TemporaryDirectory(prefix="bdap_ckpt_") as ckpt:
         with _state_partitions(spark, state_partitions):

@@ -100,3 +100,15 @@ def test_watch_polls_and_rerenders(tmp_path):
     n = D.watch(str(metrics), str(out), interval_sec=0.01, max_iterations=3)
     assert n == 3
     assert "2" in out.read_text()
+
+
+def test_string_valued_metric_renders_escaped_not_crashing():
+    # metrics JSON is externally produced: a string (even a hostile one)
+    # in a numeric slot must render escaped, not raise ValueError on f"{v:,}"
+    doc = _doc(3)
+    doc["current"] = dict(doc["current"], total_views="<script>alert(1)</script>")
+    doc["history"][0]["total_views"] = "n/a <b>"
+    page = D.render_dashboard_html(doc)
+    assert "<script>alert(1)</script>" not in page
+    assert "&lt;script&gt;" in page
+    assert "n/a &lt;b&gt;" in page
