@@ -153,6 +153,10 @@ HEADLINE = [
     "ml_threshold_sweep",
     # inter-event gap histogram: integer bit-length buckets, no floats
     "timeseries_gap_histogram",
+    # round-7: the notebook EDA report — one multi-agg pass + stack unpivot
+    # (ml_rf_quality_contract's RF path is already benched via
+    # ml_intent_rf_metrics; re-training it here would double that cost)
+    "eda_events_report",
 ]
 
 

@@ -167,6 +167,7 @@ def load_all() -> dict[str, QuerySpec]:
         from .plans import (  # noqa: F401
             curation_queries,
             dedup_queries,
+            eda_queries,
             extras_queries,
             flagship,
             funnel_queries,

@@ -9,8 +9,8 @@ from pathlib import Path
 
 from big_data_analytics_project_spark.registry import load_all
 
-TOTAL = 192
-ORACLE = 175
+TOTAL = 194
+ORACLE = 177
 
 
 def test_counts_match_registry():

@@ -27,11 +27,13 @@ from big_data_analytics_project_spark.registry import (
 # queries lifted into the window tail for ONE round (VERDICT r5 item 4).
 EXPECTED_WINDOW = (
     # tier 0 — never driver-green
+    "eda_events_report",
     "rfm_customer_segments",
     "abtest_chi_square_mix",
     "inequality_gini_revenue",
     "abtest_mann_whitney_values",
     "abtest_kruskal_wallis",
+    "ml_rf_quality_contract",
     "variant_semi_structured",
     "streaming_interval_join_left",
     "session_gap_assignment",
@@ -76,8 +78,6 @@ EXPECTED_WINDOW = (
     "skew_salted_join",
     "flagship_sessionization",
     "multimodal_binary_meta",
-    "multimodal_decode_meta",
-    "multimodal_frame_index",
 )
 
 
