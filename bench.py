@@ -157,6 +157,18 @@ HEADLINE = [
     # (ml_rf_quality_contract's RF path is already benched via
     # ml_intent_rf_metrics; re-training it here would double that cost)
     "eda_events_report",
+    # Kaplan-Meier conversion survival: user rollup + day-grid prefix folds
+    "survival_kaplan_meier",
+    # CUSUM level-shift detector: daily rollup + 5-slot mirrored vector fold
+    "anomaly_cusum_shift",
+    # Benford leading-digit audit: exact-cents digit map + 9-row aggregate
+    "dq_benford_leading_digit",
+    # PPS length-weighted sampling: hash-threshold decisions, map-only
+    "sample_weighted_pps",
+    # hash k-fold assignment: one hash per row + (fold, lang) audit
+    "ml_fold_assignment",
+    # positional skip-gram pairs: join-free indexed-array fan-out + vocab cut
+    "text_skipgram_pairs",
 ]
 
 

@@ -1466,3 +1466,174 @@ def mix_temperature_resample(spark, sf_dir):
             F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
         )
     )
+
+
+# --- Benford leading-digit audit (fraud/synthetic-data smell test) --------
+# Naturally-occurring multi-magnitude amounts follow Benford's law
+# (P(d) = log10(1 + 1/d)); a fabricated or truncated column doesn't.  The
+# leading digit is extracted from the exact cent BIGINT's decimal string —
+# never via log10 of the float, whose boundary cells (0.999…→1000.0)
+# would round differently per engine.  Map-only scan + a 9-row aggregate;
+# the expected shares are log10 of nine fixed rationals whose 6-dp
+# roundings sit far from any boundary (safe cross-libm).
+
+_BENFORD_SQL = """
+WITH cents AS (
+  SELECT CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS c
+  FROM orders WHERE o_totalprice > 0
+),
+digits AS (
+  SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+         CAST(count(*) AS BIGINT) AS n
+  FROM cents GROUP BY digit
+),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM digits)
+SELECT d.digit, d.n,
+       round(CAST(d.n AS DOUBLE) / CAST(t.total AS DOUBLE), 6) AS observed_share,
+       round(log10(1.0 + 1.0 / CAST(d.digit AS DOUBLE)), 6) AS benford_share,
+       round(abs(CAST(d.n AS DOUBLE) / CAST(t.total AS DOUBLE)
+                 - log10(1.0 + 1.0 / CAST(d.digit AS DOUBLE))), 6) AS abs_gap
+FROM digits d CROSS JOIN tot t
+"""
+
+
+@query("dq_benford_leading_digit", sql=_BENFORD_SQL, tags=("quality", "audit"))
+def dq_benford_leading_digit(spark, sf_dir):
+    """Benford's-law conformance of order totals: observed vs expected
+    leading-digit shares and their absolute gaps (see block comment for
+    the exact-cents digit extraction and the map-only scale shape)."""
+    orders = read_table(spark, sf_dir, "orders")
+    c = F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("long")
+    digits = (
+        orders.where(F.col("o_totalprice") > 0)
+        .select(F.substring(c.cast("string"), 1, 1).cast("long").alias("digit"))
+        .groupBy("digit")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    tot = digits.agg(F.sum("n").cast("long").alias("total"))
+    share = F.col("n").cast("double") / F.col("total").cast("double")
+    benford = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double"))
+    return digits.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "n",
+        F.round(share, 6).alias("observed_share"),
+        F.round(benford, 6).alias("benford_share"),
+        F.round(F.abs(share - benford), 6).alias("abs_gap"),
+    )
+
+
+# --- probability-proportional-to-size document sampling -------------------
+# Token-weighted corpus draws ("sample documents ∝ length") via the same
+# engine-portable decision the whole curation family uses: a 60-bit md5
+# hash as the uniform, compared against an inclusion probability computed
+# from exact BIGINT inputs through an identical IEEE op sequence on both
+# engines — the comparison operands are bit-identical cross-engine, so
+# the kept set is too (stronger than seeded RNG, which survives neither
+# engine swaps nor task retries).  p_i = min(1, RATE · w_i·N/ΣW), i.e.
+# RATE scaled by each doc's length relative to the mean.  Map-only over
+# the corpus with one broadcast scalar row; per-source audit output.
+
+_PPS_RATE = 0.2
+
+_PPS_SQL = f"""
+WITH tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_total,
+         CAST(sum(n_chars) AS BIGINT) AS w_total
+  FROM documents
+),
+scored AS (
+  SELECT d.source, d.n_chars,
+         CASE WHEN CAST({hash60("CAST(d.doc_id AS VARCHAR)")} AS DOUBLE)
+                   / 1152921504606846976.0
+                 < least(1.0, {_PPS_RATE} * CAST(d.n_chars AS DOUBLE)
+                              * CAST(t.n_total AS DOUBLE)
+                              / CAST(t.w_total AS DOUBLE))
+              THEN 1 ELSE 0 END AS kept
+  FROM documents d CROSS JOIN tot t
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(kept) AS BIGINT) AS n_kept,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(CASE WHEN kept = 1 THEN n_chars ELSE 0 END) AS BIGINT)
+         AS kept_chars,
+       round(CAST(sum(kept) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+         AS kept_share
+FROM scored GROUP BY source
+"""
+
+
+@query("sample_weighted_pps", sql=_PPS_SQL, tags=("curation", "sampling"))
+def sample_weighted_pps(spark, sf_dir):
+    """Length-weighted (probability-proportional-to-size) document
+    sampling with hash-derived inclusion decisions, audited per source
+    (see block comment; docs/determinism.md hash-decision rule)."""
+    from ..operators.dedup import md5_hash60
+
+    docs = read_table(spark, sf_dir, "documents")
+    tot = docs.agg(
+        F.count("*").cast("long").alias("n_total"),
+        F.sum("n_chars").cast("long").alias("w_total"),
+    )
+    u = md5_hash60(F.col("doc_id").cast("string")).cast("double") / F.lit(
+        1152921504606846976.0
+    )
+    p = F.least(
+        F.lit(1.0),
+        F.lit(_PPS_RATE)
+        * F.col("n_chars").cast("double")
+        * F.col("n_total").cast("double")
+        / F.col("w_total").cast("double"),
+    )
+    scored = docs.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_chars",
+        F.when(u < p, 1).otherwise(0).cast("long").alias("kept"),
+    )
+    return scored.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("kept").cast("long").alias("n_kept"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum(F.when(F.col("kept") == 1, F.col("n_chars")).otherwise(0))
+        .cast("long")
+        .alias("kept_chars"),
+        F.round(
+            F.sum("kept").cast("double") / F.count("*").cast("double"), 6
+        ).alias("kept_share"),
+    )
+
+
+# --- deterministic k-fold assignment (train/eval split audit) -------------
+# Cross-validation folds assigned by hash, not RNG: fold(doc) =
+# md5-60(doc_id) mod K is reproducible across engines, reruns, task
+# retries, and cluster sizes — the property a 100 TB training pipeline
+# needs so that fold membership NEVER silently shifts between the job
+# that writes fold 0 and the job that evaluates on it.  The per-(fold,
+# language) audit both proves the assignment and shows the balance
+# hash-folding buys (each fold ≈ a uniform stratum of every language).
+# Map-only: one hash per row, one small aggregation.
+
+_FOLDS_K = 5
+
+_FOLD_SQL = f"""
+SELECT CAST({hash60("CAST(doc_id AS VARCHAR)")} % {_FOLDS_K} AS BIGINT) AS fold,
+       lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY fold, lang
+"""
+
+
+@query("ml_fold_assignment", sql=_FOLD_SQL, tags=("curation", "ml", "sampling"))
+def ml_fold_assignment(spark, sf_dir):
+    """Hash-derived {_FOLDS_K}-fold cross-validation assignment over the
+    document corpus, audited per (fold, language) — see block comment."""
+    from ..operators.dedup import md5_hash60
+
+    docs = read_table(spark, sf_dir, "documents")
+    fold = (md5_hash60(F.col("doc_id").cast("string")) % _FOLDS_K).cast("long")
+    return docs.groupBy(fold.alias("fold"), "lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )

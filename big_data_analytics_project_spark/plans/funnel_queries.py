@@ -1152,3 +1152,136 @@ def abtest_kruskal_wallis(spark, sf_dir):
         F.col("k").alias("n_groups"),
         F.round(h, 6).alias("h_statistic"),
     )
+
+
+# --- Kaplan-Meier survival (time to first purchase) -----------------------
+# Survival analysis on conversion latency: how long do users "survive"
+# unconverted?  Durations are whole days from a user's first event to
+# their first purchase (event) or last event (right-censored).  The KM
+# estimator S(d) = Π_{d'<=d} (1 − events_{d'}/at_risk_{d'}) needs prefix
+# PRODUCTS over the ordered day grid — not a window aggregate either
+# engine has exactly, and a float product is order-sensitive, so both
+# engines compute each prefix with the SAME left-fold over the SAME
+# day-ordered term list (the mirrored-fold rule applied to products;
+# 1.0-init vs first-element-init agree because 1.0 * x == x).
+#
+# Scale: ONE user-keyed aggregation reduces the corpus to per-user
+# durations; everything after runs on the day grid (≤ a few hundred rows
+# — observation windows are weeks, not millennia), where global windows
+# and an O(days²) slice-fold are free.  At 100 TB the user rollup is the
+# only data-sized stage.
+
+_KM_SQL = """
+WITH u AS (
+  SELECT user_id,
+         min(CAST(floor(epoch(ts)) AS BIGINT)) AS t0,
+         min(CASE WHEN event_type = 'purchase'
+                  THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS te,
+         max(CAST(floor(epoch(ts)) AS BIGINT)) AS tc
+  FROM events GROUP BY user_id
+),
+dur AS (
+  SELECT CAST(floor((coalesce(te, tc) - t0) / 86400.0) AS BIGINT) AS d,
+         CASE WHEN te IS NOT NULL THEN 1 ELSE 0 END AS event
+  FROM u
+),
+byday AS (
+  SELECT d, CAST(count(*) AS BIGINT) AS n_end,
+         CAST(sum(event) AS BIGINT) AS n_events
+  FROM dur GROUP BY d
+),
+cum AS (
+  SELECT d, n_end, n_events,
+         CAST(coalesce(sum(n_end) OVER (ORDER BY d
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cum_before,
+         CAST(sum(n_end) OVER () AS BIGINT) AS total,
+         CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS i
+  FROM byday
+),
+t AS (
+  SELECT d, n_events, n_end - n_events AS n_censored,
+         total - cum_before AS n_at_risk, i,
+         1.0 - CAST(n_events AS DOUBLE) / CAST(total - cum_before AS DOUBLE)
+           AS term
+  FROM cum
+),
+l AS (SELECT list(term ORDER BY d) AS terms FROM t)
+SELECT d AS duration_day,
+       CAST(n_at_risk AS BIGINT) AS n_at_risk,
+       CAST(n_events AS BIGINT) AS n_events,
+       CAST(n_censored AS BIGINT) AS n_censored,
+       round(list_reduce(list_slice((SELECT terms FROM l), 1, i),
+                         (a, x) -> a * x), 6) AS survival
+FROM t
+"""
+
+
+@query("survival_kaplan_meier", sql=_KM_SQL, tags=("funnel", "stats", "survival"))
+def survival_kaplan_meier(spark, sf_dir):
+    """Kaplan-Meier survival curve for time-to-first-purchase with
+    right-censoring at a user's last observed event — the standard
+    churn/conversion-latency estimator (see block comment for the
+    mirrored prefix-product determinism design and the one-keyed-shuffle
+    scale shape)."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    epoch = F.unix_timestamp("ts").cast("long")
+    u = ev.groupBy("user_id").agg(
+        F.min(epoch).alias("t0"),
+        F.min(F.when(F.col("event_type") == "purchase", epoch)).alias("te"),
+        F.max(epoch).alias("tc"),
+    )
+    dur = u.select(
+        F.floor((F.coalesce("te", "tc") - F.col("t0")) / 86400.0)
+        .cast("long")
+        .alias("d"),
+        F.col("te").isNotNull().cast("long").alias("event"),
+    )
+    byday = dur.groupBy("d").agg(
+        F.count("*").cast("long").alias("n_end"),
+        F.sum("event").cast("long").alias("n_events"),
+    )
+    # day grid is ≤ a few hundred rows: single-partition windows are the
+    # right plan here (the corpus-sized stage is the user rollup above)
+    w_before = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.partitionBy()
+    cum = (
+        byday.withColumn(
+            "cum_before", F.coalesce(F.sum("n_end").over(w_before), F.lit(0))
+        )
+        .withColumn("total", F.sum("n_end").over(w_all))
+        .withColumn("i", F.row_number().over(Window.orderBy("d")))
+    )
+    t = cum.select(
+        "d",
+        "n_events",
+        (F.col("n_end") - F.col("n_events")).cast("long").alias("n_censored"),
+        (F.col("total") - F.col("cum_before")).cast("long").alias("n_at_risk"),
+        "i",
+        (
+            F.lit(1.0)
+            - F.col("n_events").cast("double")
+            / (F.col("total") - F.col("cum_before")).cast("double")
+        ).alias("term"),
+    )
+    terms = t.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "term"))), lambda s: s["term"]
+        ).alias("terms")
+    )
+    return t.crossJoin(F.broadcast(terms)).select(
+        F.col("d").alias("duration_day"),
+        "n_at_risk",
+        "n_events",
+        "n_censored",
+        F.round(
+            F.aggregate(
+                F.slice("terms", F.lit(1), F.col("i")),
+                F.lit(1.0),
+                lambda a, x: a * x,
+            ),
+            6,
+        ).alias("survival"),
+    )

@@ -801,3 +801,134 @@ def timeseries_gap_histogram(spark, sf_dir):
         F.max("gap_sec").alias("hi_sec"),
         F.count("*").cast("long").alias("n_gaps"),
     )
+
+
+# --- CUSUM level-shift detection on the daily event series ----------------
+# Tabular CUSUM (Page's test): the standard sequential change detector for
+# "did the daily volume shift from its baseline?" — more sensitive to
+# small sustained shifts than per-point z-scores (anomaly_mad_outliers
+# flags spikes; CUSUM accumulates drift).  Reference allowance k = σ/2,
+# decision interval h = 4σ (the textbook defaults).
+#
+# The recurrence s⁺_i = max(0, s⁺_{i-1} + (x_i − μ − k)) is order-sensitive
+# float state — exactly the EWMA/Holt shape — so both engines run the SAME
+# left-fold over the SAME day-ordered list with a 5-slot vector state
+# [s⁺, s⁻, max⁺, max⁻, alarms] (docs/determinism.md mirrored-fold rule).
+# μ, σ derive from exact BIGINT day-count moments through an identical
+# IEEE op sequence on both sides.
+#
+# Scale: one date-keyed aggregation reduces the corpus to ≤ thousands of
+# daily counts; the fold runs on that driver-sized list in one task.  At
+# 100 TB the daily rollup is the only data-sized stage (and is exactly the
+# hypertable rollup's shape).
+
+_CUSUM_SQL = """
+WITH daily AS (
+  SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY day
+),
+ser AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(x) AS BIGINT) AS s,
+         CAST(sum(x * x) AS BIGINT) AS sq,
+         list(CAST(x AS DOUBLE) ORDER BY day) AS xs
+  FROM daily
+),
+params AS (
+  SELECT n_days, xs,
+         CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE) AS mu,
+         sqrt((CAST(sq AS DOUBLE)
+               - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE))
+              / (CAST(n_days AS DOUBLE) - 1.0)) AS sigma
+  FROM ser
+),
+folded AS (
+  SELECT n_days, mu, sigma,
+         list_reduce(
+           [[0.0, 0.0, 0.0, 0.0, 0.0]] || [[v, 0.0, 0.0, 0.0, 0.0] for v in xs],
+           (a, e) -> [
+             greatest(0.0, a[1] + (e[1] - mu - 0.5 * sigma)),
+             greatest(0.0, a[2] + (mu - 0.5 * sigma - e[1])),
+             greatest(a[3], greatest(0.0, a[1] + (e[1] - mu - 0.5 * sigma))),
+             greatest(a[4], greatest(0.0, a[2] + (mu - 0.5 * sigma - e[1]))),
+             a[5] + CASE WHEN greatest(0.0, a[1] + (e[1] - mu - 0.5 * sigma))
+                              > 4.0 * sigma
+                           OR greatest(0.0, a[2] + (mu - 0.5 * sigma - e[1]))
+                              > 4.0 * sigma
+                         THEN 1.0 ELSE 0.0 END
+           ]
+         ) AS st
+  FROM params
+)
+SELECT n_days,
+       round(mu, 6) AS mean_daily,
+       round(sigma, 6) AS sigma_daily,
+       round(st[1], 6) AS cusum_pos,
+       round(st[2], 6) AS cusum_neg,
+       round(st[3], 6) AS max_cusum_pos,
+       round(st[4], 6) AS max_cusum_neg,
+       CAST(st[5] AS BIGINT) AS n_alarm_days
+FROM folded
+"""
+
+
+@query("anomaly_cusum_shift", sql=_CUSUM_SQL, tags=("timeseries", "anomaly", "fold"))
+def anomaly_cusum_shift(spark, sf_dir):
+    """Tabular CUSUM over the daily event-count series: positive/negative
+    cumulative sums, their maxima, and the number of days breaching the
+    4σ decision interval (see block comment for the mirrored vector-fold
+    determinism design and the single-rollup scale shape)."""
+    ev = read_table(spark, sf_dir, "events")
+    day = F.floor(F.unix_timestamp("ts") / 86400).cast("long")
+    daily = ev.groupBy(day.alias("day")).agg(F.count("*").cast("long").alias("x"))
+    ser = daily.agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("x").cast("long").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sq"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "x"))),
+            lambda t: t["x"].cast("double"),
+        ).alias("xs"),
+    )
+    nd = F.col("n_days").cast("double")
+    params = ser.select(
+        "n_days",
+        "xs",
+        (F.col("s").cast("double") / nd).alias("mu"),
+        F.sqrt(
+            (
+                F.col("sq").cast("double")
+                - F.col("s").cast("double") * F.col("s").cast("double") / nd
+            )
+            / (nd - F.lit(1.0))
+        ).alias("sigma"),
+    )
+    mu, sg = F.col("mu"), F.col("sigma")
+    kk = F.lit(0.5) * sg
+    h = F.lit(4.0) * sg
+
+    def step(a, x):
+        s_pos = F.greatest(F.lit(0.0), a[0] + (x - mu - kk))
+        s_neg = F.greatest(F.lit(0.0), a[1] + (mu - kk - x))
+        return F.array(
+            s_pos,
+            s_neg,
+            F.greatest(a[2], s_pos),
+            F.greatest(a[3], s_neg),
+            a[4] + F.when((s_pos > h) | (s_neg > h), 1.0).otherwise(0.0),
+        )
+
+    st = F.aggregate(
+        "xs", F.array(*[F.lit(0.0)] * 5), step
+    )
+    return params.select(
+        "n_days",
+        F.round(mu, 6).alias("mean_daily"),
+        F.round(sg, 6).alias("sigma_daily"),
+        F.round(st[0], 6).alias("cusum_pos"),
+        F.round(st[1], 6).alias("cusum_neg"),
+        F.round(st[2], 6).alias("max_cusum_pos"),
+        F.round(st[3], 6).alias("max_cusum_neg"),
+        st[4].cast("long").alias("n_alarm_days"),
+    )

@@ -1048,3 +1048,111 @@ def text_pmi_collocations(spark, sf_dir):
             ).alias("pmi"),
         )
     )
+
+
+# --- positional skip-gram co-occurrence (embedding-training prep) ---------
+# Word2vec-style (center, context) pair extraction with window ±2, the
+# counting pass every embedding/collocation trainer starts from.  Unlike
+# text_pmi_collocations (document-level co-occurrence of the top vocab),
+# this is POSITIONAL: only tokens 1 or 2 positions apart pair up, kept
+# directional (left→right).
+#
+# Scale design: there is NO join at all — each document pairs its own
+# token array with itself via an indexed transform (token i with i+1 and
+# i+2), a pure map-side array op bounded at 2 pairs per token, then one
+# vocab-filtered count aggregation.  The vocab cut (top-30, tie-broken)
+# bounds the count table at K²·2 cells before the top-50 TakeOrdered.
+# At 100 TB: scan-bound flatten, broadcast vocab filter, postings-sized
+# shuffle — corpus-linear.
+
+_SKIPGRAM_VOCAB_K = 30
+_SKIPGRAM_TOP = 50
+
+_SKIPGRAM_SQL = rf"""
+WITH arrs AS (
+  SELECT regexp_split_to_array(lower(text), '\s+') AS arr FROM documents
+),
+vocab AS (
+  SELECT gram FROM (
+    SELECT gram, row_number() OVER (ORDER BY count(*) DESC, gram) AS r
+    FROM (SELECT unnest(arr) AS gram FROM arrs) GROUP BY gram
+  ) WHERE r <= {_SKIPGRAM_VOCAB_K}
+),
+pairs AS (
+  SELECT unnest(filter(
+           flatten(list_transform(arr, (x, i) ->
+             [{{'a': x, 'b': arr[i + 1]}}, {{'a': x, 'b': arr[i + 2]}}])),
+           p -> p.b IS NOT NULL)) AS p
+  FROM arrs
+),
+counted AS (
+  SELECT p.a AS term_a, p.b AS term_b, CAST(count(*) AS BIGINT) AS n_pairs
+  FROM pairs
+  WHERE p.a IN (SELECT gram FROM vocab) AND p.b IN (SELECT gram FROM vocab)
+  GROUP BY p.a, p.b
+)
+SELECT term_a, term_b, n_pairs,
+       CAST(row_number() OVER (ORDER BY n_pairs DESC, term_a, term_b)
+            AS BIGINT) AS rank
+FROM counted
+ORDER BY n_pairs DESC, term_a, term_b
+LIMIT {_SKIPGRAM_TOP}
+"""
+
+
+@query("text_skipgram_pairs", sql=_SKIPGRAM_SQL, tags=("text", "analytics"))
+def text_skipgram_pairs(spark, sf_dir):
+    """Top-{_SKIPGRAM_TOP} directional skip-gram pairs (window ±2) over
+    the top-{_SKIPGRAM_VOCAB_K} vocabulary — see block comment for the
+    join-free indexed-array design."""
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    arrs = docs.select(T.ws_tokens(F.col("text")).alias("arr"))
+    vocab = (
+        arrs.select(F.explode("arr").alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), "gram")
+        .limit(_SKIPGRAM_VOCAB_K)
+        .select("gram")
+    )
+    # Spark transform's index is 0-based (DuckDB's is 1-based): neighbor
+    # at 1-based position i+2 == 0-based index+2, skip-1 at +3.
+    pairs = arrs.select(
+        F.explode(
+            F.filter(
+                F.flatten(
+                    F.transform(
+                        "arr",
+                        lambda x, i: F.array(
+                            F.struct(
+                                x.alias("a"),
+                                F.try_element_at("arr", i + F.lit(2)).alias("b"),
+                            ),
+                            F.struct(
+                                x.alias("a"),
+                                F.try_element_at("arr", i + F.lit(3)).alias("b"),
+                            ),
+                        ),
+                    )
+                ),
+                lambda p: p["b"].isNotNull(),
+            )
+        ).alias("p")
+    ).select(F.col("p.a").alias("term_a"), F.col("p.b").alias("term_b"))
+    va = vocab.select(F.col("gram").alias("term_a"))
+    vb = vocab.select(F.col("gram").alias("term_b"))
+    counted = (
+        pairs.join(F.broadcast(va), "term_a")
+        .join(F.broadcast(vb), "term_b")
+        .groupBy("term_a", "term_b")
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+    )
+    wr = Window.orderBy(F.desc("n_pairs"), "term_a", "term_b")
+    return (
+        counted.orderBy(F.desc("n_pairs"), "term_a", "term_b")
+        .limit(_SKIPGRAM_TOP)
+        .withColumn("rank", F.row_number().over(wr).cast("long"))
+        .select("term_a", "term_b", "n_pairs", "rank")
+    )

@@ -27,12 +27,16 @@ from big_data_analytics_project_spark.registry import (
 # queries lifted into the window tail for ONE round (VERDICT r5 item 4).
 EXPECTED_WINDOW = (
     # tier 0 — never driver-green
+    "dq_benford_leading_digit",
+    "sample_weighted_pps",
+    "ml_fold_assignment",
     "eda_events_report",
     "rfm_customer_segments",
     "abtest_chi_square_mix",
     "inequality_gini_revenue",
     "abtest_mann_whitney_values",
     "abtest_kruskal_wallis",
+    "survival_kaplan_meier",
     "ml_rf_quality_contract",
     "variant_semi_structured",
     "streaming_interval_join_left",
@@ -44,6 +48,7 @@ EXPECTED_WINDOW = (
     "timeseries_holt_trend",
     "session_daily_metrics",
     "timeseries_gap_histogram",
+    "anomaly_cusum_shift",
     "text_boilerplate_ngram_share",
     "tfidf_top_terms",
     "quality_unigram_logprob",
@@ -52,6 +57,7 @@ EXPECTED_WINDOW = (
     "retrieval_bm25_topk",
     "drift_js_source_tokens",
     "text_pmi_collocations",
+    "text_skipgram_pairs",
     "tpch_q3_shipping_priority",
     "tpch_q4_order_priority",
     "tpch_q5_local_supplier_volume",
@@ -71,13 +77,6 @@ EXPECTED_WINDOW = (
     "tpch_q17_small_quantity_revenue",
     "tpch_q16_supplier_part_count",
     "tpch_q20_part_promotion",
-    "tpch_q21_waiting_supplier",
-    "tpch_q22_idle_balance",
-    # tier 1 — last green r04
-    "skew_salted_agg",
-    "skew_salted_join",
-    "flagship_sessionization",
-    "multimodal_binary_meta",
 )
 
 
