@@ -169,6 +169,14 @@ HEADLINE = [
     "ml_fold_assignment",
     # positional skip-gram pairs: join-free indexed-array fan-out + vocab cut
     "text_skipgram_pairs",
+    # per-language tokenizer fertility: two regex token kernels, one pass
+    "tokenizer_fertility_by_lang",
+    # keep-best-quality canonical selection: fingerprint-keyed rank window
+    "dedup_keep_best_quality",
+    # engagement calibration: user rollup + bucket aggregate + scalar lift
+    "ml_engagement_calibration",
+    # content-addressed binary dedup: codegen sha2, digest-only shuffle
+    "multimodal_binary_dedup",
 ]
 
 

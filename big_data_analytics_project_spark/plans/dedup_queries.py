@@ -429,3 +429,82 @@ def dedup_keep_latest(spark, sf_dir):
             F.unix_timestamp("ts").cast("long").alias("latest_ts_epoch"),
         )
     )
+
+
+# --- canonical selection: keep the BEST copy, not the first ---------------
+# Production dedup keeps the highest-quality member of each duplicate
+# group (longest, cleanest), not min(id): a near-dup crawl snapshot often
+# contains one clean copy and N boilerplate-damaged ones.  Same planted
+# fingerprint groups as dedup_exact_fingerprint, ranked inside each group
+# by the oracle-checked composite quality score (rounded to 6 dp BEFORE
+# ranking — determinism.md ordering rule — with doc_id as the tie-break).
+# Plan shape: map-only fingerprint+score, ONE hash partition by
+# fingerprint for the per-group rank — no global ordering anywhere.
+
+_KEEP_BEST_SQL = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text || '  .' AS text
+  FROM documents WHERE doc_id % 7 = 0
+),
+scored AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+           AS fingerprint,
+         round(least(length(text)::DOUBLE / 500.0, 1.0) * 0.4
+               + least(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                       x -> list_contains(['the','a','of','to','and','in','is','it'], x)))::DOUBLE
+                       / len(regexp_split_to_array(lower(text), '\\s+')) * 4, 1.0) * 0.3
+               + greatest(1.0 - (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE
+                          / length(text) * 10, 0.0) * 0.3, 6) AS q
+  FROM corpus
+),
+ranked AS (
+  SELECT fingerprint, doc_id, q,
+         row_number() OVER (PARTITION BY fingerprint ORDER BY q DESC, doc_id)
+           AS rn,
+         CAST(count(*) OVER (PARTITION BY fingerprint) AS BIGINT) AS n_copies
+  FROM scored
+)
+SELECT fingerprint, CAST(doc_id AS BIGINT) AS keep_id, q AS keep_quality,
+       n_copies
+FROM ranked WHERE rn = 1
+"""
+
+
+@query("dedup_keep_best_quality", sql=_KEEP_BEST_SQL, tags=("dedup", "quality"))
+def dedup_keep_best_quality(spark, sf_dir):
+    """Quality-ranked canonical selection per exact-fingerprint duplicate
+    group — see block comment."""
+    from pyspark.sql import Window
+
+    from ..operators import text as T
+
+    docs = read_table(spark, sf_dir, "documents")
+    variants = docs.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit("  .")).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(variants)
+    toks = T.ws_tokens(F.col("text"))
+    scored = corpus.select(
+        "doc_id",
+        F.md5(
+            F.trim(F.regexp_replace(F.lower("text"), "[^a-z0-9]+", " "))
+        ).alias("fingerprint"),
+        F.round(T.quality_score(F.col("text"), toks), 6).alias("q"),
+    )
+    w = Window.partitionBy("fingerprint").orderBy(F.desc("q"), "doc_id")
+    wc = Window.partitionBy("fingerprint")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_copies", F.count("*").over(wc).cast("long"))
+        .where(F.col("rn") == 1)
+        .select(
+            "fingerprint",
+            F.col("doc_id").cast("long").alias("keep_id"),
+            F.col("q").alias("keep_quality"),
+            "n_copies",
+        )
+    )

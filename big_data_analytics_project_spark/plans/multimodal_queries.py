@@ -78,3 +78,46 @@ def multimodal_frame_index(spark, sf_dir):
     docs = read_table(spark, sf_dir, "documents")
     payload = M.attach_binary_payload(docs, "doc_id", "text")
     return M.frame_index(payload, "doc_id", frame_bytes=64)
+
+
+@query(
+    "multimodal_binary_dedup",
+    sql="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 2000000 AS doc_id, text
+      FROM documents WHERE doc_id % 5 = 0
+    )
+    SELECT sha256(text) AS payload_sha256,
+           CAST(count(*) AS BIGINT) AS n_copies,
+           CAST(min(octet_length(text::BLOB)) AS BIGINT) AS byte_len,
+           CAST(min(doc_id) AS BIGINT) AS canonical_doc_id
+    FROM corpus
+    GROUP BY 1 HAVING count(*) > 1
+    """,
+    tags=("multimodal", "binary", "dedup"),
+)
+def multimodal_binary_dedup(spark, sf_dir):
+    """Content-addressed exact dedup of opaque binary payloads — the
+    media-asset dedup pass (identical bytes ⇒ identical SHA-256 ⇒ one
+    canonical copy).  The fixture has no byte-identical payloads, so
+    every 5th document is re-ingested verbatim under a new id and the
+    hash-groupBy must find exactly those groups.  Map-only digest +
+    hash partition on the digest; the JVM-side sha2 runs inside codegen,
+    payload bytes never shuffle (only the 32-byte digest does)."""
+    docs = read_table(spark, sf_dir, "documents")
+    dups = docs.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+    )
+    corpus = docs.select("doc_id", "text").unionByName(dups)
+    payload = M.attach_binary_payload(corpus, "doc_id", "text")
+    return (
+        payload.groupBy(F.sha2("payload", 256).alias("payload_sha256"))
+        .agg(
+            F.count("*").cast("long").alias("n_copies"),
+            F.min(F.length("payload")).cast("long").alias("byte_len"),
+            F.min("doc_id").cast("long").alias("canonical_doc_id"),
+        )
+        .where(F.col("n_copies") > 1)
+    )

@@ -425,3 +425,107 @@ def ml_threshold_sweep(spark, sf_dir):
             2.0 * prec * rec / (prec + rec),
         ).alias("f1"),
     )
+
+
+# --- engagement-calibration curve (does activity predict outcomes?) -------
+# The calibration readout behind score-based targeting: bucket users by
+# engagement (click count, 5-wide buckets) and report exact per-bucket
+# outcome rates — purchases per user and purchase revenue per user — plus
+# lift over the population mean.  The fixture's users all convert at
+# least once, so the informative calibration target is outcome INTENSITY,
+# not a binary label.  One user rollup (the corpus-sized stage), a
+# ~5-row bucket aggregate, and broadcast 1-row totals for the lift —
+# exact BIGINT counts/cents meeting in single IEEE divisions.
+
+_CALIBRATION_SQL = """
+WITH feats AS (
+  SELECT user_id,
+         count(CASE WHEN event_type = 'click' THEN 1 END) AS clicks,
+         CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT)
+           AS purchases,
+         CAST(sum(CASE WHEN event_type = 'purchase'
+                       THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS rev_cents
+  FROM events GROUP BY user_id
+),
+b AS (
+  SELECT CAST(least(clicks // 5, 10) AS BIGINT) AS click_bucket,
+         purchases, rev_cents
+  FROM feats
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_all,
+         CAST(sum(purchases) AS BIGINT) AS p_all,
+         CAST(sum(rev_cents) AS BIGINT) AS r_all
+  FROM b
+)
+SELECT b.click_bucket,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(b.purchases) AS BIGINT) AS total_purchases,
+       CAST(sum(b.rev_cents) AS BIGINT) AS total_rev_cents,
+       round(CAST(sum(b.purchases) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+         AS purchases_per_user,
+       round(CAST(sum(b.rev_cents) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+         AS rev_cents_per_user,
+       round((CAST(sum(b.purchases) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+             / (CAST(t.p_all AS DOUBLE) / CAST(t.n_all AS DOUBLE)), 6)
+         AS purchase_lift
+FROM b CROSS JOIN tot t
+GROUP BY b.click_bucket, t.n_all, t.p_all, t.r_all
+"""
+
+
+@query("ml_engagement_calibration", sql=_CALIBRATION_SQL, tags=("ml", "eval"))
+def ml_engagement_calibration(spark, sf_dir):
+    """Engagement-to-outcome calibration curve: exact purchases/user and
+    revenue/user per click-count bucket with lift over the population
+    mean — see block comment."""
+    ev = read_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long")
+    feats = ev.groupBy("user_id").agg(
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("clicks"),
+        F.count(F.when(F.col("event_type") == "purchase", 1))
+        .cast("long")
+        .alias("purchases"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", cents).otherwise(0)
+        )
+        .cast("long")
+        .alias("rev_cents"),
+    )
+    b = feats.select(
+        F.least(F.floor(F.col("clicks") / 5), F.lit(10))
+        .cast("long")
+        .alias("click_bucket"),
+        "purchases",
+        "rev_cents",
+    )
+    tot = b.agg(
+        F.count("*").cast("long").alias("n_all"),
+        F.sum("purchases").cast("long").alias("p_all"),
+        F.sum("rev_cents").cast("long").alias("r_all"),
+    )
+    ppu = F.sum("purchases").cast("double") / F.count("*").cast("double")
+    rpu = F.sum("rev_cents").cast("double") / F.count("*").cast("double")
+    base = F.col("p_all").cast("double") / F.col("n_all").cast("double")
+    return (
+        b.crossJoin(F.broadcast(tot))
+        .groupBy("click_bucket", "n_all", "p_all", "r_all")
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.sum("purchases").cast("long").alias("total_purchases"),
+            F.sum("rev_cents").cast("long").alias("total_rev_cents"),
+            F.round(ppu, 6).alias("purchases_per_user"),
+            F.round(rpu, 6).alias("rev_cents_per_user"),
+            F.round(ppu / base, 6).alias("purchase_lift"),
+        )
+        .select(
+            "click_bucket",
+            "n_users",
+            "total_purchases",
+            "total_rev_cents",
+            "purchases_per_user",
+            "rev_cents_per_user",
+            "purchase_lift",
+        )
+    )

@@ -1156,3 +1156,57 @@ def text_skipgram_pairs(spark, sf_dir):
         .withColumn("rank", F.row_number().over(wr).cast("long"))
         .select("term_a", "term_b", "n_pairs", "rank")
     )
+
+
+# --- tokenizer fertility audit (chars/token, subword/word ratios) ---------
+# "How many subword tokens does this corpus cost per language?" — the
+# budgeting number behind every multilingual data mix (fertility = BPE-ish
+# tokens per whitespace word; compression = chars per BPE-ish token).
+# Map-only token counting (the text_token_stats kernels) + one 5-group
+# aggregate; exact BIGINT sums meet in single IEEE divisions.
+
+_FERTILITY_SQL = r"""
+WITH t AS (
+  SELECT lang,
+         CAST(len(regexp_split_to_array(lower(text), '\s+')) AS BIGINT) AS ws,
+         CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+              AS BIGINT) AS bpe,
+         CAST(length(text) AS BIGINT) AS chars
+  FROM documents
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(chars) AS BIGINT) AS total_chars,
+       CAST(sum(ws) AS BIGINT) AS total_ws_tokens,
+       CAST(sum(bpe) AS BIGINT) AS total_bpeish_tokens,
+       round(CAST(sum(chars) AS DOUBLE) / CAST(sum(bpe) AS DOUBLE), 6)
+         AS chars_per_token,
+       round(CAST(sum(bpe) AS DOUBLE) / CAST(sum(ws) AS DOUBLE), 6)
+         AS fertility
+FROM t GROUP BY lang
+"""
+
+
+@query("tokenizer_fertility_by_lang", sql=_FERTILITY_SQL, tags=("text", "tokens", "audit"))
+def tokenizer_fertility_by_lang(spark, sf_dir):
+    """Per-language tokenizer fertility and compression-ratio audit — see
+    block comment."""
+    docs = read_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "lang",
+        F.size(T.ws_tokens(F.col("text"))).cast("long").alias("ws"),
+        T.bpeish_token_count(F.col("text")).alias("bpe"),
+        F.length("text").cast("long").alias("chars"),
+    )
+    return t.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("chars").cast("long").alias("total_chars"),
+        F.sum("ws").cast("long").alias("total_ws_tokens"),
+        F.sum("bpe").cast("long").alias("total_bpeish_tokens"),
+        F.round(
+            F.sum("chars").cast("double") / F.sum("bpe").cast("double"), 6
+        ).alias("chars_per_token"),
+        F.round(F.sum("bpe").cast("double") / F.sum("ws").cast("double"), 6).alias(
+            "fertility"
+        ),
+    )

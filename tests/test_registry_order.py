@@ -30,6 +30,7 @@ EXPECTED_WINDOW = (
     "dq_benford_leading_digit",
     "sample_weighted_pps",
     "ml_fold_assignment",
+    "dedup_keep_best_quality",
     "eda_events_report",
     "rfm_customer_segments",
     "abtest_chi_square_mix",
@@ -38,7 +39,9 @@ EXPECTED_WINDOW = (
     "abtest_kruskal_wallis",
     "survival_kaplan_meier",
     "ml_rf_quality_contract",
+    "multimodal_binary_dedup",
     "variant_semi_structured",
+    "ml_engagement_calibration",
     "streaming_interval_join_left",
     "session_gap_assignment",
     "timeseries_gapfill_interpolate",
@@ -58,6 +61,7 @@ EXPECTED_WINDOW = (
     "drift_js_source_tokens",
     "text_pmi_collocations",
     "text_skipgram_pairs",
+    "tokenizer_fertility_by_lang",
     "tpch_q3_shipping_priority",
     "tpch_q4_order_priority",
     "tpch_q5_local_supplier_volume",
@@ -73,10 +77,6 @@ EXPECTED_WINDOW = (
     "tpch_q13_customer_distribution",
     "tpch_q2_min_cost_supplier",
     "tpch_q11_important_stock",
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q16_supplier_part_count",
-    "tpch_q20_part_promotion",
 )
 
 
