@@ -177,6 +177,10 @@ HEADLINE = [
     "ml_engagement_calibration",
     # content-addressed binary dedup: codegen sha2, digest-only shuffle
     "multimodal_binary_dedup",
+    # bucketed co-located join: write-time bucketing, exchange-free SMJ
+    "layout_bucketed_join",
+    # curriculum tertiles: two-pass distributed rank + phase aggregate
+    "curriculum_phase_assignment",
 ]
 
 

@@ -1637,3 +1637,149 @@ def ml_fold_assignment(spark, sf_dir):
         F.count("*").cast("long").alias("n_docs"),
         F.sum("n_chars").cast("long").alias("total_chars"),
     )
+
+
+# --- bucketed co-located join (the shuffle-elimination layout) ------------
+# Bucketing is the layout answer to "this join runs every night on the
+# same key": pre-hash both tables into the SAME bucket count on the join
+# key at WRITE time, and every subsequent join on that key needs no
+# exchange at all — each task merge-joins bucket i ⋈ bucket i (sortBy
+# makes the merge sort-free too).  At 100 TB this converts the nightly
+# orders ⋈ customer shuffle (the dominant cost) into a scan;
+# tests/test_plan_pins.py pins the no-Exchange plan.  The query writes
+# both fixture tables bucketed to a scratch dir, joins through the
+# catalog tables, and aggregates — the RESULT (which the oracle checks
+# against a plain join) is layout-independent by construction.
+
+_BUCKETS = 8
+_BUCKET_SEQ = [0]
+
+
+@query(
+    "layout_bucketed_join",
+    sql="""
+    SELECT c.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    tags=("layout", "join", "bucketing"),
+)
+def layout_bucketed_join(spark, sf_dir):
+    """Per-segment order revenue through BUCKETED catalog tables — the
+    co-located join layout (see block comment)."""
+    import os
+    import tempfile
+
+    _BUCKET_SEQ[0] += 1
+    tag = f"{os.getpid()}_{_BUCKET_SEQ[0]}"
+    base = tempfile.mkdtemp(prefix="bdap_bucketed_")
+    for tbl, df, key in (
+        (f"bdap_orders_{tag}", read_table(spark, sf_dir, "orders"), "o_custkey"),
+        (
+            f"bdap_customer_{tag}",
+            read_table(spark, sf_dir, "customer"),
+            "c_custkey",
+        ),
+    ):
+        (
+            df.write.format("parquet")
+            .mode("overwrite")
+            .bucketBy(_BUCKETS, key)
+            .sortBy(key)
+            .option("path", os.path.join(base, tbl))
+            .saveAsTable(tbl)
+        )
+    o = spark.table(f"bdap_orders_{tag}")
+    c = spark.table(f"bdap_customer_{tag}")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+# --- curriculum phase assignment by quality tertile -----------------------
+# Curriculum training consumes the corpus easiest-last: phase 2 holds the
+# top quality tertile, phase 0 the bottom.  Exact tertiles over 100 TB
+# need a global rank with no single reducer — the same two-pass
+# distributed rank RFM uses (range partition → local row_number →
+# broadcast offsets).  Per-doc quality rounds to 6 dp BEFORE ranking
+# (determinism.md ordering rule, doc_id tie-break); the per-phase mean
+# quality sums micro-quantized BIGINTs, never raw doubles.
+
+_CURRICULUM_SQL = r"""
+WITH scored AS (
+  SELECT doc_id, lang, n_chars,
+         round(least(length(text)::DOUBLE / 500.0, 1.0) * 0.4
+               + least(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                       x -> list_contains(['the','a','of','to','and','in','is','it'], x)))::DOUBLE
+                       / len(regexp_split_to_array(lower(text), '\s+')) * 4, 1.0) * 0.3
+               + greatest(1.0 - (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE
+                          / length(text) * 10, 0.0) * 0.3, 6) AS q
+  FROM documents
+),
+ranked AS (
+  SELECT lang, n_chars, q,
+         row_number() OVER (ORDER BY q, doc_id) AS rn,
+         count(*) OVER () AS n
+  FROM scored
+),
+phased AS (
+  SELECT lang, n_chars, q,
+         CAST(floor((rn - 1) * 3.0 / n) AS BIGINT) AS phase
+  FROM ranked
+)
+SELECT phase, lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       round(CAST(sum(CAST(floor(q * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 1000000.0 / count(*), 6) AS mean_quality
+FROM phased GROUP BY phase, lang
+"""
+
+
+@query(
+    "curriculum_phase_assignment",
+    sql=_CURRICULUM_SQL,
+    tags=("curation", "ranking"),
+)
+def curriculum_phase_assignment(spark, sf_dir):
+    """Quality-tertile curriculum phases over the corpus, audited per
+    (phase, language) — see block comment."""
+    from ..operators import text as T
+    from ..operators.rank import distributed_global_rank
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = T.ws_tokens(F.col("text"))
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.round(T.quality_score(F.col("text"), toks), 6).alias("q"),
+    )
+    ranked, n = distributed_global_rank(scored, ["q", "doc_id"], "__grank")
+    phased = ranked.select(
+        "lang",
+        "n_chars",
+        "q",
+        F.floor((F.col("__grank") - 1) * 3.0 / F.lit(n)).cast("long").alias("phase"),
+    )
+    return phased.groupBy("phase", "lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.round(
+            F.sum(F.floor(F.col("q") * 1000000.0 + F.lit(0.5)).cast("long"))
+            .cast("double")
+            / 1000000.0
+            / F.count("*"),
+            6,
+        ).alias("mean_quality"),
+    )

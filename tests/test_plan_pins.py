@@ -90,3 +90,28 @@ def test_latency_single_partition_is_only_the_scalar_agg(registry, spark, sf_dir
     more would mean the rank itself regressed to a global window."""
     plan = _plan(registry, spark, sf_dir, "funnel_conversion_latency")
     assert plan.count("Exchange SinglePartition") == 1, plan
+
+
+def test_bucketed_join_has_no_exchange_between_scans_and_join(
+    registry, spark, sf_dir
+):
+    """layout_bucketed_join's whole point: both sides pre-bucketed on the
+    join key means the join needs NO shuffle.  Disable broadcast so the
+    sort-merge path (the 100 TB shape) is what gets planned, and assert
+    zero Exchange operators below the join."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    aqe_prev = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        plan = _plan(registry, spark, sf_dir, "layout_bucketed_join")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_prev)
+    # everything at-or-below the join node: the join inputs must be
+    # exchange-free (bucketed scans feed the SMJ directly).  The single
+    # allowed Exchange in the full plan is the 5-group post-join
+    # aggregation shuffle, which sits ABOVE the join node in the string.
+    below_join = plan[plan.index("SortMergeJoin"):]
+    assert below_join.count("Exchange") == 0, plan
+    assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan, plan

@@ -30,6 +30,8 @@ EXPECTED_WINDOW = (
     "dq_benford_leading_digit",
     "sample_weighted_pps",
     "ml_fold_assignment",
+    "layout_bucketed_join",
+    "curriculum_phase_assignment",
     "dedup_keep_best_quality",
     "eda_events_report",
     "rfm_customer_segments",
@@ -75,8 +77,6 @@ EXPECTED_WINDOW = (
     "tpch_q9_product_type_profit",
     "tpch_q12_priority_by_linestatus",
     "tpch_q13_customer_distribution",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q11_important_stock",
 )
 
 
