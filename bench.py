@@ -181,6 +181,10 @@ HEADLINE = [
     "layout_bucketed_join",
     # curriculum tertiles: two-pass distributed rank + phase aggregate
     "curriculum_phase_assignment",
+    # U-shaped attribution: ppm-integer credit over the epoch machinery
+    "attribution_position_weighted",
+    # label centroids: distributed micro-int dim sums + tiny fold-cosine
+    "embedding_label_centroids",
 ]
 
 

@@ -1285,3 +1285,115 @@ def survival_kaplan_meier(spark, sf_dir):
             6,
         ).alias("survival"),
     )
+
+
+# --- U-shaped (position-weighted) attribution -----------------------------
+# The 40/20/40 position model between the first/last extremes: first and
+# last touch of each purchase epoch get 40% of the revenue credit each,
+# the middles split the remaining 20% evenly.  Same epoch machinery as
+# attribution_first_last_touch (pseq running count → (user_id, pseq)
+# equi-join, no range join).  Credit stays on an exact integer grid:
+# weights are parts-per-million BIGINTs (single touch 10⁶; two touches
+# 5·10⁵ each; else 4·10⁵/4·10⁵ and ⌊2·10⁵/(n−2)⌋ per middle — the ≤n−3
+# ppm rounding remainder is dropped identically on both engines), and
+# credit_micro = cents × weight sums as BIGINT before ONE final double
+# division.
+
+_UPOS_SQL = """
+WITH seq AS (
+  SELECT event_id, user_id, event_type, value, ts,
+         coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS pseq
+  FROM events
+),
+touches AS (
+  SELECT user_id, pseq, event_type,
+         row_number() OVER (PARTITION BY user_id, pseq
+                            ORDER BY ts, event_id) AS rn,
+         count(*) OVER (PARTITION BY user_id, pseq) AS n
+  FROM seq WHERE event_type <> 'purchase'
+),
+conv AS (
+  SELECT user_id, pseq,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM seq WHERE event_type = 'purchase'
+),
+credited AS (
+  SELECT t.event_type AS touch_type,
+         c.cents * CASE WHEN t.n = 1 THEN 1000000
+                        WHEN t.rn = 1 OR t.rn = t.n
+                          THEN CASE WHEN t.n = 2 THEN 500000 ELSE 400000 END
+                        ELSE 200000 // (t.n - 2) END AS credit_micro
+  FROM touches t
+  JOIN conv c ON t.user_id = c.user_id AND t.pseq = c.pseq
+)
+SELECT touch_type,
+       CAST(count(*) AS BIGINT) AS n_credited_touches,
+       CAST(sum(credit_micro) AS BIGINT) AS credit_micro_cents,
+       round(CAST(sum(credit_micro) AS DOUBLE) / 1000000.0 / 100.0, 6)
+         AS attributed_revenue
+FROM credited GROUP BY touch_type
+"""
+
+
+@query(
+    "attribution_position_weighted",
+    sql=_UPOS_SQL,
+    tags=("funnel", "attribution"),
+)
+def attribution_position_weighted(spark, sf_dir):
+    """U-shaped 40/20/40 position-weighted revenue attribution per touch
+    type — see block comment for the ppm-integer credit grid."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        "ts",
+        F.coalesce(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).over(w_run),
+            F.lit(0),
+        ).alias("pseq"),
+    )
+    w_t = Window.partitionBy("user_id", "pseq").orderBy("ts", "event_id")
+    w_n = Window.partitionBy("user_id", "pseq")
+    touches = (
+        seq.where(F.col("event_type") != "purchase")
+        .withColumn("rn", F.row_number().over(w_t))
+        .withColumn("n", F.count("*").over(w_n))
+        .select("user_id", "pseq", "event_type", "rn", "n")
+    )
+    conv = seq.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "pseq",
+        F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    ends = F.when(F.col("n") == 2, 500000).otherwise(400000)
+    weight = (
+        F.when(F.col("n") == 1, 1000000)
+        .when((F.col("rn") == 1) | (F.col("rn") == F.col("n")), ends)
+        .otherwise(F.expr("200000 div (n - 2)"))
+    )
+    credited = touches.join(conv, ["user_id", "pseq"]).select(
+        F.col("event_type").alias("touch_type"),
+        (F.col("cents") * weight).alias("credit_micro"),
+    )
+    return credited.groupBy("touch_type").agg(
+        F.count("*").cast("long").alias("n_credited_touches"),
+        F.sum("credit_micro").cast("long").alias("credit_micro_cents"),
+        F.round(
+            F.sum("credit_micro").cast("double") / 1000000.0 / 100.0, 6
+        ).alias("attributed_revenue"),
+    )

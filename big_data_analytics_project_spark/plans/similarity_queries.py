@@ -652,3 +652,111 @@ def embedding_matryoshka_audit(spark, sf_dir):
         delta.alias("abs_delta"),
         (delta <= _MRL_DELTA_OK).cast("long").alias("preserved"),
     )
+
+
+# --- label-centroid similarity matrix -------------------------------------
+# "How separable are the classes in embedding space?" — the confusion-risk
+# audit run before training a classifier head on frozen embeddings.  The
+# 100 TB design point is the CENTROID computation: a float vector mean via
+# collect-and-fold would funnel each label's vectors into one task, so each
+# dimension is micro-quantized (1e-6 grid) to BIGINT and summed as rows —
+# order-independent, exact, map-side-combined, fully distributed
+# (posexplode → (label, dim) groupBy).  Only the 10×64 centroid table is
+# assembled into arrays, where the pairwise cosine runs as the standard
+# mirrored left-fold (functions/vector.py contract), rounded to 6 dp.
+
+_CENTROID_SQL = """
+WITH per_dim AS (
+  SELECT label, p.d AS dim, CAST(sum(p.v) AS BIGINT) AS s
+  FROM (
+    SELECT label,
+           unnest(list_transform(embedding, (x, i) ->
+             {'d': i, 'v': CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5)
+                                AS BIGINT)})) AS p
+    FROM embeddings
+  )
+  GROUP BY label, p.d
+),
+counts AS (
+  SELECT label, CAST(count(*) AS BIGINT) AS n FROM embeddings GROUP BY label
+),
+cent AS (
+  SELECT d.label, c.n,
+         list(CAST(d.s AS DOUBLE) / 1000000.0 / CAST(c.n AS DOUBLE)
+              ORDER BY d.dim) AS cv
+  FROM per_dim d JOIN counts c ON d.label = c.label
+  GROUP BY d.label, c.n
+)
+SELECT a.label AS label_a, b.label AS label_b,
+       a.n AS n_a, b.n AS n_b,
+       round(
+         list_reduce(list_transform(list_zip(a.cv, b.cv), p -> p[1]*p[2]),
+                     (acc, x) -> acc + x)
+         / (sqrt(list_reduce(list_transform(a.cv, x -> x*x), (acc, x) -> acc + x))
+            * sqrt(list_reduce(list_transform(b.cv, x -> x*x), (acc, x) -> acc + x))),
+         6) AS centroid_cosine
+FROM cent a JOIN cent b ON a.label < b.label
+"""
+
+
+@query(
+    "embedding_label_centroids",
+    sql=_CENTROID_SQL,
+    tags=("similarity", "embeddings", "audit"),
+)
+def embedding_label_centroids(spark, sf_dir):
+    """Pairwise cosine similarity between per-label embedding centroids —
+    see block comment for the distributed exact-integer centroid design."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x")
+    ).select(
+        "label",
+        (F.col("pos") + 1).alias("dim"),  # DuckDB's lambda index is 1-based
+        F.floor(F.col("x") * 1000000.0 + F.lit(0.5)).cast("long").alias("v"),
+    )
+    per_dim = exploded.groupBy("label", "dim").agg(
+        F.sum("v").cast("long").alias("s")
+    )
+    counts = emb.groupBy("label").agg(F.count("*").cast("long").alias("n"))
+    cent = (
+        per_dim.join(F.broadcast(counts), "label")
+        .groupBy("label", "n")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "dim",
+                            (
+                                F.col("s").cast("double")
+                                / 1000000.0
+                                / F.col("n").cast("double")
+                            ).alias("c"),
+                        )
+                    )
+                ),
+                lambda t: t["c"],
+            ).alias("cv")
+        )
+    )
+    a = cent.select(
+        F.col("label").alias("label_a"), F.col("n").alias("n_a"), F.col("cv").alias("cva")
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"), F.col("n").alias("n_b"), F.col("cv").alias("cvb")
+    )
+    from ..functions.vector import cosine
+
+    return (
+        a.join(b, F.col("label_a") < F.col("label_b"))
+        .select(
+            "label_a",
+            "label_b",
+            "n_a",
+            "n_b",
+            F.round(cosine(F.col("cva"), F.col("cvb")), 6).alias(
+                "centroid_cosine"
+            ),
+        )
+    )

@@ -40,10 +40,12 @@ EXPECTED_WINDOW = (
     "abtest_mann_whitney_values",
     "abtest_kruskal_wallis",
     "survival_kaplan_meier",
+    "attribution_position_weighted",
     "ml_rf_quality_contract",
     "multimodal_binary_dedup",
     "variant_semi_structured",
     "ml_engagement_calibration",
+    "embedding_label_centroids",
     "streaming_interval_join_left",
     "session_gap_assignment",
     "timeseries_gapfill_interpolate",
@@ -75,8 +77,6 @@ EXPECTED_WINDOW = (
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
     "tpch_q9_product_type_profit",
-    "tpch_q12_priority_by_linestatus",
-    "tpch_q13_customer_distribution",
 )
 
 
