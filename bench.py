@@ -185,6 +185,10 @@ HEADLINE = [
     "attribution_position_weighted",
     # label centroids: distributed micro-int dim sums + tiny fold-cosine
     "embedding_label_centroids",
+    # KS two-sample: value-domain cell table + BIGINT CDF cumsums
+    "abtest_ks_statistic",
+    # 24h-bounded funnel: three chained keyed aggregations
+    "funnel_time_bounded",
 ]
 
 

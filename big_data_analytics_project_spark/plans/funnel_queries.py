@@ -16,8 +16,10 @@ from ..sources import read_table
 from ._duck import hash60
 
 # Stage k's timestamp must be >= stage k-1's (ordered funnel, not mere
-# presence): min(view) → first cart AT OR AFTER it → first purchase AT OR
-# AFTER that.
+# presence): min(view) → first click AT OR AFTER it → first purchase AT OR
+# AFTER that.  (The fixture has no 'cart' event type; the original cart
+# stage made stages 2-3 structurally zero — round 7 switched the middle
+# stage to click so the funnel measures something.)
 _FUNNEL_SQL = """
 WITH v AS (
   SELECT user_id, min(ts) AS v_ts FROM events
@@ -26,7 +28,7 @@ WITH v AS (
 c AS (
   SELECT e.user_id, min(e.ts) AS c_ts
   FROM events e JOIN v ON e.user_id = v.user_id
-  WHERE e.event_type = 'cart' AND e.ts >= v.v_ts
+  WHERE e.event_type = 'click' AND e.ts >= v.v_ts
   GROUP BY e.user_id
 ),
 p AS (
@@ -37,15 +39,15 @@ p AS (
 )
 SELECT 'view' AS stage, (SELECT count(*) FROM v) AS n_users
 UNION ALL
-SELECT 'view_cart', (SELECT count(*) FROM c)
+SELECT 'view_click', (SELECT count(*) FROM c)
 UNION ALL
-SELECT 'view_cart_purchase', (SELECT count(*) FROM p)
+SELECT 'view_click_purchase', (SELECT count(*) FROM p)
 """
 
 
 @query("funnel_ordered_stages", sql=_FUNNEL_SQL, tags=("funnel", "clickstream"))
 def funnel_ordered_stages(spark, sf_dir):
-    """Ordered three-stage funnel (view → cart → purchase): a user counts
+    """Ordered three-stage funnel (view → click → purchase): a user counts
     at stage k only if stage k's first event is at-or-after stage k-1's —
     presence alone isn't conversion.  Three keyed aggregations chained by
     user_id equi-joins; each stage's filter pushes to its own scan."""
@@ -65,7 +67,7 @@ def funnel_ordered_stages(spark, sf_dir):
         .groupBy("user_id")
         .agg(F.min("ts").alias("v_ts"))
     )
-    c = first_at_or_after("cart", v, "v_ts", "c_ts")
+    c = first_at_or_after("click", v, "v_ts", "c_ts")
     p = first_at_or_after("purchase", c, "c_ts", "p_ts")
 
     def stage(name, df):
@@ -75,8 +77,8 @@ def funnel_ordered_stages(spark, sf_dir):
 
     return (
         stage("view", v)
-        .unionByName(stage("view_cart", c))
-        .unionByName(stage("view_cart_purchase", p))
+        .unionByName(stage("view_click", c))
+        .unionByName(stage("view_click_purchase", p))
     )
 
 
@@ -1396,4 +1398,177 @@ def attribution_position_weighted(spark, sf_dir):
         F.round(
             F.sum("credit_micro").cast("double") / 1000000.0 / 100.0, 6
         ).alias("attributed_revenue"),
+    )
+
+
+# --- Kolmogorov-Smirnov two-sample test (value distributions) -------------
+# Does the purchase-value distribution differ between the two hash-split
+# experiment arms?  KS is the standard distribution-free answer; its D
+# statistic needs the max gap between the two empirical CDFs, evaluated
+# only at observed values.  Everything stays exact until one mirrored
+# double op per distinct value: per-value BIGINT counts → window cumsums
+# (still BIGINT) → ONE c1/n1 − c2/n2 per cell → max.  The same 2-decimal
+# currency domain bound as Mann-Whitney keeps the cell table value-
+# domain-sized, not corpus-sized; arms come from the md5-hash user split
+# (engine-portable, like abtest_conversion_lift).
+
+_KS_SQL = f"""
+WITH assigned AS (
+  SELECT CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents,
+         CAST({hash60("CAST(user_id AS VARCHAR)")} % 2 AS BIGINT) AS arm
+  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+),
+cells AS (
+  SELECT cents,
+         CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+  FROM assigned GROUP BY cents
+),
+cum AS (
+  SELECT cents,
+         CAST(sum(c0) OVER (ORDER BY cents) AS BIGINT) AS f0,
+         CAST(sum(c1) OVER (ORDER BY cents) AS BIGINT) AS f1,
+         CAST(sum(c0) OVER () AS BIGINT) AS n0,
+         CAST(sum(c1) OVER () AS BIGINT) AS n1
+  FROM cells
+)
+SELECT max(n0) AS n0, max(n1) AS n1,
+       round(max(abs(CAST(f0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+                     - CAST(f1 AS DOUBLE) / CAST(n1 AS DOUBLE))), 6) AS ks_d,
+       round(1.358 * sqrt(CAST(max(n0) + max(n1) AS DOUBLE)
+                          / (CAST(max(n0) AS DOUBLE) * CAST(max(n1) AS DOUBLE))),
+             6) AS critical_005,
+       CAST(max(abs(CAST(f0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+                    - CAST(f1 AS DOUBLE) / CAST(n1 AS DOUBLE)))
+            > 1.358 * sqrt(CAST(max(n0) + max(n1) AS DOUBLE)
+                           / (CAST(max(n0) AS DOUBLE) * CAST(max(n1) AS DOUBLE)))
+            AS BOOLEAN) AS reject_at_005
+FROM cum
+"""
+
+
+@query("abtest_ks_statistic", sql=_KS_SQL, tags=("funnel", "stats"))
+def abtest_ks_statistic(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov D over purchase values between
+    hash-assigned experiment arms, with the 5% asymptotic critical value
+    — see block comment."""
+    from pyspark.sql import Window
+
+    from ..operators.dedup import md5_hash60
+
+    ev = read_table(spark, sf_dir, "events")
+    assigned = ev.where(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    ).select(
+        F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long").alias("cents"),
+        (md5_hash60(F.col("user_id").cast("string")) % 2).cast("long").alias("arm"),
+    )
+    cells = assigned.groupBy("cents").agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("long").alias("c0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("long").alias("c1"),
+    )
+    # the cell table is value-domain-bounded (2-dp currency), so a global
+    # ordered window here runs over thousands of rows, not the corpus
+    w_cum = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    cum = cells.select(
+        F.sum("c0").over(w_cum).cast("long").alias("f0"),
+        F.sum("c1").over(w_cum).cast("long").alias("f1"),
+        F.sum("c0").over(w_all).cast("long").alias("n0"),
+        F.sum("c1").over(w_all).cast("long").alias("n1"),
+    )
+    gap = F.abs(
+        F.col("f0").cast("double") / F.col("n0").cast("double")
+        - F.col("f1").cast("double") / F.col("n1").cast("double")
+    )
+    agg = cum.agg(
+        F.max("n0").alias("n0"),
+        F.max("n1").alias("n1"),
+        F.max(gap).alias("d_raw"),
+    )
+    crit = F.lit(1.358) * F.sqrt(
+        (F.col("n0") + F.col("n1")).cast("double")
+        / (F.col("n0").cast("double") * F.col("n1").cast("double"))
+    )
+    return agg.select(
+        "n0",
+        "n1",
+        F.round(F.col("d_raw"), 6).alias("ks_d"),
+        F.round(crit, 6).alias("critical_005"),
+        (F.col("d_raw") > crit).alias("reject_at_005"),
+    )
+
+
+# --- time-bounded funnel (conversion within 24 h) -------------------------
+# The ordered funnel with a CLOCK: stage k counts only if it happens
+# within the window of stage k-1 (click ≤24 h after first view, purchase
+# ≤24 h after that click).  Same chained keyed-aggregation shape as
+# funnel_ordered_stages — each stage is one groupBy + one equi-join on
+# user_id, every filter pushed to its scan.
+
+_FUNNEL_TB_SQL = """
+WITH v AS (
+  SELECT user_id, min(ts) AS v_ts FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS c_ts
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts >= v.v_ts
+    AND e.ts <= v.v_ts + INTERVAL 24 HOUR
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS p_ts
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= c.c_ts
+    AND e.ts <= c.c_ts + INTERVAL 24 HOUR
+  GROUP BY e.user_id
+)
+SELECT 'view' AS stage, (SELECT count(*) FROM v) AS n_users
+UNION ALL
+SELECT 'click_within_24h', (SELECT count(*) FROM c)
+UNION ALL
+SELECT 'purchase_within_24h', (SELECT count(*) FROM p)
+"""
+
+
+@query("funnel_time_bounded", sql=_FUNNEL_TB_SQL, tags=("funnel", "clickstream"))
+def funnel_time_bounded(spark, sf_dir):
+    """24-hour-bounded ordered funnel (view → click → purchase) — see
+    block comment."""
+    ev = read_table(spark, sf_dir, "events")
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(
+            (F.col("ts") >= F.col("v_ts"))
+            & (F.col("ts") <= F.col("v_ts") + F.expr("INTERVAL 24 HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(
+            (F.col("ts") >= F.col("c_ts"))
+            & (F.col("ts") <= F.col("c_ts") + F.expr("INTERVAL 24 HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+
+    def stage(name, df):
+        return df.agg(F.lit(name).alias("stage"), F.count("*").alias("n_users"))
+
+    return (
+        stage("view", v)
+        .unionByName(stage("click_within_24h", c))
+        .unionByName(stage("purchase_within_24h", p))
     )

@@ -9,8 +9,8 @@ from pathlib import Path
 
 from big_data_analytics_project_spark.registry import load_all
 
-TOTAL = 208
-ORACLE = 191
+TOTAL = 210
+ORACLE = 193
 
 
 def test_counts_match_registry():

@@ -41,6 +41,8 @@ EXPECTED_WINDOW = (
     "abtest_kruskal_wallis",
     "survival_kaplan_meier",
     "attribution_position_weighted",
+    "abtest_ks_statistic",
+    "funnel_time_bounded",
     "ml_rf_quality_contract",
     "multimodal_binary_dedup",
     "variant_semi_structured",
@@ -75,8 +77,6 @@ EXPECTED_WINDOW = (
     "tpch_q18_large_volume_customer",
     "tpch_q19_bracketed_revenue",
     "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_product_type_profit",
 )
 
 
