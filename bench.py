@@ -189,6 +189,8 @@ HEADLINE = [
     "abtest_ks_statistic",
     # 24h-bounded funnel: three chained keyed aggregations
     "funnel_time_bounded",
+    # day-partitioned write + pruned one-day scan (PartitionFilters pin)
+    "layout_partition_pruned_scan",
 ]
 
 

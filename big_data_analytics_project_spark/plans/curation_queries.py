@@ -1783,3 +1783,58 @@ def curriculum_phase_assignment(spark, sf_dir):
             6,
         ).alias("mean_quality"),
     )
+
+
+# --- partition-pruned scan (the read-side payoff of layout) ---------------
+# Partitioning by day is the other half of the layout story (bucketing
+# handles joins; partitioning handles time-range filters): a day-filtered
+# query against a day-partitioned table must plan with PartitionFilters
+# that skip every other directory — at 100 TB that is the difference
+# between scanning 100 TB and scanning one day.  The query writes events
+# day-partitioned to scratch (write_partitioned keeps file count ≈
+# |days|), reads back ONE day, and aggregates; the plan pin in
+# tests/test_plan_pins.py asserts the day predicate lands in
+# PartitionFilters, not as a post-scan filter.
+
+_PRUNE_SEQ = [0]
+
+
+@query(
+    "layout_partition_pruned_scan",
+    sql="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    WHERE CAST(floor(epoch(ts) / 86400) AS BIGINT) =
+          (SELECT min(CAST(floor(epoch(ts) / 86400) AS BIGINT)) FROM events)
+    GROUP BY event_type
+    """,
+    tags=("layout", "partitioning"),
+)
+def layout_partition_pruned_scan(spark, sf_dir):
+    """Per-type counts for the corpus's FIRST day, answered through a
+    day-partitioned copy of the table so only that day's directory is
+    scanned — see block comment."""
+    import os
+    import tempfile
+
+    from ..sources.sinks import write_partitioned
+
+    _PRUNE_SEQ[0] += 1
+    base = os.path.join(
+        tempfile.mkdtemp(prefix="bdap_dayparts_"), f"run{_PRUNE_SEQ[0]}"
+    )
+    ev = read_table(spark, sf_dir, "events")
+    day = F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day")
+    write_partitioned(ev.withColumn("day", day), base, ["day"])
+    first_day = ev.agg(F.min(day)).collect()[0][0]
+    parts = spark.read.parquet(base)
+    return (
+        parts.where(F.col("day") == F.lit(first_day))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+    )

@@ -115,3 +115,19 @@ def test_bucketed_join_has_no_exchange_between_scans_and_join(
     below_join = plan[plan.index("SortMergeJoin"):]
     assert below_join.count("Exchange") == 0, plan
     assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan, plan
+
+
+def test_partition_pruned_scan_filters_at_partition_level(
+    registry, spark, sf_dir
+):
+    """layout_partition_pruned_scan's day predicate must prune at the
+    DIRECTORY level: the scan node carries it as a PartitionFilter and
+    reads a single partition, never filtering day post-scan."""
+    plan = _plan(registry, spark, sf_dir, "layout_partition_pruned_scan")
+    assert "PartitionFilters: [" in plan, plan
+    pf = plan[plan.index("PartitionFilters: ["):]
+    pf = pf[:pf.index("]") + 1]
+    # the day equality must prune directories (appear as a partition
+    # filter), and the scan must also column-prune to the two used cols
+    assert "(day#" in pf and "= " in pf, pf
+    assert "ReadSchema: struct<user_id:bigint,event_type:string>" in plan, plan

@@ -9,8 +9,8 @@ from pathlib import Path
 
 from big_data_analytics_project_spark.registry import load_all
 
-TOTAL = 210
-ORACLE = 193
+TOTAL = 211
+ORACLE = 194
 
 
 def test_counts_match_registry():
