@@ -2,8 +2,13 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
 sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+Emission contract (hardened in round 7 — the round-6 single line embedding
+all per-query timings overflowed the driver's tail capture and the bench
+went ungraded): per-query timings stream as '#'-prefixed comment lines
+and are written to bench_queries.json; the LAST stdout line is ONE short
+machine-parseable JSON object:
+  {"metric": "headline_total", "value": N, "unit": "sec", "sf": ...,
+   "n_queries": K, "queries_file": "bench_queries.json"}
 
 Execution is forced through the noop sink (full materialization of every
 output column — count() would let Catalyst prune the very expressions we
