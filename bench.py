@@ -196,6 +196,8 @@ HEADLINE = [
     "funnel_time_bounded",
     # day-partitioned write + pruned one-day scan (PartitionFilters pin)
     "layout_partition_pruned_scan",
+    # MERGE upsert: one keyed left join + anti-join, change-class audit
+    "maintenance_merge_upsert",
 ]
 
 

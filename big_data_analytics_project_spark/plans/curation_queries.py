@@ -1838,3 +1838,90 @@ def layout_partition_pruned_scan(spark, sf_dir):
             F.countDistinct("user_id").cast("long").alias("n_users"),
         )
     )
+
+
+# --- MERGE upsert (update-matched / insert-unmatched) ---------------------
+# The warehouse MERGE INTO between SCD2 (keeps history) and plain
+# overwrite (keeps nothing): matched keys take the update's values,
+# unmatched updates insert.  Scale shape: ONE key-shuffled left join for
+# the update application plus one anti-join for the inserts (both sides
+# reuse the same hash partitioning; with bucket-written tables both plan
+# exchange-free — see layout_bucketed_join).  The update batch is
+# rule-derived from the fixture (every 7th customer re-segmented to
+# MOBILE, plus 50 synthetic new customers above the max key), so the
+# oracle recomputes it exactly.
+
+_MERGE_SQL = """
+WITH upd AS (
+  SELECT c_custkey, 'MOBILE' AS c_mktsegment
+  FROM customer WHERE c_custkey % 7 = 0
+  UNION ALL
+  SELECT (SELECT max(c_custkey) FROM customer) + i AS c_custkey,
+         'ONLINE' AS c_mktsegment
+  FROM range(1, 51) t(i)
+),
+updated AS (
+  SELECT c.c_custkey,
+         coalesce(u.c_mktsegment, c.c_mktsegment) AS c_mktsegment,
+         CASE WHEN u.c_custkey IS NOT NULL THEN 1 ELSE 0 END AS was_updated
+  FROM customer c LEFT JOIN upd u ON c.c_custkey = u.c_custkey
+),
+inserted AS (
+  SELECT u.c_custkey, u.c_mktsegment, 2 AS was_updated
+  FROM upd u LEFT JOIN customer c ON u.c_custkey = c.c_custkey
+  WHERE c.c_custkey IS NULL
+)
+SELECT c_mktsegment,
+       CAST(was_updated AS BIGINT) AS change_class,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(c_custkey) AS BIGINT) AS min_key,
+       CAST(max(c_custkey) AS BIGINT) AS max_key
+FROM (SELECT * FROM updated UNION ALL SELECT * FROM inserted)
+GROUP BY c_mktsegment, was_updated
+"""
+
+
+@query("maintenance_merge_upsert", sql=_MERGE_SQL, tags=("maintenance", "join"))
+def maintenance_merge_upsert(spark, sf_dir):
+    """MERGE INTO semantics (update matched, insert unmatched) over the
+    customer dimension, audited per (segment, change class: 0 untouched /
+    1 updated / 2 inserted) — see block comment."""
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    max_key = cust.agg(F.max("c_custkey").alias("mk"))
+    upd_existing = cust.where(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey", F.lit("MOBILE").alias("c_mktsegment")
+    )
+    new_rows = (
+        spark.range(1, 51)
+        .crossJoin(F.broadcast(max_key))
+        .select(
+            (F.col("mk") + F.col("id")).alias("c_custkey"),
+            F.lit("ONLINE").alias("c_mktsegment"),
+        )
+    )
+    upd = upd_existing.unionByName(new_rows)
+    u = upd.select(
+        F.col("c_custkey").alias("u_key"), F.col("c_mktsegment").alias("u_seg")
+    )
+    updated = cust.join(u, cust.c_custkey == u.u_key, "left").select(
+        "c_custkey",
+        F.coalesce("u_seg", "c_mktsegment").alias("c_mktsegment"),
+        F.when(F.col("u_key").isNotNull(), 1).otherwise(0).alias("was_updated"),
+    )
+    inserted = upd.join(
+        cust, upd.c_custkey == cust.c_custkey, "left_anti"
+    ).select("c_custkey", "c_mktsegment", F.lit(2).alias("was_updated"))
+    merged = updated.unionByName(inserted)
+    return merged.groupBy("c_mktsegment", "was_updated").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.min("c_custkey").cast("long").alias("min_key"),
+        F.max("c_custkey").cast("long").alias("max_key"),
+    ).select(
+        "c_mktsegment",
+        F.col("was_updated").cast("long").alias("change_class"),
+        "n_rows",
+        "min_key",
+        "max_key",
+    )

@@ -33,6 +33,7 @@ EXPECTED_WINDOW = (
     "layout_bucketed_join",
     "curriculum_phase_assignment",
     "layout_partition_pruned_scan",
+    "maintenance_merge_upsert",
     "dedup_keep_best_quality",
     "eda_events_report",
     "rfm_customer_segments",
@@ -76,7 +77,6 @@ EXPECTED_WINDOW = (
     "tpch_q10_returned_items",
     "tpch_q14_promo_effect",
     "tpch_q18_large_volume_customer",
-    "tpch_q19_bracketed_revenue",
 )
 
 
