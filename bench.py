@@ -198,6 +198,8 @@ HEADLINE = [
     "layout_partition_pruned_scan",
     # MERGE upsert: one keyed left join + anti-join, change-class audit
     "maintenance_merge_upsert",
+    # association rules: join-free basket pair fan-out + exact-ratio lift
+    "basket_association_rules",
 ]
 
 

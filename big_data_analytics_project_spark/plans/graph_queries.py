@@ -239,3 +239,129 @@ def graph_clustering_coefficient(spark, sf_dir):
             .alias("coefficient"),
         )
     )
+
+
+# --- association rules (market-basket support / confidence / lift) --------
+# The classic basket question behind "customers who bought X also
+# bought Y".  Reuses the graph family's bounded within-basket pair
+# fan-out (collect_set → sorted array → in-codegen index-pair explosion,
+# one shuffle on the order key — never a self-join), then three exact
+# count tables meet in broadcast joins.  All three metrics stay exact
+# until ONE division each: support = n_ab/N, confidence = n_ab/n_a,
+# lift = (n_ab·N)/(n_a·n_b) with BIGINT numerators (PMI's exact-ratio
+# rule).  Ranking orders by the ROUNDED lift with a (part_a, part_b)
+# tie-break — determinism.md ordering rule — and the top-20 cut runs
+# in-plan (TakeOrdered over the pair table, itself bounded by basket
+# width² per order).
+
+_RULES_MIN_COUNT = 3
+_RULES_TOP = 20
+
+_RULES_SQL = f"""
+WITH baskets AS (
+  SELECT l_orderkey, list_sort(list(DISTINCT l_partkey)) AS parts
+  FROM lineitem GROUP BY l_orderkey
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_baskets FROM baskets),
+item AS (
+  SELECT p.part, CAST(count(*) AS BIGINT) AS n_item
+  FROM (SELECT unnest(parts) AS part FROM baskets) p
+  GROUP BY p.part
+),
+pairs AS (
+  SELECT p.pr.a AS part_a, p.pr.b AS part_b, CAST(count(*) AS BIGINT) AS n_ab
+  FROM (
+    SELECT unnest(flatten(list_transform(parts, (x, i) ->
+             list_transform(parts[i + 1:], y -> {{'a': x, 'b': y}})))) AS pr
+    FROM baskets
+  ) p
+  GROUP BY p.pr.a, p.pr.b
+),
+scored AS (
+  SELECT pr.part_a, pr.part_b, pr.n_ab, ia.n_item AS n_a, ib.n_item AS n_b,
+         round(CAST(pr.n_ab AS DOUBLE) / CAST(n.n_baskets AS DOUBLE), 6)
+           AS support,
+         round(CAST(pr.n_ab AS DOUBLE) / CAST(ia.n_item AS DOUBLE), 6)
+           AS confidence,
+         round(CAST(pr.n_ab * n.n_baskets AS DOUBLE)
+               / CAST(ia.n_item * ib.n_item AS DOUBLE), 6) AS lift
+  FROM pairs pr
+  JOIN item ia ON pr.part_a = ia.part
+  JOIN item ib ON pr.part_b = ib.part
+  CROSS JOIN n
+  WHERE pr.n_ab >= {_RULES_MIN_COUNT}
+)
+SELECT part_a, part_b, n_ab, n_a, n_b, support, confidence, lift,
+       CAST(row_number() OVER (ORDER BY lift DESC, part_a, part_b)
+            AS BIGINT) AS rank
+FROM scored
+ORDER BY lift DESC, part_a, part_b
+LIMIT {_RULES_TOP}
+"""
+
+
+@query("basket_association_rules", sql=_RULES_SQL, tags=("graph", "basket", "analytics"))
+def basket_association_rules(spark, sf_dir):
+    """Top-{_RULES_TOP} association rules by lift over order baskets —
+    see block comment for the join-free pair fan-out and exact-ratio
+    metric design."""
+    from pyspark.sql import Window
+
+    li = read_table(spark, sf_dir, "lineitem")
+    baskets = (
+        li.select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+    )
+    n = baskets.agg(F.count("*").cast("long").alias("n_baskets"))
+    item = (
+        baskets.select(F.explode("parts").alias("part"))
+        .groupBy("part")
+        .agg(F.count("*").cast("long").alias("n_item"))
+    )
+    parts = F.col("parts")
+    pair_lists = F.transform(
+        parts,
+        lambda x, i: F.transform(
+            F.slice(parts, i + F.lit(2), F.size(parts)),
+            lambda y: F.struct(x.alias("a"), y.alias("b")),
+        ),
+    )
+    pairs = (
+        baskets.select(F.explode(F.flatten(pair_lists)).alias("pr"))
+        .groupBy(F.col("pr.a").alias("part_a"), F.col("pr.b").alias("part_b"))
+        .agg(F.count("*").cast("long").alias("n_ab"))
+        .where(F.col("n_ab") >= _RULES_MIN_COUNT)
+    )
+    ia = item.select(F.col("part").alias("part_a"), F.col("n_item").alias("n_a"))
+    ib = item.select(F.col("part").alias("part_b"), F.col("n_item").alias("n_b"))
+    scored = (
+        pairs.join(F.broadcast(ia), "part_a")
+        .join(F.broadcast(ib), "part_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_ab").cast("double") / F.col("n_baskets").cast("double"),
+                6,
+            ).alias("support"),
+            F.round(
+                F.col("n_ab").cast("double") / F.col("n_a").cast("double"), 6
+            ).alias("confidence"),
+            F.round(
+                (F.col("n_ab") * F.col("n_baskets")).cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double"),
+                6,
+            ).alias("lift"),
+        )
+    )
+    wr = Window.orderBy(F.desc("lift"), "part_a", "part_b")
+    return (
+        scored.orderBy(F.desc("lift"), "part_a", "part_b")
+        .limit(_RULES_TOP)
+        .withColumn("rank", F.row_number().over(wr).cast("long"))
+    )

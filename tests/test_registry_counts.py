@@ -9,8 +9,8 @@ from pathlib import Path
 
 from big_data_analytics_project_spark.registry import load_all
 
-TOTAL = 212
-ORACLE = 195
+TOTAL = 213
+ORACLE = 196
 
 
 def test_counts_match_registry():

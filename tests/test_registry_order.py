@@ -45,6 +45,7 @@ EXPECTED_WINDOW = (
     "attribution_position_weighted",
     "abtest_ks_statistic",
     "funnel_time_bounded",
+    "basket_association_rules",
     "ml_rf_quality_contract",
     "multimodal_binary_dedup",
     "variant_semi_structured",
@@ -76,7 +77,6 @@ EXPECTED_WINDOW = (
     "tpch_q6_forecast_revenue",
     "tpch_q10_returned_items",
     "tpch_q14_promo_effect",
-    "tpch_q18_large_volume_customer",
 )
 
 
