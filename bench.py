@@ -200,6 +200,8 @@ HEADLINE = [
     "maintenance_merge_upsert",
     # association rules: join-free basket pair fan-out + exact-ratio lift
     "basket_association_rules",
+    # dow-adjusted anomalies: date rollup + 7-row broadcast stats join
+    "anomaly_dow_adjusted",
 ]
 
 

@@ -932,3 +932,89 @@ def anomaly_cusum_shift(spark, sf_dir):
         F.round(st[3], 6).alias("max_cusum_neg"),
         st[4].cast("long").alias("n_alarm_days"),
     )
+
+
+# --- seasonally-adjusted daily anomalies (day-of-week z-scores) -----------
+# A Monday is only anomalous relative to MONDAYS: raw daily z-scores
+# (anomaly_mad_outliers' cousin) flag weekly seasonality itself, so this
+# detector standardizes each day against its own weekday's mean/σ.
+# Epoch-day mod 7 is the portable weekday (the chi-square query's rule —
+# dodges the engines' 1-based/0-based dayofweek mismatch).  Moments are
+# exact BIGINT sums per weekday meeting in the identical IEEE mean/σ/z
+# expressions on both engines; σ=0 weekdays yield NULL z (guarded
+# division).  One date rollup + one 7-row broadcast join — the corpus
+# touches one keyed aggregation.
+
+_DOW_ANOM_SQL = """
+WITH daily AS (
+  SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY day
+),
+dow_stats AS (
+  SELECT day % 7 AS dow,
+         CAST(count(*) AS BIGINT) AS n_d,
+         CAST(sum(x) AS BIGINT) AS s,
+         CAST(sum(x * x) AS BIGINT) AS sq
+  FROM daily GROUP BY day % 7
+)
+SELECT d.day, CAST(d.day % 7 AS BIGINT) AS dow, d.x AS n_events,
+       round(CAST(s.s AS DOUBLE) / CAST(s.n_d AS DOUBLE), 6) AS dow_mean,
+       CASE WHEN s.n_d > 1 AND
+                 (CAST(s.sq AS DOUBLE)
+                  - CAST(s.s AS DOUBLE) * CAST(s.s AS DOUBLE)
+                    / CAST(s.n_d AS DOUBLE)) > 0.0
+            THEN round((CAST(d.x AS DOUBLE)
+                        - CAST(s.s AS DOUBLE) / CAST(s.n_d AS DOUBLE))
+                       / sqrt((CAST(s.sq AS DOUBLE)
+                               - CAST(s.s AS DOUBLE) * CAST(s.s AS DOUBLE)
+                                 / CAST(s.n_d AS DOUBLE))
+                              / (CAST(s.n_d AS DOUBLE) - 1.0)), 6)
+       END AS z_score,
+       CAST(CASE WHEN s.n_d > 1 AND
+                      (CAST(s.sq AS DOUBLE)
+                       - CAST(s.s AS DOUBLE) * CAST(s.s AS DOUBLE)
+                         / CAST(s.n_d AS DOUBLE)) > 0.0
+                 THEN abs((CAST(d.x AS DOUBLE)
+                           - CAST(s.s AS DOUBLE) / CAST(s.n_d AS DOUBLE))
+                          / sqrt((CAST(s.sq AS DOUBLE)
+                                  - CAST(s.s AS DOUBLE) * CAST(s.s AS DOUBLE)
+                                    / CAST(s.n_d AS DOUBLE))
+                                 / (CAST(s.n_d AS DOUBLE) - 1.0))) > 2.0
+                 ELSE FALSE END AS BOOLEAN) AS is_anomaly
+FROM daily d JOIN dow_stats s ON d.day % 7 = s.dow
+"""
+
+
+@query("anomaly_dow_adjusted", sql=_DOW_ANOM_SQL, tags=("timeseries", "anomaly"))
+def anomaly_dow_adjusted(spark, sf_dir):
+    """Day-of-week-adjusted daily anomaly z-scores over event volume —
+    see block comment."""
+    ev = read_table(spark, sf_dir, "events")
+    day = F.floor(F.unix_timestamp("ts") / 86400).cast("long")
+    daily = ev.groupBy(day.alias("day")).agg(F.count("*").cast("long").alias("x"))
+    dow_stats = daily.groupBy((F.col("day") % 7).alias("dow")).agg(
+        F.count("*").cast("long").alias("n_d"),
+        F.sum("x").cast("long").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sq"),
+    )
+    j = daily.join(
+        F.broadcast(dow_stats), daily.day % 7 == dow_stats.dow
+    )
+    nd = F.col("n_d").cast("double")
+    mean = F.col("s").cast("double") / nd
+    ssq = (
+        F.col("sq").cast("double")
+        - F.col("s").cast("double") * F.col("s").cast("double") / nd
+    )
+    sd = F.sqrt(ssq / (nd - F.lit(1.0)))
+    z = (F.col("x").cast("double") - mean) / sd
+    ok = (F.col("n_d") > 1) & (ssq > 0.0)
+    return j.select(
+        "day",
+        (F.col("day") % 7).cast("long").alias("dow"),
+        F.col("x").alias("n_events"),
+        F.round(mean, 6).alias("dow_mean"),
+        F.when(ok, F.round(z, 6)).alias("z_score"),
+        F.when(ok, F.abs(z) > 2.0).otherwise(F.lit(False)).alias("is_anomaly"),
+    )

@@ -9,8 +9,8 @@ from pathlib import Path
 
 from big_data_analytics_project_spark.registry import load_all
 
-TOTAL = 213
-ORACLE = 196
+TOTAL = 214
+ORACLE = 197
 
 
 def test_counts_match_registry():

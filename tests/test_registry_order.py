@@ -61,6 +61,7 @@ EXPECTED_WINDOW = (
     "session_daily_metrics",
     "timeseries_gap_histogram",
     "anomaly_cusum_shift",
+    "anomaly_dow_adjusted",
     "text_boilerplate_ngram_share",
     "tfidf_top_terms",
     "quality_unigram_logprob",
@@ -76,7 +77,6 @@ EXPECTED_WINDOW = (
     "tpch_q5_local_supplier_volume",
     "tpch_q6_forecast_revenue",
     "tpch_q10_returned_items",
-    "tpch_q14_promo_effect",
 )
 
 
