@@ -202,6 +202,10 @@ HEADLINE = [
     "basket_association_rules",
     # dow-adjusted anomalies: date rollup + 7-row broadcast stats join
     "anomaly_dow_adjusted",
+    # growth accounting: one distinct + user-keyed lag window + date rollup
+    "retention_growth_accounting",
+    # per-doc keywords: WindowGroupLimit top-3 after term-df window
+    "text_doc_keywords",
 ]
 
 

@@ -1572,3 +1572,77 @@ def funnel_time_bounded(spark, sf_dir):
         .unionByName(stage("click_within_24h", c))
         .unionByName(stage("purchase_within_24h", p))
     )
+
+
+# --- growth accounting (new / retained / resurrected actives) -------------
+# The standard DAU decomposition: every active (user, day) is exactly one
+# of NEW (first-ever day), RETAINED (also active within the prior 7
+# days), or RESURRECTED (seen before, but dormant >7 days) — the
+# decomposition behind "is growth new users or win-backs?".  One distinct
+# (user, day) dedup, one user-keyed lag window, one date rollup — all
+# exact BIGINTs, and the per-day share is ONE division.
+
+_GROWTH_SQL = """
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+  FROM events
+),
+seq AS (
+  SELECT user_id, day,
+         lag(day) OVER (PARTITION BY user_id ORDER BY day) AS prev_day,
+         min(day) OVER (PARTITION BY user_id) AS first_day
+  FROM ud
+),
+classed AS (
+  SELECT day,
+         CASE WHEN day = first_day THEN 'new'
+              WHEN prev_day >= day - 7 THEN 'retained'
+              ELSE 'resurrected' END AS klass
+  FROM seq
+)
+SELECT day, klass AS activity_class,
+       CAST(count(*) AS BIGINT) AS n_users,
+       round(CAST(count(*) AS DOUBLE)
+             / CAST(sum(count(*)) OVER (PARTITION BY day) AS DOUBLE), 6)
+         AS share_of_day
+FROM classed GROUP BY day, klass
+"""
+
+
+@query("retention_growth_accounting", sql=_GROWTH_SQL, tags=("funnel", "retention"))
+def retention_growth_accounting(spark, sf_dir):
+    """Daily active-user growth accounting (new / retained within 7 days /
+    resurrected after dormancy) — see block comment."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    day = F.floor(F.unix_timestamp("ts") / 86400).cast("long")
+    ud = ev.select("user_id", day.alias("day")).distinct()
+    w_lag = Window.partitionBy("user_id").orderBy("day")
+    w_user = Window.partitionBy("user_id")
+    seq = ud.select(
+        "day",
+        F.lag("day").over(w_lag).alias("prev_day"),
+        F.min("day").over(w_user).alias("first_day"),
+    )
+    classed = seq.select(
+        "day",
+        F.when(F.col("day") == F.col("first_day"), "new")
+        .when(F.col("prev_day") >= F.col("day") - 7, "retained")
+        .otherwise("resurrected")
+        .alias("activity_class"),
+    )
+    counted = classed.groupBy("day", "activity_class").agg(
+        F.count("*").cast("long").alias("n_users")
+    )
+    w_day = Window.partitionBy("day")
+    return counted.select(
+        "day",
+        "activity_class",
+        "n_users",
+        F.round(
+            F.col("n_users").cast("double")
+            / F.sum("n_users").over(w_day).cast("double"),
+            6,
+        ).alias("share_of_day"),
+    )

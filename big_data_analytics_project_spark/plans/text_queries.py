@@ -1210,3 +1210,79 @@ def tokenizer_fertility_by_lang(spark, sf_dir):
             "fertility"
         ),
     )
+
+
+# --- per-document keyword extraction (top TF-IDF terms per doc) -----------
+# tfidf_top_terms' per-SOURCE rollup answers "what characterizes this
+# corpus slice"; this extracts top-3 keywords per DOCUMENT — the tagging
+# pass behind search indexing and doc clustering.  Shape: (doc, term)
+# counts (map-side combined), document frequency via a term-partitioned
+# window count (no join-back), then the per-doc rank filter compiles to
+# WindowGroupLimit — each doc keeps its top-3 map-side before the window
+# shuffle, so the ranked exchange carries ~3 rows per doc, not the
+# vocabulary.  Same 6-dp-idf-before-multiply rule as the source variant.
+
+_DOC_KW_TOP = 3
+
+_DOC_KW_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+),
+with_df AS (
+  SELECT doc_id, term, tf,
+         count(*) OVER (PARTITION BY term) AS df,
+         (SELECT count(*) FROM documents) AS n_docs
+  FROM tf
+),
+scored AS (
+  SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+         round(tf * round(ln(CAST(n_docs AS DOUBLE) / df), 6), 6) AS tfidf
+  FROM with_df
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, term) AS rank
+  FROM scored
+)
+SELECT doc_id, term, tf, df, tfidf, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {_DOC_KW_TOP}
+"""
+
+
+@query("text_doc_keywords", sql=_DOC_KW_SQL, tags=("text", "analytics"))
+def text_doc_keywords(spark, sf_dir):
+    """Top-{_DOC_KW_TOP} TF-IDF keywords per document — see block
+    comment for the WindowGroupLimit rank shape."""
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(T.ws_tokens(F.col("text"))).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    w_term = Window.partitionBy("term")
+    scored = (
+        tf.withColumn("df", F.count("*").over(w_term))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            F.round(
+                F.col("tf")
+                * F.round(
+                    F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+                ),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w_doc).cast("long"))
+        .where(F.col("rank") <= _DOC_KW_TOP)
+    )

@@ -45,6 +45,7 @@ EXPECTED_WINDOW = (
     "attribution_position_weighted",
     "abtest_ks_statistic",
     "funnel_time_bounded",
+    "retention_growth_accounting",
     "basket_association_rules",
     "ml_rf_quality_contract",
     "multimodal_binary_dedup",
@@ -72,11 +73,10 @@ EXPECTED_WINDOW = (
     "text_pmi_collocations",
     "text_skipgram_pairs",
     "tokenizer_fertility_by_lang",
+    "text_doc_keywords",
     "tpch_q3_shipping_priority",
     "tpch_q4_order_priority",
     "tpch_q5_local_supplier_volume",
-    "tpch_q6_forecast_revenue",
-    "tpch_q10_returned_items",
 )
 
 
