@@ -206,6 +206,8 @@ HEADLINE = [
     "retention_growth_accounting",
     # per-doc keywords: WindowGroupLimit top-3 after term-df window
     "text_doc_keywords",
+    # int8 recall audit: two brute passes (fp + dequantized), broadcast q
+    "embedding_int8_recall_audit",
 ]
 
 

@@ -760,3 +760,89 @@ def embedding_label_centroids(spark, sf_dir):
             ),
         )
     )
+
+
+# --- int8 quantization recall audit (fp32 queries vs int8 corpus) ---------
+# "What does 4× storage compression cost in retrieval quality?" — the
+# acceptance gate for shipping the int8 corpus
+# (embedding_quantize_int8).  Asymmetric setup, as production ADC runs
+# it: queries stay full-precision, the corpus is
+# quantize→dequantize-reconstructed, and recall@10 compares against the
+# exact fp top-10.  Both engines reconstruct with the identical op
+# sequence (floor(127·x/scale + 0.5) · scale / 127) and rank by the
+# ROUNDED cosine with id tie-breaks, so the recall numbers are exact.
+
+_DEQ = (
+    "CASE WHEN s.scale = 0.0 THEN list_transform(s.v, x -> 0.0) "
+    "ELSE list_transform(s.v, x -> CAST(floor(127.0 * x / s.scale + 0.5) "
+    "AS BIGINT) * s.scale / 127.0) END"
+)
+
+_COS_QD = duck_cosine("a.v", "b.dv")
+
+_DUCK_INT8_RECALL = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+s AS (
+  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS scale FROM v
+),
+dq AS (SELECT vec_id, {_DEQ} AS dv FROM s),
+brute AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY a.vec_id
+             ORDER BY round({_COS}, 6) DESC, b.vec_id) AS rank
+    FROM v a JOIN v b ON a.vec_id < 5 AND b.vec_id != a.vec_id
+  ) WHERE rank <= 10
+),
+int8 AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY a.vec_id
+             ORDER BY round({_COS_QD}, 6) DESC, b.vec_id) AS rank
+    FROM v a JOIN dq b ON a.vec_id < 5 AND b.vec_id != a.vec_id
+  ) WHERE rank <= 10
+)
+SELECT b.query_id,
+       CAST(count(i.neighbor_id) AS BIGINT) AS n_hits,
+       CAST(count(i.neighbor_id) AS DOUBLE) / 10 AS recall_at_10
+FROM brute b
+LEFT JOIN int8 i
+  ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+GROUP BY b.query_id
+"""
+
+
+@query(
+    "embedding_int8_recall_audit",
+    sql=_DUCK_INT8_RECALL,
+    tags=("similarity", "embeddings", "audit"),
+)
+def embedding_int8_recall_audit(spark, sf_dir):
+    """Recall@10 of fp32 queries against the int8-reconstructed corpus
+    vs the exact fp top-10 — see block comment."""
+    from ..operators.embeddings import absmax_scale, quantize_int8
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 5)
+    brute = S.brute_force_topk(emb, q, k=10).select("query_id", "neighbor_id")
+    scale = absmax_scale(F.col("embedding"))
+    deq = emb.select(
+        "vec_id",
+        F.transform(
+            quantize_int8(F.col("embedding"), scale),
+            lambda c: c.cast("double") * scale / F.lit(127.0),
+        ).alias("embedding"),
+    )
+    int8 = (
+        S.brute_force_topk(deq, q, k=10)
+        .select("query_id", "neighbor_id")
+        .withColumn("__hit", F.lit(1))
+    )
+    return (
+        brute.join(int8, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("__hit").cast("long").alias("n_hits"),
+            (F.count("__hit").cast("double") / 10).alias("recall_at_10"),
+        )
+    )

@@ -52,6 +52,7 @@ EXPECTED_WINDOW = (
     "variant_semi_structured",
     "ml_engagement_calibration",
     "embedding_label_centroids",
+    "embedding_int8_recall_audit",
     "streaming_interval_join_left",
     "session_gap_assignment",
     "timeseries_gapfill_interpolate",
@@ -76,7 +77,6 @@ EXPECTED_WINDOW = (
     "text_doc_keywords",
     "tpch_q3_shipping_priority",
     "tpch_q4_order_priority",
-    "tpch_q5_local_supplier_volume",
 )
 
 
