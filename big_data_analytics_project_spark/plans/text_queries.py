@@ -330,22 +330,27 @@ def vocab_top_ngrams(spark, sf_dir):
     the cut is deterministic across engines."""
     docs = read_table(spark, sf_dir, "documents")
     toks = T.ws_tokens(F.col("text"))
-    uni = docs.select(F.explode(toks).alias("gram"), F.lit(1).alias("n"))
-    bi = docs.select(
-        F.explode(
-            F.when(
-                F.size(toks) >= 2,
-                F.transform(
-                    F.sequence(F.lit(1), F.size(toks) - 1),
-                    lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+    # ONE corpus scan and ONE tokenize: unigram and bigram structs concat
+    # into a single array before the explode (the earlier two-branch union
+    # scanned and re-tokenized the parquet twice — round-7 rewrite).
+    grams = F.concat(
+        F.transform(
+            toks, lambda t: F.struct(t.alias("gram"), F.lit(1).alias("n"))
+        ),
+        F.when(
+            F.size(toks) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 1),
+                lambda i: F.struct(
+                    F.concat_ws(" ", F.slice(toks, i, 2)).alias("gram"),
+                    F.lit(2).alias("n"),
                 ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("gram"),
-        F.lit(2).alias("n"),
+            ),
+        ).otherwise(F.array().cast("array<struct<gram:string,n:int>>")),
     )
     counted = (
-        uni.unionByName(bi)
-        .groupBy("gram", "n")
+        docs.select(F.explode(grams).alias("g"))
+        .groupBy(F.col("g.gram").alias("gram"), F.col("g.n").alias("n"))
         .agg(F.count("*").alias("freq"))
         .select("gram", F.col("n").cast("long").alias("gram_len"), "freq")
     )
