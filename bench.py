@@ -208,6 +208,10 @@ HEADLINE = [
     "text_doc_keywords",
     # int8 recall audit: two brute passes (fp + dequantized), broadcast q
     "embedding_int8_recall_audit",
+    # hour-of-week heatmap: one date rollup, 168 rows
+    "eda_hour_of_week_heatmap",
+    # uniqueness profile: one multi-distinct aggregation + stack unpivot
+    "eda_uniqueness_profile",
 ]
 
 

@@ -158,3 +158,114 @@ def eda_events_report(spark, sf_dir):
         "value",
     )
     return scalars.unionByName(type_counts)
+
+
+# --- hour-of-week activity heatmap ----------------------------------------
+# The 7×24 activity matrix every ops dashboard starts with.  Portable
+# time arithmetic only: epoch-day mod 7 for the weekday (the chi-square
+# rule) and epoch-seconds mod 86400 for the hour — never the engines'
+# 1-based/0-based dayofweek or locale-dependent hour extraction.  One
+# date rollup; 168 output rows.
+
+_HEATMAP_SQL = """
+SELECT CAST(floor(epoch(ts) / 86400) % 7 AS BIGINT) AS dow,
+       CAST(floor(floor(epoch(ts)) % 86400 / 3600) AS BIGINT) AS hour,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_purchases
+FROM events
+GROUP BY dow, hour
+"""
+
+
+@query("eda_hour_of_week_heatmap", sql=_HEATMAP_SQL, tags=("eda", "agg"))
+def eda_hour_of_week_heatmap(spark, sf_dir):
+    """7×24 hour-of-week activity heatmap (events, actives, purchases) —
+    see block comment for the portable time arithmetic."""
+    ev = read_table(spark, sf_dir, "events")
+    epoch = F.unix_timestamp("ts")
+    return ev.groupBy(
+        (F.floor(epoch / 86400) % 7).cast("long").alias("dow"),
+        F.floor((epoch % 86400) / 3600).cast("long").alias("hour"),
+    ).agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("n_purchases"),
+    )
+
+
+# --- per-column uniqueness / cardinality profile --------------------------
+# The profiling pass behind key discovery and encoding decisions: for
+# each column of events, its exact distinct count, null count, and
+# duplication factor.  One pass per... no — ONE aggregation computes all
+# columns' exact distincts together (Spark plans multi-distinct via a
+# single Expand + two-level aggregate; map-side partials keep the
+# shuffle distinct-sized), unpivoted with stack to long form.
+
+_UNIQ_SQL = """
+WITH base AS (
+  SELECT count(*) AS n_rows,
+         CAST(count(DISTINCT event_id) AS BIGINT) AS d_event_id,
+         CAST(count(DISTINCT ts) AS BIGINT) AS d_ts,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS d_user_id,
+         CAST(count(DISTINCT event_type) AS BIGINT) AS d_event_type,
+         CAST(count(DISTINCT value) AS BIGINT) AS d_value,
+         CAST(count(DISTINCT props) AS BIGINT) AS d_props,
+         CAST(count(event_id) AS BIGINT) AS nn_event_id,
+         CAST(count(ts) AS BIGINT) AS nn_ts,
+         CAST(count(user_id) AS BIGINT) AS nn_user_id,
+         CAST(count(event_type) AS BIGINT) AS nn_event_type,
+         CAST(count(value) AS BIGINT) AS nn_value,
+         CAST(count(props) AS BIGINT) AS nn_props
+  FROM events
+)
+SELECT col, n_distinct, n_nonnull,
+       CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(n_distinct = n_nonnull AND n_nonnull = n_rows AS BOOLEAN)
+         AS is_unique_key,
+       round(CAST(n_nonnull AS DOUBLE) / CAST(n_distinct AS DOUBLE), 6)
+         AS duplication_factor
+FROM (
+  SELECT 'event_id' AS col, d_event_id AS n_distinct, nn_event_id AS n_nonnull, n_rows FROM base
+  UNION ALL SELECT 'ts', d_ts, nn_ts, n_rows FROM base
+  UNION ALL SELECT 'user_id', d_user_id, nn_user_id, n_rows FROM base
+  UNION ALL SELECT 'event_type', d_event_type, nn_event_type, n_rows FROM base
+  UNION ALL SELECT 'value', d_value, nn_value, n_rows FROM base
+  UNION ALL SELECT 'props', d_props, nn_props, n_rows FROM base
+)
+"""
+
+
+@query("eda_uniqueness_profile", sql=_UNIQ_SQL, tags=("eda", "agg", "audit"))
+def eda_uniqueness_profile(spark, sf_dir):
+    """Exact per-column cardinality/null/uniqueness profile of events in
+    ONE multi-distinct aggregation, unpivoted to long form — see block
+    comment."""
+    ev = read_table(spark, sf_dir, "events")
+    aggs = [F.count("*").cast("long").alias("n_rows")]
+    for c in _EVENT_COLS:
+        aggs.append(F.countDistinct(c).cast("long").alias(f"d_{c}"))
+        aggs.append(F.count(c).cast("long").alias(f"nn_{c}"))
+    one = ev.agg(*aggs)
+    rows = ", ".join(f"'{c}', d_{c}, nn_{c}" for c in _EVENT_COLS)
+    stacked = one.selectExpr(
+        f"stack({len(_EVENT_COLS)}, {rows}) AS (col, n_distinct, n_nonnull)",
+        "n_rows",
+    )
+    return stacked.select(
+        "col",
+        "n_distinct",
+        "n_nonnull",
+        "n_rows",
+        (
+            (F.col("n_distinct") == F.col("n_nonnull"))
+            & (F.col("n_nonnull") == F.col("n_rows"))
+        ).alias("is_unique_key"),
+        F.round(
+            F.col("n_nonnull").cast("double") / F.col("n_distinct").cast("double"),
+            6,
+        ).alias("duplication_factor"),
+    )

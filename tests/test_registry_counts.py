@@ -9,8 +9,8 @@ from pathlib import Path
 
 from big_data_analytics_project_spark.registry import load_all
 
-TOTAL = 217
-ORACLE = 200
+TOTAL = 219
+ORACLE = 202
 
 
 def test_counts_match_registry():

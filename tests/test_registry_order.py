@@ -36,6 +36,8 @@ EXPECTED_WINDOW = (
     "maintenance_merge_upsert",
     "dedup_keep_best_quality",
     "eda_events_report",
+    "eda_hour_of_week_heatmap",
+    "eda_uniqueness_profile",
     "rfm_customer_segments",
     "abtest_chi_square_mix",
     "inequality_gini_revenue",
@@ -75,8 +77,6 @@ EXPECTED_WINDOW = (
     "text_skipgram_pairs",
     "tokenizer_fertility_by_lang",
     "text_doc_keywords",
-    "tpch_q3_shipping_priority",
-    "tpch_q4_order_priority",
 )
 
 
