@@ -212,6 +212,12 @@ HEADLINE = [
     "eda_hour_of_week_heatmap",
     # uniqueness profile: one multi-distinct aggregation + stack unpivot
     "eda_uniqueness_profile",
+    # WoW revenue growth: integer epoch-week rollup + tiny lag window
+    "revenue_wow_growth",
+    # top-share concentration: one user rollup + two-pass distributed rank
+    "inequality_top_user_share",
+    # langid confusion audit: map-only argmax + confusion-cell aggregate
+    "quality_langid_mismatch",
 ]
 
 

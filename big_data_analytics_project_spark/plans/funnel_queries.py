@@ -1646,3 +1646,89 @@ def retention_growth_accounting(spark, sf_dir):
             6,
         ).alias("share_of_day"),
     )
+
+
+# --- revenue concentration: top-percentile user share ---------------------
+# "What share of revenue comes from the top 1% / 10% of spenders?" — the
+# whale-concentration readout next to the Gini coefficient.  Exact
+# percentile CUTS need a global rank; this uses the same two-pass
+# distributed rank as RFM (range partition → local row_number →
+# broadcast offsets — no single reducer), descending by exact cents with
+# the user id as tie-break.  Cut sizes are ⌈n/100⌉ and ⌈n/10⌉ computed
+# identically on both engines; shares are single divisions over exact
+# BIGINT sums.
+
+_TOPSHARE_SQL = """
+WITH u AS (
+  SELECT user_id,
+         CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+),
+ranked AS (
+  SELECT cents,
+         row_number() OVER (ORDER BY cents DESC, user_id) AS rn,
+         count(*) OVER () AS n,
+         sum(cents) OVER () AS total
+  FROM u
+)
+SELECT CAST(max(n) AS BIGINT) AS n_users,
+       CAST(max(total) AS BIGINT) AS total_cents,
+       CAST(CAST(ceil(CAST(max(n) AS DOUBLE) / 100.0) AS BIGINT) AS BIGINT)
+         AS top1pct_users,
+       round(CAST(sum(CASE WHEN rn <= ceil(CAST(n AS DOUBLE) / 100.0)
+                           THEN cents ELSE 0 END) AS DOUBLE)
+             / CAST(max(total) AS DOUBLE), 6) AS top1pct_share,
+       round(CAST(sum(CASE WHEN rn <= ceil(CAST(n AS DOUBLE) / 10.0)
+                           THEN cents ELSE 0 END) AS DOUBLE)
+             / CAST(max(total) AS DOUBLE), 6) AS top10pct_share
+FROM ranked
+"""
+
+
+@query(
+    "inequality_top_user_share",
+    sql=_TOPSHARE_SQL,
+    tags=("funnel", "inequality"),
+)
+def inequality_top_user_share(spark, sf_dir):
+    """Share of purchase revenue captured by the top 1% / 10% of
+    spenders, via the two-pass distributed global rank — see block
+    comment."""
+    from ..operators.rank import distributed_global_rank
+
+    ev = read_table(spark, sf_dir, "events")
+    u = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+        .select(
+            "user_id", "cents", (-F.col("cents")).alias("neg_cents")
+        )
+    )
+    ranked, n = distributed_global_rank(u, ["neg_cents", "user_id"], "__grank")
+    import math
+
+    k1 = int(math.ceil(n / 100.0))
+    k10 = int(math.ceil(n / 10.0))
+    return ranked.agg(
+        F.lit(n).cast("long").alias("n_users"),
+        F.sum("cents").cast("long").alias("total_cents"),
+        F.lit(k1).cast("long").alias("top1pct_users"),
+        F.round(
+            F.sum(F.when(F.col("__grank") <= k1, F.col("cents")).otherwise(0))
+            .cast("double")
+            / F.sum("cents").cast("double"),
+            6,
+        ).alias("top1pct_share"),
+        F.round(
+            F.sum(F.when(F.col("__grank") <= k10, F.col("cents")).otherwise(0))
+            .cast("double")
+            / F.sum("cents").cast("double"),
+            6,
+        ).alias("top10pct_share"),
+    )

@@ -1018,3 +1018,73 @@ def anomaly_dow_adjusted(spark, sf_dir):
         F.when(ok, F.round(z, 6)).alias("z_score"),
         F.when(ok, F.abs(z) > 2.0).otherwise(F.lit(False)).alias("is_anomaly"),
     )
+
+
+# --- week-over-week revenue growth ----------------------------------------
+# The BI staple: weekly purchase revenue with WoW growth.  Weeks are
+# epoch-day div 7 (pure integer arithmetic — no calendar, no locale, no
+# tz); revenue sums exact cents; the growth rate is ONE division on
+# exact inputs, guarded for a zero prior week.  The week rollup is the
+# only corpus-sized stage — the lag window runs over a handful of rows.
+# (The fixture spans ~1 month, so a monthly grain would leave the lag
+# untested; weekly gives a real series at every SF.)  Trap note: DuckDB
+# `//` on DOUBLE operands does NOT floor — and the following BIGINT cast
+# ROUNDS — so the week must be an explicit floor(x / 7.0).
+
+_WOW_SQL = """
+WITH weekly AS (
+  SELECT CAST(floor(floor(epoch(ts) / 86400) / 7.0) AS BIGINT) AS week,
+         CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+           AS rev_cents,
+         CAST(count(*) AS BIGINT) AS n_purchases
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY week
+)
+SELECT week, rev_cents, n_purchases,
+       CAST(lag(rev_cents) OVER (ORDER BY week) AS BIGINT) AS prev_rev_cents,
+       CASE WHEN lag(rev_cents) OVER (ORDER BY week) > 0
+            THEN round((CAST(rev_cents AS DOUBLE)
+                        - CAST(lag(rev_cents) OVER (ORDER BY week) AS DOUBLE))
+                       / CAST(lag(rev_cents) OVER (ORDER BY week) AS DOUBLE), 6)
+       END AS wow_growth
+FROM weekly
+"""
+
+
+@query("revenue_wow_growth", sql=_WOW_SQL, tags=("timeseries", "agg"))
+def revenue_wow_growth(spark, sf_dir):
+    """Weekly purchase revenue with week-over-week growth — see block
+    comment."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    weekly = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy(
+            F.floor(F.floor(F.unix_timestamp("ts") / 86400) / 7)
+            .cast("long")
+            .alias("week")
+        )
+        .agg(
+            F.sum(F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long"))
+            .cast("long")
+            .alias("rev_cents"),
+            F.count("*").cast("long").alias("n_purchases"),
+        )
+    )
+    w = Window.orderBy("week")
+    prev = F.lag("rev_cents").over(w)
+    return weekly.select(
+        "week",
+        "rev_cents",
+        "n_purchases",
+        prev.cast("long").alias("prev_rev_cents"),
+        F.when(
+            prev > 0,
+            F.round(
+                (F.col("rev_cents").cast("double") - prev.cast("double"))
+                / prev.cast("double"),
+                6,
+            ),
+        ).alias("wow_growth"),
+    )

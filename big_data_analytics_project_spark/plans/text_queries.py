@@ -1291,3 +1291,84 @@ def text_doc_keywords(spark, sf_dir):
         scored.withColumn("rank", F.row_number().over(w_doc).cast("long"))
         .where(F.col("rank") <= _DOC_KW_TOP)
     )
+
+
+# --- language-label disagreement audit ------------------------------------
+# The per-source confusion readout over text_language_id's heuristic:
+# how often does the n-gram predictor disagree with the corpus's own
+# language labels, and what does the (labeled, predicted) confusion look
+# like?  In a crawl pipeline this is the signal that a source's labels
+# (or the detector) need attention.  Same deterministic tie-broken
+# argmax as text_language_id, rolled up to a confusion-cell table —
+# map-only scan plus a tiny aggregate.
+
+_LANG_MISMATCH_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, source, lang,
+         regexp_split_to_array(lower(text), '\s+') AS t
+  FROM documents
+), scores AS (
+  SELECT doc_id, source, lang,
+    len(list_intersect(t, ['the','fast','data','query']))  AS score_en,
+    len(list_intersect(t, ['window','merge','batch']))      AS score_de,
+    len(list_intersect(t, ['table','scan','row']))          AS score_es,
+    len(list_intersect(t, ['join','filter','group']))       AS score_fr,
+    len(list_intersect(t, ['hash','sort','key']))           AS score_zh
+  FROM toks
+), pred AS (
+  SELECT source, lang AS labeled_lang,
+    CASE
+      WHEN score_en >= greatest(score_de, score_es, score_fr, score_zh) THEN 'en'
+      WHEN score_es > greatest(score_de, score_fr, score_zh) THEN 'es'
+      WHEN score_fr > greatest(score_de, score_zh) THEN 'fr'
+      WHEN score_zh > score_de THEN 'zh'
+      ELSE 'de'
+    END AS predicted_lang
+  FROM scores
+)
+SELECT source, labeled_lang, predicted_lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(labeled_lang = predicted_lang AS BOOLEAN) AS agrees
+FROM pred GROUP BY source, labeled_lang, predicted_lang
+"""
+
+
+@query("quality_langid_mismatch", sql=_LANG_MISMATCH_SQL, tags=("text", "quality", "audit"))
+def quality_langid_mismatch(spark, sf_dir):
+    """Per-source (labeled, predicted) language confusion cells from the
+    n-gram language-id heuristic — see block comment."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = T.ws_tokens(F.col("text"))
+    probes = {
+        "en": ["the", "fast", "data", "query"],
+        "de": ["window", "merge", "batch"],
+        "es": ["table", "scan", "row"],
+        "fr": ["join", "filter", "group"],
+        "zh": ["hash", "sort", "key"],
+    }
+    scored = docs.select(
+        "source",
+        F.col("lang").alias("labeled_lang"),
+        *[
+            F.size(
+                F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))
+            ).alias(f"score_{code}")
+            for code, words in probes.items()
+        ],
+    )
+    en, de, es, fr, zh = (F.col(f"score_{c}") for c in ("en", "de", "es", "fr", "zh"))
+    predicted = (
+        F.when(en >= F.greatest(de, es, fr, zh), "en")
+        .when(es > F.greatest(de, fr, zh), "es")
+        .when(fr > F.greatest(de, zh), "fr")
+        .when(zh > de, "zh")
+        .otherwise("de")
+    )
+    return (
+        scored.select("source", "labeled_lang", predicted.alias("predicted_lang"))
+        .groupBy("source", "labeled_lang", "predicted_lang")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .withColumn(
+            "agrees", F.col("labeled_lang") == F.col("predicted_lang")
+        )
+    )

@@ -9,8 +9,8 @@ from pathlib import Path
 
 from big_data_analytics_project_spark.registry import load_all
 
-TOTAL = 219
-ORACLE = 202
+TOTAL = 222
+ORACLE = 205
 
 
 def test_counts_match_registry():

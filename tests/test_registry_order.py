@@ -48,6 +48,7 @@ EXPECTED_WINDOW = (
     "abtest_ks_statistic",
     "funnel_time_bounded",
     "retention_growth_accounting",
+    "inequality_top_user_share",
     "basket_association_rules",
     "ml_rf_quality_contract",
     "multimodal_binary_dedup",
@@ -66,6 +67,7 @@ EXPECTED_WINDOW = (
     "timeseries_gap_histogram",
     "anomaly_cusum_shift",
     "anomaly_dow_adjusted",
+    "revenue_wow_growth",
     "text_boilerplate_ngram_share",
     "tfidf_top_terms",
     "quality_unigram_logprob",
@@ -75,8 +77,6 @@ EXPECTED_WINDOW = (
     "drift_js_source_tokens",
     "text_pmi_collocations",
     "text_skipgram_pairs",
-    "tokenizer_fertility_by_lang",
-    "text_doc_keywords",
 )
 
 
