@@ -325,3 +325,71 @@ def test_curriculum_phases_order_by_quality(spark, sf_dir):
     assert means[0] <= means[1] <= means[2]
     sizes = [by_phase[p][0] for p in (0, 1, 2)]
     assert max(sizes) - min(sizes) <= 1 * 3  # tertiles are near-equal
+
+
+def test_heatmap_covers_the_week_and_sums_to_corpus(spark, sf_dir):
+    from big_data_analytics_project_spark.sources import read_table
+
+    rows = _q("eda_hour_of_week_heatmap", spark, sf_dir).collect()
+    assert all(0 <= r["dow"] <= 6 and 0 <= r["hour"] <= 23 for r in rows)
+    total = sum(r["n_events"] for r in rows)
+    assert total == read_table(spark, sf_dir, "events").count()
+    assert all(r["n_purchases"] <= r["n_events"] for r in rows)
+
+
+def test_uniqueness_profile_flags_the_key_column(spark, sf_dir):
+    rows = {r["col"]: r for r in _q("eda_uniqueness_profile", spark, sf_dir).collect()}
+    assert rows["event_id"]["is_unique_key"] is True
+    assert rows["event_type"]["is_unique_key"] is False
+    for r in rows.values():
+        assert r["n_distinct"] <= r["n_nonnull"] <= r["n_rows"]
+        assert r["duplication_factor"] >= 1.0
+
+
+def test_wow_growth_is_lagged_consistently(spark, sf_dir):
+    rows = sorted(
+        _q("revenue_wow_growth", spark, sf_dir).collect(), key=lambda r: r["week"]
+    )
+    assert rows[0]["prev_rev_cents"] is None and rows[0]["wow_growth"] is None
+    for a, b in zip(rows, rows[1:]):
+        assert b["week"] == a["week"] + 1 or b["week"] > a["week"]
+        assert b["prev_rev_cents"] == a["rev_cents"]
+        if b["prev_rev_cents"]:
+            expect = round(
+                (b["rev_cents"] - b["prev_rev_cents"]) / b["prev_rev_cents"], 6
+            )
+            assert abs(b["wow_growth"] - expect) < 1e-9
+
+
+def test_top_share_bounds_and_ordering(spark, sf_dir):
+    r = _q("inequality_top_user_share", spark, sf_dir).collect()[0]
+    assert 0 < r["top1pct_share"] <= r["top10pct_share"] <= 1.0
+    # the top 1% must capture at least its population share of revenue
+    assert r["top1pct_share"] >= r["top1pct_users"] / r["n_users"] - 1e-9
+
+
+def test_langid_confusion_partitions_the_corpus(spark, sf_dir):
+    from big_data_analytics_project_spark.sources import read_table
+
+    rows = _q("quality_langid_mismatch", spark, sf_dir).collect()
+    assert sum(r["n_docs"] for r in rows) == read_table(
+        spark, sf_dir, "documents"
+    ).count()
+    for r in rows:
+        assert r["agrees"] == (r["labeled_lang"] == r["predicted_lang"])
+
+
+def test_merge_upsert_vs_scd2_philosophies_agree_on_the_latest(spark, sf_dir):
+    # the MERGE result's updated segment values must equal the OPEN rows
+    # an SCD2 merge of the same update batch would produce (history
+    # differs; the "current view" must not)
+    rows = _q("maintenance_merge_upsert", spark, sf_dir).collect()
+    mobile = sum(r["n_rows"] for r in rows if r["c_mktsegment"] == "MOBILE")
+    from big_data_analytics_project_spark.sources import read_table
+
+    cust = read_table(spark, sf_dir, "customer")
+    n_upd = cust.where(F.col("c_custkey") % 7 == 0).count()
+    n_native_mobile = cust.where(
+        (F.col("c_mktsegment") == "MOBILE") & (F.col("c_custkey") % 7 != 0)
+    ).count()
+    assert mobile == n_upd + n_native_mobile
