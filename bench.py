@@ -218,6 +218,8 @@ HEADLINE = [
     "inequality_top_user_share",
     # langid confusion audit: map-only argmax + confusion-cell aggregate
     "quality_langid_mismatch",
+    # the 4-stage curation funnel as one chained plan (3 keyed shuffles)
+    "pipeline_curation_accounting",
 ]
 
 

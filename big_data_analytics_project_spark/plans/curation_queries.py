@@ -1925,3 +1925,162 @@ def maintenance_merge_upsert(spark, sf_dir):
         "min_key",
         "max_key",
     )
+
+
+# --- the curation funnel as ONE declarative plan --------------------------
+# Entry-point-4's pretraining pipeline (pipelines.py) exists as an
+# orchestrated multi-stage run; this query expresses the same funnel —
+# quality gate → keep-best exact dedup → PPS sample → per-source token
+# budget — as a SINGLE chained plan with per-stage row/token accounting,
+# oracle-checked end to end.  Every stage reuses a proven pattern
+# (quality score, fingerprint keep-best rank, hash-threshold PPS,
+# hash-ordered budget cumsum), so the whole funnel inherits their
+# determinism contracts; Catalyst sees one tree and pipelines the
+# map-only stages between the three keyed shuffles (fingerprint rank,
+# PPS scalar, source budget window).
+
+_PIPE_PPS_RATE = 0.6
+_PIPE_BUDGET = 400
+
+_PIPE_SQL = rf"""
+WITH corpus AS (
+  SELECT doc_id, source, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, source, text || '  .' AS text
+  FROM documents WHERE doc_id % 7 = 0
+),
+base AS (
+  SELECT doc_id, source, text,
+         CAST(len(regexp_split_to_array(lower(text), '\s+')) AS BIGINT)
+           AS n_tokens,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         round(least(length(text)::DOUBLE / 500.0, 1.0) * 0.4
+               + least(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                       x -> list_contains(['the','a','of','to','and','in','is','it'], x)))::DOUBLE
+                       / len(regexp_split_to_array(lower(text), '\s+')) * 4, 1.0) * 0.3
+               + greatest(1.0 - (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE
+                          / length(text) * 10, 0.0) * 0.3, 6) AS q,
+         md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+           AS fingerprint,
+         {hash60("CAST(doc_id AS VARCHAR)")} AS h
+  FROM corpus
+),
+gated AS (SELECT * FROM base WHERE q >= 0.5),
+deduped AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY fingerprint
+                                 ORDER BY q DESC, doc_id) AS rn
+    FROM gated
+  ) WHERE rn = 1
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_total,
+         CAST(sum(n_chars) AS BIGINT) AS w_total
+  FROM deduped
+),
+sampled AS (
+  SELECT d.* FROM deduped d CROSS JOIN tot t
+  WHERE CAST(d.h AS DOUBLE) / 1152921504606846976.0
+        < least(1.0, {_PIPE_PPS_RATE} * CAST(d.n_chars AS DOUBLE)
+                     * CAST(t.n_total AS DOUBLE) / CAST(t.w_total AS DOUBLE))
+),
+budgeted AS (
+  SELECT * FROM (
+    SELECT *, sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS cum
+    FROM sampled
+  ) WHERE cum - n_tokens < {_PIPE_BUDGET}
+)
+SELECT CAST(1 AS BIGINT) AS stage_order, 'raw' AS stage,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+FROM base
+UNION ALL SELECT 2, 'quality_gate', CAST(count(*) AS BIGINT),
+       CAST(sum(n_tokens) AS BIGINT) FROM gated
+UNION ALL SELECT 3, 'dedup_keep_best', CAST(count(*) AS BIGINT),
+       CAST(sum(n_tokens) AS BIGINT) FROM deduped
+UNION ALL SELECT 4, 'pps_sample', CAST(count(*) AS BIGINT),
+       CAST(sum(n_tokens) AS BIGINT) FROM sampled
+UNION ALL SELECT 5, 'token_budget', CAST(count(*) AS BIGINT),
+       CAST(sum(n_tokens) AS BIGINT) FROM budgeted
+"""
+
+
+@query(
+    "pipeline_curation_accounting",
+    sql=_PIPE_SQL,
+    tags=("curation", "pipeline", "report"),
+)
+def pipeline_curation_accounting(spark, sf_dir):
+    """The four-stage curation funnel (quality gate → keep-best dedup →
+    PPS sample → per-source token budget) as one chained plan, reporting
+    per-stage doc/token accounting — see block comment."""
+    from pyspark.sql import Window
+
+    from ..operators import text as T
+    from ..operators.dedup import md5_hash60
+
+    docs = read_table(spark, sf_dir, "documents")
+    variants = docs.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        "source",
+        F.concat(F.col("text"), F.lit("  .")).alias("text"),
+    )
+    corpus = docs.select("doc_id", "source", "text").unionByName(variants)
+    toks = T.ws_tokens(F.col("text"))
+    base = corpus.select(
+        "doc_id",
+        "source",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+        F.round(T.quality_score(F.col("text"), toks), 6).alias("q"),
+        F.md5(
+            F.trim(F.regexp_replace(F.lower("text"), "[^a-z0-9]+", " "))
+        ).alias("fingerprint"),
+        md5_hash60(F.col("doc_id").cast("string")).alias("h"),
+    )
+    gated = base.where(F.col("q") >= 0.5)
+    w_fp = Window.partitionBy("fingerprint").orderBy(F.desc("q"), "doc_id")
+    deduped = (
+        gated.withColumn("rn", F.row_number().over(w_fp))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    tot = deduped.agg(
+        F.count("*").cast("long").alias("n_total"),
+        F.sum("n_chars").cast("long").alias("w_total"),
+    )
+    u = F.col("h").cast("double") / F.lit(1152921504606846976.0)
+    p = F.least(
+        F.lit(1.0),
+        F.lit(_PIPE_PPS_RATE)
+        * F.col("n_chars").cast("double")
+        * F.col("n_total").cast("double")
+        / F.col("w_total").cast("double"),
+    )
+    sampled = deduped.crossJoin(F.broadcast(tot)).where(u < p)
+    w_src = (
+        Window.partitionBy("source")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    budgeted = (
+        sampled.withColumn("cum", F.sum("n_tokens").over(w_src))
+        .where(F.col("cum") - F.col("n_tokens") < _PIPE_BUDGET)
+    )
+
+    def acct(order, name, df):
+        return df.agg(
+            F.lit(order).cast("long").alias("stage_order"),
+            F.lit(name).alias("stage"),
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+
+    return (
+        acct(1, "raw", base)
+        .unionByName(acct(2, "quality_gate", gated))
+        .unionByName(acct(3, "dedup_keep_best", deduped))
+        .unionByName(acct(4, "pps_sample", sampled))
+        .unionByName(acct(5, "token_budget", budgeted))
+    )

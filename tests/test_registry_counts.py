@@ -9,8 +9,8 @@ from pathlib import Path
 
 from big_data_analytics_project_spark.registry import load_all
 
-TOTAL = 222
-ORACLE = 205
+TOTAL = 223
+ORACLE = 206
 
 
 def test_counts_match_registry():

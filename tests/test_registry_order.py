@@ -34,6 +34,7 @@ EXPECTED_WINDOW = (
     "curriculum_phase_assignment",
     "layout_partition_pruned_scan",
     "maintenance_merge_upsert",
+    "pipeline_curation_accounting",
     "dedup_keep_best_quality",
     "eda_events_report",
     "eda_hour_of_week_heatmap",
@@ -76,7 +77,6 @@ EXPECTED_WINDOW = (
     "retrieval_bm25_topk",
     "drift_js_source_tokens",
     "text_pmi_collocations",
-    "text_skipgram_pairs",
 )
 
 
