@@ -220,6 +220,8 @@ HEADLINE = [
     "quality_langid_mismatch",
     # the 4-stage curation funnel as one chained plan (3 keyed shuffles)
     "pipeline_curation_accounting",
+    # per-source entropy: one (source, token) shuffle + nano-grid terms
+    "text_source_entropy",
 ]
 
 

@@ -1372,3 +1372,72 @@ def quality_langid_mismatch(spark, sf_dir):
             "agrees", F.col("labeled_lang") == F.col("predicted_lang")
         )
     )
+
+
+# --- per-source unigram entropy (diversity / templating signal) -----------
+# Low token entropy = templated or boilerplate-heavy source; the
+# diversity number mixture designers read next to OOV and JS-drift.
+# H = −Σ p·ln p over the source's unigram distribution: p = c/N is an
+# exact BIGINT ratio in ONE division, each −p·ln(p) term quantizes onto
+# the 1e-9 floor grid before a BIGINT sum (the chi-square rule — the
+# only transcendental never meets a float accumulator), and H rounds
+# once at 6 dp.  Shape: one (source, token) count shuffle (map-side
+# combined), then source-sized aggregates.
+
+_ENTROPY_SQL = r"""
+WITH toks AS (
+  SELECT source, unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+  FROM documents
+),
+counts AS (
+  SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+  FROM toks GROUP BY source, tok
+),
+totals AS (
+  SELECT source, CAST(sum(c) AS BIGINT) AS n,
+         CAST(count(*) AS BIGINT) AS vocab
+  FROM counts GROUP BY source
+),
+terms AS (
+  SELECT c.source, t.n, t.vocab,
+         CAST(floor(-(CAST(c.c AS DOUBLE) / CAST(t.n AS DOUBLE))
+                    * ln(CAST(c.c AS DOUBLE) / CAST(t.n AS DOUBLE))
+                    * 1000000000.0 + 0.5) AS BIGINT) AS term_nano
+  FROM counts c JOIN totals t ON c.source = t.source
+)
+SELECT source, CAST(max(n) AS BIGINT) AS n_tokens,
+       CAST(max(vocab) AS BIGINT) AS vocab_size,
+       round(CAST(sum(term_nano) AS DOUBLE) / 1000000000.0, 6) AS entropy_nats,
+       round(exp(CAST(sum(term_nano) AS DOUBLE) / 1000000000.0), 6)
+         AS perplexity
+FROM terms GROUP BY source
+"""
+
+
+@query("text_source_entropy", sql=_ENTROPY_SQL, tags=("text", "quality", "analytics"))
+def text_source_entropy(spark, sf_dir):
+    """Per-source unigram Shannon entropy and perplexity — see block
+    comment for the nano-grid term quantization."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(T.ws_tokens(F.col("text"))).alias("tok")
+    )
+    counts = toks.groupBy("source", "tok").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    totals = counts.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count("*").cast("long").alias("vocab"),
+    )
+    p = F.col("c").cast("double") / F.col("n").cast("double")
+    term = F.floor(-p * F.log(p) * 1000000000.0 + F.lit(0.5)).cast("long")
+    terms = counts.join(F.broadcast(totals), "source").select(
+        "source", "n", "vocab", term.alias("term_nano")
+    )
+    h = F.sum("term_nano").cast("double") / 1000000000.0
+    return terms.groupBy("source").agg(
+        F.max("n").cast("long").alias("n_tokens"),
+        F.max("vocab").cast("long").alias("vocab_size"),
+        F.round(h, 6).alias("entropy_nats"),
+        F.round(F.exp(h), 6).alias("perplexity"),
+    )
