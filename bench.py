@@ -222,6 +222,8 @@ HEADLINE = [
     "pipeline_curation_accounting",
     # per-source entropy: one (source, token) shuffle + nano-grid terms
     "text_source_entropy",
+    # ABC/Pareto: fact-side join shuffle + ~25-row cumulative window
+    "abc_brand_revenue",
 ]
 
 

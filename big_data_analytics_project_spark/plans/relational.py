@@ -1302,3 +1302,76 @@ def profile_decile_order_totals(spark, sf_dir):
             (F.sum("cents").cast("double") / F.count("*")).alias("avg_cents"),
         )
     )
+
+
+# --- ABC / Pareto revenue classification by brand -------------------------
+# The inventory-management classic: rank brands by revenue, accumulate
+# the share, and classify A (first 80% of revenue), B (to 95%), C (the
+# tail).  Revenue is the exact decimal lineitem term joined through part
+# (one fact-side shuffle; part is dimension-sized and AQE-broadcast at
+# small SF); the brand rollup is tiny, so the ordered cumulative window
+# runs over ~25 rows.  Every cumulative share is ONE division of exact
+# DECIMAL sums, so the 0.80/0.95 class boundaries cut identically on
+# both engines; ordering ties break on the brand string.
+
+_ABC_SQL = """
+WITH rev AS (
+  SELECT p.p_brand AS brand,
+         sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)))
+           AS r
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY p.p_brand
+),
+cum AS (
+  SELECT brand, r,
+         sum(r) OVER (ORDER BY r DESC, brand ROWS UNBOUNDED PRECEDING)
+           AS cum_r,
+         sum(r) OVER () AS total
+  FROM rev
+)
+SELECT brand,
+       CAST(r AS DOUBLE) AS revenue,
+       round(CAST(cum_r AS DOUBLE) / CAST(total AS DOUBLE), 6)
+         AS cum_revenue_share,
+       CASE WHEN CAST(cum_r AS DOUBLE) / CAST(total AS DOUBLE) <= 0.80 THEN 'A'
+            WHEN CAST(cum_r AS DOUBLE) / CAST(total AS DOUBLE) <= 0.95 THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM cum
+"""
+
+
+@query("abc_brand_revenue", sql=_ABC_SQL, tags=("agg", "window", "analytics"))
+def abc_brand_revenue(spark, sf_dir):
+    """ABC (Pareto) revenue classification of part brands — see block
+    comment."""
+    from pyspark.sql import Window
+
+    li = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part")
+    term = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    rev = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(F.sum(term).alias("r"))
+    )
+    # brand rollup is ~25 rows: global ordered window is the right plan
+    w_cum = Window.orderBy(F.desc("r"), "brand").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.partitionBy()
+    share = F.col("cum_r").cast("double") / F.col("total").cast("double")
+    return (
+        rev.withColumn("cum_r", F.sum("r").over(w_cum))
+        .withColumn("total", F.sum("r").over(w_all))
+        .select(
+            "brand",
+            F.col("r").cast("double").alias("revenue"),
+            F.round(share, 6).alias("cum_revenue_share"),
+            F.when(share <= 0.80, "A")
+            .when(share <= 0.95, "B")
+            .otherwise("C")
+            .alias("abc_class"),
+        )
+    )

@@ -53,6 +53,7 @@ EXPECTED_WINDOW = (
     "basket_association_rules",
     "ml_rf_quality_contract",
     "multimodal_binary_dedup",
+    "abc_brand_revenue",
     "variant_semi_structured",
     "ml_engagement_calibration",
     "embedding_label_centroids",
@@ -76,7 +77,6 @@ EXPECTED_WINDOW = (
     "vocab_oov_rate",
     "retrieval_bm25_topk",
     "drift_js_source_tokens",
-    "text_pmi_collocations",
 )
 
 
