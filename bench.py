@@ -224,6 +224,10 @@ HEADLINE = [
     "text_source_entropy",
     # ABC/Pareto: fact-side join shuffle + ~25-row cumulative window
     "abc_brand_revenue",
+    # repeat-purchase cadence: user lag window + rank-op order statistics
+    "repeat_purchase_intervals",
+    # quartile migration: two per-half rank passes + full-outer matrix
+    "segment_migration_matrix",
 ]
 
 

@@ -1732,3 +1732,193 @@ def inequality_top_user_share(spark, sf_dir):
             6,
         ).alias("top10pct_share"),
     )
+
+
+# --- repeat-purchase interval distribution --------------------------------
+# How long between a repeat buyer's consecutive purchases?  The loyalty
+# cadence next to conversion latency (which measures only first
+# view→first purchase).  Gaps are exact integer seconds from a per-user
+# lag window; the global p50/p90/p99 are exact order statistics via the
+# two-pass distributed rank over the GAP table (purchase-cardinality),
+# tie-broken to full uniqueness by (gap, user, event).
+
+_REPEAT_SQL = """
+WITH p AS (
+  SELECT user_id, event_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_ts
+  FROM events WHERE event_type = 'purchase'
+),
+gaps AS (
+  SELECT user_id, event_id,
+         CAST(date_diff('second', prev_ts, ts) AS BIGINT) AS gap_sec
+  FROM p WHERE prev_ts IS NOT NULL
+),
+ranked AS (
+  SELECT gap_sec,
+         row_number() OVER (ORDER BY gap_sec, user_id, event_id) AS rk,
+         count(*) OVER () AS n
+  FROM gaps
+)
+SELECT (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM gaps)
+         AS n_repeat_buyers,
+       (SELECT CAST(count(*) AS BIGINT) FROM gaps) AS n_gaps,
+       round(CAST((SELECT CAST(sum(gap_sec) AS BIGINT) FROM gaps) AS DOUBLE)
+             / CAST((SELECT count(*) FROM gaps) AS DOUBLE), 6)
+         AS mean_gap_sec,
+       max(CASE WHEN rk = CAST(ceil(0.5 * n) AS BIGINT)
+                THEN gap_sec END) AS p50_sec,
+       max(CASE WHEN rk = CAST(ceil(0.9 * n) AS BIGINT)
+                THEN gap_sec END) AS p90_sec,
+       max(CASE WHEN rk = CAST(ceil(0.99 * n) AS BIGINT)
+                THEN gap_sec END) AS p99_sec
+FROM ranked
+"""
+
+
+@query(
+    "repeat_purchase_intervals",
+    sql=_REPEAT_SQL,
+    tags=("funnel", "retention", "latency"),
+)
+def repeat_purchase_intervals(spark, sf_dir):
+    """Exact p50/p90/p99 (and mean) of seconds between consecutive
+    purchases per user — see block comment."""
+    import math
+
+    from pyspark.sql import Window
+
+    from ..operators.rank import distributed_global_rank
+
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", F.lag("ts").over(w).alias("prev_ts")
+    )
+    gaps = p.where(F.col("prev_ts").isNotNull()).select(
+        "user_id",
+        "event_id",
+        (F.unix_timestamp("ts") - F.unix_timestamp("prev_ts"))
+        .cast("long")
+        .alias("gap_sec"),
+    )
+    ranked, n = distributed_global_rank(
+        gaps, ["gap_sec", "user_id", "event_id"]
+    )
+    stats = gaps.agg(
+        F.countDistinct("user_id").cast("long").alias("n_repeat_buyers"),
+        F.count("*").cast("long").alias("n_gaps"),
+        F.round(
+            F.sum("gap_sec").cast("double") / F.count("*").cast("double"), 6
+        ).alias("mean_gap_sec"),
+    )
+    picks = {q: max(1, math.ceil(q * n)) for q in (0.5, 0.9, 0.99)}
+    pick = F.col("__rank")
+    pct = ranked.agg(
+        F.max(F.when(pick == picks[0.5], F.col("gap_sec"))).alias("p50_sec"),
+        F.max(F.when(pick == picks[0.9], F.col("gap_sec"))).alias("p90_sec"),
+        F.max(F.when(pick == picks[0.99], F.col("gap_sec"))).alias("p99_sec"),
+    )
+    return stats.crossJoin(F.broadcast(pct))
+
+
+# --- revenue-quartile migration matrix (first half vs second half) --------
+# Segment flow: which revenue quartile did each buyer occupy in the
+# corpus's first half vs its second, and how many users moved between
+# cells?  The upgrade/downgrade matrix behind "are my whales new or
+# durable?".  Each half gets its own exact quartile via the RFM
+# machinery (two-pass distributed rank + the engine-exact ntile rule,
+# (cents, user_id) tie-break); non-buyers in a half sit in quartile 0;
+# a full-outer join on user_id builds the matrix.  The midpoint is
+# integer epoch arithmetic.
+
+_MIGRATION_SQL = """
+WITH bounds AS (
+  SELECT CAST(min(floor(epoch(ts))) AS BIGINT) AS mn,
+         CAST(max(floor(epoch(ts))) AS BIGINT) AS mx
+  FROM events
+),
+p AS (
+  SELECT e.user_id,
+         CAST(floor(epoch(e.ts)) AS BIGINT)
+           <= (b.mn + (b.mx - b.mn) / 2) AS first_half,
+         CAST(floor(e.value * 100.0 + 0.5) AS BIGINT) AS c
+  FROM events e CROSS JOIN bounds b
+  WHERE e.event_type = 'purchase'
+),
+h1 AS (
+  SELECT user_id, CAST(ntile(4) OVER (ORDER BY cents, user_id) AS BIGINT)
+           AS q
+  FROM (SELECT user_id, CAST(sum(c) AS BIGINT) AS cents FROM p
+        WHERE first_half GROUP BY user_id)
+),
+h2 AS (
+  SELECT user_id, CAST(ntile(4) OVER (ORDER BY cents, user_id) AS BIGINT)
+           AS q
+  FROM (SELECT user_id, CAST(sum(c) AS BIGINT) AS cents FROM p
+        WHERE NOT first_half GROUP BY user_id)
+)
+SELECT coalesce(h1.q, 0) AS q_first_half,
+       coalesce(h2.q, 0) AS q_second_half,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM h1 FULL JOIN h2 ON h1.user_id = h2.user_id
+GROUP BY q_first_half, q_second_half
+"""
+
+
+@query(
+    "segment_migration_matrix",
+    sql=_MIGRATION_SQL,
+    tags=("funnel", "segmentation"),
+)
+def segment_migration_matrix(spark, sf_dir):
+    """Revenue-quartile migration matrix between the corpus's two halves
+    — see block comment."""
+    from ..operators.rank import distributed_global_rank, ntile_from_rank
+
+    ev = read_table(spark, sf_dir, "events")
+    epoch = F.unix_timestamp("ts").cast("long")
+    bounds = ev.agg(
+        F.min(epoch).alias("mn"), F.max(epoch).alias("mx")
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "user_id",
+            (
+                epoch <= (F.col("mn") + F.floor((F.col("mx") - F.col("mn")) / 2))
+            ).alias("first_half"),
+            F.floor(F.col("value") * 100.0 + F.lit(0.5))
+            .cast("long")
+            .alias("c"),
+        )
+    )
+
+    def quartiles(df, flag):
+        cents = (
+            df.where(flag)
+            .groupBy("user_id")
+            .agg(F.sum("c").cast("long").alias("cents"))
+        )
+        ranked, n = distributed_global_rank(
+            cents, ["cents", "user_id"], "__q rank".replace(" ", "_")
+        )
+        return ranked.select(
+            "user_id",
+            ntile_from_rank(F.col("__q_rank"), n, 4).alias("q"),
+        )
+
+    h1 = quartiles(p, F.col("first_half"))
+    h2 = quartiles(p, ~F.col("first_half")).select(
+        F.col("user_id"), F.col("q").alias("q2")
+    )
+    return (
+        h1.join(h2, "user_id", "full")
+        .select(
+            F.coalesce("q", F.lit(0)).cast("long").alias("q_first_half"),
+            F.coalesce("q2", F.lit(0)).cast("long").alias("q_second_half"),
+        )
+        .groupBy("q_first_half", "q_second_half")
+        .agg(F.count("*").cast("long").alias("n_users"))
+    )

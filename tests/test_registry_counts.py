@@ -9,8 +9,8 @@ from pathlib import Path
 
 from big_data_analytics_project_spark.registry import load_all
 
-TOTAL = 225
-ORACLE = 208
+TOTAL = 227
+ORACLE = 210
 
 
 def test_counts_match_registry():

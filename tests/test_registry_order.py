@@ -50,6 +50,8 @@ EXPECTED_WINDOW = (
     "funnel_time_bounded",
     "retention_growth_accounting",
     "inequality_top_user_share",
+    "repeat_purchase_intervals",
+    "segment_migration_matrix",
     "basket_association_rules",
     "ml_rf_quality_contract",
     "multimodal_binary_dedup",
@@ -75,8 +77,6 @@ EXPECTED_WINDOW = (
     "quality_unigram_logprob",
     "tokens_length_histogram",
     "vocab_oov_rate",
-    "retrieval_bm25_topk",
-    "drift_js_source_tokens",
 )
 
 
