@@ -393,3 +393,79 @@ def test_merge_upsert_vs_scd2_philosophies_agree_on_the_latest(spark, sf_dir):
         (F.col("c_mktsegment") == "MOBILE") & (F.col("c_custkey") % 7 != 0)
     ).count()
     assert mobile == n_upd + n_native_mobile
+
+
+def test_entropy_bounded_by_log_vocab(spark, sf_dir):
+    import math
+
+    rows = _q("text_source_entropy", spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["entropy_nats"] <= math.log(r["vocab_size"]) + 1e-6
+        assert abs(r["perplexity"] - round(math.exp(r["entropy_nats"]), 2)) < max(
+            0.01 * r["perplexity"], 0.02
+        )
+        assert r["vocab_size"] <= r["n_tokens"]
+
+
+def test_abc_classes_respect_share_boundaries(spark, sf_dir):
+    rows = sorted(
+        _q("abc_brand_revenue", spark, sf_dir).collect(),
+        key=lambda r: r["cum_revenue_share"],
+    )
+    assert rows[-1]["cum_revenue_share"] == 1.0
+    shares = [r["cum_revenue_share"] for r in rows]
+    assert shares == sorted(shares)
+    for r in rows:
+        if r["abc_class"] == "A":
+            assert r["cum_revenue_share"] <= 0.80 + 1e-9
+        elif r["abc_class"] == "B":
+            assert 0.80 - 1e-9 < r["cum_revenue_share"] <= 0.95 + 1e-9
+        else:
+            assert r["cum_revenue_share"] > 0.95 - 1e-9
+    assert {r["abc_class"] for r in rows} == {"A", "B", "C"}
+
+
+def test_repeat_intervals_percentiles_are_ordered(spark, sf_dir):
+    r = _q("repeat_purchase_intervals", spark, sf_dir).collect()[0]
+    assert r["n_repeat_buyers"] > 0 and r["n_gaps"] >= r["n_repeat_buyers"]
+    assert 0 <= r["p50_sec"] <= r["p90_sec"] <= r["p99_sec"]
+    assert r["p50_sec"] <= r["mean_gap_sec"] * 3  # sanity, not theory
+
+
+def test_migration_matrix_partitions_buyers(spark, sf_dir):
+    from big_data_analytics_project_spark.sources import read_table
+
+    rows = _q("segment_migration_matrix", spark, sf_dir).collect()
+    n = sum(r["n_users"] for r in rows)
+    buyers = (
+        read_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert n == buyers  # every buyer lands in exactly one matrix cell
+    for r in rows:
+        assert 0 <= r["q_first_half"] <= 4 and 0 <= r["q_second_half"] <= 4
+        assert not (r["q_first_half"] == 0 and r["q_second_half"] == 0)
+
+
+def test_curation_funnel_is_monotone_and_budget_capped(spark, sf_dir):
+    from big_data_analytics_project_spark.plans.curation_queries import (
+        _PIPE_BUDGET,
+    )
+
+    rows = sorted(
+        _q("pipeline_curation_accounting", spark, sf_dir).collect(),
+        key=lambda r: r["stage_order"],
+    )
+    assert [r["stage"] for r in rows] == [
+        "raw", "quality_gate", "dedup_keep_best", "pps_sample", "token_budget",
+    ]
+    for a, b in zip(rows, rows[1:]):
+        assert b["n_docs"] <= a["n_docs"]
+        assert b["n_tokens"] <= a["n_tokens"]
+    # the budget stage caps tokens near sources x budget (first-crossing
+    # doc included, so allow one doc's overshoot per source)
+    assert rows[-1]["n_tokens"] <= 20 * _PIPE_BUDGET * 2
