@@ -228,6 +228,8 @@ HEADLINE = [
     "repeat_purchase_intervals",
     # quartile migration: two per-half rank passes + full-outer matrix
     "segment_migration_matrix",
+    # fulfillment SLA: order-keyed join + priority-keyed rank window
+    "ops_fulfillment_lag_by_priority",
 ]
 
 

@@ -1375,3 +1375,85 @@ def abc_brand_revenue(spark, sf_dir):
             .alias("abc_class"),
         )
     )
+
+
+# --- fulfillment-lag SLA by order priority --------------------------------
+# Ops question: how long from order placement to FIRST shipment, and does
+# priority actually buy speed?  Lag is exact integer days (epoch-day
+# subtraction); per-priority p50/p90 are exact order statistics from a
+# priority-keyed row_number window (5 priority groups, each distributed
+# across its partition — never a global single reducer), picked at
+# ceil(q·n) with the (lag, order key) tie-break.  One order-keyed join
+# shuffle + one priority-keyed window shuffle.
+
+_SLA_SQL = """
+WITH ship AS (
+  SELECT o.o_orderpriority AS priority, o.o_orderkey,
+         CAST(floor(epoch(min(l.l_shipdate)) / 86400) AS BIGINT)
+           - CAST(floor(epoch(o.o_orderdate) / 86400) AS BIGINT)
+           AS lag_days
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  GROUP BY o.o_orderpriority, o.o_orderkey, o.o_orderdate
+),
+ranked AS (
+  SELECT priority, lag_days,
+         row_number() OVER (PARTITION BY priority
+                            ORDER BY lag_days, o_orderkey) AS rk,
+         count(*) OVER (PARTITION BY priority) AS n
+  FROM ship
+)
+SELECT priority,
+       CAST(max(n) AS BIGINT) AS n_orders,
+       CAST(min(lag_days) AS BIGINT) AS min_days,
+       max(CASE WHEN rk = CAST(ceil(0.5 * n) AS BIGINT)
+                THEN lag_days END) AS p50_days,
+       max(CASE WHEN rk = CAST(ceil(0.9 * n) AS BIGINT)
+                THEN lag_days END) AS p90_days,
+       CAST(max(lag_days) AS BIGINT) AS max_days
+FROM ranked GROUP BY priority
+"""
+
+
+@query("ops_fulfillment_lag_by_priority", sql=_SLA_SQL, tags=("join", "window", "analytics"))
+def ops_fulfillment_lag_by_priority(spark, sf_dir):
+    """Order-to-first-shipment lag percentiles per order priority — see
+    block comment."""
+    from pyspark.sql import Window
+
+    o = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    day = lambda c: F.floor(F.unix_timestamp(c) / 86400).cast("long")  # noqa: E731
+    ship = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            "o_orderkey",
+            "o_orderdate",
+        )
+        .agg(F.min("l_shipdate").alias("first_ship"))
+        .select(
+            "priority",
+            "o_orderkey",
+            (day(F.col("first_ship")) - day(F.col("o_orderdate"))).alias(
+                "lag_days"
+            ),
+        )
+    )
+    w = Window.partitionBy("priority").orderBy("lag_days", "o_orderkey")
+    wn = Window.partitionBy("priority")
+    ranked = ship.withColumn("rk", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(wn)
+    )
+    pick = lambda q: F.max(  # noqa: E731
+        F.when(
+            F.col("rk") == F.ceil(F.lit(q) * F.col("n")).cast("long"),
+            F.col("lag_days"),
+        )
+    )
+    return ranked.groupBy("priority").agg(
+        F.max("n").cast("long").alias("n_orders"),
+        F.min("lag_days").cast("long").alias("min_days"),
+        pick(0.5).alias("p50_days"),
+        pick(0.9).alias("p90_days"),
+        F.max("lag_days").cast("long").alias("max_days"),
+    )

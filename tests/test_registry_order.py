@@ -56,6 +56,7 @@ EXPECTED_WINDOW = (
     "ml_rf_quality_contract",
     "multimodal_binary_dedup",
     "abc_brand_revenue",
+    "ops_fulfillment_lag_by_priority",
     "variant_semi_structured",
     "ml_engagement_calibration",
     "embedding_label_centroids",
@@ -76,7 +77,6 @@ EXPECTED_WINDOW = (
     "tfidf_top_terms",
     "quality_unigram_logprob",
     "tokens_length_histogram",
-    "vocab_oov_rate",
 )
 
 
