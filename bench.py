@@ -230,6 +230,8 @@ HEADLINE = [
     "segment_migration_matrix",
     # fulfillment SLA: order-keyed join + priority-keyed rank window
     "ops_fulfillment_lag_by_priority",
+    # sequential patterns: customer-keyed bounded self-join + confidence
+    "basket_sequential_patterns",
 ]
 
 

@@ -365,3 +365,106 @@ def basket_association_rules(spark, sf_dir):
         .limit(_RULES_TOP)
         .withColumn("rank", F.row_number().over(wr).cast("long"))
     )
+
+
+# --- sequential purchase patterns (A then later B) ------------------------
+# basket_association_rules finds same-basket affinity; this finds
+# SEQUENCE: parts a customer first bought strictly before first buying
+# another — the 2-sequence mining that feeds "next purchase" models.
+# Shape: one (customer, part) first-purchase rollup (order-keyed join +
+# customer-keyed agg), then a customer-keyed self-equi-join whose
+# fan-out is bounded by per-customer assortment (tens), never the
+# catalog; counts cut at min-support and the top-20 ranks on the ROUNDED
+# sequence-confidence with (a, b) tie-breaks.
+
+_SEQ_MIN_COUNT = 3
+_SEQ_TOP = 20
+
+_SEQPAT_SQL = f"""
+WITH cp AS (
+  SELECT o.o_custkey AS cust, l.l_partkey AS part,
+         CAST(min(floor(epoch(o.o_orderdate) / 86400)) AS BIGINT) AS first_day
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  GROUP BY cust, part
+),
+firsts AS (
+  SELECT part, CAST(count(*) AS BIGINT) AS n_first FROM cp GROUP BY part
+),
+pairs AS (
+  SELECT a.part AS part_a, b.part AS part_b,
+         CAST(count(*) AS BIGINT) AS n_ab
+  FROM cp a JOIN cp b
+    ON a.cust = b.cust AND a.first_day < b.first_day
+  GROUP BY a.part, b.part
+),
+scored AS (
+  SELECT p.part_a, p.part_b, p.n_ab, f.n_first AS n_a,
+         round(CAST(p.n_ab AS DOUBLE) / CAST(f.n_first AS DOUBLE), 6)
+           AS seq_confidence
+  FROM pairs p JOIN firsts f ON p.part_a = f.part
+  WHERE p.n_ab >= {_SEQ_MIN_COUNT}
+)
+SELECT part_a, part_b, n_ab, n_a, seq_confidence,
+       CAST(row_number() OVER (ORDER BY seq_confidence DESC, part_a, part_b)
+            AS BIGINT) AS rank
+FROM scored
+ORDER BY seq_confidence DESC, part_a, part_b
+LIMIT {_SEQ_TOP}
+"""
+
+
+@query(
+    "basket_sequential_patterns",
+    sql=_SEQPAT_SQL,
+    tags=("graph", "basket", "sequence"),
+)
+def basket_sequential_patterns(spark, sf_dir):
+    """Top-{_SEQ_TOP} strictly-ordered purchase 2-sequences by sequence
+    confidence — see block comment."""
+    from pyspark.sql import Window
+
+    o = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    cp = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part")
+        )
+        .agg(
+            F.min(F.floor(F.unix_timestamp("o_orderdate") / 86400))
+            .cast("long")
+            .alias("first_day")
+        )
+    )
+    firsts = cp.groupBy("part").agg(F.count("*").cast("long").alias("n_first"))
+    a = cp.select(
+        "cust", F.col("part").alias("part_a"), F.col("first_day").alias("da")
+    )
+    b = cp.select(
+        "cust", F.col("part").alias("part_b"), F.col("first_day").alias("db")
+    )
+    pairs = (
+        a.join(b, "cust")
+        .where(F.col("da") < F.col("db"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").cast("long").alias("n_ab"))
+        .where(F.col("n_ab") >= _SEQ_MIN_COUNT)
+    )
+    fa = firsts.select(
+        F.col("part").alias("part_a"), F.col("n_first").alias("n_a")
+    )
+    scored = pairs.join(F.broadcast(fa), "part_a").select(
+        "part_a",
+        "part_b",
+        "n_ab",
+        "n_a",
+        F.round(
+            F.col("n_ab").cast("double") / F.col("n_a").cast("double"), 6
+        ).alias("seq_confidence"),
+    )
+    w = Window.orderBy(F.desc("seq_confidence"), "part_a", "part_b")
+    return (
+        scored.orderBy(F.desc("seq_confidence"), "part_a", "part_b")
+        .limit(_SEQ_TOP)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+    )

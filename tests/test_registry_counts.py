@@ -9,8 +9,8 @@ from pathlib import Path
 
 from big_data_analytics_project_spark.registry import load_all
 
-TOTAL = 228
-ORACLE = 211
+TOTAL = 229
+ORACLE = 212
 
 
 def test_counts_match_registry():

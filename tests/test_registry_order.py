@@ -53,6 +53,7 @@ EXPECTED_WINDOW = (
     "repeat_purchase_intervals",
     "segment_migration_matrix",
     "basket_association_rules",
+    "basket_sequential_patterns",
     "ml_rf_quality_contract",
     "multimodal_binary_dedup",
     "abc_brand_revenue",
@@ -76,7 +77,6 @@ EXPECTED_WINDOW = (
     "text_boilerplate_ngram_share",
     "tfidf_top_terms",
     "quality_unigram_logprob",
-    "tokens_length_histogram",
 )
 
 
