@@ -469,3 +469,27 @@ def test_curation_funnel_is_monotone_and_budget_capped(spark, sf_dir):
     # the budget stage caps tokens near sources x budget (first-crossing
     # doc included, so allow one doc's overshoot per source)
     assert rows[-1]["n_tokens"] <= 20 * _PIPE_BUDGET * 2
+
+
+def test_fulfillment_lag_percentiles_are_ordered_per_priority(spark, sf_dir):
+    rows = _q("ops_fulfillment_lag_by_priority", spark, sf_dir).collect()
+    assert len(rows) == 5  # the five TPC-H priorities
+    for r in rows:
+        assert (
+            r["min_days"] <= r["p50_days"] <= r["p90_days"] <= r["max_days"]
+        ), r
+        assert r["n_orders"] > 0
+
+
+def test_sequential_patterns_are_strictly_ordered_and_confident(spark, sf_dir):
+    rows = _q("basket_sequential_patterns", spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r["seq_confidence"] <= 1.0 + 1e-9
+        assert r["n_ab"] <= r["n_a"]
+    confs = [r["seq_confidence"] for r in sorted(rows, key=lambda r: r["rank"])]
+    assert confs == sorted(confs, reverse=True)
+    # sequence is directional: (a,b) and (b,a) may both appear, but each
+    # (a,b) cell appears once
+    cells = [(r["part_a"], r["part_b"]) for r in rows]
+    assert len(cells) == len(set(cells))
