@@ -232,6 +232,14 @@ HEADLINE = [
     "ops_fulfillment_lag_by_priority",
     # sequential patterns: customer-keyed bounded self-join + confidence
     "basket_sequential_patterns",
+    # Welch t: one 6-sum scan reduction over two arms
+    "abtest_welch_ttest",
+    # Spearman rho: one cell rollup, domain-sized rank windows + joins
+    "agg_spearman_rank_corr",
+    # ACF lags 1-7: daily grid self-join on day arithmetic
+    "timeseries_acf_daily",
+    # rolling r: calendar RANGE frame over the daily grid
+    "window_rolling_corr",
 ]
 
 

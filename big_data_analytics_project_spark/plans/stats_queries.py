@@ -1,0 +1,492 @@
+"""Statistical-inference queries: Welch's t, Spearman's rho, ACF, rolling r.
+
+Round-7 closing batch #1 — the four classical statistics the registry's
+stats family (chi-square, KS, Mann-Whitney, Kruskal-Wallis, Gini, OLS)
+still lacked:
+
+* ``abtest_welch_ttest`` — the unequal-variance two-sample t (the default
+  A/B readout when variances differ);
+* ``agg_spearman_rank_corr`` — rank correlation, the nonparametric cousin
+  of ``agg_corr_covar``'s Pearson;
+* ``timeseries_acf_daily`` — the autocorrelation function over the daily
+  event-volume series (the diagnostic behind every seasonality query);
+* ``window_rolling_corr`` — a trailing 7-day windowed Pearson between
+  event volume and purchase revenue (co-movement drift detection).
+
+Scale design (all four): the corpus is touched by exactly ONE map-side-
+combined aggregation each — Welch reduces to a single 6-sum row; Spearman
+rolls up to (quantity, price-cents) cells whose cardinality is bounded by
+the VALUE DOMAIN (≤ 50 × distinct price cents), constant in corpus size,
+so the midrank windows and joins run over dimension-sized tables only;
+ACF and rolling-r reduce to the daily grid (one row per day) before any
+window/join.  Nothing downstream of the first shuffle scales with rows.
+
+Determinism (docs/determinism.md): all moments are exact integer sums
+(cents / doubled tie-midranks / daily counts) carried as BIGINT or
+DECIMAL(38,0), converted to double once, then pushed through IDENTICAL
+IEEE expression shapes on both engines; outputs round to 6 dp
+(low-cardinality statistics rule).  Spearman uses the Mann-Whitney
+doubled-midrank trick (2·midrank = 2·cum_before + cnt + 1) so ties stay
+integer-exact; the doubling cancels inside rho.  Divisions are guarded
+(CASE WHEN) for Spark's ANSI mode.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from ..registry import query
+from ..sources import read_table
+
+# --- Welch's unequal-variance t-test ---------------------------------------
+# One scan, six conditional integer sums, one output row.  Variances come
+# from exact cent moments (cents ≤ 5.7e4, squares ×n fit BIGINT to sf1000);
+# m/v/t/df are computed by the same double expression chain on both engines.
+
+_WELCH_SQL = """
+WITH pool AS (
+  SELECT CAST(event_type = 'purchase' AS BIGINT) AS g,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM events WHERE event_type IN ('click', 'purchase')
+),
+s AS (
+  SELECT CAST(sum(g) AS BIGINT) AS n1,
+         CAST(count(*) - sum(g) AS BIGINT) AS n2,
+         CAST(sum(g * cents) AS BIGINT) AS s1,
+         CAST(sum((1 - g) * cents) AS BIGINT) AS s2,
+         CAST(sum(g * cents * cents) AS BIGINT) AS q1,
+         CAST(sum((1 - g) * cents * cents) AS BIGINT) AS q2
+  FROM pool
+),
+m AS (
+  SELECT n1, n2,
+         CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
+         CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS m2,
+         (CAST(q1 AS DOUBLE)
+          - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+           / (CAST(n1 AS DOUBLE) - 1.0) AS v1,
+         (CAST(q2 AS DOUBLE)
+          - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+           / (CAST(n2 AS DOUBLE) - 1.0) AS v2
+  FROM s WHERE n1 > 1 AND n2 > 1
+)
+SELECT n1 AS n_purchase, n2 AS n_click,
+       round(m1, 6) AS mean_purchase_cents,
+       round(m2, 6) AS mean_click_cents,
+       round(v1, 6) AS var_purchase_cents,
+       round(v2, 6) AS var_click_cents,
+       CASE WHEN v1 / CAST(n1 AS DOUBLE) + v2 / CAST(n2 AS DOUBLE) > 0.0
+            THEN round((m1 - m2)
+                       / sqrt(v1 / CAST(n1 AS DOUBLE)
+                              + v2 / CAST(n2 AS DOUBLE)), 6)
+       END AS t_stat,
+       CASE WHEN v1 > 0.0 AND v2 > 0.0
+            THEN round((v1 / CAST(n1 AS DOUBLE) + v2 / CAST(n2 AS DOUBLE))
+                       * (v1 / CAST(n1 AS DOUBLE) + v2 / CAST(n2 AS DOUBLE))
+                       / ((v1 / CAST(n1 AS DOUBLE))
+                          * (v1 / CAST(n1 AS DOUBLE))
+                          / (CAST(n1 AS DOUBLE) - 1.0)
+                          + (v2 / CAST(n2 AS DOUBLE))
+                            * (v2 / CAST(n2 AS DOUBLE))
+                            / (CAST(n2 AS DOUBLE) - 1.0)), 6)
+       END AS welch_df
+FROM m
+"""
+
+
+@query("abtest_welch_ttest", sql=_WELCH_SQL, tags=("funnel", "stats"))
+def abtest_welch_ttest(spark, sf_dir):
+    """Welch's unequal-variance t-test between purchase and click values
+    — see module docstring.  One scan, one 6-sum reduction, one row."""
+    pool = (
+        read_table(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("click", "purchase"))
+        .select(
+            (F.col("event_type") == "purchase").cast("long").alias("g"),
+            F.floor(F.col("value") * 100.0 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    s = pool.agg(
+        F.sum("g").cast("long").alias("n1"),
+        (F.count("*") - F.sum("g")).cast("long").alias("n2"),
+        F.sum(F.col("g") * F.col("cents")).cast("long").alias("s1"),
+        F.sum((1 - F.col("g")) * F.col("cents")).cast("long").alias("s2"),
+        F.sum(F.col("g") * F.col("cents") * F.col("cents"))
+        .cast("long")
+        .alias("q1"),
+        F.sum((1 - F.col("g")) * F.col("cents") * F.col("cents"))
+        .cast("long")
+        .alias("q2"),
+    ).where((F.col("n1") > 1) & (F.col("n2") > 1))
+    n1d, n2d = F.col("n1").cast("double"), F.col("n2").cast("double")
+    m = s.select(
+        "n1",
+        "n2",
+        (F.col("s1").cast("double") / n1d).alias("m1"),
+        (F.col("s2").cast("double") / n2d).alias("m2"),
+        (
+            (
+                F.col("q1").cast("double")
+                - F.col("s1").cast("double") * F.col("s1").cast("double") / n1d
+            )
+            / (n1d - F.lit(1.0))
+        ).alias("v1"),
+        (
+            (
+                F.col("q2").cast("double")
+                - F.col("s2").cast("double") * F.col("s2").cast("double") / n2d
+            )
+            / (n2d - F.lit(1.0))
+        ).alias("v2"),
+    )
+    n1d, n2d = F.col("n1").cast("double"), F.col("n2").cast("double")
+    se2 = F.col("v1") / n1d + F.col("v2") / n2d
+    df_den = (F.col("v1") / n1d) * (F.col("v1") / n1d) / (n1d - F.lit(1.0)) + (
+        F.col("v2") / n2d
+    ) * (F.col("v2") / n2d) / (n2d - F.lit(1.0))
+    return m.select(
+        F.col("n1").alias("n_purchase"),
+        F.col("n2").alias("n_click"),
+        F.round("m1", 6).alias("mean_purchase_cents"),
+        F.round("m2", 6).alias("mean_click_cents"),
+        F.round("v1", 6).alias("var_purchase_cents"),
+        F.round("v2", 6).alias("var_click_cents"),
+        F.when(se2 > 0.0, F.round((F.col("m1") - F.col("m2")) / F.sqrt(se2), 6))
+        .alias("t_stat"),
+        F.when(
+            (F.col("v1") > 0.0) & (F.col("v2") > 0.0),
+            F.round(se2 * se2 / df_den, 6),
+        ).alias("welch_df"),
+    )
+
+
+# --- Spearman rank correlation ---------------------------------------------
+# The corpus reduces ONCE to (quantity, price-cents) cells; per-column
+# doubled tie-midranks (the Mann-Whitney trick) come from re-aggregating
+# those cells, so the rank windows and the rank joins all run over value-
+# DOMAIN-sized tables (≤ 50 qty × ~1e5 price cents — constant in corpus
+# size).  Rank moments are exact DECIMAL(38,0) sums (Spark) mirrored by
+# DuckDB's exact HUGEINT sum; both convert to double once for the rho
+# expression.  The rank doubling cancels between numerator and
+# denominator, so no /2 ever appears.
+
+_SPEARMAN_SQL = """
+WITH pairs AS (
+  SELECT CAST(l_quantity AS BIGINT) AS q,
+         CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS p,
+         CAST(count(*) AS BIGINT) AS c
+  FROM lineitem GROUP BY q, p
+),
+qcells AS (
+  SELECT q, CAST(sum(c) AS BIGINT) AS cq FROM pairs GROUP BY q
+),
+qrank AS (
+  SELECT q,
+         2 * coalesce(sum(cq) OVER (ORDER BY q
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + cq + 1 AS rq
+  FROM qcells
+),
+pcells AS (
+  SELECT p, CAST(sum(c) AS BIGINT) AS cp FROM pairs GROUP BY p
+),
+prank AS (
+  SELECT p,
+         2 * coalesce(sum(cp) OVER (ORDER BY p
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + cp + 1 AS rp
+  FROM pcells
+),
+mom AS (
+  SELECT CAST(sum(pr.c) AS BIGINT) AS n,
+         CAST(sum(pr.c * qr.rq) AS DOUBLE) AS sx,
+         CAST(sum(pr.c * pk.rp) AS DOUBLE) AS sy,
+         CAST(sum(pr.c * qr.rq * qr.rq) AS DOUBLE) AS sxx,
+         CAST(sum(pr.c * pk.rp * pk.rp) AS DOUBLE) AS syy,
+         CAST(sum(pr.c * qr.rq * pk.rp) AS DOUBLE) AS sxy
+  FROM pairs pr
+  JOIN qrank qr ON pr.q = qr.q
+  JOIN prank pk ON pr.p = pk.p
+)
+SELECT n AS n_rows,
+       (SELECT CAST(count(*) AS BIGINT) FROM qcells) AS n_quantity_values,
+       (SELECT CAST(count(*) AS BIGINT) FROM pcells) AS n_price_values,
+       CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx > 0.0
+             AND CAST(n AS DOUBLE) * syy - sy * sy > 0.0
+            THEN round((CAST(n AS DOUBLE) * sxy - sx * sy)
+                       / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+                              * (CAST(n AS DOUBLE) * syy - sy * sy)), 6)
+       END AS spearman_rho
+FROM mom
+"""
+
+
+@query("agg_spearman_rank_corr", sql=_SPEARMAN_SQL, tags=("agg", "stats"))
+def agg_spearman_rank_corr(spark, sf_dir):
+    """Spearman's rho between l_quantity and l_extendedprice — see module
+    docstring for the domain-bounded cell design."""
+    from pyspark.sql import Window
+
+    li = read_table(spark, sf_dir, "lineitem")
+    pairs = li.groupBy(
+        F.col("l_quantity").cast("long").alias("q"),
+        F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5))
+        .cast("long")
+        .alias("p"),
+    ).agg(F.count("*").cast("long").alias("c"))
+    pairs = pairs.persist()
+
+    def doubled_ranks(cells, key, cnt):
+        w = Window.orderBy(key).rowsBetween(Window.unboundedPreceding, -1)
+        return cells.select(
+            key,
+            (
+                2 * F.coalesce(F.sum(cnt).over(w), F.lit(0))
+                + F.col(cnt)
+                + 1
+            ).alias("r"),
+        )
+
+    qcells = pairs.groupBy("q").agg(F.sum("c").cast("long").alias("cq"))
+    pcells = pairs.groupBy("p").agg(F.sum("c").cast("long").alias("cp"))
+    qrank = doubled_ranks(qcells, "q", "cq").withColumnRenamed("r", "rq")
+    prank = doubled_ranks(pcells, "p", "cp").withColumnRenamed("r", "rp")
+
+    dec = "decimal(38,0)"
+    c = F.col("c").cast(dec)
+    rq = F.col("rq").cast(dec)
+    rp = F.col("rp").cast(dec)
+    mom = (
+        pairs.join(F.broadcast(qrank), "q")
+        .join(F.broadcast(prank), "p")
+        .agg(
+            F.sum("c").cast("long").alias("n"),
+            F.sum(c * rq).cast("double").alias("sx"),
+            F.sum(c * rp).cast("double").alias("sy"),
+            F.sum(c * rq * rq).cast("double").alias("sxx"),
+            F.sum(c * rp * rp).cast("double").alias("syy"),
+            F.sum(c * rq * rp).cast("double").alias("sxy"),
+        )
+    )
+    nq = qcells.agg(F.count("*").cast("long").alias("n_quantity_values"))
+    np_ = pcells.agg(F.count("*").cast("long").alias("n_price_values"))
+    nd = F.col("n").cast("double")
+    dx = nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    dy = nd * F.col("syy") - F.col("sy") * F.col("sy")
+    out = (
+        mom.crossJoin(F.broadcast(nq))
+        .crossJoin(F.broadcast(np_))
+        .select(
+            F.col("n").alias("n_rows"),
+            "n_quantity_values",
+            "n_price_values",
+            F.when(
+                (dx > 0.0) & (dy > 0.0),
+                F.round(
+                    (nd * F.col("sxy") - F.col("sx") * F.col("sy"))
+                    / F.sqrt(dx * dy),
+                    6,
+                ),
+            ).alias("spearman_rho"),
+        )
+    )
+    return out
+
+
+# --- daily autocorrelation function ----------------------------------------
+# The corpus reduces once to the daily grid; lags 1..7 come from a tiny
+# grid × grid self-join on day arithmetic (handles calendar gaps, unlike
+# a row lag).  Numerator/denominator are assembled from exact BIGINT
+# moments through one shared double expression; the denominator is the
+# full-series centered sum of squares (the standard ACF estimator).
+
+_ACF_SQL = """
+WITH daily AS (
+  SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY day
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS s,
+         CAST(sum(x * x) AS BIGINT) AS sq
+  FROM daily
+),
+lagk AS (SELECT unnest(generate_series(1, 7)) AS k),
+pairs AS (
+  SELECT l.k,
+         CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(a.x * b.x) AS BIGINT) AS sxy,
+         CAST(sum(a.x) AS BIGINT) AS sa,
+         CAST(sum(b.x) AS BIGINT) AS sb
+  FROM lagk l
+  JOIN daily a ON TRUE
+  JOIN daily b ON b.day = a.day + l.k
+  GROUP BY l.k
+)
+SELECT p.k AS lag_days, p.n_pairs,
+       CASE WHEN CAST(t.sq AS DOUBLE)
+                 - CAST(t.s AS DOUBLE) * CAST(t.s AS DOUBLE)
+                   / CAST(t.n AS DOUBLE) > 0.0
+            THEN round((CAST(p.sxy AS DOUBLE)
+                        - CAST(t.s AS DOUBLE) / CAST(t.n AS DOUBLE)
+                          * CAST(p.sa AS DOUBLE)
+                        - CAST(t.s AS DOUBLE) / CAST(t.n AS DOUBLE)
+                          * CAST(p.sb AS DOUBLE)
+                        + CAST(p.n_pairs AS DOUBLE)
+                          * (CAST(t.s AS DOUBLE) / CAST(t.n AS DOUBLE))
+                          * (CAST(t.s AS DOUBLE) / CAST(t.n AS DOUBLE)))
+                       / (CAST(t.sq AS DOUBLE)
+                          - CAST(t.s AS DOUBLE) * CAST(t.s AS DOUBLE)
+                            / CAST(t.n AS DOUBLE)), 6)
+       END AS acf
+FROM pairs p CROSS JOIN tot t
+"""
+
+
+@query("timeseries_acf_daily", sql=_ACF_SQL, tags=("timeseries", "stats"))
+def timeseries_acf_daily(spark, sf_dir):
+    """Autocorrelation of the daily event-volume series at lags 1-7 —
+    see module docstring."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day")
+    ).agg(F.count("*").cast("long").alias("x"))
+    daily = daily.persist()
+    tot = daily.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sq"),
+    )
+    lagk = spark.range(1, 8).select(F.col("id").alias("k"))
+    a = daily.select(F.col("day").alias("a_day"), F.col("x").alias("a_x"))
+    b = daily.select(F.col("day").alias("b_day"), F.col("x").alias("b_x"))
+    pairs = (
+        a.crossJoin(F.broadcast(lagk))
+        .join(b, F.col("b_day") == F.col("a_day") + F.col("k"))
+        .groupBy("k")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.sum(F.col("a_x") * F.col("b_x")).cast("long").alias("sxy"),
+            F.sum("a_x").cast("long").alias("sa"),
+            F.sum("b_x").cast("long").alias("sb"),
+        )
+    )
+    mu = F.col("s").cast("double") / F.col("n").cast("double")
+    den = (
+        F.col("sq").cast("double")
+        - F.col("s").cast("double") * F.col("s").cast("double")
+          / F.col("n").cast("double")
+    )
+    num = (
+        F.col("sxy").cast("double")
+        - mu * F.col("sa").cast("double")
+        - mu * F.col("sb").cast("double")
+        + F.col("n_pairs").cast("double") * mu * mu
+    )
+    return pairs.crossJoin(F.broadcast(tot)).select(
+        F.col("k").alias("lag_days"),
+        "n_pairs",
+        F.when(den > 0.0, F.round(num / den, 6)).alias("acf"),
+    )
+
+
+# --- trailing 7-day rolling correlation ------------------------------------
+# Daily grid first (one corpus aggregation), then a RANGE frame over the
+# integer day key gives a TRUE calendar window (gap days shrink the frame,
+# a ROWS frame would silently span them).  All five frame sums are exact
+# BIGINTs over dollar-quantized revenue (dollars, not cents, so squares
+# stay in BIGINT to sf1000); one shared double expression computes r.
+
+_ROLLCORR_SQL = """
+WITH daily AS (
+  SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         CAST(count(*) AS BIGINT) AS x,
+         CAST(sum(CASE WHEN event_type = 'purchase'
+                       THEN CAST(floor(value + 0.5) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS y
+  FROM events GROUP BY day
+),
+roll AS (
+  SELECT day, x, y,
+         CAST(count(*) OVER w AS BIGINT) AS n,
+         CAST(sum(x) OVER w AS BIGINT) AS sx,
+         CAST(sum(y) OVER w AS BIGINT) AS sy,
+         CAST(sum(x * x) OVER w AS BIGINT) AS sxx,
+         CAST(sum(y * y) OVER w AS BIGINT) AS syy,
+         CAST(sum(x * y) OVER w AS BIGINT) AS sxy
+  FROM daily
+  WINDOW w AS (ORDER BY day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT day, x AS n_events, y AS revenue_dollars, n AS n_window_days,
+       CASE WHEN n > 1
+             AND CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0.0
+             AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0.0
+            THEN round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                       / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                              * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                       6)
+       END AS rolling_corr
+FROM roll
+"""
+
+
+@query("window_rolling_corr", sql=_ROLLCORR_SQL, tags=("window", "stats"))
+def window_rolling_corr(spark, sf_dir):
+    """Trailing 7-day rolling Pearson r between daily event volume and
+    daily purchase revenue — see module docstring."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day")
+    ).agg(
+        F.count("*").cast("long").alias("x"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.floor(F.col("value") + F.lit(0.5)).cast("long"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("y"),
+    )
+    w = Window.orderBy("day").rangeBetween(-6, 0)
+    roll = daily.select(
+        "day",
+        "x",
+        "y",
+        F.count("*").over(w).cast("long").alias("n"),
+        F.sum("x").over(w).cast("long").alias("sx"),
+        F.sum("y").over(w).cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).over(w).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(w).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).over(w).cast("long").alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    dx = nd * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col(
+        "sx"
+    ).cast("double")
+    dy = nd * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col(
+        "sy"
+    ).cast("double")
+    num = nd * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col(
+        "sy"
+    ).cast("double")
+    return roll.select(
+        "day",
+        F.col("x").alias("n_events"),
+        F.col("y").alias("revenue_dollars"),
+        F.col("n").alias("n_window_days"),
+        F.when(
+            (F.col("n") > 1) & (dx > 0.0) & (dy > 0.0),
+            F.round(num / F.sqrt(dx * dy), 6),
+        ).alias("rolling_corr"),
+    )

@@ -177,6 +177,7 @@ def load_all() -> dict[str, QuerySpec]:
             relational,
             scalar_queries,
             similarity_queries,
+            stats_queries,
             streaming_queries,
             temporal_queries,
             text_queries,

@@ -9,8 +9,8 @@ from pathlib import Path
 
 from big_data_analytics_project_spark.registry import load_all
 
-TOTAL = 229
-ORACLE = 212
+TOTAL = 233
+ORACLE = 216
 
 
 def test_counts_match_registry():

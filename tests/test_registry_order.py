@@ -62,6 +62,10 @@ EXPECTED_WINDOW = (
     "ml_engagement_calibration",
     "embedding_label_centroids",
     "embedding_int8_recall_audit",
+    "abtest_welch_ttest",
+    "agg_spearman_rank_corr",
+    "timeseries_acf_daily",
+    "window_rolling_corr",
     "streaming_interval_join_left",
     "session_gap_assignment",
     "timeseries_gapfill_interpolate",
@@ -73,10 +77,6 @@ EXPECTED_WINDOW = (
     "timeseries_gap_histogram",
     "anomaly_cusum_shift",
     "anomaly_dow_adjusted",
-    "revenue_wow_growth",
-    "text_boilerplate_ngram_share",
-    "tfidf_top_terms",
-    "quality_unigram_logprob",
 )
 
 
