@@ -240,6 +240,14 @@ HEADLINE = [
     "timeseries_acf_daily",
     # rolling r: calendar RANGE frame over the daily grid
     "window_rolling_corr",
+    # connected components: iterative label propagation to convergence
+    "graph_connected_components",
+    # runtime pushdown: dim keys as an IN data-source filter on the fact
+    "layout_runtime_key_pushdown",
+    # hapax/TTR: one token rollup, vocabulary-sized tail
+    "text_hapax_ratio",
+    # dim moments: quantized posexplode scan, 64-row output
+    "embedding_dim_variance",
 ]
 
 

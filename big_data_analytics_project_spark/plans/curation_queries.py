@@ -2084,3 +2084,63 @@ def pipeline_curation_accounting(spark, sf_dir):
         .unionByName(acct(4, "pps_sample", sampled))
         .unionByName(acct(5, "token_budget", budgeted))
     )
+
+
+# --- runtime key-list pushdown (dynamic file/row-group pruning) -----------
+# The scale technique behind "dynamic file pruning": when a selective dim
+# filter yields a SMALL key set, materialize it (driver-sized collect —
+# one month of urgent orders, bounded by _PUSHDOWN_MAX_KEYS) and push the
+# IN-list into the fact scan as a data-source filter, so parquet
+# row-group min/max stats skip I/O that a plain shuffle/broadcast join
+# would still read.  Above the cap, fall back to the broadcast semi-join
+# (same result, no driver list).  Because orderkeys are unique in the dim
+# table, the exact IN filter IS the semi-join — with an approximate
+# filter (bloom) you would keep the exact join after the prefilter.  The
+# oracle checks the layout-independent answer via the plain join.
+
+_PUSHDOWN_MAX_KEYS = 100_000
+
+_PUSHDOWN_SQL = """
+SELECT l.l_returnflag, l.l_linestatus,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+            AS DOUBLE) AS revenue
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderpriority = '1-URGENT'
+  AND o.o_orderdate >= TIMESTAMP '1995-03-01'
+  AND o.o_orderdate < TIMESTAMP '1995-04-01'
+GROUP BY l.l_returnflag, l.l_linestatus
+"""
+
+
+@query(
+    "layout_runtime_key_pushdown",
+    sql=_PUSHDOWN_SQL,
+    tags=("layout", "join", "pushdown"),
+)
+def layout_runtime_key_pushdown(spark, sf_dir):
+    """Revenue of lineitems in one month's urgent orders, via a runtime
+    IN-list pushed into the fact scan — see block comment."""
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    dim = orders.where(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderdate") >= F.lit("1995-03-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-04-01").cast("timestamp"))
+    ).select("o_orderkey")
+    keys = [r[0] for r in dim.distinct().collect()]
+    if len(keys) <= _PUSHDOWN_MAX_KEYS:
+        fact = li.where(F.col("l_orderkey").isin(keys))
+    else:  # key set too big to ship — broadcast semi-join fallback
+        fact = li.join(
+            F.broadcast(dim),
+            li.l_orderkey == dim.o_orderkey,
+            "left_semi",
+        )
+    rev = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    ).cast("decimal(18,4)")
+    return fact.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum(rev).cast("double").alias("revenue"),
+    )

@@ -468,3 +468,54 @@ def basket_sequential_patterns(spark, sf_dir):
         .limit(_SEQ_TOP)
         .withColumn("rank", F.row_number().over(w).cast("long"))
     )
+
+
+# --- connected components (iterative, run to convergence) ------------------
+# The registry's first converge-until-fixed-point algorithm: min-label
+# propagation over the support->=2 co-purchase graph (the raw graph
+# percolates into ONE giant component; thresholding on repeated
+# co-occurrence leaves real cluster structure).  The DuckDB oracle is a
+# recursive CTE seeded (node, node) and propagating labels along edges
+# only while lbl < dst — sound because a component's minimum id is
+# smaller than every hop on any path out of it — so min(lbl) per node is
+# exactly the Spark loop's fixed point.  Both sides are exact integer
+# set computations: no floats anywhere.
+
+_CC_SQL = """
+WITH RECURSIVE items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+sedges AS (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY src, dst HAVING count(*) >= 2
+),
+sdir AS (SELECT src, dst FROM sedges UNION ALL SELECT dst, src FROM sedges),
+snodes AS (SELECT DISTINCT src AS node FROM sdir),
+reach AS (
+  SELECT node, node AS lbl FROM snodes
+  UNION
+  SELECT d.dst AS node, r.lbl
+  FROM reach r JOIN sdir d ON d.src = r.node
+  WHERE r.lbl < d.dst
+),
+comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node)
+SELECT CAST(component AS BIGINT) AS component,
+       CAST(count(*) AS BIGINT) AS n_nodes
+FROM comp GROUP BY component
+"""
+
+
+@query("graph_connected_components", sql=_CC_SQL, tags=("graph", "iterative"))
+def graph_connected_components(spark, sf_dir):
+    """Connected components of the support->=2 co-purchase graph, as a
+    per-component size summary — see block comment.  The Spark side runs
+    ``operators/graph.py::connected_components`` (iterative min-label
+    propagation, localCheckpoint per round, O(diameter) rounds) over
+    ``copurchase_edges_with_support``."""
+    li = read_table(spark, sf_dir, "lineitem")
+    cc = G.connected_components(G.copurchase_edges_with_support(li, 2))
+    return cc.groupBy("component").agg(
+        F.count("*").cast("long").alias("n_nodes")
+    )

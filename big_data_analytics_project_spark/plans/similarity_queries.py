@@ -846,3 +846,83 @@ def embedding_int8_recall_audit(spark, sf_dir):
             (F.count("__hit").cast("double") / 10).alias("recall_at_10"),
         )
     )
+
+
+# --- per-dimension moment audit (PCA prep / dead-dimension detector) -------
+# The screening pass before any projection decision (matryoshka truncation,
+# PQ subspace split, PCA): which embedding dimensions carry variance and
+# which are dead.  Same distributed shape as the centroid audit: each
+# dimension micro-quantizes to the 1e-6 BIGINT grid and the corpus reduces
+# in ONE posexplode -> (dim) groupBy with map-side combine — no vector is
+# ever collected, no per-dim pass repeats the scan.  Second moments ride
+# DECIMAL(38,0) (Spark) / DuckDB's exact wide sum so squares never
+# overflow; both convert to double once for the mean/variance expression.
+
+_DIMVAR_SQL = """
+WITH per_dim AS (
+  SELECT CAST(p.d AS BIGINT) AS dim,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(p.v) AS BIGINT) AS s,
+         sum(p.v * p.v) AS sq
+  FROM (
+    SELECT unnest(list_transform(embedding, (x, i) ->
+      {'d': i, 'v': CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5)
+                         AS BIGINT)})) AS p
+    FROM embeddings
+  )
+  GROUP BY p.d
+)
+SELECT dim, n,
+       round(CAST(s AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE), 6) AS mean,
+       CASE WHEN n > 1
+            THEN round((CAST(sq AS DOUBLE)
+                        - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                          / CAST(n AS DOUBLE))
+                       / (CAST(n AS DOUBLE) - 1.0)
+                       / 1000000.0 / 1000000.0, 6)
+       END AS variance
+FROM per_dim
+"""
+
+
+@query(
+    "embedding_dim_variance",
+    sql=_DIMVAR_SQL,
+    tags=("similarity", "embeddings", "audit"),
+)
+def embedding_dim_variance(spark, sf_dir):
+    """Per-dimension mean and variance across the embedding corpus — see
+    block comment for the quantized one-scan design."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "pos", "x"
+        )
+    ).select(
+        (F.col("pos") + 1).cast("long").alias("dim"),
+        F.floor(F.col("x") * 1000000.0 + F.lit(0.5)).cast("long").alias("v"),
+    )
+    per_dim = exploded.groupBy("dim").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("v").cast("long").alias("s"),
+        F.sum(
+            F.col("v").cast("decimal(38,0)") * F.col("v").cast("decimal(38,0)")
+        ).alias("sq"),
+    )
+    nd = F.col("n").cast("double")
+    sd = F.col("s").cast("double")
+    return per_dim.select(
+        "dim",
+        "n",
+        F.round(sd / 1000000.0 / nd, 6).alias("mean"),
+        F.when(
+            F.col("n") > 1,
+            F.round(
+                (F.col("sq").cast("double") - sd * sd / nd)
+                / (nd - F.lit(1.0))
+                / 1000000.0
+                / 1000000.0,
+                6,
+            ),
+        ).alias("variance"),
+    )

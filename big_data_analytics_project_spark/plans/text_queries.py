@@ -1441,3 +1441,59 @@ def text_source_entropy(spark, sf_dir):
         F.round(h, 6).alias("entropy_nats"),
         F.round(F.exp(h), 6).alias("perplexity"),
     )
+
+
+# --- vocabulary richness: type-token ratio and hapax share ----------------
+# The corpus-health diagnostic that catches template spam (TTR collapses)
+# and OCR noise (hapax share explodes) before either poisons a training
+# mix.  One token explosion -> one (source, term) rollup (map-side
+# combined, postings-sized) -> one per-source reduction; everything after
+# the first shuffle is vocabulary-sized.  All counts are exact BIGINTs;
+# the two ratios are single guarded divisions rounded to 6 dp.
+
+_HAPAX_SQL = r"""
+WITH toks AS (
+  SELECT source, unnest(regexp_split_to_array(lower(text), '\s+')) AS term
+  FROM documents
+),
+freq AS (
+  SELECT source, term, CAST(count(*) AS BIGINT) AS c
+  FROM toks GROUP BY source, term
+)
+SELECT source,
+       CAST(sum(c) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_types,
+       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       round(CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6)
+         AS type_token_ratio,
+       round(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS hapax_share
+FROM freq GROUP BY source
+"""
+
+
+@query("text_hapax_ratio", sql=_HAPAX_SQL, tags=("text", "quality"))
+def text_hapax_ratio(spark, sf_dir):
+    """Per-source type-token ratio and hapax-legomena share — see block
+    comment."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(T.ws_tokens(F.col("text"))).alias("term")
+    )
+    freq = toks.groupBy("source", "term").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    n_types = F.count("*").cast("long")
+    n_tokens = F.sum("c").cast("long")
+    n_hapax = F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("long")
+    return freq.groupBy("source").agg(
+        n_tokens.alias("n_tokens"),
+        n_types.alias("n_types"),
+        n_hapax.alias("n_hapax"),
+        F.round(
+            n_types.cast("double") / n_tokens.cast("double"), 6
+        ).alias("type_token_ratio"),
+        F.round(
+            n_hapax.cast("double") / n_types.cast("double"), 6
+        ).alias("hapax_share"),
+    )

@@ -9,8 +9,8 @@ from pathlib import Path
 
 from big_data_analytics_project_spark.registry import load_all
 
-TOTAL = 233
-ORACLE = 216
+TOTAL = 237
+ORACLE = 220
 
 
 def test_counts_match_registry():

@@ -35,6 +35,7 @@ EXPECTED_WINDOW = (
     "layout_partition_pruned_scan",
     "maintenance_merge_upsert",
     "pipeline_curation_accounting",
+    "layout_runtime_key_pushdown",
     "dedup_keep_best_quality",
     "eda_events_report",
     "eda_hour_of_week_heatmap",
@@ -54,6 +55,7 @@ EXPECTED_WINDOW = (
     "segment_migration_matrix",
     "basket_association_rules",
     "basket_sequential_patterns",
+    "graph_connected_components",
     "ml_rf_quality_contract",
     "multimodal_binary_dedup",
     "abc_brand_revenue",
@@ -62,6 +64,7 @@ EXPECTED_WINDOW = (
     "ml_engagement_calibration",
     "embedding_label_centroids",
     "embedding_int8_recall_audit",
+    "embedding_dim_variance",
     "abtest_welch_ttest",
     "agg_spearman_rank_corr",
     "timeseries_acf_daily",
@@ -74,9 +77,6 @@ EXPECTED_WINDOW = (
     "regression_daily_revenue_trend",
     "timeseries_holt_trend",
     "session_daily_metrics",
-    "timeseries_gap_histogram",
-    "anomaly_cusum_shift",
-    "anomaly_dow_adjusted",
 )
 
 
