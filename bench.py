@@ -248,6 +248,14 @@ HEADLINE = [
     "text_hapax_ratio",
     # dim moments: quantized posexplode scan, 64-row output
     "embedding_dim_variance",
+    # FK audit: 7 distinct-key orphan joins as one union job
+    "dq_referential_integrity",
+    # incremental rollup: partial-state union + merge re-aggregation
+    "maintenance_incremental_agg",
+    # backlog sweep-line: order-keyed max + month-grid cumsum
+    "ops_open_orders_backlog",
+    # seasonality: one month-grid reduction, 12-row index
+    "timeseries_monthly_seasonality",
 ]
 
 

@@ -2144,3 +2144,130 @@ def layout_runtime_key_pushdown(spark, sf_dir):
         F.count("*").cast("long").alias("n_lines"),
         F.sum(rev).cast("double").alias("revenue"),
     )
+
+
+# --- referential-integrity audit over the star schema ----------------------
+# The DQ primitive every warehouse runs nightly: orphan counts for each
+# FK edge.  Scale shape per edge: the child reduces to DISTINCT-KEY
+# counts first (map-side combined, key-domain-sized), the parent side
+# joins key-to-key, so nothing fact-sized crosses the orphan join; the
+# seven edges run as independent branches of one union (one job).  All
+# counts exact BIGINTs; one guarded division per edge.
+
+_RI_EDGES = [
+    # (fk label,           child,      child key,    parent,     parent key)
+    ("lineitem.l_orderkey -> orders.o_orderkey", "lineitem", "l_orderkey",
+     "orders", "o_orderkey"),
+    ("lineitem.l_partkey -> part.p_partkey", "lineitem", "l_partkey",
+     "part", "p_partkey"),
+    ("lineitem.l_suppkey -> supplier.s_suppkey", "lineitem", "l_suppkey",
+     "supplier", "s_suppkey"),
+    ("orders.o_custkey -> customer.c_custkey", "orders", "o_custkey",
+     "customer", "c_custkey"),
+    ("customer.c_nationkey -> nation.n_nationkey", "customer", "c_nationkey",
+     "nation", "n_nationkey"),
+    ("supplier.s_nationkey -> nation.n_nationkey", "supplier", "s_nationkey",
+     "nation", "n_nationkey"),
+    ("nation.n_regionkey -> region.r_regionkey", "nation", "n_regionkey",
+     "region", "r_regionkey"),
+]
+
+_RI_SQL = "\nUNION ALL\n".join(
+    f"""
+SELECT '{label}' AS fk,
+       CAST(count(*) AS BIGINT) AS n_child_rows,
+       CAST(sum(CASE WHEN p.{pkey} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_orphans,
+       round(CAST(sum(CASE WHEN p.{pkey} IS NULL THEN 1 ELSE 0 END)
+                  AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS orphan_share
+FROM {child} c LEFT JOIN {parent} p ON c.{ckey} = p.{pkey}
+"""
+    for label, child, ckey, parent, pkey in _RI_EDGES
+)
+
+
+@query(
+    "dq_referential_integrity",
+    sql=_RI_SQL,
+    tags=("quality", "audit", "join"),
+)
+def dq_referential_integrity(spark, sf_dir):
+    """Orphan-row audit for every FK edge of the star schema — see block
+    comment for the distinct-key-counts join shape."""
+    out = None
+    for label, child, ckey, parent, pkey in _RI_EDGES:
+        ch = read_table(spark, sf_dir, child)
+        pa = read_table(spark, sf_dir, parent).select(pkey).distinct()
+        counts = ch.groupBy(ckey).agg(F.count("*").cast("long").alias("c"))
+        j = counts.join(pa, counts[ckey] == pa[pkey], "left")
+        orphans = F.sum(
+            F.when(F.col(pkey).isNull(), F.col("c")).otherwise(F.lit(0))
+        ).cast("long")
+        branch = j.agg(
+            F.sum("c").cast("long").alias("n_child_rows"),
+            orphans.alias("n_orphans"),
+        ).select(
+            F.lit(label).alias("fk"),
+            "n_child_rows",
+            "n_orphans",
+            F.round(
+                F.col("n_orphans").cast("double")
+                / F.col("n_child_rows").cast("double"),
+                6,
+            ).alias("orphan_share"),
+        )
+        out = branch if out is None else out.unionByName(branch)
+    return out
+
+
+# --- incremental aggregate maintenance (mergeable partials) ----------------
+# The 100 TB answer to "the nightly rollup must not rescan history":
+# keep the aggregate as MERGEABLE partials (count + exact decimal sum),
+# aggregate only the new partition, and merge by re-aggregating the
+# union of partial states — associativity makes the merged result
+# IDENTICAL to a full recompute, which is exactly what the oracle
+# checks (the plain full-scan GROUP BY).  Decimal sums are exact, so
+# merge order cannot drift the result; counts are BIGINTs.
+
+_INCR_SPLIT = "1997-01-01"
+
+_INCR_SQL = """
+SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+         AS month_key,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders GROUP BY month_key
+"""
+
+
+@query(
+    "maintenance_incremental_agg",
+    sql=_INCR_SQL,
+    tags=("maintenance", "agg"),
+)
+def maintenance_incremental_agg(spark, sf_dir):
+    """Monthly order rollup maintained INCREMENTALLY: partial states from
+    the historical partition merge with partials from the new partition
+    by re-aggregation — see block comment."""
+    orders = read_table(spark, sf_dir, "orders")
+    split = F.lit(_INCR_SPLIT).cast("timestamp")
+    mk = (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast("long")
+
+    def partials(df):
+        return df.groupBy(mk.alias("month_key")).agg(
+            F.count("*").cast("long").alias("pn"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .alias("ps"),
+        )
+
+    base = partials(orders.where(F.col("o_orderdate") < split))
+    delta = partials(orders.where(F.col("o_orderdate") >= split))
+    return (
+        base.unionByName(delta)
+        .groupBy("month_key")
+        .agg(
+            F.sum("pn").cast("long").alias("n_orders"),
+            F.sum("ps").cast("double").alias("revenue"),
+        )
+    )

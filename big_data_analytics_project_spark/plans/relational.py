@@ -1457,3 +1457,100 @@ def ops_fulfillment_lag_by_priority(spark, sf_dir):
         pick(0.9).alias("p90_days"),
         F.max("lag_days").cast("long").alias("max_days"),
     )
+
+
+# --- open-order backlog by month (sweep-line interval counting) -------------
+# "How many orders were in flight at each month's end?" — interval
+# counting WITHOUT a range join: each order contributes a +1 delta at its
+# open month and a -1 at its last-ship month, and the backlog curve is
+# one cumulative sum over the ~80-row month grid.  The alternative
+# (months x orders interval join) is quadratic-ish and shuffles the fact
+# per month; the sweep-line touches the corpus with ONE order-keyed
+# aggregate (max ship date), one PK join, and one month rollup.  An
+# order leaves the backlog in the month its LAST lineitem ships; all
+# counts are exact BIGINTs.
+
+_BACKLOG_SQL = """
+WITH ship AS (
+  SELECT l_orderkey, max(l_shipdate) AS last_ship
+  FROM lineitem GROUP BY l_orderkey
+),
+spans AS (
+  SELECT CAST(year(o.o_orderdate) * 12 + month(o.o_orderdate) AS BIGINT)
+           AS om,
+         CAST(year(s.last_ship) * 12 + month(s.last_ship) AS BIGINT) AS sm
+  FROM orders o JOIN ship s ON o.o_orderkey = s.l_orderkey
+),
+delta AS (
+  SELECT om AS month_key,
+         CAST(count(*) AS BIGINT) AS n_opened,
+         CAST(0 AS BIGINT) AS n_closed
+  FROM spans GROUP BY om
+  UNION ALL
+  SELECT sm, CAST(0 AS BIGINT), CAST(count(*) AS BIGINT)
+  FROM spans GROUP BY sm
+),
+m AS (
+  SELECT month_key,
+         CAST(sum(n_opened) AS BIGINT) AS n_opened,
+         CAST(sum(n_closed) AS BIGINT) AS n_closed
+  FROM delta GROUP BY month_key
+)
+SELECT month_key, n_opened, n_closed,
+       CAST(sum(n_opened - n_closed) OVER (ORDER BY month_key) AS BIGINT)
+         AS backlog_end
+FROM m
+"""
+
+
+@query(
+    "ops_open_orders_backlog",
+    sql=_BACKLOG_SQL,
+    tags=("window", "analytics", "timeseries"),
+)
+def ops_open_orders_backlog(spark, sf_dir):
+    """Month-end open-order backlog via sweep-line +1/-1 deltas — see
+    block comment."""
+    from pyspark.sql import Window
+
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    ship = li.groupBy("l_orderkey").agg(F.max("l_shipdate").alias("last_ship"))
+    spans = orders.join(ship, orders.o_orderkey == ship.l_orderkey).select(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        .cast("long")
+        .alias("om"),
+        (F.year("last_ship") * 12 + F.month("last_ship"))
+        .cast("long")
+        .alias("sm"),
+    )
+    deltas = spans.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("om").alias("month_key"),
+                    F.lit(1).cast("long").alias("o"),
+                    F.lit(0).cast("long").alias("c"),
+                ),
+                F.struct(
+                    F.col("sm").alias("month_key"),
+                    F.lit(0).cast("long").alias("o"),
+                    F.lit(1).cast("long").alias("c"),
+                ),
+            )
+        ).alias("d")
+    ).select("d.month_key", "d.o", "d.c")
+    m = deltas.groupBy("month_key").agg(
+        F.sum("o").cast("long").alias("n_opened"),
+        F.sum("c").cast("long").alias("n_closed"),
+    )
+    w = Window.orderBy("month_key").rowsBetween(Window.unboundedPreceding, 0)
+    return m.select(
+        "month_key",
+        "n_opened",
+        "n_closed",
+        F.sum(F.col("n_opened") - F.col("n_closed"))
+        .over(w)
+        .cast("long")
+        .alias("backlog_end"),
+    )

@@ -1088,3 +1088,79 @@ def revenue_wow_growth(spark, sf_dir):
             ),
         ).alias("wow_growth"),
     )
+
+
+# --- month-of-year seasonal index over orders ------------------------------
+# Annual seasonality (the complement of anomaly_dow_adjusted's weekly
+# view): each calendar month's average monthly revenue as a share of the
+# all-months average.  The orders corpus reduces ONCE to the (year,
+# month) grid with exact DECIMAL revenue sums; everything after runs on
+# <= ~100 rows.  The index is two divisions on exact decimal-to-double
+# conversions, mirrored and rounded to 6 dp.  month()/year() agree
+# between engines under the pinned UTC session.
+
+_SEASONAL_SQL = """
+WITH monthly AS (
+  SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+           AS month_key,
+         CAST(month(o_orderdate) AS BIGINT) AS moy,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+           AS rev
+  FROM orders GROUP BY month_key, moy
+),
+bym AS (
+  SELECT moy,
+         CAST(count(*) AS BIGINT) AS n_months,
+         CAST(sum(rev) AS DECIMAL(38,2)) AS s
+  FROM monthly GROUP BY moy
+),
+tot AS (
+  SELECT CAST(sum(n_months) AS BIGINT) AS n_all,
+         CAST(sum(s) AS DECIMAL(38,2)) AS s_all
+  FROM bym
+)
+SELECT moy AS month_of_year, n_months,
+       round(CAST(s AS DOUBLE) / CAST(n_months AS DOUBLE), 6)
+         AS avg_monthly_revenue,
+       round((CAST(s AS DOUBLE) / CAST(n_months AS DOUBLE))
+             / (CAST(s_all AS DOUBLE) / CAST(n_all AS DOUBLE)), 6)
+         AS seasonal_index
+FROM bym CROSS JOIN tot
+"""
+
+
+@query(
+    "timeseries_monthly_seasonality",
+    sql=_SEASONAL_SQL,
+    tags=("timeseries", "agg"),
+)
+def timeseries_monthly_seasonality(spark, sf_dir):
+    """Month-of-year revenue seasonality index over orders — see block
+    comment."""
+    orders = read_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        .cast("long")
+        .alias("month_key"),
+        F.month("o_orderdate").cast("long").alias("moy"),
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(38,2)")
+        .alias("rev")
+    )
+    bym = monthly.groupBy("moy").agg(
+        F.count("*").cast("long").alias("n_months"),
+        F.sum("rev").cast("decimal(38,2)").alias("s"),
+    )
+    tot = bym.agg(
+        F.sum("n_months").cast("long").alias("n_all"),
+        F.sum("s").cast("decimal(38,2)").alias("s_all"),
+    )
+    avg = F.col("s").cast("double") / F.col("n_months").cast("double")
+    grand = F.col("s_all").cast("double") / F.col("n_all").cast("double")
+    return bym.crossJoin(F.broadcast(tot)).select(
+        F.col("moy").alias("month_of_year"),
+        "n_months",
+        F.round(avg, 6).alias("avg_monthly_revenue"),
+        F.round(avg / grand, 6).alias("seasonal_index"),
+    )

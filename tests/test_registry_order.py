@@ -36,6 +36,8 @@ EXPECTED_WINDOW = (
     "maintenance_merge_upsert",
     "pipeline_curation_accounting",
     "layout_runtime_key_pushdown",
+    "dq_referential_integrity",
+    "maintenance_incremental_agg",
     "dedup_keep_best_quality",
     "eda_events_report",
     "eda_hour_of_week_heatmap",
@@ -60,6 +62,7 @@ EXPECTED_WINDOW = (
     "multimodal_binary_dedup",
     "abc_brand_revenue",
     "ops_fulfillment_lag_by_priority",
+    "ops_open_orders_backlog",
     "variant_semi_structured",
     "ml_engagement_calibration",
     "embedding_label_centroids",
@@ -74,9 +77,6 @@ EXPECTED_WINDOW = (
     "timeseries_gapfill_interpolate",
     "timeseries_ewma_by_user",
     "forecast_seasonal_naive",
-    "regression_daily_revenue_trend",
-    "timeseries_holt_trend",
-    "session_daily_metrics",
 )
 
 
