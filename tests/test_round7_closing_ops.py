@@ -1,0 +1,257 @@
+"""Behavioral invariants for the round-7 closing batches (statistics,
+graph components, layout pushdown, DQ/maintenance/seasonality) —
+properties the oracle diff can't express (it proves Spark==DuckDB, not
+that both are right)."""
+
+import pyspark.sql.functions as F
+
+from big_data_analytics_project_spark.registry import load_all
+
+
+def _q(name, spark, sf_dir):
+    return load_all()[name].fn(spark, sf_dir)
+
+
+# --- Welch t-test ----------------------------------------------------------
+
+
+def test_welch_moments_and_df_bounds(spark, sf_dir):
+    r = _q("abtest_welch_ttest", spark, sf_dir).collect()[0]
+    assert r["n_purchase"] > 1 and r["n_click"] > 1
+    assert r["var_purchase_cents"] >= 0 and r["var_click_cents"] >= 0
+    # t's sign must match the mean difference
+    diff = r["mean_purchase_cents"] - r["mean_click_cents"]
+    if r["t_stat"] is not None and abs(diff) > 1e-9:
+        assert (r["t_stat"] > 0) == (diff > 0)
+    # Welch-Satterthwaite df is bounded by min(n)-1 and n1+n2-2
+    if r["welch_df"] is not None:
+        assert (
+            min(r["n_purchase"], r["n_click"]) - 1 - 1e-6
+            <= r["welch_df"]
+            <= r["n_purchase"] + r["n_click"] - 2 + 1e-6
+        )
+
+
+# --- Spearman --------------------------------------------------------------
+
+
+def test_spearman_bounds_and_cell_accounting(spark, sf_dir):
+    r = _q("agg_spearman_rank_corr", spark, sf_dir).collect()[0]
+    # the synthetic fixture draws price independently of quantity, so the
+    # value itself hovers near 0 (cross-checked against pandas rank corr)
+    assert -1.0 - 1e-9 <= r["spearman_rho"] <= 1.0 + 1e-9
+    assert r["n_quantity_values"] <= 50
+    assert r["n_rows"] >= r["n_price_values"]
+
+
+def test_spearman_is_one_on_planted_monotone_data(spark, tmp_path):
+    import big_data_analytics_project_spark.plans.stats_queries as S
+
+    # qty 1..40 with ties, price a strictly increasing function of qty:
+    # a perfect monotone relation must score exactly rho = 1
+    rows = [(float(i % 40 + 1), float((i % 40 + 1) * 7 + 0.25)) for i in range(200)]
+    spark.createDataFrame(rows, "l_quantity double, l_extendedprice double").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "lineitem.parquet"))
+    r = S.agg_spearman_rank_corr(spark, str(tmp_path)).collect()[0]
+    assert abs(r["spearman_rho"] - 1.0) < 1e-9
+    assert r["n_rows"] == 200 and r["n_quantity_values"] == 40
+
+
+# --- ACF -------------------------------------------------------------------
+
+
+def test_acf_lags_and_magnitude(spark, sf_dir):
+    rows = sorted(
+        _q("timeseries_acf_daily", spark, sf_dir).collect(),
+        key=lambda r: r["lag_days"],
+    )
+    assert [r["lag_days"] for r in rows] == list(range(1, 8))
+    # overlap shrinks by exactly one pair per extra lag on a dense grid
+    pairs = [r["n_pairs"] for r in rows]
+    assert pairs == sorted(pairs, reverse=True)
+    for r in rows:
+        if r["acf"] is not None:
+            assert abs(r["acf"]) <= 1.0 + 1e-6
+
+
+# --- rolling correlation -----------------------------------------------------
+
+
+def test_rolling_corr_window_and_bounds(spark, sf_dir):
+    rows = _q("window_rolling_corr", spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["n_window_days"] <= 7
+        if r["rolling_corr"] is not None:
+            assert -1.0 - 1e-9 <= r["rolling_corr"] <= 1.0 + 1e-9
+    # a 1-day window has zero variance -> guarded null
+    for r in rows:
+        if r["n_window_days"] == 1:
+            assert r["rolling_corr"] is None
+
+
+# --- connected components ----------------------------------------------------
+
+
+def test_connected_components_fixed_point_contract(spark, sf_dir):
+    from big_data_analytics_project_spark.operators import graph as G
+    from big_data_analytics_project_spark.sources import read_table
+
+    li = read_table(spark, sf_dir, "lineitem")
+    edges = G.copurchase_edges_with_support(li, 2).persist()
+    labels = G.connected_components(edges).persist()
+    # component id is the min reachable node -> never exceeds the node id
+    assert labels.where(F.col("component") > F.col("node")).count() == 0
+    # the defining contract: every edge's endpoints share a component
+    a = labels.withColumnRenamed("node", "src").withColumnRenamed(
+        "component", "ca"
+    )
+    b = labels.withColumnRenamed("node", "dst").withColumnRenamed(
+        "component", "cb"
+    )
+    crossing = (
+        edges.join(a, "src").join(b, "dst").where(F.col("ca") != F.col("cb"))
+    )
+    assert crossing.count() == 0
+    # summary query accounts for every node exactly once
+    total = (
+        _q("graph_connected_components", spark, sf_dir)
+        .agg(F.sum("n_nodes"))
+        .collect()[0][0]
+    )
+    assert total == labels.count()
+    edges.unpersist()
+    labels.unpersist()
+
+
+# --- runtime key pushdown ----------------------------------------------------
+
+
+def test_pushdown_fallback_path_matches(spark, sf_dir, monkeypatch):
+    import big_data_analytics_project_spark.plans.curation_queries as C
+
+    fast = {
+        tuple(sorted(r.asDict().items()))
+        for r in _q("layout_runtime_key_pushdown", spark, sf_dir).collect()
+    }
+    # force the broadcast-semi-join fallback and require identical output
+    monkeypatch.setattr(C, "_PUSHDOWN_MAX_KEYS", 0)
+    slow = {
+        tuple(sorted(r.asDict().items()))
+        for r in C.layout_runtime_key_pushdown(spark, sf_dir).collect()
+    }
+    assert fast == slow
+
+
+# --- hapax / TTR -------------------------------------------------------------
+
+
+def test_hapax_accounting_inequalities(spark, sf_dir):
+    rows = _q("text_hapax_ratio", spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_hapax"] <= r["n_types"] <= r["n_tokens"]
+        assert 0.0 < r["type_token_ratio"] <= 1.0
+        assert 0.0 <= r["hapax_share"] <= 1.0
+
+
+# --- embedding dim variance ---------------------------------------------------
+
+
+def test_dim_variance_shape_and_nonnegativity(spark, sf_dir):
+    rows = _q("embedding_dim_variance", spark, sf_dir).collect()
+    assert len(rows) == 64
+    ns = {r["n"] for r in rows}
+    assert len(ns) == 1  # every dim sees every vector
+    for r in rows:
+        assert r["variance"] is None or r["variance"] >= 0.0
+
+
+# --- referential integrity -----------------------------------------------------
+
+
+def test_referential_integrity_clean_fixture(spark, sf_dir):
+    rows = _q("dq_referential_integrity", spark, sf_dir).collect()
+    assert len(rows) == 7
+    for r in rows:
+        assert r["n_child_rows"] > 0
+        assert r["n_orphans"] == 0
+        assert r["orphan_share"] == 0.0
+
+
+def test_referential_integrity_detects_planted_orphan(spark, tmp_path, sf_dir):
+    # copy the fixture, point one nation at a missing region, re-audit
+    import shutil
+    from pathlib import Path
+
+    import big_data_analytics_project_spark.plans.curation_queries as C
+
+    src = Path(sf_dir)
+    dst = tmp_path / "broken"
+    dst.mkdir()
+    for f in src.glob("*.parquet"):
+        shutil.copy(f, dst / f.name)
+    nation = spark.read.parquet(str(dst / "nation.parquet"))
+    broken = nation.withColumn(
+        "n_regionkey",
+        F.when(F.col("n_nationkey") == 0, F.lit(999)).otherwise(
+            F.col("n_regionkey")
+        ),
+    )
+    broken.write.mode("overwrite").parquet(str(dst / "nation_new"))
+    (dst / "nation.parquet").unlink()
+    shutil.move(str(dst / "nation_new"), str(dst / "nation.parquet"))
+    rows = {
+        r["fk"]: r
+        for r in C.dq_referential_integrity(spark, str(dst)).collect()
+    }
+    assert rows["nation.n_regionkey -> region.r_regionkey"]["n_orphans"] == 1
+
+
+# --- incremental aggregate -----------------------------------------------------
+
+
+def test_incremental_agg_partition_is_exhaustive(spark, sf_dir):
+    from big_data_analytics_project_spark.sources import read_table
+
+    out = _q("maintenance_incremental_agg", spark, sf_dir)
+    merged_n = out.agg(F.sum("n_orders")).collect()[0][0]
+    assert merged_n == read_table(spark, sf_dir, "orders").count()
+
+
+# --- backlog sweep-line --------------------------------------------------------
+
+
+def test_backlog_conservation_and_nonnegativity(spark, sf_dir):
+    rows = sorted(
+        _q("ops_open_orders_backlog", spark, sf_dir).collect(),
+        key=lambda r: r["month_key"],
+    )
+    assert rows
+    run = 0
+    for r in rows:
+        run += r["n_opened"] - r["n_closed"]
+        assert run == r["backlog_end"]
+        assert r["backlog_end"] >= 0
+    # every order eventually ships: the curve must close at zero
+    assert rows[-1]["backlog_end"] == 0
+    assert sum(r["n_opened"] for r in rows) == sum(
+        r["n_closed"] for r in rows
+    )
+
+
+# --- monthly seasonality --------------------------------------------------------
+
+
+def test_seasonality_index_weighted_mean_is_one(spark, sf_dir):
+    rows = _q("timeseries_monthly_seasonality", spark, sf_dir).collect()
+    assert 1 <= len(rows) <= 12
+    n_all = sum(r["n_months"] for r in rows)
+    weighted = sum(r["seasonal_index"] * r["n_months"] for r in rows) / n_all
+    # the index is avg_m / grand_avg; its month-count-weighted mean is
+    # exactly 1 up to the 6dp output rounding
+    assert abs(weighted - 1.0) < 1e-3
+    for r in rows:
+        assert r["avg_monthly_revenue"] > 0
+        assert r["seasonal_index"] > 0
