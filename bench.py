@@ -256,6 +256,16 @@ HEADLINE = [
     "ops_open_orders_backlog",
     # seasonality: one month-grid reduction, 12-row index
     "timeseries_monthly_seasonality",
+    # forward as-of: one-shuffle union+window, mirrored frame
+    "asof_join_forward_event",
+    # Zipf slope: bounded top-200 grid, quantized ln OLS
+    "text_zipf_slope",
+    # weighted median: domain-bounded cells + per-flag cumsum
+    "agg_weighted_median",
+    # Theil-Sen: day-grid pair fan-out, exact order-statistic median
+    "timeseries_theilsen_slope",
+    # mode: domain-bounded cells, rank-1 window per flag
+    "agg_mode_value",
 ]
 
 

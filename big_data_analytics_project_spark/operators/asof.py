@@ -39,20 +39,33 @@ def asof_join(
     ts_col: str,
     right_value_cols: list[str],
     tolerance_sec: int | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: left enriched with the most recent
-    ``right_value_cols`` at ``right.ts_col <= left.ts_col`` per ``on`` key.
-    Left rows with no preceding right row (or none within
+    """As-of join: left enriched with the nearest ``right_value_cols`` at
+    ``right.ts_col <= left.ts_col`` (``direction="backward"``, the
+    default) or ``right.ts_col >= left.ts_col`` (``direction="forward"``,
+    pandas ``merge_asof(direction="forward")``), per ``on`` key.  Left
+    rows with no match in that direction (or none within
     ``tolerance_sec``) keep nulls — left-outer semantics.
+
+    Forward runs the SAME one-shuffle union+window composition with the
+    frame mirrored: right rows sort AFTER left rows at equal timestamps
+    (inclusive ``>=``) and ``first(ignorenulls)`` over
+    ``currentRow..unboundedFollowing`` carries the next right values
+    backward.
 
     Both inputs must carry ``on`` + ``ts_col``; ``left``'s other columns
     pass through, prefixed right values are appended as
     ``asof_<col>`` plus ``asof_ts_epoch``."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unknown asof direction: {direction!r}")
+    fwd = direction == "forward"
+    r_side, l_side = (1, 0) if fwd else (0, 1)
     left_cols = [c for c in left.columns if c not in set(on) | {ts_col}]
     tagged_r = right.select(
         *on,
         F.col(ts_col).alias("__ts"),
-        F.lit(0).alias("__side"),
+        F.lit(r_side).alias("__side"),
         F.col(ts_col).alias("__r_ts"),
         *[F.col(c).alias(f"__r_{c}") for c in right_value_cols],
         *[F.lit(None).alias(f"__l_{c}") for c in left_cols],
@@ -60,7 +73,7 @@ def asof_join(
     tagged_l = left.select(
         *on,
         F.col(ts_col).alias("__ts"),
-        F.lit(1).alias("__side"),
+        F.lit(l_side).alias("__side"),
         F.lit(None).cast(tagged_r.schema["__r_ts"].dataType).alias("__r_ts"),
         *[
             F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
@@ -68,27 +81,42 @@ def asof_join(
         ],
         *[F.col(c).alias(f"__l_{c}") for c in left_cols],
     )
-    # right rows sort before left rows at equal ts → inclusive (<=) match
-    w = (
-        Window.partitionBy(*on)
-        .orderBy("__ts", "__side")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    # right rows sort adjacent to left rows so equal-ts matches are
+    # inclusive in the join direction (backward: right first; forward:
+    # right after, picked up by the following frame)
+    if fwd:
+        w = (
+            Window.partitionBy(*on)
+            .orderBy("__ts", "__side")
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        pick = lambda c: F.first(c, ignorenulls=True)  # noqa: E731
+    else:
+        w = (
+            Window.partitionBy(*on)
+            .orderBy("__ts", "__side")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        pick = lambda c: F.last(c, ignorenulls=True)  # noqa: E731
     carried = [
-        F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__c_{c}")
-        for c in right_value_cols
+        pick(f"__r_{c}").over(w).alias(f"__c_{c}") for c in right_value_cols
     ]
-    carried_ts = F.last("__r_ts", ignorenulls=True).over(w).alias("__c_ts")
+    carried_ts = pick("__r_ts").over(w).alias("__c_ts")
     enriched = (
         tagged_r.unionByName(tagged_l)
         .select("*", carried_ts, *carried)
-        .where(F.col("__side") == 1)
+        .where(F.col("__side") == l_side)
     )
-    in_tol = (
-        F.lit(True)
-        if tolerance_sec is None
-        else F.col("__c_ts") >= F.col("__ts") - F.expr(f"INTERVAL {tolerance_sec} SECONDS")
-    )
+    if tolerance_sec is None:
+        in_tol = F.lit(True)
+    elif fwd:
+        in_tol = F.col("__c_ts") <= F.col("__ts") + F.expr(
+            f"INTERVAL {tolerance_sec} SECONDS"
+        )
+    else:
+        in_tol = F.col("__c_ts") >= F.col("__ts") - F.expr(
+            f"INTERVAL {tolerance_sec} SECONDS"
+        )
     return enriched.select(
         *on,
         F.col("__ts").alias(ts_col),

@@ -490,3 +490,226 @@ def window_rolling_corr(spark, sf_dir):
             F.round(num / F.sqrt(dx * dy), 6),
         ).alias("rolling_corr"),
     )
+
+
+# --- weighted median (revenue-weighted order quantity) ----------------------
+# "The quantity at which half the REVENUE sits" — the weighted order
+# statistic, exact: the corpus reduces once to (returnflag, quantity)
+# cells with BIGINT cent weights; the cumulative window runs over <= 50
+# cells per flag, and the lower weighted median is the smallest value
+# whose doubled cumulative weight reaches the flag total (integer rule,
+# no division, no interpolation — the MAD/winsorize order-statistic
+# convention).
+
+_WMEDIAN_SQL = """
+WITH cells AS (
+  SELECT l_returnflag,
+         CAST(l_quantity AS BIGINT) AS q,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT))
+              AS BIGINT) AS w
+  FROM lineitem GROUP BY l_returnflag, q
+),
+cum AS (
+  SELECT l_returnflag, q, n_rows, w,
+         CAST(sum(w) OVER (PARTITION BY l_returnflag ORDER BY q
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cw,
+         CAST(sum(w) OVER (PARTITION BY l_returnflag) AS BIGINT) AS tot,
+         CAST(sum(n_rows) OVER (PARTITION BY l_returnflag) AS BIGINT)
+           AS n_flag
+  FROM cells
+)
+SELECT l_returnflag,
+       CAST(min(n_flag) AS BIGINT) AS n_rows,
+       CAST(min(tot) AS BIGINT) AS total_weight_cents,
+       CAST(min(q) AS BIGINT) AS weighted_median_qty
+FROM cum WHERE 2 * cw >= tot
+GROUP BY l_returnflag
+"""
+
+
+@query("agg_weighted_median", sql=_WMEDIAN_SQL, tags=("agg", "stats"))
+def agg_weighted_median(spark, sf_dir):
+    """Revenue-weighted median order quantity per return flag — see block
+    comment."""
+    from pyspark.sql import Window
+
+    li = read_table(spark, sf_dir, "lineitem")
+    cells = li.groupBy(
+        "l_returnflag", F.col("l_quantity").cast("long").alias("q")
+    ).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(
+            F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5)).cast("long")
+        )
+        .cast("long")
+        .alias("w"),
+    )
+    wrun = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("q")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("l_returnflag")
+    cum = cells.select(
+        "l_returnflag",
+        "q",
+        "n_rows",
+        F.sum("w").over(wrun).cast("long").alias("cw"),
+        F.sum("w").over(wall).cast("long").alias("tot"),
+        F.sum("n_rows").over(wall).cast("long").alias("n_flag"),
+    )
+    return (
+        cum.where(2 * F.col("cw") >= F.col("tot"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("n_flag").cast("long").alias("n_rows"),
+            F.min("tot").cast("long").alias("total_weight_cents"),
+            F.min("q").cast("long").alias("weighted_median_qty"),
+        )
+    )
+
+
+# --- Theil-Sen robust trend slope -------------------------------------------
+# The outlier-proof alternative to regression_daily_revenue_trend's OLS:
+# the median of all pairwise day slopes.  The corpus reduces once to the
+# daily cent grid; the pair fan-out is grid-squared (bounded by the TIME
+# RANGE, not the corpus — ~30 days -> 435 pairs), and the median is an
+# exact order statistic (lower median, rank tie-broken by day pair) —
+# the selected slope is ONE division of exact integers, so no rounding
+# is needed at all.
+
+_THEILSEN_SQL = """
+WITH daily AS (
+  SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM events WHERE event_type = 'purchase' GROUP BY day
+),
+pairs AS (
+  SELECT a.day AS d1, b.day AS d2,
+         CAST(b.cents - a.cents AS DOUBLE)
+           / CAST(b.day - a.day AS DOUBLE) AS slope
+  FROM daily a JOIN daily b ON b.day > a.day
+),
+ranked AS (
+  SELECT slope, row_number() OVER (ORDER BY slope, d1, d2) AS rn,
+         count(*) OVER () AS n_pairs
+  FROM pairs
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM daily) AS n_days,
+       CAST(n_pairs AS BIGINT) AS n_pairs,
+       slope AS theilsen_slope_cents_per_day
+FROM ranked WHERE rn = (n_pairs + 1) // 2
+"""
+
+
+@query("timeseries_theilsen_slope", sql=_THEILSEN_SQL, tags=("timeseries", "stats"))
+def timeseries_theilsen_slope(spark, sf_dir):
+    """Theil-Sen robust slope of daily purchase revenue — see block
+    comment."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    daily = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy(
+            F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day")
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long")
+            )
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    daily = daily.persist()
+    a = daily.select(F.col("day").alias("d1"), F.col("cents").alias("c1"))
+    b = daily.select(F.col("day").alias("d2"), F.col("cents").alias("c2"))
+    pairs = a.join(b, F.col("d2") > F.col("d1")).select(
+        "d1",
+        "d2",
+        (
+            (F.col("c2") - F.col("c1")).cast("double")
+            / (F.col("d2") - F.col("d1")).cast("double")
+        ).alias("slope"),
+    )
+    w = Window.orderBy("slope", "d1", "d2")
+    ranked = pairs.select(
+        "slope",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n_pairs"),
+    )
+    n_days = daily.agg(F.count("*").cast("long").alias("n_days"))
+    return (
+        ranked.where(
+            F.col("rn") == F.floor((F.col("n_pairs") + 1) / 2).cast("int")
+        )
+        .crossJoin(F.broadcast(n_days))
+        .select(
+            "n_days",
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            F.col("slope").alias("theilsen_slope_cents_per_day"),
+        )
+    )
+
+
+# --- mode with deterministic tie-break --------------------------------------
+# The most frequent quantity per return flag — the categorical "average".
+# Cells first (domain-bounded), then one rank-1 window per flag ordered
+# (count DESC, value ASC): "the" mode is well-defined under ties.
+
+_MODE_SQL = """
+WITH cells AS (
+  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM lineitem GROUP BY l_returnflag, q
+),
+ranked AS (
+  SELECT l_returnflag, q, cnt,
+         row_number() OVER (PARTITION BY l_returnflag
+                            ORDER BY cnt DESC, q) AS rn,
+         CAST(sum(cnt) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n_rows
+  FROM cells
+)
+SELECT l_returnflag, q AS mode_quantity, cnt AS mode_count, n_rows
+FROM ranked WHERE rn = 1
+"""
+
+
+@query("agg_mode_value", sql=_MODE_SQL, tags=("agg",))
+def agg_mode_value(spark, sf_dir):
+    """Modal order quantity per return flag (ties broken toward the
+    smaller value) — see block comment."""
+    from pyspark.sql import Window
+
+    li = read_table(spark, sf_dir, "lineitem")
+    cells = li.groupBy(
+        "l_returnflag", F.col("l_quantity").cast("long").alias("q")
+    ).agg(F.count("*").cast("long").alias("cnt"))
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("cnt").desc(), F.col("q")
+    )
+    wall = Window.partitionBy("l_returnflag")
+    return (
+        cells.select(
+            "l_returnflag",
+            "q",
+            "cnt",
+            F.row_number().over(w).alias("rn"),
+            F.sum("cnt").over(wall).cast("long").alias("n_rows"),
+        )
+        .where(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            F.col("q").alias("mode_quantity"),
+            F.col("cnt").alias("mode_count"),
+            "n_rows",
+        )
+    )

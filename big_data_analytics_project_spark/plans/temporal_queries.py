@@ -1164,3 +1164,79 @@ def timeseries_monthly_seasonality(spark, sf_dir):
         F.round(avg, 6).alias("avg_monthly_revenue"),
         F.round(avg / grand, 6).alias("seasonal_index"),
     )
+
+
+# --- forward as-of join (time-to-convert enrichment) -----------------------
+# The mirrored direction of asof_join_nearest_event: each SIGNUP enriched
+# with the user's FIRST purchase at-or-after it, within a 7-day
+# conversion window.  Same one-shuffle union+window composition with the
+# frame reversed (operators/asof.py direction="forward"); the oracle is
+# DuckDB's native ASOF LEFT JOIN with the >= inequality, tolerance
+# applied as a null-out (ASOF picks the nearest row; the window only
+# decides whether it counts).  Purchases deduped to one row per
+# (user_id, ts) with min(event_id) — "the first" is otherwise undefined
+# at ts collisions (same caveat as the backward query).
+
+_ASOF_FWD_TOL_SEC = 604800  # 7-day conversion window
+
+_ASOF_FWD_SQL = f"""
+WITH s AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup'
+),
+p AS (
+  SELECT user_id, ts, min(event_id) AS purchase_event_id
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id, ts
+)
+SELECT s.event_id, s.user_id,
+       CAST(floor(epoch(s.ts)) AS BIGINT) AS ts_epoch,
+       CAST(CASE WHEN p.ts <= s.ts + INTERVAL {_ASOF_FWD_TOL_SEC} SECONDS
+                 THEN floor(epoch(p.ts)) END AS BIGINT) AS asof_ts_epoch,
+       CAST(CASE WHEN p.ts <= s.ts + INTERVAL {_ASOF_FWD_TOL_SEC} SECONDS
+                 THEN p.purchase_event_id END AS BIGINT)
+         AS asof_purchase_event_id,
+       CAST(CASE WHEN p.ts <= s.ts + INTERVAL {_ASOF_FWD_TOL_SEC} SECONDS
+                 THEN floor(epoch(p.ts)) - floor(epoch(s.ts)) END AS BIGINT)
+         AS latency_sec
+FROM s ASOF LEFT JOIN p ON s.user_id = p.user_id AND p.ts >= s.ts
+"""
+
+
+@query(
+    "asof_join_forward_event",
+    sql=_ASOF_FWD_SQL,
+    tags=("temporal", "asof", "join"),
+)
+def asof_join_forward_event(spark, sf_dir):
+    """Forward as-of join: each signup enriched with the user's first
+    purchase at-or-after it within 7 days — see block comment."""
+    ev = read_table(spark, sf_dir, "events")
+    signups = ev.where(F.col("event_type") == "signup").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.min("event_id").alias("purchase_event_id"))
+    )
+    out = asof_join(
+        signups,
+        purchases,
+        on=["user_id"],
+        ts_col="ts",
+        right_value_cols=["purchase_event_id"],
+        tolerance_sec=_ASOF_FWD_TOL_SEC,
+        direction="forward",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").cast("long").alias("ts_epoch"),
+        "asof_ts_epoch",
+        F.col("asof_purchase_event_id").cast("long").alias(
+            "asof_purchase_event_id"
+        ),
+        (F.col("asof_ts_epoch") - F.unix_timestamp("ts"))
+        .cast("long")
+        .alias("latency_sec"),
+    )

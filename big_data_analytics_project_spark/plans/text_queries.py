@@ -1497,3 +1497,128 @@ def text_hapax_ratio(spark, sf_dir):
             n_hapax.cast("double") / n_types.cast("double"), 6
         ).alias("hapax_share"),
     )
+
+
+# --- Zipf rank-frequency slope ---------------------------------------------
+# Natural corpora obey freq ~ rank^(-s) with s near 1; templated or
+# machine-generated text bends the log-log line.  The corpus reduces to
+# the top-200 vocabulary (bounded grid, rank tie-broken by term), each
+# (ln rank, ln freq) point quantizes to the 1e-6 BIGINT grid (the
+# transcendental rule: round ln BEFORE any multiply/sum), the OLS
+# moments are exact integer sums over 200 cells, and the closed-form
+# slope/intercept/r2 are shared double expressions on exact inputs.
+
+_ZIPF_K = 200
+
+_ZIPF_SQL = rf"""
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS term
+  FROM documents
+),
+vocab AS (
+  SELECT term, cnt, rank FROM (
+    SELECT term, CAST(count(*) AS BIGINT) AS cnt,
+           row_number() OVER (ORDER BY count(*) DESC, term) AS rank
+    FROM toks GROUP BY term
+  ) WHERE rank <= {_ZIPF_K}
+),
+pts AS (
+  SELECT CAST(floor(ln(CAST(rank AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+           AS x,
+         CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+           AS y
+  FROM vocab
+),
+mom AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM pts
+)
+SELECT n AS n_terms,
+       CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0.0
+            THEN round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                       / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+       END AS zipf_slope,
+       CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0.0
+            THEN round((CAST(sy AS DOUBLE)
+                        - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                          / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                          * CAST(sx AS DOUBLE))
+                       / CAST(n AS DOUBLE) / 1000000.0, 6)
+       END AS intercept_ln,
+       CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0.0
+             AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0.0
+            THEN round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                       * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                       / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                       / (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)), 6)
+       END AS r_squared
+FROM mom
+"""
+
+
+@query("text_zipf_slope", sql=_ZIPF_SQL, tags=("text", "stats"))
+def text_zipf_slope(spark, sf_dir):
+    """Log-log OLS slope of the top-200 rank-frequency curve — see block
+    comment."""
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(T.ws_tokens(F.col("text"))).alias("term"))
+    counts = toks.groupBy("term").agg(F.count("*").cast("long").alias("cnt"))
+    w = Window.orderBy(F.col("cnt").desc(), F.col("term"))
+    vocab = (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _ZIPF_K)
+    )
+    pts = vocab.select(
+        F.floor(F.log(F.col("rank").cast("double")) * 1000000.0 + F.lit(0.5))
+        .cast("long")
+        .alias("x"),
+        F.floor(F.log(F.col("cnt").cast("double")) * 1000000.0 + F.lit(0.5))
+        .cast("long")
+        .alias("y"),
+    )
+    mom = pts.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    dx = nd * sxx - sx * sx
+    dy = nd * syy - sy * sy
+    num = nd * sxy - sx * sy
+    slope = num / dx
+    return mom.select(
+        F.col("n").alias("n_terms"),
+        F.when(dx > 0.0, F.round(slope, 6)).alias("zipf_slope"),
+        F.when(
+            dx > 0.0,
+            F.round((sy - slope * sx) / nd / 1000000.0, 6),
+        ).alias("intercept_ln"),
+        F.when(
+            (dx > 0.0) & (dy > 0.0), F.round(num * num / dx / dy, 6)
+        ).alias("r_squared"),
+    )

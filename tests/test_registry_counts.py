@@ -9,8 +9,8 @@ from pathlib import Path
 
 from big_data_analytics_project_spark.registry import load_all
 
-TOTAL = 241
-ORACLE = 224
+TOTAL = 246
+ORACLE = 229
 
 
 def test_counts_match_registry():

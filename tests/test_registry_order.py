@@ -72,11 +72,11 @@ EXPECTED_WINDOW = (
     "agg_spearman_rank_corr",
     "timeseries_acf_daily",
     "window_rolling_corr",
+    "agg_weighted_median",
+    "timeseries_theilsen_slope",
+    "agg_mode_value",
     "streaming_interval_join_left",
     "session_gap_assignment",
-    "timeseries_gapfill_interpolate",
-    "timeseries_ewma_by_user",
-    "forecast_seasonal_naive",
 )
 
 
