@@ -255,3 +255,156 @@ def test_seasonality_index_weighted_mean_is_one(spark, sf_dir):
     for r in rows:
         assert r["avg_monthly_revenue"] > 0
         assert r["seasonal_index"] > 0
+
+
+# --- forward as-of ------------------------------------------------------------
+
+
+def test_forward_asof_matches_within_window_and_direction(spark, sf_dir):
+    rows = _q("asof_join_forward_event", spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        if r["asof_ts_epoch"] is not None:
+            assert r["asof_ts_epoch"] >= r["ts_epoch"]  # forward only
+            assert 0 <= r["latency_sec"] <= 604800  # inside tolerance
+            assert r["latency_sec"] == r["asof_ts_epoch"] - r["ts_epoch"]
+
+
+def test_forward_asof_picks_the_nearest_following_row(spark):
+    import datetime as dt
+
+    from big_data_analytics_project_spark.operators.asof import asof_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(1, t0)], "k long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            (1, t0 - dt.timedelta(seconds=5), 100),  # before: ignored
+            (1, t0 + dt.timedelta(seconds=9), 200),  # nearest following
+            (1, t0 + dt.timedelta(seconds=60), 300),
+        ],
+        "k long, ts timestamp, v long",
+    )
+    out = asof_join(
+        left, right, on=["k"], ts_col="ts", right_value_cols=["v"],
+        direction="forward",
+    ).collect()[0]
+    assert out["asof_v"] == 200
+    # tolerance below the gap nulls the match
+    out2 = asof_join(
+        left, right, on=["k"], ts_col="ts", right_value_cols=["v"],
+        direction="forward", tolerance_sec=5,
+    ).collect()[0]
+    assert out2["asof_v"] is None
+
+
+def test_forward_asof_equal_ts_is_inclusive(spark):
+    import datetime as dt
+
+    from big_data_analytics_project_spark.operators.asof import asof_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame([(1, t0)], "k long, ts timestamp")
+    right = spark.createDataFrame(
+        [(1, t0, 7)], "k long, ts timestamp, v long"
+    )
+    out = asof_join(
+        left, right, on=["k"], ts_col="ts", right_value_cols=["v"],
+        direction="forward",
+    ).collect()[0]
+    assert out["asof_v"] == 7
+    assert out["asof_ts_epoch"] == int(out["ts"].timestamp())
+
+
+# --- Zipf slope ----------------------------------------------------------------
+
+
+def test_zipf_slope_is_negative_with_full_grid(spark, sf_dir):
+    r = _q("text_zipf_slope", spark, sf_dir).collect()[0]
+    assert r["n_terms"] <= 200
+    # frequency is non-increasing in rank, so the fitted slope can't be
+    # positive on any real rank-frequency curve
+    assert r["zipf_slope"] <= 0.0
+    assert 0.0 <= r["r_squared"] <= 1.0 + 1e-9
+
+
+# --- weighted median -------------------------------------------------------------
+
+
+def test_weighted_median_matches_numpy_definition(spark, sf_dir, duck):
+    rows = {
+        r["l_returnflag"]: r
+        for r in _q("agg_weighted_median", spark, sf_dir).collect()
+    }
+    ref = duck.sql(
+        """
+        SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q,
+               CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS w
+        FROM lineitem
+        """
+    ).fetchdf()
+    for flag, grp in ref.groupby("l_returnflag"):
+        g = grp.sort_values("q")
+        tot = int(g["w"].sum())
+        cum = 0
+        for qv, wv in zip(g["q"], g["w"]):
+            cum += int(wv)
+            if 2 * cum >= tot:
+                expected = int(qv)
+                break
+        assert rows[flag]["weighted_median_qty"] == expected
+        assert rows[flag]["total_weight_cents"] == tot
+
+
+# --- Theil-Sen --------------------------------------------------------------------
+
+
+def test_theilsen_pair_count_and_bounds(spark, sf_dir):
+    r = _q("timeseries_theilsen_slope", spark, sf_dir).collect()[0]
+    assert r["n_pairs"] == r["n_days"] * (r["n_days"] - 1) // 2
+    # the median slope lies within the min/max pairwise slope by definition
+    assert r["theilsen_slope_cents_per_day"] is not None
+
+
+def test_theilsen_recovers_planted_linear_trend(spark, tmp_path):
+    import datetime as dt
+
+    import big_data_analytics_project_spark.plans.stats_queries as S
+
+    # 20 days of purchases: one event per day with value = 10 + 2.5*day
+    # dollars; the pairwise-slope median must be exactly 250 cents/day
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + dt.timedelta(days=i), 1, "purchase", 10.0 + 2.5 * i, "{}")
+        for i in range(20)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    r = S.timeseries_theilsen_slope(spark, str(tmp_path)).collect()[0]
+    assert abs(r["theilsen_slope_cents_per_day"] - 250.0) < 1e-9
+
+
+# --- mode ------------------------------------------------------------------------
+
+
+def test_mode_is_the_argmax_with_min_value_tiebreak(spark, sf_dir, duck):
+    rows = {
+        r["l_returnflag"]: r
+        for r in _q("agg_mode_value", spark, sf_dir).collect()
+    }
+    ref = duck.sql(
+        """
+        SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q,
+               count(*) AS c
+        FROM lineitem GROUP BY 1, 2
+        """
+    ).fetchdf()
+    for flag, grp in ref.groupby("l_returnflag"):
+        best = grp.sort_values(["c", "q"], ascending=[False, True]).iloc[0]
+        assert rows[flag]["mode_quantity"] == int(best["q"])
+        assert rows[flag]["mode_count"] == int(best["c"])
