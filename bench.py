@@ -266,6 +266,12 @@ HEADLINE = [
     "timeseries_theilsen_slope",
     # mode: domain-bounded cells, rank-1 window per flag
     "agg_mode_value",
+    # Naive Bayes: postings-sized score join, exact quantized-ln counting
+    "ml_naive_bayes_langid",
+    # streaks: gaps-and-islands, user-keyed window only
+    "retention_longest_streak",
+    # rolling median: day-grid range self-join, exact order statistic
+    "timeseries_rolling_median",
 ]
 
 

@@ -143,3 +143,150 @@ def ml_rf_quality_contract(spark, sf_dir):
         F.lit(bool(m.accuracy >= 0.90)).alias("accuracy_ge_090"),
         F.lit(bool(m.n_train > 0 and m.n_test > 0)).alias("split_nonempty"),
     )
+
+
+# --- in-plan multinomial Naive Bayes (train + score + confusion) ------------
+# The one classical ML algorithm whose ENTIRE train/score path is exact
+# counting — so unlike the RF family it earns a full value-level oracle:
+# an 80/20 portable-hash split, Laplace-smoothed token likelihoods
+# ln((c+1)/(T_l+|V|)) quantized per (term, class) on the 1e-6 grid (the
+# transcendental rule — round BEFORE any multiply/sum), per-doc class
+# scores as exact BIGINT sums of tf x lnq plus the quantized log prior,
+# and argmax with a class-name tie-break.  Scale: token-class stats are
+# vocabulary x 5 rows (broadcast), scoring is one postings-sized join +
+# one (doc, class) aggregate; nothing corpus-squared, no driver model
+# object ever materializes.
+
+_NB_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         {{hash_fold}} % 5 AS fold,
+         unnest(regexp_split_to_array(lower(text), '\s+')) AS term
+  FROM documents
+),
+train AS (SELECT * FROM toks WHERE fold <> 0),
+test AS (
+  SELECT doc_id, lang AS actual, term, CAST(count(*) AS BIGINT) AS tf
+  FROM toks WHERE fold = 0 GROUP BY doc_id, lang, term
+),
+cls AS (
+  SELECT lang AS cand, CAST(count(*) AS BIGINT) AS t_l
+  FROM train GROUP BY lang
+),
+v AS (SELECT CAST(count(DISTINCT term) AS BIGINT) AS v_size FROM train),
+tc AS (
+  SELECT lang AS cand, term, CAST(count(*) AS BIGINT) AS c
+  FROM train GROUP BY lang, term
+),
+priors AS (
+  SELECT lang AS cand, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM train GROUP BY lang
+),
+ptot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_all FROM priors),
+scored AS (
+  SELECT t.doc_id, t.actual, c.cand,
+         CAST(sum(t.tf
+                  * CAST(floor(ln(CAST(coalesce(x.c, 0) + 1 AS DOUBLE)
+                                  / CAST(c.t_l + v.v_size AS DOUBLE))
+                               * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+           AS ll
+  FROM test t
+  CROSS JOIN cls c
+  CROSS JOIN v
+  LEFT JOIN tc x ON x.term = t.term AND x.cand = c.cand
+  GROUP BY t.doc_id, t.actual, c.cand
+),
+pred AS (
+  SELECT s.doc_id, s.actual, s.cand,
+         row_number() OVER (
+           PARTITION BY s.doc_id
+           ORDER BY s.ll + CAST(floor(ln(CAST(p.n_docs AS DOUBLE)
+                                         / CAST(pt.n_all AS DOUBLE))
+                                      * 1000000.0 + 0.5) AS BIGINT) DESC,
+                    s.cand) AS rn
+  FROM scored s JOIN priors p ON p.cand = s.cand CROSS JOIN ptot pt
+)
+SELECT actual AS lang_actual, cand AS lang_pred,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM pred WHERE rn = 1
+GROUP BY lang_actual, lang_pred
+"""
+
+
+def _nb_sql() -> str:
+    from ..plans._duck import hash60
+
+    return _NB_SQL.format(hash_fold=hash60("CAST(doc_id AS VARCHAR)"))
+
+
+@query("ml_naive_bayes_langid", sql=_nb_sql(), tags=("ml", "text", "classification"))
+def ml_naive_bayes_langid(spark, sf_dir):
+    """Multinomial Naive Bayes language classifier trained and scored
+    entirely in-plan, reported as the held-out confusion matrix — see
+    block comment."""
+    from pyspark.sql import Window
+
+    from ..operators.dedup import md5_hash60
+    from ..operators.text import ws_tokens
+    from ..sources import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        (md5_hash60(F.col("doc_id").cast("string")) % 5).alias("fold"),
+        F.explode(ws_tokens(F.col("text"))).alias("term"),
+    )
+    train = toks.where(F.col("fold") != 0)
+    test = (
+        toks.where(F.col("fold") == 0)
+        .groupBy("doc_id", F.col("lang").alias("actual"), "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    cls = train.groupBy(F.col("lang").alias("cand")).agg(
+        F.count("*").cast("long").alias("t_l")
+    )
+    v = train.agg(F.countDistinct("term").cast("long").alias("v_size"))
+    tc = train.groupBy(F.col("lang").alias("cand"), "term").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    priors = train.groupBy(F.col("lang").alias("cand2")).agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs")
+    )
+    ptot = priors.agg(F.sum("n_docs").cast("long").alias("n_all"))
+
+    lnq = F.floor(
+        F.log(
+            (F.coalesce(F.col("c"), F.lit(0)) + 1).cast("double")
+            / (F.col("t_l") + F.col("v_size")).cast("double")
+        )
+        * 1000000.0
+        + F.lit(0.5)
+    ).cast("long")
+    scored = (
+        test.crossJoin(F.broadcast(cls))
+        .crossJoin(F.broadcast(v))
+        .join(F.broadcast(tc), ["term", "cand"], "left")
+        .groupBy("doc_id", "actual", "cand")
+        .agg(F.sum(F.col("tf") * lnq).cast("long").alias("ll"))
+    )
+    prior_lnq = F.floor(
+        F.log(F.col("n_docs").cast("double") / F.col("n_all").cast("double"))
+        * 1000000.0
+        + F.lit(0.5)
+    ).cast("long")
+    w = Window.partitionBy("doc_id").orderBy(
+        (F.col("ll") + prior_lnq).desc(), F.col("cand")
+    )
+    pred = (
+        scored.join(
+            F.broadcast(priors), scored.cand == priors.cand2
+        )
+        .crossJoin(F.broadcast(ptot))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+    )
+    return pred.groupBy(
+        F.col("actual").alias("lang_actual"),
+        F.col("cand").alias("lang_pred"),
+    ).agg(F.count("*").cast("long").alias("n_docs"))

@@ -1240,3 +1240,131 @@ def asof_join_forward_event(spark, sf_dir):
         .cast("long")
         .alias("latency_sec"),
     )
+
+
+# --- longest consecutive-day activity streak (gaps and islands) ------------
+# The classic gaps-and-islands pattern: within a user's distinct active
+# days, day - row_number() is constant across each unbroken run, so one
+# user-keyed window + two keyed aggregates produce every streak without
+# any self-join.  Output is the longest-streak histogram (engagement-
+# depth distribution).  Everything is exact integer counting; the only
+# window is user-partitioned (no global sort).
+
+_STREAK_SQL = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+  FROM events
+),
+isl AS (
+  SELECT user_id, day,
+         day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+           AS island
+  FROM days
+),
+streaks AS (
+  SELECT user_id, island, CAST(count(*) AS BIGINT) AS len
+  FROM isl GROUP BY user_id, island
+),
+best AS (
+  SELECT user_id, CAST(max(len) AS BIGINT) AS longest
+  FROM streaks GROUP BY user_id
+)
+SELECT longest AS streak_days, CAST(count(*) AS BIGINT) AS n_users
+FROM best GROUP BY longest
+"""
+
+
+@query(
+    "retention_longest_streak",
+    sql=_STREAK_SQL,
+    tags=("window", "analytics", "retention"),
+)
+def retention_longest_streak(spark, sf_dir):
+    """Longest consecutive-day activity streak per user, as a histogram —
+    the gaps-and-islands pattern (see block comment)."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id",
+        F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    isl = days.select(
+        "user_id",
+        "day",
+        (F.col("day") - F.row_number().over(w)).alias("island"),
+    )
+    streaks = isl.groupBy("user_id", "island").agg(
+        F.count("*").cast("long").alias("len")
+    )
+    best = streaks.groupBy("user_id").agg(
+        F.max("len").cast("long").alias("longest")
+    )
+    return best.groupBy(F.col("longest").alias("streak_days")).agg(
+        F.count("*").cast("long").alias("n_users")
+    )
+
+
+# --- trailing 7-day rolling median of daily volume --------------------------
+# The robust companion to window_rolling_corr's moment frames: a moving
+# ORDER STATISTIC (lower median, no interpolation — the MAD convention)
+# over the trailing calendar week.  Frames-with-ranking don't compose in
+# one window, so the member set is built by a day-grid range self-join
+# (grid x 7 rows, bounded by the TIME RANGE, not the corpus) and ranked
+# per anchor day.  Exact integers end to end.
+
+_ROLLMED_SQL = """
+WITH daily AS (
+  SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY day
+),
+win AS (
+  SELECT a.day AS day, b.x,
+         row_number() OVER (PARTITION BY a.day ORDER BY b.x, b.day) AS rn,
+         count(*) OVER (PARTITION BY a.day) AS n
+  FROM daily a JOIN daily b ON b.day BETWEEN a.day - 6 AND a.day
+)
+SELECT day, CAST(n AS BIGINT) AS n_window_days, x AS rolling_median
+FROM win WHERE rn = (n + 1) // 2
+"""
+
+
+@query(
+    "timeseries_rolling_median",
+    sql=_ROLLMED_SQL,
+    tags=("timeseries", "window"),
+)
+def timeseries_rolling_median(spark, sf_dir):
+    """Trailing 7-day rolling lower median of daily event volume — see
+    block comment."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day")
+    ).agg(F.count("*").cast("long").alias("x"))
+    daily = daily.persist()
+    a = daily.select(F.col("day").alias("anchor"))
+    b = daily.select(F.col("day").alias("b_day"), F.col("x"))
+    win = a.join(
+        b,
+        (F.col("b_day") >= F.col("anchor") - 6)
+        & (F.col("b_day") <= F.col("anchor")),
+    )
+    w = Window.partitionBy("anchor").orderBy("x", "b_day")
+    wn = Window.partitionBy("anchor")
+    ranked = win.select(
+        F.col("anchor").alias("day"),
+        "x",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    return ranked.where(
+        F.col("rn") == F.floor((F.col("n") + 1) / 2).cast("int")
+    ).select(
+        "day",
+        F.col("n").cast("long").alias("n_window_days"),
+        F.col("x").alias("rolling_median"),
+    )

@@ -9,8 +9,8 @@ from pathlib import Path
 
 from big_data_analytics_project_spark.registry import load_all
 
-TOTAL = 246
-ORACLE = 229
+TOTAL = 249
+ORACLE = 232
 
 
 def test_counts_match_registry():

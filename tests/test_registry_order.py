@@ -59,6 +59,7 @@ EXPECTED_WINDOW = (
     "basket_sequential_patterns",
     "graph_connected_components",
     "ml_rf_quality_contract",
+    "ml_naive_bayes_langid",
     "multimodal_binary_dedup",
     "abc_brand_revenue",
     "ops_fulfillment_lag_by_priority",
@@ -76,7 +77,6 @@ EXPECTED_WINDOW = (
     "timeseries_theilsen_slope",
     "agg_mode_value",
     "streaming_interval_join_left",
-    "session_gap_assignment",
 )
 
 
