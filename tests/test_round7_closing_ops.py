@@ -408,3 +408,85 @@ def test_mode_is_the_argmax_with_min_value_tiebreak(spark, sf_dir, duck):
         best = grp.sort_values(["c", "q"], ascending=[False, True]).iloc[0]
         assert rows[flag]["mode_quantity"] == int(best["q"])
         assert rows[flag]["mode_count"] == int(best["c"])
+
+
+# --- Naive Bayes -------------------------------------------------------------
+
+
+def test_naive_bayes_confusion_accounting(spark, sf_dir):
+    import pyspark.sql.functions as F  # noqa: F811
+
+    from big_data_analytics_project_spark.operators.dedup import md5_hash60
+    from big_data_analytics_project_spark.sources import read_table
+
+    conf = _q("ml_naive_bayes_langid", spark, sf_dir).collect()
+    docs = read_table(spark, sf_dir, "documents")
+    langs = {r["lang"] for r in docs.select("lang").distinct().collect()}
+    n_test = docs.where(
+        md5_hash60(F.col("doc_id").cast("string")) % 5 == 0
+    ).count()
+    assert sum(r["n_docs"] for r in conf) == n_test
+    for r in conf:
+        assert r["lang_actual"] in langs and r["lang_pred"] in langs
+        assert r["n_docs"] > 0
+
+
+def test_naive_bayes_separates_disjoint_vocabularies(spark, tmp_path):
+    import big_data_analytics_project_spark.plans.ml_queries as M
+
+    # two languages with completely disjoint vocabularies: every held-out
+    # doc must classify correctly regardless of the split
+    rows = []
+    for i in range(60):
+        lang = "aa" if i % 2 == 0 else "bb"
+        words = ("foo bar baz qux" if lang == "aa" else "uno dos tres cuatro")
+        rows.append((i, f"{words} {words}", lang, "s", 8))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    conf = M.ml_naive_bayes_langid(spark, str(tmp_path)).collect()
+    for r in conf:
+        assert r["lang_actual"] == r["lang_pred"], r
+
+
+# --- streaks ------------------------------------------------------------------
+
+
+def test_streak_histogram_covers_every_user(spark, sf_dir):
+    import pyspark.sql.functions as F  # noqa: F811
+
+    from big_data_analytics_project_spark.sources import read_table
+
+    rows = _q("retention_longest_streak", spark, sf_dir).collect()
+    ev = read_table(spark, sf_dir, "events")
+    n_users = ev.select("user_id").distinct().count()
+    n_days = (
+        ev.select(
+            F.floor(F.unix_timestamp("ts") / 86400).cast("long")
+        )
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_users"] for r in rows) == n_users
+    for r in rows:
+        assert 1 <= r["streak_days"] <= n_days
+
+
+# --- rolling median ------------------------------------------------------------
+
+
+def test_rolling_median_is_a_window_member(spark, sf_dir):
+    rows = sorted(
+        _q("timeseries_rolling_median", spark, sf_dir).collect(),
+        key=lambda r: r["day"],
+    )
+    assert rows
+    daily = {r["day"]: None for r in rows}
+    assert rows[0]["n_window_days"] == 1
+    for r in rows:
+        assert 1 <= r["n_window_days"] <= 7
+    # windows grow by one per day over a dense grid until they saturate
+    for prev, cur in zip(rows, rows[1:]):
+        if cur["day"] == prev["day"] + 1 and prev["n_window_days"] < 7:
+            assert cur["n_window_days"] == prev["n_window_days"] + 1
+    assert daily  # non-empty grid
