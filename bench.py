@@ -272,6 +272,10 @@ HEADLINE = [
     "retention_longest_streak",
     # rolling median: day-grid range self-join, exact order statistic
     "timeseries_rolling_median",
+    # PIT lookup: equi-join + validity residual, broadcast dim
+    "scd2_point_in_time_lookup",
+    # Theil index: user rollup + quantized-ln term sum
+    "inequality_theil_index",
 ]
 
 

@@ -2271,3 +2271,94 @@ def maintenance_incremental_agg(spark, sf_dir):
             F.sum("ps").cast("double").alias("revenue"),
         )
     )
+
+
+# --- SCD2 point-in-time ("as was") lookup -----------------------------------
+# The read side of SCD2: every event priced against the dimension row
+# that was valid AT THE EVENT'S TIMESTAMP, not today's row.  The
+# versioned user-tier dimension is built in-plan (standard from Jan 1;
+# every 5th user upgrades to premium on Jan 15), so the whole query is
+# self-contained and exactly mirrored.  Scale shape: the lookup is an
+# EQUI-join on the user key with the validity predicate as a residual
+# filter — fan-out is bounded by versions-per-key (2 here; never a range
+# join), and the dimension side broadcasts.  A fact row before its key's
+# first version finds no row (left-outer would surface it; here T0
+# precedes every event).
+
+_PIT_T0 = 1_704_067_200  # 2024-01-01: initial tier load
+_PIT_T1 = 1_705_276_800  # 2024-01-15: every 5th user -> premium
+
+_PIT_SQL = f"""
+WITH users AS (SELECT DISTINCT user_id FROM events),
+dim AS (
+  SELECT user_id, 'standard' AS tier,
+         CAST({_PIT_T0} AS BIGINT) AS valid_from,
+         CAST(CASE WHEN user_id % 5 = 0 THEN {_PIT_T1} END AS BIGINT)
+           AS valid_to
+  FROM users
+  UNION ALL
+  SELECT user_id, 'premium' AS tier,
+         CAST({_PIT_T1} AS BIGINT) AS valid_from,
+         CAST(NULL AS BIGINT) AS valid_to
+  FROM users WHERE user_id % 5 = 0
+),
+pit AS (
+  SELECT e.event_type, d.tier,
+         CAST(floor(e.value * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM events e JOIN dim d
+    ON e.user_id = d.user_id
+   AND CAST(floor(epoch(e.ts)) AS BIGINT) >= d.valid_from
+   AND (d.valid_to IS NULL
+        OR CAST(floor(epoch(e.ts)) AS BIGINT) < d.valid_to)
+)
+SELECT tier,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN cents ELSE 0 END)
+            AS BIGINT) AS purchase_cents
+FROM pit GROUP BY tier
+"""
+
+
+@query(
+    "scd2_point_in_time_lookup",
+    sql=_PIT_SQL,
+    tags=("scd", "join", "temporal"),
+)
+def scd2_point_in_time_lookup(spark, sf_dir):
+    """Events enriched with the user tier valid at each event's timestamp
+    (as-was SCD2 lookup), rolled up per tier — see block comment."""
+    ev = read_table(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    std = users.select(
+        "user_id",
+        F.lit("standard").alias("tier"),
+        F.lit(_PIT_T0).cast("long").alias("valid_from"),
+        F.when(F.col("user_id") % 5 == 0, F.lit(_PIT_T1))
+        .cast("long")
+        .alias("valid_to"),
+    )
+    prem = users.where(F.col("user_id") % 5 == 0).select(
+        "user_id",
+        F.lit("premium").alias("tier"),
+        F.lit(_PIT_T1).cast("long").alias("valid_from"),
+        F.lit(None).cast("long").alias("valid_to"),
+    )
+    dim = std.unionByName(prem)
+    ts_epoch = F.unix_timestamp(F.col("ts")).cast("long")
+    pit = ev.join(
+        F.broadcast(dim),
+        (ev.user_id == dim.user_id)
+        & (ts_epoch >= dim.valid_from)
+        & (dim.valid_to.isNull() | (ts_epoch < dim.valid_to)),
+    )
+    cents = F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long")
+    return pit.groupBy("tier").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", cents).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("purchase_cents"),
+    )

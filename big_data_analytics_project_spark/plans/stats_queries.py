@@ -713,3 +713,80 @@ def agg_mode_value(spark, sf_dir):
             "n_rows",
         )
     )
+
+
+# --- Theil inequality index --------------------------------------------------
+# The entropy-based companion to inequality_gini_revenue: T = (1/n) *
+# sum_i (x_i/mu) ln(x_i/mu) over per-user purchase revenue — unlike Gini
+# it DECOMPOSES across subgroups, which is why pipelines that slice by
+# cohort keep both.  Per-user cents are exact BIGINTs; each user's term
+# (x/mu)ln(x/mu) quantizes to the 1e-6 grid BEFORE the sum (the
+# transcendental rule), so the reduction is an exact integer sum in any
+# order — one user rollup, one 3-sum reduction, one output row.
+
+_THEIL_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+         CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS s
+  FROM per_user
+),
+terms AS (
+  SELECT CAST(floor((CAST(p.cents AS DOUBLE)
+                     / (CAST(t.s AS DOUBLE) / CAST(t.n AS DOUBLE)))
+                    * ln(CAST(p.cents AS DOUBLE)
+                         / (CAST(t.s AS DOUBLE) / CAST(t.n AS DOUBLE)))
+                    * 1000000.0 + 0.5) AS BIGINT) AS tq,
+         t.n, t.s
+  FROM per_user p CROSS JOIN tot t WHERE p.cents > 0
+)
+SELECT CAST(min(n) AS BIGINT) AS n_users,
+       round(CAST(min(s) AS DOUBLE) / CAST(min(n) AS DOUBLE), 6)
+         AS mean_cents,
+       round(CAST(sum(tq) AS DOUBLE) / 1000000.0 / CAST(min(n) AS DOUBLE), 6)
+         AS theil_index
+FROM terms
+"""
+
+
+@query("inequality_theil_index", sql=_THEIL_SQL, tags=("stats", "analytics"))
+def inequality_theil_index(spark, sf_dir):
+    """Theil T inequality index of per-user purchase revenue — see block
+    comment."""
+    ev = read_table(spark, sf_dir, "events")
+    per_user = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    tot = per_user.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+    )
+    mu = F.col("s").cast("double") / F.col("n").cast("double")
+    ratio = F.col("cents").cast("double") / mu
+    tq = F.floor(ratio * F.log(ratio) * 1000000.0 + F.lit(0.5)).cast("long")
+    terms = (
+        per_user.crossJoin(F.broadcast(tot))
+        .where(F.col("cents") > 0)
+        .select(tq.alias("tq"), "n", "s")
+    )
+    return terms.agg(
+        F.min("n").cast("long").alias("n_users"),
+        F.round(
+            F.min("s").cast("double") / F.min("n").cast("double"), 6
+        ).alias("mean_cents"),
+        F.round(
+            F.sum("tq").cast("double") / 1000000.0
+            / F.min("n").cast("double"),
+            6,
+        ).alias("theil_index"),
+    )

@@ -9,8 +9,8 @@ from pathlib import Path
 
 from big_data_analytics_project_spark.registry import load_all
 
-TOTAL = 249
-ORACLE = 232
+TOTAL = 251
+ORACLE = 234
 
 
 def test_counts_match_registry():

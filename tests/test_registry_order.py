@@ -38,6 +38,7 @@ EXPECTED_WINDOW = (
     "layout_runtime_key_pushdown",
     "dq_referential_integrity",
     "maintenance_incremental_agg",
+    "scd2_point_in_time_lookup",
     "dedup_keep_best_quality",
     "eda_events_report",
     "eda_hour_of_week_heatmap",
@@ -76,7 +77,6 @@ EXPECTED_WINDOW = (
     "agg_weighted_median",
     "timeseries_theilsen_slope",
     "agg_mode_value",
-    "streaming_interval_join_left",
 )
 
 
