@@ -78,3 +78,51 @@ def ntile_from_rank(rank: Column, n: int, k: int) -> Column:
         .cast("long")
         + 1
     )
+
+
+def distributed_prefix_sum(
+    df: DataFrame,
+    cols: Sequence[str],
+    weight_col: str,
+    out_col: str = "__cum",
+) -> DataFrame:
+    """df + EXCLUSIVE prefix sum of ``weight_col`` over the unique
+    ordering ``cols`` — the weighted sibling of
+    ``distributed_global_rank`` (same two-pass shape: range partition →
+    local running sums → broadcast per-partition offsets), replacing a
+    partitionless cumulative window that would funnel every row through
+    one reducer.  Callers must order by a UNIQUE compound; ``weight_col``
+    must be integral (offsets stay exact BIGINTs)."""
+    spark = df.sparkSession
+    parts = spark.sparkContext.defaultParallelism
+    ranged = (
+        df.repartitionByRange(parts, *cols)
+        .localCheckpoint(eager=True)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    wp = (
+        Window.partitionBy("__pid")
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = ranged.withColumn(
+        "__rn", F.coalesce(F.sum(weight_col).over(wp), F.lit(0)).cast("long")
+    )
+    sizes = sorted(
+        (r["__pid"], r["w"] or 0)
+        for r in ranged.groupBy("__pid")
+        .agg(F.sum(weight_col).alias("w"))
+        .collect()
+    )
+    offsets, acc = [], 0
+    for pid, wsum in sizes:
+        offsets.append((pid, acc))
+        acc += wsum
+    off = F.broadcast(
+        spark.createDataFrame(offsets, "__pid int, __off long")
+    )
+    return (
+        local.join(off, "__pid")
+        .withColumn(out_col, (F.col("__rn") + F.col("__off")).cast("long"))
+        .drop("__pid", "__rn", "__off")
+    )

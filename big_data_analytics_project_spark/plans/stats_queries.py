@@ -227,7 +227,7 @@ FROM mom
 def agg_spearman_rank_corr(spark, sf_dir):
     """Spearman's rho between l_quantity and l_extendedprice — see module
     docstring for the domain-bounded cell design."""
-    from pyspark.sql import Window
+    from ..operators.rank import distributed_prefix_sum
 
     li = read_table(spark, sf_dir, "lineitem")
     pairs = li.groupBy(
@@ -239,14 +239,13 @@ def agg_spearman_rank_corr(spark, sf_dir):
     pairs = pairs.persist()
 
     def doubled_ranks(cells, key, cnt):
-        w = Window.orderBy(key).rowsBetween(Window.unboundedPreceding, -1)
-        return cells.select(
+        # exclusive prefix sum via the two-pass range-partitioned
+        # operator — never a single-reducer global window, even though
+        # the cell table is only value-domain-sized
+        cum = distributed_prefix_sum(cells, [key], cnt, out_col="__cb")
+        return cum.select(
             key,
-            (
-                2 * F.coalesce(F.sum(cnt).over(w), F.lit(0))
-                + F.col(cnt)
-                + 1
-            ).alias("r"),
+            (2 * F.col("__cb") + F.col(cnt) + 1).alias("r"),
         )
 
     qcells = pairs.groupBy("q").agg(F.sum("c").cast("long").alias("cq"))
@@ -258,9 +257,11 @@ def agg_spearman_rank_corr(spark, sf_dir):
     c = F.col("c").cast(dec)
     rq = F.col("rq").cast(dec)
     rp = F.col("rp").cast(dec)
+    # qrank is 50 rows (broadcast); prank is value-DOMAIN-sized (can
+    # reach millions of cells) — an ordinary key-shuffled join
     mom = (
         pairs.join(F.broadcast(qrank), "q")
-        .join(F.broadcast(prank), "p")
+        .join(prank, "p")
         .agg(
             F.sum("c").cast("long").alias("n"),
             F.sum(c * rq).cast("double").alias("sx"),
