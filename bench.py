@@ -276,6 +276,10 @@ HEADLINE = [
     "scd2_point_in_time_lookup",
     # Theil index: user rollup + quantized-ln term sum
     "inequality_theil_index",
+    # reconciliation: two monthly rollups meet in one month-key join
+    "dq_revenue_reconciliation",
+    # HHI: supplier rollup + decimal squared moments
+    "inequality_hhi_supplier",
 ]
 
 

@@ -2362,3 +2362,85 @@ def scd2_point_in_time_lookup(spark, sf_dir):
         .cast("long")
         .alias("purchase_cents"),
     )
+
+
+# --- cross-table revenue reconciliation (finance-close audit) ---------------
+# orders.o_totalprice SHOULD equal the order's lineitem charge total
+# (ext x (1-disc) x (1+tax)); the monthly reconciliation quantifies the
+# books' drift — the audit every warehouse runs at close.  Integer-exact
+# on both sides: the charge product rides the Q1 cent-grid trick
+# (ext_c x (100-disc_c) x (100+tax_c), exact BIGINT), order totals are
+# plain cents; both reduce per month and meet in ONE month-key join.
+# (This synthetic fixture draws the two tables independently, so the
+# discrepancy is large — which is exactly what the audit is for.)
+
+_RECON_SQL = """
+WITH li AS (
+  SELECT l.l_orderkey,
+         CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+           * (100 - CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT))
+           * (100 + CAST(floor(l.l_tax * 100 + 0.5) AS BIGINT)) AS charge_u
+  FROM lineitem l
+),
+li_m AS (
+  SELECT CAST(year(o.o_orderdate) * 12 + month(o.o_orderdate) AS BIGINT)
+           AS month_key,
+         CAST(sum(li.charge_u) AS BIGINT) AS charge_u
+  FROM li JOIN orders o ON li.l_orderkey = o.o_orderkey
+  GROUP BY month_key
+),
+ord_m AS (
+  SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+           AS month_key,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS total_c
+  FROM orders GROUP BY month_key
+)
+SELECT o.month_key,
+       round(CAST(o.total_c AS DOUBLE) / 100.0, 6) AS orders_total,
+       round(CAST(l.charge_u AS DOUBLE) / 1000000.0, 6) AS lineitem_charge,
+       CASE WHEN o.total_c > 0
+            THEN round((CAST(l.charge_u AS DOUBLE) / 1000000.0
+                        - CAST(o.total_c AS DOUBLE) / 100.0)
+                       / (CAST(o.total_c AS DOUBLE) / 100.0), 6)
+       END AS rel_diff
+FROM ord_m o JOIN li_m l ON o.month_key = l.month_key
+"""
+
+
+@query(
+    "dq_revenue_reconciliation",
+    sql=_RECON_SQL,
+    tags=("quality", "audit", "join"),
+)
+def dq_revenue_reconciliation(spark, sf_dir):
+    """Monthly orders-vs-lineitem revenue reconciliation — see block
+    comment."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    c = lambda col: F.floor(F.col(col) * 100 + F.lit(0.5)).cast("long")  # noqa: E731
+    charge_u = c("l_extendedprice") * (100 - c("l_discount")) * (
+        100 + c("l_tax")
+    )
+    mk = (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast("long")
+    li_m = (
+        li.select("l_orderkey", charge_u.alias("charge_u"))
+        .join(orders.select("o_orderkey", "o_orderdate"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(mk.alias("month_key"))
+        .agg(F.sum("charge_u").cast("long").alias("charge_u"))
+    )
+    ord_m = orders.groupBy(mk.alias("month_key")).agg(
+        F.sum(c("o_totalprice")).cast("long").alias("total_c")
+    )
+    j = ord_m.join(li_m, "month_key")
+    ot = F.col("total_c").cast("double") / 100.0
+    lc = F.col("charge_u").cast("double") / 1000000.0
+    return j.select(
+        "month_key",
+        F.round(ot, 6).alias("orders_total"),
+        F.round(lc, 6).alias("lineitem_charge"),
+        F.when(F.col("total_c") > 0, F.round((lc - ot) / ot, 6)).alias(
+            "rel_diff"
+        ),
+    )

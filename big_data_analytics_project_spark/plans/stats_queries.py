@@ -791,3 +791,64 @@ def inequality_theil_index(spark, sf_dir):
             6,
         ).alias("theil_index"),
     )
+
+
+# --- Herfindahl-Hirschman supplier concentration ------------------------------
+# "How concentrated is revenue across suppliers?" — HHI = sum of squared
+# revenue shares, plus its reciprocal (the effective number of equal
+# suppliers).  One supplier rollup (exact cents), squared moments in
+# DECIMAL(38,0)/HUGEINT (the wide-sum rule), two guarded divisions.
+
+_HHI_SQL = """
+WITH per_s AS (
+  SELECT l_suppkey,
+         CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM lineitem GROUP BY l_suppkey
+),
+mom AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(cents) AS BIGINT) AS s,
+         CAST(sum(CAST(cents AS DECIMAL(38,0)) * CAST(cents AS DECIMAL(38,0)))
+              AS DOUBLE) AS c2
+  FROM per_s
+)
+SELECT n AS n_suppliers,
+       CASE WHEN s > 0
+            THEN round(c2 / (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)), 6)
+       END AS hhi,
+       CASE WHEN c2 > 0.0
+            THEN round(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / c2, 6)
+       END AS effective_suppliers
+FROM mom
+"""
+
+
+@query("inequality_hhi_supplier", sql=_HHI_SQL, tags=("stats", "analytics"))
+def inequality_hhi_supplier(spark, sf_dir):
+    """Herfindahl-Hirschman concentration of supplier revenue — see block
+    comment."""
+    li = read_table(spark, sf_dir, "lineitem")
+    per_s = li.groupBy("l_suppkey").agg(
+        F.sum(
+            F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5)).cast("long")
+        )
+        .cast("long")
+        .alias("cents")
+    )
+    dec = F.col("cents").cast("decimal(38,0)")
+    mom = per_s.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+        F.sum(dec * dec).cast("double").alias("c2"),
+    )
+    sd = F.col("s").cast("double")
+    return mom.select(
+        F.col("n").alias("n_suppliers"),
+        F.when(F.col("s") > 0, F.round(F.col("c2") / (sd * sd), 6)).alias(
+            "hhi"
+        ),
+        F.when(
+            F.col("c2") > 0.0, F.round(sd * sd / F.col("c2"), 6)
+        ).alias("effective_suppliers"),
+    )

@@ -9,8 +9,8 @@ from pathlib import Path
 
 from big_data_analytics_project_spark.registry import load_all
 
-TOTAL = 251
-ORACLE = 234
+TOTAL = 253
+ORACLE = 236
 
 
 def test_counts_match_registry():

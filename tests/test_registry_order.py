@@ -39,6 +39,7 @@ EXPECTED_WINDOW = (
     "dq_referential_integrity",
     "maintenance_incremental_agg",
     "scd2_point_in_time_lookup",
+    "dq_revenue_reconciliation",
     "dedup_keep_best_quality",
     "eda_events_report",
     "eda_hour_of_week_heatmap",
@@ -76,7 +77,6 @@ EXPECTED_WINDOW = (
     "window_rolling_corr",
     "agg_weighted_median",
     "timeseries_theilsen_slope",
-    "agg_mode_value",
 )
 
 
