@@ -490,3 +490,77 @@ def test_rolling_median_is_a_window_member(spark, sf_dir):
         if cur["day"] == prev["day"] + 1 and prev["n_window_days"] < 7:
             assert cur["n_window_days"] == prev["n_window_days"] + 1
     assert daily  # non-empty grid
+
+
+# --- SCD2 point-in-time lookup --------------------------------------------------
+
+
+def test_pit_lookup_accounts_for_every_event(spark, sf_dir):
+    from big_data_analytics_project_spark.sources import read_table
+
+    rows = {r["tier"]: r for r in _q("scd2_point_in_time_lookup", spark, sf_dir).collect()}
+    total = read_table(spark, sf_dir, "events").count()
+    assert set(rows) == {"standard", "premium"}
+    assert rows["standard"]["n_events"] + rows["premium"]["n_events"] == total
+    # premium covers ~20% of users for ~half the window -> strictly less
+    assert rows["premium"]["n_events"] < rows["standard"]["n_events"]
+
+
+# --- Theil index -----------------------------------------------------------------
+
+
+def test_theil_nonnegative_and_zero_on_equal_incomes(spark, sf_dir, tmp_path):
+    import datetime as dt
+
+    import big_data_analytics_project_spark.plans.stats_queries as S
+
+    r = _q("inequality_theil_index", spark, sf_dir).collect()[0]
+    assert r["theil_index"] >= 0.0
+    assert r["n_users"] > 0 and r["mean_cents"] > 0
+    # perfectly equal incomes -> Theil exactly 0
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(i, t0, i, "purchase", 25.0, "{}") for i in range(50)]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    r0 = S.inequality_theil_index(spark, str(tmp_path)).collect()[0]
+    assert r0["theil_index"] == 0.0
+
+
+# --- revenue reconciliation --------------------------------------------------------
+
+
+def test_reconciliation_internal_consistency(spark, sf_dir):
+    rows = _q("dq_revenue_reconciliation", spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["orders_total"] > 0 and r["lineitem_charge"] > 0
+        if r["rel_diff"] is not None:
+            implied = r["orders_total"] * (1.0 + r["rel_diff"])
+            # rel_diff is rounded to 6dp; totals are ~1e8, so the implied
+            # product can drift by totals * 5e-7
+            assert abs(implied - r["lineitem_charge"]) <= max(
+                1e-6, abs(r["orders_total"]) * 1e-6
+            )
+
+
+# --- HHI ---------------------------------------------------------------------------
+
+
+def test_hhi_bounds_and_equal_share_case(spark, sf_dir, tmp_path):
+    import big_data_analytics_project_spark.plans.stats_queries as S
+
+    r = _q("inequality_hhi_supplier", spark, sf_dir).collect()[0]
+    n = r["n_suppliers"]
+    assert 1.0 / n - 1e-9 <= r["hhi"] <= 1.0 + 1e-9
+    assert 0 < r["effective_suppliers"] <= n + 1e-6
+    # equal revenue for 8 suppliers -> hhi exactly 1/8
+    rows = [(float(s), 100.0) for s in range(8) for _ in range(3)]
+    spark.createDataFrame(
+        rows, "l_suppkey double, l_extendedprice double"
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    r0 = S.inequality_hhi_supplier(spark, str(tmp_path)).collect()[0]
+    assert abs(r0["hhi"] - 0.125) < 1e-9
+    assert abs(r0["effective_suppliers"] - 8.0) < 1e-9
