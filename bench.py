@@ -280,6 +280,12 @@ HEADLINE = [
     "dq_revenue_reconciliation",
     # HHI: supplier rollup + decimal squared moments
     "inequality_hhi_supplier",
+    # date dim: generated calendar broadcast + quarter rollup
+    "date_dimension_quarter_rollup",
+    # percent-of-parent: 25-row hierarchy windows after one fact reduction
+    "agg_percent_of_parent",
+    # bitmasks: keyed bit_or + 31-row mask distribution
+    "agg_bitmask_event_types",
 ]
 
 

@@ -1554,3 +1554,245 @@ def ops_open_orders_backlog(spark, sf_dir):
         .cast("long")
         .alias("backlog_end"),
     )
+
+
+# --- generated date dimension + fiscal-quarter rollup -----------------------
+# The warehouse's date dimension, generated IN-PLAN (no static table to
+# load or drift): one sequence() explosion over the fixture's date range
+# builds (day, year, quarter, month, is_month_end), and orders join it
+# on the epoch-day key — broadcast, the dimension is calendar-sized.
+# Rollup by (year, quarter) with exact decimal revenue.  At 100 TB the
+# dimension is still ~36.5k rows/century: always broadcast, never a
+# shuffle.
+
+_DATEDIM_SQL = """
+WITH bounds AS (
+  SELECT CAST(floor(epoch(min(o_orderdate)) / 86400) AS BIGINT) AS d0,
+         CAST(floor(epoch(max(o_orderdate)) / 86400) AS BIGINT) AS d1
+  FROM orders
+),
+dim AS (
+  SELECT d.day,
+         CAST(year(to_timestamp(d.day * 86400)) AS BIGINT) AS y,
+         CAST(quarter(to_timestamp(d.day * 86400)) AS BIGINT) AS q
+  FROM (SELECT unnest(generate_series(d0, d1)) AS day FROM bounds) d
+),
+fact AS (
+  SELECT CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS day,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT dim.y AS year, dim.q AS quarter,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(fact.cents) AS BIGINT) AS revenue_cents
+FROM fact JOIN dim ON fact.day = dim.day
+GROUP BY dim.y, dim.q
+"""
+
+
+@query(
+    "date_dimension_quarter_rollup",
+    sql=_DATEDIM_SQL,
+    tags=("join", "agg", "temporal"),
+)
+def date_dimension_quarter_rollup(spark, sf_dir):
+    """Quarterly order revenue through an in-plan GENERATED date
+    dimension — see block comment."""
+    orders = read_table(spark, sf_dir, "orders")
+    day = F.floor(F.unix_timestamp("o_orderdate") / 86400).cast("long")
+    bounds = orders.agg(
+        F.min(day).alias("d0"), F.max(day).alias("d1")
+    )
+    dim = bounds.select(
+        F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("day")
+    ).select(
+        "day",
+        F.year(F.timestamp_seconds(F.col("day") * 86400)).cast("long").alias("y"),
+        F.quarter(F.timestamp_seconds(F.col("day") * 86400))
+        .cast("long")
+        .alias("q"),
+    )
+    fact = orders.select(
+        day.alias("day"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    return (
+        fact.join(F.broadcast(dim), "day")
+        .groupBy(F.col("y").alias("year"), F.col("q").alias("quarter"))
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+    )
+
+
+# --- percent-of-parent hierarchical shares ----------------------------------
+# The two-level BI rollup: each nation's revenue share WITHIN its region,
+# and each region's share of the total — the percent-of-parent pattern
+# (distinct from ABC's cumulative shares).  One fact reduction keyed by
+# nation, two broadcast dimension hops, two partition-window sums over
+# the 25-row nation grid; shares are single divisions on exact cents.
+
+_POFP_SQL = """
+WITH per_nation AS (
+  SELECT c.c_nationkey AS nationkey,
+         CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_nationkey
+),
+named AS (
+  SELECT r.r_name AS region, n.n_name AS nation, p.cents
+  FROM per_nation p
+  JOIN nation n ON p.nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+),
+shares AS (
+  SELECT region, nation, cents,
+         CAST(sum(cents) OVER (PARTITION BY region) AS BIGINT) AS region_cents,
+         CAST(sum(cents) OVER () AS BIGINT) AS total_cents
+  FROM named
+)
+SELECT region, nation, cents AS nation_cents, region_cents,
+       CASE WHEN region_cents > 0
+            THEN round(CAST(cents AS DOUBLE)
+                       / CAST(region_cents AS DOUBLE), 6)
+       END AS share_of_region,
+       CASE WHEN total_cents > 0
+            THEN round(CAST(region_cents AS DOUBLE)
+                       / CAST(total_cents AS DOUBLE), 6)
+       END AS region_share_of_total
+FROM shares
+"""
+
+
+@query(
+    "agg_percent_of_parent",
+    sql=_POFP_SQL,
+    tags=("agg", "window", "analytics"),
+)
+def agg_percent_of_parent(spark, sf_dir):
+    """Nation-within-region percent-of-parent revenue shares — see block
+    comment."""
+    from pyspark.sql import Window
+
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region")
+    per_nation = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            orders.o_custkey == cust.c_custkey,
+        )
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+            )
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    named = (
+        per_nation.join(
+            F.broadcast(nation), per_nation.nationkey == nation.n_nationkey
+        )
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select(
+            F.col("r_name").alias("region"),
+            F.col("n_name").alias("nation"),
+            "cents",
+        )
+    )
+    wr = Window.partitionBy("region")
+    wt = Window.partitionBy()
+    shares = named.select(
+        "region",
+        "nation",
+        "cents",
+        F.sum("cents").over(wr).cast("long").alias("region_cents"),
+        F.sum("cents").over(wt).cast("long").alias("total_cents"),
+    )
+    return shares.select(
+        "region",
+        "nation",
+        F.col("cents").alias("nation_cents"),
+        "region_cents",
+        F.when(
+            F.col("region_cents") > 0,
+            F.round(
+                F.col("cents").cast("double")
+                / F.col("region_cents").cast("double"),
+                6,
+            ),
+        ).alias("share_of_region"),
+        F.when(
+            F.col("total_cents") > 0,
+            F.round(
+                F.col("region_cents").cast("double")
+                / F.col("total_cents").cast("double"),
+                6,
+            ),
+        ).alias("region_share_of_total"),
+    )
+
+
+# --- bitmask aggregation (daily behavior-profile sets) ----------------------
+# Event-type sets as BIGINT bitmasks: each (user, day)'s behavior profile
+# is the bit-OR of per-type flags — the bitmap-set pattern behind feature
+# flags and audience segmentation (a 5-bit mask here; 64 types fit one
+# BIGINT).  The DAILY grain is what makes the distribution informative
+# (lifetime masks saturate to all-bits for every active user).  One
+# keyed bit_or aggregate, then a mask-distribution rollup; zero floats,
+# zero strings past the first projection.
+
+_BITMASK_SQL = """
+WITH flagged AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         CAST(CASE event_type
+              WHEN 'view' THEN 1 WHEN 'click' THEN 2 WHEN 'signup' THEN 4
+              WHEN 'purchase' THEN 8 WHEN 'error' THEN 16
+              ELSE 0 END AS BIGINT) AS flag
+  FROM events
+),
+masks AS (
+  SELECT user_id, day, CAST(bit_or(flag) AS BIGINT) AS mask
+  FROM flagged GROUP BY user_id, day
+)
+SELECT mask,
+       CAST(count(*) AS BIGINT) AS n_user_days,
+       CAST(mask & 8 > 0 AS BOOLEAN) AS has_purchase,
+       CAST(mask & 16 > 0 AS BOOLEAN) AS has_error
+FROM masks GROUP BY mask
+"""
+
+
+@query("agg_bitmask_event_types", sql=_BITMASK_SQL, tags=("agg",))
+def agg_bitmask_event_types(spark, sf_dir):
+    """Per-user-day event-type bitmask profiles and their distribution —
+    see block comment."""
+    ev = read_table(spark, sf_dir, "events")
+    flag = (
+        F.when(F.col("event_type") == "view", 1)
+        .when(F.col("event_type") == "click", 2)
+        .when(F.col("event_type") == "signup", 4)
+        .when(F.col("event_type") == "purchase", 8)
+        .when(F.col("event_type") == "error", 16)
+        .otherwise(0)
+        .cast("long")
+    )
+    day = F.floor(F.unix_timestamp("ts") / 86400).cast("long")
+    masks = (
+        ev.select("user_id", day.alias("day"), flag.alias("flag"))
+        .groupBy("user_id", "day")
+        .agg(F.bit_or("flag").cast("long").alias("mask"))
+    )
+    return masks.groupBy("mask").agg(
+        F.count("*").cast("long").alias("n_user_days"),
+        (F.col("mask").bitwiseAND(8) > 0).alias("has_purchase"),
+        (F.col("mask").bitwiseAND(16) > 0).alias("has_error"),
+    )

@@ -66,6 +66,9 @@ EXPECTED_WINDOW = (
     "abc_brand_revenue",
     "ops_fulfillment_lag_by_priority",
     "ops_open_orders_backlog",
+    "date_dimension_quarter_rollup",
+    "agg_percent_of_parent",
+    "agg_bitmask_event_types",
     "variant_semi_structured",
     "ml_engagement_calibration",
     "embedding_label_centroids",
@@ -74,9 +77,6 @@ EXPECTED_WINDOW = (
     "abtest_welch_ttest",
     "agg_spearman_rank_corr",
     "timeseries_acf_daily",
-    "window_rolling_corr",
-    "agg_weighted_median",
-    "timeseries_theilsen_slope",
 )
 
 
