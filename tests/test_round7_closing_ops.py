@@ -564,3 +564,60 @@ def test_hhi_bounds_and_equal_share_case(spark, sf_dir, tmp_path):
     r0 = S.inequality_hhi_supplier(spark, str(tmp_path)).collect()[0]
     assert abs(r0["hhi"] - 0.125) < 1e-9
     assert abs(r0["effective_suppliers"] - 8.0) < 1e-9
+
+
+# --- date dimension rollup --------------------------------------------------------
+
+
+def test_quarter_rollup_accounts_for_every_order(spark, sf_dir):
+    from big_data_analytics_project_spark.sources import read_table
+
+    rows = _q("date_dimension_quarter_rollup", spark, sf_dir).collect()
+    total = read_table(spark, sf_dir, "orders").count()
+    assert sum(r["n_orders"] for r in rows) == total
+    for r in rows:
+        assert 1 <= r["quarter"] <= 4
+        assert r["revenue_cents"] > 0
+
+
+# --- percent of parent --------------------------------------------------------------
+
+
+def test_percent_of_parent_shares_sum_to_one(spark, sf_dir):
+    rows = _q("agg_percent_of_parent", spark, sf_dir).collect()
+    assert len(rows) == 25  # TPC-H nations
+    by_region = {}
+    for r in rows:
+        by_region.setdefault(r["region"], []).append(r)
+    region_shares = {}
+    for region, nations in by_region.items():
+        assert abs(sum(n["share_of_region"] for n in nations) - 1.0) < 1e-4
+        region_shares[region] = nations[0]["region_share_of_total"]
+        # every nation in a region reports the same region share
+        assert len({n["region_share_of_total"] for n in nations}) == 1
+    assert abs(sum(region_shares.values()) - 1.0) < 1e-4
+
+
+# --- bitmasks -------------------------------------------------------------------------
+
+
+def test_bitmask_distribution_covers_every_user_day(spark, sf_dir):
+    import pyspark.sql.functions as F  # noqa: F811
+
+    from big_data_analytics_project_spark.sources import read_table
+
+    rows = _q("agg_bitmask_event_types", spark, sf_dir).collect()
+    ev = read_table(spark, sf_dir, "events")
+    n_user_days = (
+        ev.select(
+            "user_id",
+            F.floor(F.unix_timestamp("ts") / 86400).cast("long"),
+        )
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_user_days"] for r in rows) == n_user_days
+    for r in rows:
+        assert 1 <= r["mask"] <= 31
+        assert r["has_purchase"] == bool(r["mask"] & 8)
+        assert r["has_error"] == bool(r["mask"] & 16)
