@@ -286,6 +286,8 @@ HEADLINE = [
     "agg_percent_of_parent",
     # bitmasks: keyed bit_or + 31-row mask distribution
     "agg_bitmask_event_types",
+    # radius search: broadcast queries x corpus, threshold on rounded cos
+    "ann_range_search",
 ]
 
 

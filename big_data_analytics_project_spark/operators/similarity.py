@@ -746,3 +746,42 @@ def train_pq_codebooks(
         books.append([[float(x) for x in c] for c in model.clusterCenters()])
     nv.unpersist()
     return books
+
+
+def range_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """All corpus vectors within cosine >= ``threshold`` of each query
+    (radius search — the other retrieval primitive next to top-k:
+    "everything this similar", not "the k most similar").
+
+    Same broadcast-queries x corpus fold-cosine as ``brute_force_topk``
+    but with a threshold filter instead of a rank window — the result
+    SET is defined by the rounded similarity, so it is engine-exact.
+    Scale path: radius search composes with the sign-LSH bucket join the
+    same way top-k does (buckets bound candidates, the threshold rescans
+    exactly); brute force is the rescoring baseline."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(vec_col).alias("__qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("__cv")
+    )
+    return (
+        F.broadcast(q)
+        .crossJoin(c)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                cosine(F.col("__qv"), F.col("__cv")), round_digits
+            ).alias("cosine_sim"),
+        )
+        .where(F.col("cosine_sim") >= threshold)
+    )

@@ -926,3 +926,34 @@ def embedding_dim_variance(spark, sf_dir):
             ),
         ).alias("variance"),
     )
+
+
+# --- cosine radius (range) search -------------------------------------------
+# The OTHER retrieval primitive: "every vector at least this similar",
+# not "the k most similar" — the shape behind near-duplicate sweeps with
+# a semantic threshold and recall-oriented retrieval.  The result SET is
+# defined on the ROUNDED similarity (>= tau after round-6), so both
+# engines keep exactly the same rows; brute force with a broadcast
+# 5-vector query side is the documented rescoring baseline, and the
+# sign-LSH bucket join is the same scale path as the top-k family.
+
+_RANGE_TAU = 0.25
+
+_DUCK_RANGE_SEARCH = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sims AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         round({_COS}, 6) AS cosine_sim
+  FROM v a JOIN v b ON a.vec_id < 5 AND b.vec_id != a.vec_id
+)
+SELECT query_id, neighbor_id, cosine_sim
+FROM sims WHERE cosine_sim >= {_RANGE_TAU}
+"""
+
+
+@query("ann_range_search", sql=_DUCK_RANGE_SEARCH, tags=("similarity", "ann"))
+def ann_range_search(spark, sf_dir):
+    """Exact cosine radius search (cos >= 0.25) for query vectors
+    vec_id in [0,5) — see block comment."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return S.range_search(emb, emb.where(F.col("vec_id") < 5), _RANGE_TAU)

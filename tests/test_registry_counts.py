@@ -9,8 +9,8 @@ from pathlib import Path
 
 from big_data_analytics_project_spark.registry import load_all
 
-TOTAL = 256
-ORACLE = 239
+TOTAL = 257
+ORACLE = 240
 
 
 def test_counts_match_registry():

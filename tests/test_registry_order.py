@@ -74,9 +74,9 @@ EXPECTED_WINDOW = (
     "embedding_label_centroids",
     "embedding_int8_recall_audit",
     "embedding_dim_variance",
+    "ann_range_search",
     "abtest_welch_ttest",
     "agg_spearman_rank_corr",
-    "timeseries_acf_daily",
 )
 
 
