@@ -238,20 +238,36 @@ def agg_spearman_rank_corr(spark, sf_dir):
     ).agg(F.count("*").cast("long").alias("c"))
     pairs = pairs.persist()
 
-    def doubled_ranks(cells, key, cnt):
+    def doubled_ranks_distributed(cells, key, cnt):
         # exclusive prefix sum via the two-pass range-partitioned
-        # operator — never a single-reducer global window, even though
-        # the cell table is only value-domain-sized
+        # operator — never a single-reducer global window
         cum = distributed_prefix_sum(cells, [key], cnt, out_col="__cb")
         return cum.select(
             key,
             (2 * F.col("__cb") + F.col(cnt) + 1).alias("r"),
         )
 
+    def doubled_ranks_tiny(cells, key, cnt):
+        # the quantity domain is <= 50 cells: a plain window is cheaper
+        # than the two-pass machinery and can't become a bottleneck
+        from pyspark.sql import Window
+
+        w = Window.orderBy(key).rowsBetween(Window.unboundedPreceding, -1)
+        return cells.select(
+            key,
+            (
+                2 * F.coalesce(F.sum(cnt).over(w), F.lit(0))
+                + F.col(cnt)
+                + 1
+            ).alias("r"),
+        )
+
     qcells = pairs.groupBy("q").agg(F.sum("c").cast("long").alias("cq"))
     pcells = pairs.groupBy("p").agg(F.sum("c").cast("long").alias("cp"))
-    qrank = doubled_ranks(qcells, "q", "cq").withColumnRenamed("r", "rq")
-    prank = doubled_ranks(pcells, "p", "cp").withColumnRenamed("r", "rp")
+    qrank = doubled_ranks_tiny(qcells, "q", "cq").withColumnRenamed("r", "rq")
+    prank = doubled_ranks_distributed(pcells, "p", "cp").withColumnRenamed(
+        "r", "rp"
+    )
 
     dec = "decimal(38,0)"
     c = F.col("c").cast(dec)
