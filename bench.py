@@ -288,6 +288,8 @@ HEADLINE = [
     "agg_bitmask_event_types",
     # radius search: broadcast queries x corpus, threshold on rounded cos
     "ann_range_search",
+    # BFS: frontier rounds = eccentricity, one-round lineage
+    "graph_bfs_distances",
 ]
 
 

@@ -295,3 +295,37 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
         if changed == 0:
             break
     return labels.select("node", F.col("lbl").alias("component"))
+
+
+def bfs_distances(edges: DataFrame, max_iter: int = 64) -> DataFrame:
+    """(node, dist) — unweighted shortest-path distances from the graph's
+    smallest node id, by frontier BFS run to convergence.
+
+    Classic level-synchronous BFS: each round joins the current frontier
+    onto the directed edge list, anti-joins out already-visited nodes,
+    and localCheckpoints the new frontier (one-round lineage, same
+    contract as ``connected_components``).  Unweighted level-order
+    guarantees first-visit = shortest, so no relaxation loop is needed;
+    rounds = eccentricity of the root.  Unreached nodes (other
+    components) are absent from the output — distances are defined
+    within the root's component only."""
+    d = directed(edges).localCheckpoint(eager=True)
+    root = d.agg(F.min("src").alias("node")).select(
+        "node", F.lit(0).cast("long").alias("dist")
+    )
+    dist = root.localCheckpoint(eager=True)
+    frontier = dist
+    for _ in range(max_iter):
+        nxt = (
+            d.join(frontier, d.src == frontier.node)
+            .select(F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist"))
+            .groupBy("node")
+            .agg(F.min("dist").cast("long").alias("dist"))
+            .join(dist.select("node"), "node", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        dist = dist.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return dist

@@ -519,3 +519,50 @@ def graph_connected_components(spark, sf_dir):
     return cc.groupBy("component").agg(
         F.count("*").cast("long").alias("n_nodes")
     )
+
+
+# --- BFS shortest-path level histogram --------------------------------------
+# Unweighted shortest-path distances from the support->=2 graph's
+# smallest node id, reported as the level histogram — the reachability
+# profile ("how many hops does the catalog span?").  Spark runs
+# level-synchronous frontier BFS (operators/graph.py::bfs_distances,
+# O(eccentricity) rounds, one-round lineage via localCheckpoint); the
+# oracle is a recursive CTE walking (node, d) pairs with a depth bound
+# well past any plausible diameter and taking min(d) per node —
+# UNION-dedup bounds the recursion at nodes x depth rows.  Exact
+# integers end to end; unreachable components are absent on both sides.
+
+_BFS_SQL = """
+WITH RECURSIVE items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+sedges AS (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY src, dst HAVING count(*) >= 2
+),
+sdir AS (SELECT src, dst FROM sedges UNION ALL SELECT dst, src FROM sedges),
+root AS (SELECT min(src) AS r FROM sdir),
+walk AS (
+  SELECT (SELECT r FROM root) AS node, CAST(0 AS BIGINT) AS d
+  UNION
+  SELECT e.dst, w.d + 1
+  FROM walk w JOIN sdir e ON e.src = w.node
+  WHERE w.d < 40
+),
+dist AS (SELECT node, CAST(min(d) AS BIGINT) AS dist FROM walk GROUP BY node)
+SELECT dist, CAST(count(*) AS BIGINT) AS n_nodes
+FROM dist GROUP BY dist
+"""
+
+
+@query("graph_bfs_distances", sql=_BFS_SQL, tags=("graph", "iterative"))
+def graph_bfs_distances(spark, sf_dir):
+    """BFS shortest-path level histogram from the smallest node of the
+    support->=2 co-purchase graph — see block comment."""
+    li = read_table(spark, sf_dir, "lineitem")
+    dist = G.bfs_distances(G.copurchase_edges_with_support(li, 2))
+    return dist.groupBy("dist").agg(
+        F.count("*").cast("long").alias("n_nodes")
+    )

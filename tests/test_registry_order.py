@@ -60,6 +60,7 @@ EXPECTED_WINDOW = (
     "basket_association_rules",
     "basket_sequential_patterns",
     "graph_connected_components",
+    "graph_bfs_distances",
     "ml_rf_quality_contract",
     "ml_naive_bayes_langid",
     "multimodal_binary_dedup",
@@ -76,7 +77,6 @@ EXPECTED_WINDOW = (
     "embedding_dim_variance",
     "ann_range_search",
     "abtest_welch_ttest",
-    "agg_spearman_rank_corr",
 )
 
 

@@ -621,3 +621,26 @@ def test_bitmask_distribution_covers_every_user_day(spark, sf_dir):
         assert 1 <= r["mask"] <= 31
         assert r["has_purchase"] == bool(r["mask"] & 8)
         assert r["has_error"] == bool(r["mask"] & 16)
+
+
+# --- BFS distances ------------------------------------------------------------------
+
+
+def test_bfs_levels_contiguous_and_match_component(spark, sf_dir):
+    rows = sorted(
+        _q("graph_bfs_distances", spark, sf_dir).collect(),
+        key=lambda r: r["dist"],
+    )
+    # levels run 0..ecc with no holes; level 0 is the root alone
+    assert [r["dist"] for r in rows] == list(range(len(rows)))
+    assert rows[0]["n_nodes"] == 1
+    for r in rows:
+        assert r["n_nodes"] > 0
+    # BFS reaches exactly the root's connected component (root = min node
+    # id = the id of the largest... of ITS component): cross-check size
+    cc = _q("graph_connected_components", spark, sf_dir).collect()
+    root_comp = min(r["component"] for r in cc)
+    comp_size = next(
+        r["n_nodes"] for r in cc if r["component"] == root_comp
+    )
+    assert sum(r["n_nodes"] for r in rows) == comp_size
