@@ -131,3 +131,28 @@ def test_partition_pruned_scan_filters_at_partition_level(
     # filter), and the scan must also column-prune to the two used cols
     assert "(day#" in pf and "= " in pf, pf
     assert "ReadSchema: struct<user_id:bigint,event_type:string>" in plan, plan
+
+
+def test_runtime_key_pushdown_reaches_the_fact_scan(registry, spark, sf_dir):
+    """The collected dim keys must land INSIDE the lineitem scan node as
+    a data-source IN/INSET filter (row-group skipping), with the scan
+    column-pruned to the 5 referenced columns — a regression to a plain
+    join would read the whole fact and show a join operator feeding the
+    aggregate."""
+    plan = _plan(registry, spark, sf_dir, "layout_runtime_key_pushdown")
+    scan_lines = [
+        l for l in plan.splitlines()
+        if "FileScan" in l and "lineitem" in l.lower() or
+           ("FileScan" in l and "l_orderkey" in l)
+    ]
+    assert scan_lines, plan
+    scan = scan_lines[0]
+    # tiny fixtures can collapse the IN list to a single EqualTo — any of
+    # these shapes proves the key filter reached the data source
+    assert (
+        "INSET" in scan
+        or "In(l_orderkey" in scan
+        or "EqualTo(l_orderkey" in scan
+    ), scan
+    # column pruning: the scan reads only what the aggregate needs
+    assert "l_shipdate" not in scan and "l_quantity" not in scan, scan
