@@ -217,3 +217,86 @@ def test_budget_select_matches_sequential_draw_property(spark, rows, budget):
             else:
                 break
     assert got == want
+
+
+# --- as-of join vs pandas merge_asof (both directions) ---------------------
+
+asof_strategy = st.tuples(
+    st.lists(  # left events: (key, ts offset)
+        st.tuples(
+            st.integers(min_value=1, max_value=3),
+            st.integers(min_value=0, max_value=600),
+        ),
+        min_size=1,
+        max_size=15,
+    ),
+    st.lists(  # right events: (key, ts offset, value)
+        st.tuples(
+            st.integers(min_value=1, max_value=3),
+            st.integers(min_value=0, max_value=600),
+            st.integers(min_value=0, max_value=999),
+        ),
+        min_size=1,
+        max_size=15,
+    ),
+    st.sampled_from(["backward", "forward"]),
+    st.sampled_from([None, 60]),
+)
+
+
+@given(asof_strategy)
+@settings(max_examples=12, deadline=None)
+def test_asof_join_matches_pandas_merge_asof(spark, case):
+    import pandas as pd
+
+    from big_data_analytics_project_spark.operators.asof import asof_join
+
+    left_rows, right_rows, direction, tol = case
+    base = dt.datetime(2024, 1, 1)
+    # dedupe right per (key, ts): "the" match is undefined otherwise
+    # (documented operator caveat, same as pandas/DuckDB) — keep max v
+    rmap = {}
+    for k, s, v in right_rows:
+        rmap[(k, s)] = max(v, rmap.get((k, s), -1))
+    left = spark.createDataFrame(
+        [
+            (i, k, base + dt.timedelta(seconds=s))
+            for i, (k, s) in enumerate(left_rows)
+        ],
+        "lid long, k long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (k, base + dt.timedelta(seconds=s), v)
+            for (k, s), v in rmap.items()
+        ],
+        "k long, ts timestamp, v long",
+    )
+    got = {
+        r["lid"]: r["asof_v"]
+        for r in asof_join(
+            left,
+            right,
+            on=["k"],
+            ts_col="ts",
+            right_value_cols=["v"],
+            tolerance_sec=tol,
+            direction=direction,
+        ).collect()
+    }
+    lpd = left.toPandas().sort_values("ts", kind="stable")
+    rpd = right.toPandas().sort_values("ts", kind="stable")
+    merged = pd.merge_asof(
+        lpd,
+        rpd,
+        on="ts",
+        by="k",
+        direction=direction,
+        tolerance=pd.Timedelta(seconds=tol) if tol is not None else None,
+        allow_exact_matches=True,
+    )
+    want = {
+        int(r.lid): (None if pd.isna(r.v) else int(r.v))
+        for r in merged.itertuples()
+    }
+    assert got == want
