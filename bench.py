@@ -290,6 +290,10 @@ HEADLINE = [
     "ann_range_search",
     # BFS: frontier rounds = eccentricity, one-round lineage
     "graph_bfs_distances",
+    # k-anonymity: one QI rollup, one summary row
+    "privacy_k_anonymity",
+    # bot regularity: one user-keyed lag window + keyed moments
+    "quality_bot_regularity",
 ]
 
 

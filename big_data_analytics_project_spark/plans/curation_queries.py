@@ -2444,3 +2444,159 @@ def dq_revenue_reconciliation(spark, sf_dir):
             "rel_diff"
         ),
     )
+
+
+# --- k-anonymity audit (privacy gate) ----------------------------------------
+# Before any customer slice ships to analytics or training, the privacy
+# question: how many people are re-identifiable because their
+# quasi-identifier combination (nation x segment x balance sign) is
+# rare?  One QI rollup (map-side combined, class-domain-sized), one
+# summary row: classes and rows below k=5, the minimum class size, and
+# the exposed-row share.  Everything exact integers but the one share.
+
+_KANON_K = 5
+
+_KANON_SQL = f"""
+WITH classes AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(c_acctbal < 0 AS BIGINT) AS neg_balance,
+         CAST(count(*) AS BIGINT) AS c
+  FROM customer GROUP BY c_nationkey, c_mktsegment, neg_balance
+)
+SELECT CAST({_KANON_K} AS BIGINT) AS k,
+       CAST(sum(c) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(min(c) AS BIGINT) AS min_class_size,
+       CAST(sum(CASE WHEN c < {_KANON_K} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_classes_below_k,
+       CAST(sum(CASE WHEN c < {_KANON_K} THEN c ELSE 0 END) AS BIGINT)
+         AS n_rows_below_k,
+       round(CAST(sum(CASE WHEN c < {_KANON_K} THEN c ELSE 0 END) AS DOUBLE)
+             / CAST(sum(c) AS DOUBLE), 6) AS row_share_below_k
+FROM classes
+"""
+
+
+@query(
+    "privacy_k_anonymity",
+    sql=_KANON_SQL,
+    tags=("quality", "audit", "privacy"),
+)
+def privacy_k_anonymity(spark, sf_dir):
+    """k-anonymity audit of the customer quasi-identifiers — see block
+    comment."""
+    cust = read_table(spark, sf_dir, "customer")
+    classes = cust.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        (F.col("c_acctbal") < 0).cast("long").alias("neg_balance"),
+    ).agg(F.count("*").cast("long").alias("c"))
+    below = F.col("c") < _KANON_K
+    return classes.agg(
+        F.lit(_KANON_K).cast("long").alias("k"),
+        F.sum("c").cast("long").alias("n_rows"),
+        F.count("*").cast("long").alias("n_classes"),
+        F.min("c").cast("long").alias("min_class_size"),
+        F.sum(F.when(below, 1).otherwise(0)).cast("long").alias(
+            "n_classes_below_k"
+        ),
+        F.sum(F.when(below, F.col("c")).otherwise(0)).cast("long").alias(
+            "n_rows_below_k"
+        ),
+        F.round(
+            F.sum(F.when(below, F.col("c")).otherwise(0)).cast("double")
+            / F.sum("c").cast("double"),
+            6,
+        ).alias("row_share_below_k"),
+    )
+
+
+# --- bot-regularity detection (inter-event timing audit) ---------------------
+# Humans arrive with bursty gaps (coefficient of variation ~= 1 for
+# Poisson-ish traffic); schedulers and scrapers tick with cv near 0.
+# One user-keyed lag window produces exact integer second gaps, exact
+# BIGINT gap moments give mean/cv per user, and users with >= 5 gaps and
+# cv < 0.2 are flagged.  The corpus is touched by ONE keyed window +
+# ONE keyed aggregate; output is user-cardinality.
+
+_BOT_SQL = """
+WITH gaps AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts)) - floor(epoch(lag(ts) OVER (
+              PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) AS g
+  FROM events
+),
+mom AS (
+  SELECT user_id,
+         CAST(count(g) AS BIGINT) AS n_gaps,
+         CAST(sum(g) AS BIGINT) AS s,
+         CAST(sum(g * g) AS BIGINT) AS sq
+  FROM gaps WHERE g IS NOT NULL GROUP BY user_id
+)
+SELECT user_id, n_gaps,
+       round(CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE), 6) AS mean_gap_sec,
+       CASE WHEN n_gaps > 1 AND s > 0
+            THEN round(sqrt((CAST(sq AS DOUBLE)
+                             - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                               / CAST(n_gaps AS DOUBLE))
+                            / (CAST(n_gaps AS DOUBLE) - 1.0))
+                       / (CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE)), 6)
+       END AS cv_gap,
+       CAST(CASE WHEN n_gaps >= 5 AND s > 0
+                  AND (CAST(sq AS DOUBLE)
+                       - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                         / CAST(n_gaps AS DOUBLE)) >= 0.0
+                 THEN sqrt((CAST(sq AS DOUBLE)
+                            - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                              / CAST(n_gaps AS DOUBLE))
+                           / (CAST(n_gaps AS DOUBLE) - 1.0))
+                      / (CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE)) < 0.2
+                 ELSE FALSE END AS BOOLEAN) AS is_suspect
+FROM mom
+"""
+
+
+@query(
+    "quality_bot_regularity",
+    sql=_BOT_SQL,
+    tags=("quality", "audit", "timeseries"),
+)
+def quality_bot_regularity(spark, sf_dir):
+    """Per-user inter-event timing regularity (bot detector) — see block
+    comment."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id",
+        (
+            F.unix_timestamp("ts")
+            - F.unix_timestamp(F.lag("ts").over(w))
+        )
+        .cast("long")
+        .alias("g"),
+    )
+    mom = gaps.where(F.col("g").isNotNull()).groupBy("user_id").agg(
+        F.count("g").cast("long").alias("n_gaps"),
+        F.sum("g").cast("long").alias("s"),
+        F.sum(F.col("g") * F.col("g")).cast("long").alias("sq"),
+    )
+    nd = F.col("n_gaps").cast("double")
+    sd_, sqd = F.col("s").cast("double"), F.col("sq").cast("double")
+    ssq = sqd - sd_ * sd_ / nd
+    mean = sd_ / nd
+    cv = F.sqrt(ssq / (nd - F.lit(1.0))) / mean
+    ok = (F.col("n_gaps") > 1) & (F.col("s") > 0)
+    return mom.select(
+        "user_id",
+        "n_gaps",
+        F.round(mean, 6).alias("mean_gap_sec"),
+        F.when(ok, F.round(cv, 6)).alias("cv_gap"),
+        F.when(
+            (F.col("n_gaps") >= 5) & (F.col("s") > 0) & (ssq >= 0.0),
+            cv < 0.2,
+        )
+        .otherwise(F.lit(False))
+        .alias("is_suspect"),
+    )

@@ -9,8 +9,8 @@ from pathlib import Path
 
 from big_data_analytics_project_spark.registry import load_all
 
-TOTAL = 258
-ORACLE = 241
+TOTAL = 260
+ORACLE = 243
 
 
 def test_counts_match_registry():

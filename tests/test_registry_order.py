@@ -40,6 +40,8 @@ EXPECTED_WINDOW = (
     "maintenance_incremental_agg",
     "scd2_point_in_time_lookup",
     "dq_revenue_reconciliation",
+    "privacy_k_anonymity",
+    "quality_bot_regularity",
     "dedup_keep_best_quality",
     "eda_events_report",
     "eda_hour_of_week_heatmap",
@@ -75,8 +77,6 @@ EXPECTED_WINDOW = (
     "embedding_label_centroids",
     "embedding_int8_recall_audit",
     "embedding_dim_variance",
-    "ann_range_search",
-    "abtest_welch_ttest",
 )
 
 

@@ -644,3 +644,54 @@ def test_bfs_levels_contiguous_and_match_component(spark, sf_dir):
         r["n_nodes"] for r in cc if r["component"] == root_comp
     )
     assert sum(r["n_nodes"] for r in rows) == comp_size
+
+
+# --- k-anonymity --------------------------------------------------------------------
+
+
+def test_k_anonymity_accounting(spark, sf_dir):
+    from big_data_analytics_project_spark.sources import read_table
+
+    r = _q("privacy_k_anonymity", spark, sf_dir).collect()[0]
+    assert r["n_rows"] == read_table(spark, sf_dir, "customer").count()
+    assert 0 <= r["n_classes_below_k"] <= r["n_classes"]
+    assert 0 <= r["n_rows_below_k"] < r["n_rows"]
+    assert r["n_rows_below_k"] <= r["n_classes_below_k"] * (r["k"] - 1)
+    assert 1 <= r["min_class_size"]
+    assert abs(r["row_share_below_k"] - r["n_rows_below_k"] / r["n_rows"]) < 1e-6
+
+
+# --- bot regularity -----------------------------------------------------------------
+
+
+def test_bot_detector_flags_planted_scheduler(spark, tmp_path, sf_dir):
+    import datetime as dt
+
+    import big_data_analytics_project_spark.plans.curation_queries as C
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # user 1: a metronome — exactly one event every 60 s (cv = 0)
+    for i in range(30):
+        rows.append((eid, t0 + dt.timedelta(seconds=60 * i), 1, "view", 1.0, "{}"))
+        eid += 1
+    # user 2: bursty human-ish gaps (1s..20min)
+    for i, gap in enumerate([1, 500, 30, 1200, 7, 90, 600, 15, 300, 45]):
+        t0 = t0 + dt.timedelta(seconds=gap)
+        rows.append((eid, t0, 2, "view", 1.0, "{}"))
+        eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = {
+        r["user_id"]: r
+        for r in C.quality_bot_regularity(spark, str(tmp_path)).collect()
+    }
+    assert out[1]["is_suspect"] is True and out[1]["cv_gap"] == 0.0
+    assert out[2]["is_suspect"] is False and out[2]["cv_gap"] > 0.5
+    # real fixture: Poisson-ish traffic should flag nobody
+    real = _q("quality_bot_regularity", spark, sf_dir).collect()
+    assert not any(r["is_suspect"] for r in real)
