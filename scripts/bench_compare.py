@@ -1,0 +1,63 @@
+"""Compare two bench_queries.json files (round-over-round regression check).
+
+Usage:
+    python scripts/bench_compare.py OLD.json NEW.json [threshold]
+
+Prints per-query deltas for the overlap, sorted by regression ratio, and
+a summary (overlap totals, worst regression, best improvement).  A query
+is flagged when NEW/OLD exceeds ``threshold`` (default 1.3) AND the
+absolute delta exceeds 0.2 s (sub-overhead noise is not a regression).
+
+The driver records one bench per round; keep each round's
+bench_queries.json aside (they're gitignored) to feed this.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+
+def _load(path: str) -> dict[str, float]:
+    with open(path) as f:
+        d = json.load(f)
+    q = d.get("queries", d)
+    return {k: float(v) for k, v in q.items() if isinstance(v, (int, float))}
+
+
+def main() -> None:
+    if len(sys.argv) < 3:
+        print(__doc__)
+        raise SystemExit(2)
+    old = _load(sys.argv[1])
+    new = _load(sys.argv[2])
+    threshold = float(sys.argv[3]) if len(sys.argv) > 3 else 1.3
+    shared = sorted(set(old) & set(new))
+    if not shared:
+        print("no overlapping queries")
+        raise SystemExit(1)
+    rows = [(n, old[n], new[n], new[n] / old[n] if old[n] > 0 else float("inf"))
+            for n in shared]
+    rows.sort(key=lambda r: -r[3])
+    print(f"{'query':40s} {'old(s)':>8s} {'new(s)':>8s} {'ratio':>6s}")
+    print("-" * 66)
+    flagged = 0
+    for n, o, v, r in rows:
+        flag = ""
+        if r > threshold and v - o > 0.2:
+            flag = "  <-- REGRESSION"
+            flagged += 1
+        print(f"{n:40s} {o:8.2f} {v:8.2f} {r:6.2f}{flag}")
+    t_old = sum(old[n] for n in shared)
+    t_new = sum(new[n] for n in shared)
+    print("-" * 66)
+    print(
+        f"overlap: {len(shared)} queries, {t_old:.1f}s -> {t_new:.1f}s "
+        f"({t_new / t_old:+.0%} vs old), {flagged} regression(s) "
+        f"(ratio>{threshold} and delta>0.2s)"
+    )
+    raise SystemExit(1 if flagged else 0)
+
+
+if __name__ == "__main__":
+    main()
