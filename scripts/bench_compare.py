@@ -53,7 +53,7 @@ def main() -> None:
     print("-" * 66)
     print(
         f"overlap: {len(shared)} queries, {t_old:.1f}s -> {t_new:.1f}s "
-        f"({t_new / t_old:+.0%} vs old), {flagged} regression(s) "
+        f"({t_new / t_old - 1.0:+.0%} vs old), {flagged} regression(s) "
         f"(ratio>{threshold} and delta>0.2s)"
     )
     raise SystemExit(1 if flagged else 0)
