@@ -294,6 +294,10 @@ HEADLINE = [
     "privacy_k_anonymity",
     # bot regularity: one user-keyed lag window + keyed moments
     "quality_bot_regularity",
+    # business days: closed-form weekend exclusion, no calendar explode
+    "ops_business_days_lag",
+    # Neyman: one stratum-moment rollup, 20-row allocation
+    "sample_neyman_allocation",
 ]
 
 

@@ -2600,3 +2600,88 @@ def quality_bot_regularity(spark, sf_dir):
         .otherwise(F.lit(False))
         .alias("is_suspect"),
     )
+
+
+# --- Neyman (optimal) sampling allocation -------------------------------------
+# Sampling theory's answer to "how many eval docs per source?": allocate
+# the budget proportional to N_h * sigma_h (stratum size x length
+# stddev), which minimizes the variance of the estimated mean at fixed
+# total n.  Moments are exact BIGINT sums; sigma and the shares are one
+# shared double expression; the integer allocation floors share x budget
+# (the <=H-doc remainder is the documented rounding loss, same ppm rule
+# as position-weighted attribution).
+
+_NEYMAN_BUDGET = 1000
+
+_NEYMAN_SQL = f"""
+WITH mom AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS s,
+         CAST(sum(n_chars * n_chars) AS BIGINT) AS sq
+  FROM documents GROUP BY source
+),
+sig AS (
+  SELECT source, n_docs,
+         CASE WHEN n_docs > 1
+              THEN sqrt((CAST(sq AS DOUBLE)
+                         - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                           / CAST(n_docs AS DOUBLE))
+                        / (CAST(n_docs AS DOUBLE) - 1.0))
+              ELSE 0.0 END AS sigma
+  FROM mom
+),
+tot AS (
+  SELECT CAST(sum(CAST(n_docs AS DOUBLE) * sigma) AS DOUBLE) AS z FROM sig
+)
+SELECT s.source, s.n_docs,
+       round(s.sigma, 6) AS sigma_chars,
+       CASE WHEN t.z > 0.0
+            THEN round(CAST(s.n_docs AS DOUBLE) * s.sigma / t.z, 6)
+       END AS neyman_share,
+       CAST(CASE WHEN t.z > 0.0
+                 THEN floor(CAST(s.n_docs AS DOUBLE) * s.sigma / t.z
+                            * {_NEYMAN_BUDGET})
+                 ELSE 0 END AS BIGINT) AS alloc_n
+FROM sig s CROSS JOIN tot t
+"""
+
+
+@query(
+    "sample_neyman_allocation",
+    sql=_NEYMAN_SQL,
+    tags=("curation", "sampling", "stats"),
+)
+def sample_neyman_allocation(spark, sf_dir):
+    """Variance-optimal per-source sample allocation (Neyman) for a
+    1000-doc budget — see block comment."""
+    docs = read_table(spark, sf_dir, "documents")
+    mom = docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("s"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).cast("long").alias("sq"),
+    )
+    nd = F.col("n_docs").cast("double")
+    ssq = F.col("sq").cast("double") - F.col("s").cast("double") * F.col(
+        "s"
+    ).cast("double") / nd
+    sigma = F.when(
+        F.col("n_docs") > 1, F.sqrt(ssq / (nd - F.lit(1.0)))
+    ).otherwise(F.lit(0.0))
+    sig = mom.select("source", "n_docs", sigma.alias("sigma"))
+    tot = sig.agg(
+        F.sum(F.col("n_docs").cast("double") * F.col("sigma"))
+        .cast("double")
+        .alias("z")
+    )
+    share = F.col("n_docs").cast("double") * F.col("sigma") / F.col("z")
+    return sig.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        F.round("sigma", 6).alias("sigma_chars"),
+        F.when(F.col("z") > 0.0, F.round(share, 6)).alias("neyman_share"),
+        F.when(F.col("z") > 0.0, F.floor(share * _NEYMAN_BUDGET))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("alloc_n"),
+    )

@@ -1796,3 +1796,71 @@ def agg_bitmask_event_types(spark, sf_dir):
         (F.col("mask").bitwiseAND(8) > 0).alias("has_purchase"),
         (F.col("mask").bitwiseAND(16) > 0).alias("has_error"),
     )
+
+
+# --- business-day fulfillment lag -------------------------------------------
+# The SLA metric finance actually reports: order-to-first-ship lag in
+# BUSINESS days (weekends excluded), per order priority.  Weekend
+# exclusion is a CLOSED FORM, not a calendar explode: with m = epoch_day
+# + 3 (Monday-indexed; epoch day 0 was a Thursday), weekdays in [0, m]
+# are g(m) = (m // 7)*5 + least(m % 7 + 1, 5), and the lag over (a, b]
+# is g(b+3) - g(a+3) — pure positive-integer arithmetic, identical on
+# both engines (property-validated against a calendar brute force).
+# One order-keyed min-ship aggregate + one PK join + one 5-group rollup.
+
+_BDAY_SQL = """
+WITH ship AS (
+  SELECT l_orderkey, min(l_shipdate) AS first_ship
+  FROM lineitem GROUP BY l_orderkey
+),
+lags AS (
+  SELECT o.o_orderpriority,
+         ((CAST(floor(epoch(s.first_ship) / 86400) AS BIGINT) + 3) // 7) * 5
+           + least((CAST(floor(epoch(s.first_ship) / 86400) AS BIGINT) + 3)
+                   % 7 + 1, 5)
+         - (((CAST(floor(epoch(o.o_orderdate) / 86400) AS BIGINT) + 3) // 7)
+            * 5
+            + least((CAST(floor(epoch(o.o_orderdate) / 86400) AS BIGINT) + 3)
+                    % 7 + 1, 5)) AS bd
+  FROM orders o JOIN ship s ON o.o_orderkey = s.l_orderkey
+)
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(CAST(sum(bd) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+         AS avg_business_days,
+       CAST(max(bd) AS BIGINT) AS max_business_days
+FROM lags GROUP BY o_orderpriority
+"""
+
+
+@query(
+    "ops_business_days_lag",
+    sql=_BDAY_SQL,
+    tags=("join", "agg", "temporal", "analytics"),
+)
+def ops_business_days_lag(spark, sf_dir):
+    """Order-to-first-ship lag in business days per priority — see block
+    comment for the closed-form weekend exclusion."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+
+    def gdays(ts_col):
+        m = F.floor(F.unix_timestamp(ts_col) / 86400).cast("long") + 3
+        return (F.floor(m / 7) * 5 + F.least(m % 7 + 1, F.lit(5))).cast(
+            "long"
+        )
+
+    ship = li.groupBy("l_orderkey").agg(
+        F.min("l_shipdate").alias("first_ship")
+    )
+    lags = orders.join(ship, orders.o_orderkey == ship.l_orderkey).select(
+        "o_orderpriority",
+        (gdays("first_ship") - gdays("o_orderdate")).alias("bd"),
+    )
+    return lags.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.round(
+            F.sum("bd").cast("double") / F.count("*").cast("double"), 6
+        ).alias("avg_business_days"),
+        F.max("bd").cast("long").alias("max_business_days"),
+    )

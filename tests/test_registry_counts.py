@@ -9,8 +9,8 @@ from pathlib import Path
 
 from big_data_analytics_project_spark.registry import load_all
 
-TOTAL = 260
-ORACLE = 243
+TOTAL = 262
+ORACLE = 245
 
 
 def test_counts_match_registry():

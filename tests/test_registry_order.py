@@ -42,6 +42,7 @@ EXPECTED_WINDOW = (
     "dq_revenue_reconciliation",
     "privacy_k_anonymity",
     "quality_bot_regularity",
+    "sample_neyman_allocation",
     "dedup_keep_best_quality",
     "eda_events_report",
     "eda_hour_of_week_heatmap",
@@ -72,11 +73,10 @@ EXPECTED_WINDOW = (
     "date_dimension_quarter_rollup",
     "agg_percent_of_parent",
     "agg_bitmask_event_types",
+    "ops_business_days_lag",
     "variant_semi_structured",
     "ml_engagement_calibration",
     "embedding_label_centroids",
-    "embedding_int8_recall_audit",
-    "embedding_dim_variance",
 )
 
 

@@ -695,3 +695,45 @@ def test_bot_detector_flags_planted_scheduler(spark, tmp_path, sf_dir):
     # real fixture: Poisson-ish traffic should flag nobody
     real = _q("quality_bot_regularity", spark, sf_dir).collect()
     assert not any(r["is_suspect"] for r in real)
+
+
+# --- business-day lag ----------------------------------------------------------------
+
+
+def test_business_days_closed_form_matches_calendar(spark, sf_dir):
+    import datetime as dt
+
+    # the closed form g(b+3)-g(a+3) must equal a brute calendar count
+    def brute(a, b):
+        e = dt.date(1970, 1, 1)
+        return sum(
+            1
+            for d in range(a + 1, b + 1)
+            if (e + dt.timedelta(days=d)).weekday() < 5
+        )
+
+    def g(m):
+        return (m // 7) * 5 + min(m % 7 + 1, 5)
+
+    for a, b in [(9131, 9131), (9131, 9138), (9134, 9136), (10000, 10093)]:
+        assert g(b + 3) - g(a + 3) == brute(a, b)
+    rows = _q("ops_business_days_lag", spark, sf_dir).collect()
+    assert len(rows) == 5
+    for r in rows:
+        # ~5/7 of calendar days are business days; lag is nonnegative
+        assert 0 <= r["avg_business_days"] <= r["max_business_days"]
+
+
+# --- Neyman allocation ---------------------------------------------------------------
+
+
+def test_neyman_shares_sum_to_one_and_budget_bounded(spark, sf_dir):
+    rows = _q("sample_neyman_allocation", spark, sf_dir).collect()
+    assert rows
+    assert abs(sum(r["neyman_share"] for r in rows) - 1.0) < 1e-4
+    total = sum(r["alloc_n"] for r in rows)
+    # floor() loses at most one doc per stratum
+    assert 1000 - len(rows) <= total <= 1000
+    for r in rows:
+        assert r["sigma_chars"] >= 0.0
+        assert 0 <= r["alloc_n"] <= 1000
