@@ -1798,29 +1798,34 @@ def agg_bitmask_event_types(spark, sf_dir):
     )
 
 
-# --- business-day fulfillment lag -------------------------------------------
-# The SLA metric finance actually reports: order-to-first-ship lag in
-# BUSINESS days (weekends excluded), per order priority.  Weekend
-# exclusion is a CLOSED FORM, not a calendar explode: with m = epoch_day
-# + 3 (Monday-indexed; epoch day 0 was a Thursday), weekdays in [0, m]
-# are g(m) = (m // 7)*5 + least(m % 7 + 1, 5), and the lag over (a, b]
-# is g(b+3) - g(a+3) — pure positive-integer arithmetic, identical on
-# both engines (property-validated against a calendar brute force).
-# One order-keyed min-ship aggregate + one PK join + one 5-group rollup.
+# --- business-day ship-window span -------------------------------------------
+# The SLA metric finance actually reports: how many BUSINESS days an
+# order's shipping window spans (first to last lineitem ship, weekends
+# excluded), per order priority.  Weekend exclusion is a CLOSED FORM,
+# not a calendar explode: with m = epoch_day + 3 (Monday-indexed; epoch
+# day 0 was a Thursday), weekdays in [0, m] are g(m) = (m // 7)*5 +
+# least(m % 7 + 1, 5), and the span over (a, b] is g(b+3) - g(a+3) —
+# pure positive-integer arithmetic, identical on both engines
+# (property-validated against a calendar brute force).  One order-keyed
+# min/max aggregate + one PK join + one 5-group rollup.  (The fixture
+# draws o_orderdate independently of ship dates, so the order->ship lag
+# is not causally meaningful here; the within-order ship window is.)
 
 _BDAY_SQL = """
 WITH ship AS (
-  SELECT l_orderkey, min(l_shipdate) AS first_ship
+  SELECT l_orderkey,
+         min(l_shipdate) AS first_ship,
+         max(l_shipdate) AS last_ship
   FROM lineitem GROUP BY l_orderkey
 ),
 lags AS (
   SELECT o.o_orderpriority,
-         ((CAST(floor(epoch(s.first_ship) / 86400) AS BIGINT) + 3) // 7) * 5
-           + least((CAST(floor(epoch(s.first_ship) / 86400) AS BIGINT) + 3)
+         ((CAST(floor(epoch(s.last_ship) / 86400) AS BIGINT) + 3) // 7) * 5
+           + least((CAST(floor(epoch(s.last_ship) / 86400) AS BIGINT) + 3)
                    % 7 + 1, 5)
-         - (((CAST(floor(epoch(o.o_orderdate) / 86400) AS BIGINT) + 3) // 7)
+         - (((CAST(floor(epoch(s.first_ship) / 86400) AS BIGINT) + 3) // 7)
             * 5
-            + least((CAST(floor(epoch(o.o_orderdate) / 86400) AS BIGINT) + 3)
+            + least((CAST(floor(epoch(s.first_ship) / 86400) AS BIGINT) + 3)
                     % 7 + 1, 5)) AS bd
   FROM orders o JOIN ship s ON o.o_orderkey = s.l_orderkey
 )
@@ -1839,7 +1844,7 @@ FROM lags GROUP BY o_orderpriority
     tags=("join", "agg", "temporal", "analytics"),
 )
 def ops_business_days_lag(spark, sf_dir):
-    """Order-to-first-ship lag in business days per priority — see block
+    """First-to-last-ship span in business days per priority — see block
     comment for the closed-form weekend exclusion."""
     li = read_table(spark, sf_dir, "lineitem")
     orders = read_table(spark, sf_dir, "orders")
@@ -1851,11 +1856,12 @@ def ops_business_days_lag(spark, sf_dir):
         )
 
     ship = li.groupBy("l_orderkey").agg(
-        F.min("l_shipdate").alias("first_ship")
+        F.min("l_shipdate").alias("first_ship"),
+        F.max("l_shipdate").alias("last_ship"),
     )
     lags = orders.join(ship, orders.o_orderkey == ship.l_orderkey).select(
         "o_orderpriority",
-        (gdays("first_ship") - gdays("o_orderdate")).alias("bd"),
+        (gdays("last_ship") - gdays("first_ship")).alias("bd"),
     )
     return lags.groupBy("o_orderpriority").agg(
         F.count("*").cast("long").alias("n_orders"),

@@ -720,7 +720,7 @@ def test_business_days_closed_form_matches_calendar(spark, sf_dir):
     rows = _q("ops_business_days_lag", spark, sf_dir).collect()
     assert len(rows) == 5
     for r in rows:
-        # ~5/7 of calendar days are business days; lag is nonnegative
+        # ~5/7 of calendar days are business days; the ship-window span is nonnegative
         assert 0 <= r["avg_business_days"] <= r["max_business_days"]
 
 
