@@ -298,6 +298,12 @@ HEADLINE = [
     "ops_business_days_lag",
     # Neyman: one stratum-moment rollup, 20-row allocation
     "sample_neyman_allocation",
+    # burstiness: one (term, doc) rollup, top-100 moments
+    "text_term_burstiness",
+    # basket histogram: order-keyed count + bounded rollup
+    "eda_basket_size_histogram",
+    # Fisher F: quantized per-(label, dim) moments, 1e-9-grid term sums
+    "embedding_fisher_separability",
 ]
 
 

@@ -269,3 +269,31 @@ def eda_uniqueness_profile(spark, sf_dir):
             6,
         ).alias("duplication_factor"),
     )
+
+
+# --- basket-size histogram ----------------------------------------------------
+# The first retail diagnostic: how many lineitems does an order carry?
+# One order-keyed count (map-side combined), one bounded histogram
+# rollup (order sizes are bounded small — the same fact the graph
+# edge-builder's pair explosion relies on).
+
+_BASKET_SQL = """
+WITH sizes AS (
+  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS basket_size
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT basket_size, CAST(count(*) AS BIGINT) AS n_orders
+FROM sizes GROUP BY basket_size
+"""
+
+
+@query("eda_basket_size_histogram", sql=_BASKET_SQL, tags=("agg", "eda"))
+def eda_basket_size_histogram(spark, sf_dir):
+    """Lineitems-per-order histogram — see block comment."""
+    li = read_table(spark, sf_dir, "lineitem")
+    sizes = li.groupBy("l_orderkey").agg(
+        F.count("*").cast("long").alias("basket_size")
+    )
+    return sizes.groupBy("basket_size").agg(
+        F.count("*").cast("long").alias("n_orders")
+    )

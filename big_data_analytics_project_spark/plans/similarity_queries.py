@@ -957,3 +957,139 @@ def ann_range_search(spark, sf_dir):
     vec_id in [0,5) — see block comment."""
     emb = read_table(spark, sf_dir, "embeddings")
     return S.range_search(emb, emb.where(F.col("vec_id") < 5), _RANGE_TAU)
+
+
+# --- Fisher (ANOVA-F) class separability per dimension ------------------------
+# Which embedding dimensions actually separate the labels?  One-way
+# ANOVA per dimension: F = [SSB/(k-1)] / [SSW/(N-k)] over the label
+# groups.  Same distributed shape as the centroid/dim-variance audits
+# (ONE quantized posexplode -> (label, dim) moments); per-dim totals
+# join back so each label's SSB/SSW term is computed exactly, then the
+# 10-label term sums ride the 1e-9 BIGINT grid (quantize-before-sum —
+# the order-insensitive float-reduction rule).  Output is 64 rows.
+
+_FISHER_SQL = """
+WITH per AS (
+  SELECT label, CAST(p.d AS BIGINT) AS dim,
+         CAST(count(*) AS BIGINT) AS n_l,
+         CAST(sum(p.v) AS BIGINT) AS s_l,
+         sum(p.v * p.v) AS sq_l
+  FROM (
+    SELECT label,
+           unnest(list_transform(embedding, (x, i) ->
+             {'d': i, 'v': CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5)
+                                AS BIGINT)})) AS p
+    FROM embeddings
+  )
+  GROUP BY label, p.d
+),
+tot AS (
+  SELECT dim,
+         CAST(sum(n_l) AS BIGINT) AS n,
+         CAST(sum(s_l) AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS k
+  FROM per GROUP BY dim
+),
+terms AS (
+  SELECT p.dim, t.n, t.k,
+         CAST(floor(CAST(p.n_l AS DOUBLE)
+                    * (CAST(p.s_l AS DOUBLE) / 1000000.0
+                         / CAST(p.n_l AS DOUBLE)
+                       - CAST(t.s AS DOUBLE) / 1000000.0
+                         / CAST(t.n AS DOUBLE))
+                    * (CAST(p.s_l AS DOUBLE) / 1000000.0
+                         / CAST(p.n_l AS DOUBLE)
+                       - CAST(t.s AS DOUBLE) / 1000000.0
+                         / CAST(t.n AS DOUBLE))
+                    * 1000000000.0 + 0.5) AS BIGINT) AS ssb_q,
+         CAST(floor((CAST(p.sq_l AS DOUBLE)
+                     - CAST(p.s_l AS DOUBLE) * CAST(p.s_l AS DOUBLE)
+                       / CAST(p.n_l AS DOUBLE))
+                    / 1000000.0 / 1000000.0
+                    * 1000000000.0 + 0.5) AS BIGINT) AS ssw_q
+  FROM per p JOIN tot t ON p.dim = t.dim
+)
+SELECT dim,
+       round(CAST(sum(ssb_q) AS DOUBLE) / 1000000000.0, 6) AS between_ss,
+       round(CAST(sum(ssw_q) AS DOUBLE) / 1000000000.0, 6) AS within_ss,
+       CASE WHEN min(k) > 1 AND min(n) > min(k) AND sum(ssw_q) > 0
+            THEN round((CAST(sum(ssb_q) AS DOUBLE)
+                        / (CAST(min(k) AS DOUBLE) - 1.0))
+                       / (CAST(sum(ssw_q) AS DOUBLE)
+                          / (CAST(min(n) AS DOUBLE)
+                             - CAST(min(k) AS DOUBLE))), 6)
+       END AS f_stat
+FROM terms GROUP BY dim
+"""
+
+
+@query(
+    "embedding_fisher_separability",
+    sql=_FISHER_SQL,
+    tags=("similarity", "embeddings", "audit", "stats"),
+)
+def embedding_fisher_separability(spark, sf_dir):
+    """Per-dimension one-way ANOVA F of the embedding labels — see block
+    comment."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "pos", "x"
+        ),
+    ).select(
+        "label",
+        (F.col("pos") + 1).cast("long").alias("dim"),
+        F.floor(F.col("x") * 1000000.0 + F.lit(0.5)).cast("long").alias("v"),
+    )
+    per = exploded.groupBy("label", "dim").agg(
+        F.count("*").cast("long").alias("n_l"),
+        F.sum("v").cast("long").alias("s_l"),
+        F.sum(
+            F.col("v").cast("decimal(38,0)") * F.col("v").cast("decimal(38,0)")
+        ).alias("sq_l"),
+    )
+    tot = per.groupBy("dim").agg(
+        F.sum("n_l").cast("long").alias("n"),
+        F.sum("s_l").cast("long").alias("s"),
+        F.count("*").cast("long").alias("k"),
+    )
+    nld = F.col("n_l").cast("double")
+    mu_l = F.col("s_l").cast("double") / 1000000.0 / nld
+    mu = F.col("s").cast("double") / 1000000.0 / F.col("n").cast("double")
+    ssb_q = F.floor(
+        nld * (mu_l - mu) * (mu_l - mu) * 1000000000.0 + F.lit(0.5)
+    ).cast("long")
+    ssw_q = F.floor(
+        (
+            F.col("sq_l").cast("double")
+            - F.col("s_l").cast("double") * F.col("s_l").cast("double") / nld
+        )
+        / 1000000.0
+        / 1000000.0
+        * 1000000000.0
+        + F.lit(0.5)
+    ).cast("long")
+    terms = per.join(tot, "dim").select(
+        "dim", "n", "k", ssb_q.alias("ssb_q"), ssw_q.alias("ssw_q")
+    )
+    kd = F.min("k").cast("double")
+    ndd = F.min("n").cast("double")
+    return terms.groupBy("dim").agg(
+        F.round(F.sum("ssb_q").cast("double") / 1000000000.0, 6).alias(
+            "between_ss"
+        ),
+        F.round(F.sum("ssw_q").cast("double") / 1000000000.0, 6).alias(
+            "within_ss"
+        ),
+        F.when(
+            (F.min("k") > 1)
+            & (F.min("n") > F.min("k"))
+            & (F.sum("ssw_q") > 0),
+            F.round(
+                (F.sum("ssb_q").cast("double") / (kd - F.lit(1.0)))
+                / (F.sum("ssw_q").cast("double") / (ndd - kd)),
+                6,
+            ),
+        ).alias("f_stat"),
+    )

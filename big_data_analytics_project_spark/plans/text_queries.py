@@ -1622,3 +1622,85 @@ def text_zipf_slope(spark, sf_dir):
             (dx > 0.0) & (dy > 0.0), F.round(num * num / dx / dy, 6)
         ).alias("r_squared"),
     )
+
+
+# --- term burstiness (variance-to-mean ratio) --------------------------------
+# Church & Gale's observation: content words are BURSTY (a doc that uses
+# one tends to reuse it; VMR >> 1) while function words spread evenly
+# (VMR ~= 1, Poisson-like) — the signal that separates topical terms
+# from glue without any stopword list.  The corpus reduces once to
+# (term, doc) tf cells, then to top-100 term moments; docs missing a
+# term contribute 0 to both moments, so only the observed cells are
+# touched and N enters the closed form.  Exact BIGINT moments, one
+# shared double expression, round 6.
+
+_BURSTY_K = 100
+
+_BURSTY_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS term
+  FROM documents
+),
+cells AS (
+  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+  FROM toks GROUP BY term, doc_id
+),
+terms AS (
+  SELECT term,
+         CAST(sum(tf) AS BIGINT) AS s,
+         CAST(sum(tf * tf) AS BIGINT) AS sq,
+         CAST(count(*) AS BIGINT) AS doc_freq,
+         row_number() OVER (ORDER BY sum(tf) DESC, term) AS rank
+  FROM cells GROUP BY term
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+SELECT t.term, t.s AS corpus_tf, t.doc_freq,
+       round(CAST(t.s AS DOUBLE) / CAST(n.n_docs AS DOUBLE), 6)
+         AS mean_tf_per_doc,
+       CASE WHEN n.n_docs > 1 AND t.s > 0
+            THEN round(((CAST(t.sq AS DOUBLE)
+                         - CAST(t.s AS DOUBLE) * CAST(t.s AS DOUBLE)
+                           / CAST(n.n_docs AS DOUBLE))
+                        / (CAST(n.n_docs AS DOUBLE) - 1.0))
+                       / (CAST(t.s AS DOUBLE) / CAST(n.n_docs AS DOUBLE)), 6)
+       END AS vmr
+FROM terms t CROSS JOIN n WHERE t.rank <= {_BURSTY_K}
+"""
+
+
+@query("text_term_burstiness", sql=_BURSTY_SQL, tags=("text", "stats"))
+def text_term_burstiness(spark, sf_dir):
+    """Variance-to-mean burstiness of the top-100 terms — see block
+    comment."""
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(T.ws_tokens(F.col("text"))).alias("term")
+    )
+    cells = toks.groupBy("term", "doc_id").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    terms = cells.groupBy("term").agg(
+        F.sum("tf").cast("long").alias("s"),
+        F.sum(F.col("tf") * F.col("tf")).cast("long").alias("sq"),
+        F.count("*").cast("long").alias("doc_freq"),
+    )
+    w = Window.orderBy(F.col("s").desc(), F.col("term"))
+    top = terms.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= _BURSTY_K
+    )
+    n = docs.agg(F.count("*").cast("long").alias("n_docs"))
+    nd = F.col("n_docs").cast("double")
+    sd_ = F.col("s").cast("double")
+    mean = sd_ / nd
+    var = (F.col("sq").cast("double") - sd_ * sd_ / nd) / (nd - F.lit(1.0))
+    return top.crossJoin(F.broadcast(n)).select(
+        "term",
+        F.col("s").alias("corpus_tf"),
+        "doc_freq",
+        F.round(mean, 6).alias("mean_tf_per_doc"),
+        F.when(
+            (F.col("n_docs") > 1) & (F.col("s") > 0), F.round(var / mean, 6)
+        ).alias("vmr"),
+    )

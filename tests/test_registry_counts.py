@@ -9,8 +9,8 @@ from pathlib import Path
 
 from big_data_analytics_project_spark.registry import load_all
 
-TOTAL = 262
-ORACLE = 245
+TOTAL = 265
+ORACLE = 248
 
 
 def test_counts_match_registry():

@@ -47,6 +47,7 @@ EXPECTED_WINDOW = (
     "eda_events_report",
     "eda_hour_of_week_heatmap",
     "eda_uniqueness_profile",
+    "eda_basket_size_histogram",
     "rfm_customer_segments",
     "abtest_chi_square_mix",
     "inequality_gini_revenue",
@@ -76,7 +77,6 @@ EXPECTED_WINDOW = (
     "ops_business_days_lag",
     "variant_semi_structured",
     "ml_engagement_calibration",
-    "embedding_label_centroids",
 )
 
 
