@@ -737,3 +737,67 @@ def test_neyman_shares_sum_to_one_and_budget_bounded(spark, sf_dir):
     for r in rows:
         assert r["sigma_chars"] >= 0.0
         assert 0 <= r["alloc_n"] <= 1000
+
+
+# --- burstiness ----------------------------------------------------------------------
+
+
+def test_burstiness_bounds_and_planted_extremes(spark, sf_dir, tmp_path):
+    import big_data_analytics_project_spark.plans.text_queries as T
+
+    rows = _q("text_term_burstiness", spark, sf_dir).collect()
+    assert 1 <= len(rows) <= 100
+    for r in rows:
+        assert r["corpus_tf"] >= r["doc_freq"] >= 1
+        assert r["vmr"] is None or r["vmr"] >= 0.0
+    # planted: "glue" appears once in every doc (VMR = 0), "topic"
+    # appears 10 times in a single doc (VMR >> 1)
+    docs = [(i, "glue " + ("topic " * 10 if i == 0 else ""), "en", "s", 1)
+            for i in range(10)]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {r["term"]: r for r in T.text_term_burstiness(spark, str(tmp_path)).collect()}
+    assert out["glue"]["vmr"] == 0.0
+    assert out["topic"]["vmr"] > 5.0
+
+
+# --- basket histogram ------------------------------------------------------------------
+
+
+def test_basket_histogram_conservation(spark, sf_dir):
+    from big_data_analytics_project_spark.sources import read_table
+
+    rows = _q("eda_basket_size_histogram", spark, sf_dir).collect()
+    li = read_table(spark, sf_dir, "lineitem")
+    assert sum(r["basket_size"] * r["n_orders"] for r in rows) == li.count()
+    assert (
+        sum(r["n_orders"] for r in rows)
+        == li.select("l_orderkey").distinct().count()
+    )
+
+
+# --- Fisher separability -----------------------------------------------------------------
+
+
+def test_fisher_anova_identity_against_dim_variance(spark, sf_dir):
+    fisher = {
+        r["dim"]: r
+        for r in _q("embedding_fisher_separability", spark, sf_dir).collect()
+    }
+    var = {
+        r["dim"]: r
+        for r in _q("embedding_dim_variance", spark, sf_dir).collect()
+    }
+    assert set(fisher) == set(var)
+    for dim, fr in fisher.items():
+        assert fr["between_ss"] >= 0 and fr["within_ss"] >= 0
+        if fr["f_stat"] is not None:
+            assert fr["f_stat"] >= 0.0
+        # one-way ANOVA identity: SSB + SSW == (n-1) * total variance,
+        # up to the two queries' quantization grids
+        n = var[dim]["n"]
+        sst = var[dim]["variance"] * (n - 1)
+        assert abs((fr["between_ss"] + fr["within_ss"]) - sst) < max(
+            1e-3, sst * 1e-4
+        )
