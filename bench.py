@@ -304,6 +304,10 @@ HEADLINE = [
     "eda_basket_size_histogram",
     # Fisher F: quantized per-(label, dim) moments, 1e-9-grid term sums
     "embedding_fisher_separability",
+    # drawdown: daily grid cumsum + running max, one argmax row
+    "timeseries_max_drawdown",
+    # equi-width histogram: integer bucket rule, bounds broadcast
+    "profile_equiwidth_histogram",
 ]
 
 

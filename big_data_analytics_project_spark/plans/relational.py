@@ -1870,3 +1870,73 @@ def ops_business_days_lag(spark, sf_dir):
         ).alias("avg_business_days"),
         F.max("bd").cast("long").alias("max_business_days"),
     )
+
+
+# --- equi-width histogram of order totals ------------------------------------
+# The equi-WIDTH companion to profile_decile_order_totals' equi-depth
+# cut: 20 fixed-width cent buckets between the observed min and max.
+# Bucket width is an INTEGER ceil ((max-min+1+K-1)//K) so membership is
+# pure integer floor division — no float boundary can flip a row between
+# engines.  Two scans (bounds, then bucket rollup) with the 2-value
+# bounds row broadcast; the bucket table is K rows.
+
+_EQWIDTH_K = 20
+
+_EQWIDTH_SQL = f"""
+WITH cents AS (
+  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c FROM orders
+),
+bounds AS (
+  SELECT CAST(min(c) AS BIGINT) AS lo, CAST(max(c) AS BIGINT) AS hi
+  FROM cents
+),
+w AS (
+  SELECT lo, hi,
+         CAST((hi - lo + {_EQWIDTH_K}) // {_EQWIDTH_K} AS BIGINT) AS width
+  FROM bounds
+)
+SELECT CAST((c.c - w.lo) // w.width AS BIGINT) AS bucket,
+       CAST(w.lo + ((c.c - w.lo) // w.width) * w.width AS BIGINT)
+         AS bucket_lo_cents,
+       CAST(w.lo + ((c.c - w.lo) // w.width + 1) * w.width - 1 AS BIGINT)
+         AS bucket_hi_cents,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM cents c CROSS JOIN w
+GROUP BY bucket, bucket_lo_cents, bucket_hi_cents
+"""
+
+
+@query(
+    "profile_equiwidth_histogram",
+    sql=_EQWIDTH_SQL,
+    tags=("agg", "eda", "profile"),
+)
+def profile_equiwidth_histogram(spark, sf_dir):
+    """20-bucket equi-width histogram of order totals — see block
+    comment for the integer-exact bucket rule."""
+    orders = read_table(spark, sf_dir, "orders")
+    cents = orders.select(
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("c")
+    )
+    bounds = cents.agg(
+        F.min("c").cast("long").alias("lo"), F.max("c").cast("long").alias("hi")
+    ).select(
+        "lo",
+        "hi",
+        F.floor((F.col("hi") - F.col("lo") + _EQWIDTH_K) / _EQWIDTH_K)
+        .cast("long")
+        .alias("width"),
+    )
+    j = cents.crossJoin(F.broadcast(bounds))
+    bucket = F.floor((F.col("c") - F.col("lo")) / F.col("width")).cast("long")
+    return j.groupBy(
+        bucket.alias("bucket"),
+        (F.col("lo") + bucket * F.col("width"))
+        .cast("long")
+        .alias("bucket_lo_cents"),
+        (F.col("lo") + (bucket + 1) * F.col("width") - 1)
+        .cast("long")
+        .alias("bucket_hi_cents"),
+    ).agg(F.count("*").cast("long").alias("n_orders"))

@@ -1368,3 +1368,98 @@ def timeseries_rolling_median(spark, sf_dir):
         F.col("n").cast("long").alias("n_window_days"),
         F.col("x").alias("rolling_median"),
     )
+
+
+# --- maximum drawdown of cumulative revenue ----------------------------------
+# The risk lens on the revenue curve: the deepest peak-to-trough fall of
+# cumulative daily purchase revenue (how bad did the worst stretch get).
+# One corpus reduction to the daily cent grid; cumulative sum, running
+# max, and the argmax row all run over the ~30-row grid.  Pure BIGINT
+# arithmetic; the worst day ties break to the earliest.
+
+_DRAWDOWN_SQL = """
+WITH daily AS (
+  SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM events WHERE event_type = 'purchase' GROUP BY day
+),
+curve AS (
+  SELECT day,
+         CAST(sum(cents) OVER (ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum
+  FROM daily
+),
+dd AS (
+  SELECT day, cum,
+         CAST(max(cum) OVER (ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS peak
+  FROM curve
+),
+ranked AS (
+  SELECT day, cum, peak, peak - cum AS drawdown,
+         row_number() OVER (ORDER BY peak - cum DESC, day) AS rn,
+         count(*) OVER () AS n_days
+  FROM dd
+)
+SELECT CAST(n_days AS BIGINT) AS n_days,
+       peak AS peak_cents,
+       CAST(drawdown AS BIGINT) AS max_drawdown_cents,
+       day AS worst_day
+FROM ranked WHERE rn = 1
+"""
+
+
+@query(
+    "timeseries_max_drawdown",
+    sql=_DRAWDOWN_SQL,
+    tags=("timeseries", "window", "analytics"),
+)
+def timeseries_max_drawdown(spark, sf_dir):
+    """Maximum drawdown of cumulative daily purchase revenue — see block
+    comment."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    daily = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy(
+            F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day")
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long")
+            )
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    wrun = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    curve = daily.select(
+        "day", F.sum("cents").over(wrun).cast("long").alias("cum")
+    )
+    dd = curve.select(
+        "day",
+        "cum",
+        F.max("cum").over(wrun).cast("long").alias("peak"),
+    ).withColumn("drawdown", F.col("peak") - F.col("cum"))
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = dd.select(
+        "day",
+        "peak",
+        "drawdown",
+        F.row_number()
+        .over(Window.orderBy(F.col("drawdown").desc(), F.col("day")))
+        .alias("rn"),
+        F.count("*").over(wall).alias("n_days"),
+    )
+    return ranked.where(F.col("rn") == 1).select(
+        F.col("n_days").cast("long").alias("n_days"),
+        F.col("peak").alias("peak_cents"),
+        F.col("drawdown").cast("long").alias("max_drawdown_cents"),
+        F.col("day").alias("worst_day"),
+    )

@@ -9,8 +9,8 @@ from pathlib import Path
 
 from big_data_analytics_project_spark.registry import load_all
 
-TOTAL = 265
-ORACLE = 248
+TOTAL = 267
+ORACLE = 250
 
 
 def test_counts_match_registry():

@@ -75,8 +75,8 @@ EXPECTED_WINDOW = (
     "agg_percent_of_parent",
     "agg_bitmask_event_types",
     "ops_business_days_lag",
+    "profile_equiwidth_histogram",
     "variant_semi_structured",
-    "ml_engagement_calibration",
 )
 
 

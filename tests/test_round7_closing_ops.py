@@ -801,3 +801,51 @@ def test_fisher_anova_identity_against_dim_variance(spark, sf_dir):
         assert abs((fr["between_ss"] + fr["within_ss"]) - sst) < max(
             1e-3, sst * 1e-4
         )
+
+
+# --- max drawdown -------------------------------------------------------------------
+
+
+def test_drawdown_bounds_and_monotone_curve_case(spark, sf_dir, tmp_path):
+    import datetime as dt
+
+    import big_data_analytics_project_spark.plans.temporal_queries as T
+
+    r = _q("timeseries_max_drawdown", spark, sf_dir).collect()[0]
+    assert 0 <= r["max_drawdown_cents"] <= r["peak_cents"]
+    # strictly increasing revenue -> zero drawdown by definition
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + dt.timedelta(days=i), 1, "purchase", 10.0 + i, "{}")
+        for i in range(10)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    r0 = T.timeseries_max_drawdown(spark, str(tmp_path)).collect()[0]
+    assert r0["max_drawdown_cents"] == 0
+
+
+# --- equi-width histogram --------------------------------------------------------------
+
+
+def test_equiwidth_histogram_partitions_the_range(spark, sf_dir):
+    from big_data_analytics_project_spark.sources import read_table
+
+    rows = sorted(
+        _q("profile_equiwidth_histogram", spark, sf_dir).collect(),
+        key=lambda r: r["bucket"],
+    )
+    orders = read_table(spark, sf_dir, "orders")
+    assert sum(r["n_orders"] for r in rows) == orders.count()
+    width = rows[0]["bucket_hi_cents"] - rows[0]["bucket_lo_cents"] + 1
+    for r in rows:
+        assert 0 <= r["bucket"] < 20
+        assert r["bucket_hi_cents"] - r["bucket_lo_cents"] + 1 == width
+        assert r["n_orders"] > 0
+    # buckets tile the range without overlap
+    for a, b in zip(rows, rows[1:]):
+        if b["bucket"] == a["bucket"] + 1:
+            assert b["bucket_lo_cents"] == a["bucket_hi_cents"] + 1
