@@ -308,6 +308,8 @@ HEADLINE = [
     "timeseries_max_drawdown",
     # equi-width histogram: integer bucket rule, bounds broadcast
     "profile_equiwidth_histogram",
+    # streaming top-k: engine-computed counts, tiny batch rank on top
+    "streaming_windowed_topk",
 ]
 
 

@@ -622,3 +622,65 @@ def streaming_fanout_dual_sink(spark, sf_dir):
         F.count("*").alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+# Windowed top-K: the real-time leaderboard — per tumbling hour, the 3
+# busiest event types.  The COUNTS come from the streaming engine
+# (availableNow -> complete mode -> memory sink); the rank-3 cut is a
+# batch window over the engine's own output (windows x types rows — the
+# production pattern: stream the heavy aggregation, rank the tiny
+# result).  Oracle: the equivalent batch tumbling GROUP BY + row_number,
+# tie-broken on event_type.
+_TOPK_SQL = """
+WITH counts AS (
+  SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start_epoch,
+         event_type,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+  FROM events GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY window_start_epoch
+              ORDER BY n_events DESC, event_type) AS rank
+  FROM counts
+)
+SELECT window_start_epoch, event_type, n_events, total_value,
+       CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 3
+"""
+
+
+@query("streaming_windowed_topk", sql=_TOPK_SQL, tags=("streaming", "window", "topk"))
+def streaming_windowed_topk(spark, sf_dir):
+    """Per-hour top-3 event types, counted BY the streaming engine and
+    ranked over its output — see block comment."""
+    from pyspark.sql import Window
+
+    json_dir = _staged(spark, sf_dir)
+    stream = P.read_event_stream(spark, json_dir, max_files_per_trigger=2)
+    agg = stream.groupBy(
+        F.window("ts", "3600 seconds").alias("win"), "event_type"
+    ).agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_value"),
+    )
+    out = P.run_to_completion(
+        agg, "t_topk", output_mode="complete", state_partitions=_STATE_PARTS
+    )
+    counts = out.select(
+        F.unix_timestamp(F.col("win.start")).cast("long").alias(
+            "window_start_epoch"
+        ),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+    w = Window.partitionBy("window_start_epoch").orderBy(
+        F.col("n_events").desc(), F.col("event_type")
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 3)
+    )

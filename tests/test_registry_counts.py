@@ -9,8 +9,8 @@ from pathlib import Path
 
 from big_data_analytics_project_spark.registry import load_all
 
-TOTAL = 267
-ORACLE = 250
+TOTAL = 268
+ORACLE = 251
 
 
 def test_counts_match_registry():
