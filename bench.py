@@ -19,6 +19,17 @@ Each query runs $SPARK_GRAFT_BENCH_N times (default 3) and reports the
 MINIMUM — wall-clock on a shared machine is noisy upward only (r02's
 across-the-board 1.5-2.9× "regression" on untouched queries was load on
 the harness host; min-of-n makes the number reproducible).
+
+HEADLINE coverage policy (round 8, VERDICT r7 item 6): every operator
+FAMILY — a query's first registry tag — must have at least one
+representative in HEADLINE, chosen as the family's most plan-interesting
+member; families of near-identical trivial variants (the seven set-ops,
+the two scalar batteries) are represented by ONE delegate rather than
+every permutation, and a query is also added when it is individually
+expensive or exercises a distinct physical plan (iterative, streaming,
+two-pass rank) even if its family is already covered.  Enforced by
+``tests/test_bench_headline.py::test_every_family_represented`` — adding
+a query with a brand-new first tag without benching it fails that test.
 """
 
 from __future__ import annotations
@@ -310,6 +321,21 @@ HEADLINE = [
     "profile_equiwidth_histogram",
     # streaming top-k: engine-computed counts, tiny batch rank on top
     "streaming_windowed_topk",
+    # round-8 family delegates (coverage policy above): one representative
+    # per first-tag family that had none — all sub-second relational/scalar
+    # shapes, benched so no operator family is perf-invisible
+    "skew_salted_join",          # salting: the skew mitigation itself
+    "proj_filter_revenue",       # projection+filter pushdown baseline
+    "case_when_bucketing",       # CASE expression chain
+    "null_impute_coalesce",      # null semantics / coalesce imputation
+    "string_funcs",              # string expression battery
+    "sort_by_aggregate",         # sort-after-agg (post-shuffle order)
+    "math_funcs",                # scalar math expression battery
+    "array_explode_tokens",      # explode + posexplode lateral shape
+    "unpivot_lineitem_measures", # stack/unpivot reshape
+    "chunk_long_documents",      # fixed-size document chunking
+    "date_parts_agg",            # datetime extraction + group
+    "set_union_all",             # set-op family delegate
 ]
 
 

@@ -379,13 +379,34 @@ def basket_association_rules(spark, sf_dir):
 
 _SEQ_MIN_COUNT = 3
 _SEQ_TOP = 20
+# Skew cap (VERDICT r7 item 3): the pairs self-join below is quadratic in a
+# customer's DISTINCT PART count k (k² ordered pairs per customer).  TPC-H
+# customers are near-uniform (max k: 66 @ sf0.001, 90 @ sf0.01, 105 @
+# sf0.1), but a power-law user distribution at 100× data would hand one
+# hot customer a million-row pair group.  So each customer keeps at most
+# _SEQ_MAX_PARTS earliest-adopted parts (first_day ASC, part ASC — a
+# deterministic, oracle-reproducible rule that preserves the sequence
+# HEAD, where 2-sequence evidence lives) before pairing — the same
+# cap-items-per-group idea as ``operators/graph.py`` mega-basket note and
+# the LSH ``max_bucket`` cap.  Inactive at the sf0.01/sf0.001 oracle
+# grades (max k = 90 < 128); applied identically in Spark and DuckDB so
+# results agree wherever it does bite.
+_SEQ_MAX_PARTS = 128
 
 _SEQPAT_SQL = f"""
-WITH cp AS (
+WITH cp0 AS (
   SELECT o.o_custkey AS cust, l.l_partkey AS part,
          CAST(min(floor(epoch(o.o_orderdate) / 86400)) AS BIGINT) AS first_day
   FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
   GROUP BY cust, part
+),
+cp AS (
+  SELECT cust, part, first_day FROM (
+    SELECT cust, part, first_day,
+           row_number() OVER (PARTITION BY cust
+                              ORDER BY first_day, part) AS pos
+    FROM cp0
+  ) WHERE pos <= {_SEQ_MAX_PARTS}
 ),
 firsts AS (
   SELECT part, CAST(count(*) AS BIGINT) AS n_first FROM cp GROUP BY part
@@ -425,7 +446,7 @@ def basket_sequential_patterns(spark, sf_dir):
 
     o = read_table(spark, sf_dir, "orders")
     li = read_table(spark, sf_dir, "lineitem")
-    cp = (
+    cp0 = (
         o.join(li, o.o_orderkey == li.l_orderkey)
         .groupBy(
             F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part")
@@ -435,6 +456,13 @@ def basket_sequential_patterns(spark, sf_dir):
             .cast("long")
             .alias("first_day")
         )
+    )
+    # Skew cap — see _SEQ_MAX_PARTS block comment above.
+    wcap = Window.partitionBy("cust").orderBy("first_day", "part")
+    cp = (
+        cp0.withColumn("pos", F.row_number().over(wcap))
+        .where(F.col("pos") <= _SEQ_MAX_PARTS)
+        .drop("pos")
     )
     firsts = cp.groupBy("part").agg(F.count("*").cast("long").alias("n_first"))
     a = cp.select(

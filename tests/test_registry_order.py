@@ -27,6 +27,7 @@ from big_data_analytics_project_spark.registry import (
 # queries lifted into the window tail for ONE round (VERDICT r5 item 4).
 EXPECTED_WINDOW = (
     # tier 0 — never driver-green
+    "tpch_q12_priority_by_linestatus",
     "ml_engagement_calibration",
     "embedding_label_centroids",
     "embedding_int8_recall_audit",
@@ -76,7 +77,6 @@ EXPECTED_WINDOW = (
     "text_hapax_ratio",
     "text_zipf_slope",
     "text_term_burstiness",
-    "tpch_q3_shipping_priority",
 )
 
 
