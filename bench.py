@@ -321,6 +321,9 @@ HEADLINE = [
     "profile_equiwidth_histogram",
     # streaming top-k: engine-computed counts, tiny batch rank on top
     "streaming_windowed_topk",
+    # ALS quality contract: the iterative ALS train + factor audit +
+    # recall@10 path — the only bench entry exercising MLlib's ALS
+    "ml_als_quality_contract",
     # round-8 family delegates (coverage policy above): one representative
     # per first-tag family that had none — all sub-second relational/scalar
     # shapes, benched so no operator family is perf-invisible

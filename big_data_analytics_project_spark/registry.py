@@ -137,7 +137,10 @@ ROWS_ONLY_WINDOW_LIFT: tuple[str, ...] = ()
 # whose CAST fix has never been driver-proven) plus this round's new
 # ALS quality contract and the streaming rows-only→oracle lifts to get
 # driver rows THIS round rather than waiting a rotation.
-TIER0_PRIORITY: tuple[str, ...] = ("tpch_q12_priority_by_linestatus",)
+TIER0_PRIORITY: tuple[str, ...] = (
+    "tpch_q12_priority_by_linestatus",
+    "ml_als_quality_contract",
+)
 
 # Round-9 rotation plan (VERDICT r7 item 4): after the round-8 window
 # lands, the tier-0 remainder is the ~20-25 late-registered TPC-H/new

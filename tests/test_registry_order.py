@@ -28,6 +28,7 @@ from big_data_analytics_project_spark.registry import (
 EXPECTED_WINDOW = (
     # tier 0 — never driver-green
     "tpch_q12_priority_by_linestatus",
+    "ml_als_quality_contract",
     "ml_engagement_calibration",
     "embedding_label_centroids",
     "embedding_int8_recall_audit",
@@ -76,7 +77,6 @@ EXPECTED_WINDOW = (
     "text_source_entropy",
     "text_hapax_ratio",
     "text_zipf_slope",
-    "text_term_burstiness",
 )
 
 
