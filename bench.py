@@ -321,6 +321,9 @@ HEADLINE = [
     "profile_equiwidth_histogram",
     # streaming top-k: engine-computed counts, tiny batch rank on top
     "streaming_windowed_topk",
+    # stateful streaming dedup: the dropDuplicatesWithinWatermark plan,
+    # distinct from the windowed-agg streaming entries above
+    "streaming_dedup",
     # ALS quality contract: the iterative ALS train + factor audit +
     # recall@10 path — the only bench entry exercising MLlib's ALS
     "ml_als_quality_contract",

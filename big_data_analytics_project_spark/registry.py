@@ -140,6 +140,8 @@ ROWS_ONLY_WINDOW_LIFT: tuple[str, ...] = ()
 TIER0_PRIORITY: tuple[str, ...] = (
     "tpch_q12_priority_by_linestatus",
     "ml_als_quality_contract",
+    "streaming_tumbling_append",
+    "streaming_dedup",
 )
 
 # Round-9 rotation plan (VERDICT r7 item 4): after the round-8 window

@@ -29,6 +29,8 @@ EXPECTED_WINDOW = (
     # tier 0 — never driver-green
     "tpch_q12_priority_by_linestatus",
     "ml_als_quality_contract",
+    "streaming_tumbling_append",
+    "streaming_dedup",
     "ml_engagement_calibration",
     "embedding_label_centroids",
     "embedding_int8_recall_audit",
@@ -75,8 +77,6 @@ EXPECTED_WINDOW = (
     "text_doc_keywords",
     "quality_langid_mismatch",
     "text_source_entropy",
-    "text_hapax_ratio",
-    "text_zipf_slope",
 )
 
 
