@@ -321,6 +321,9 @@ HEADLINE = [
     "profile_equiwidth_histogram",
     # streaming top-k: engine-computed counts, tiny batch rank on top
     "streaming_windowed_topk",
+    # custom stateful operator: the applyInPandasWithState (Arrow-batched
+    # per-key state machine) plan — no other bench entry exercises it
+    "streaming_custom_sessionization",
     # stateful streaming dedup: the dropDuplicatesWithinWatermark plan,
     # distinct from the windowed-agg streaming entries above
     "streaming_dedup",

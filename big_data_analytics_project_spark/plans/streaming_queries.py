@@ -416,26 +416,73 @@ def streaming_dedup(spark, sf_dir):
     )
 
 
-@query("streaming_custom_sessionization", sql=None, tags=("streaming", "stateful", "pandas"))
+# Custom-stateful oracle (rows-only → oracle lift, VERDICT r7 item 7):
+# a closed session emits either on the in-batch gap rule or on the
+# event-time timeout when the watermark passes its end + gap.  Over the
+# ts-ordered bounded replay the only sessions whose emission is in doubt
+# end inside the final (gap + watermark-delay) horizon, so — same rule
+# as _APPEND_CUTOFF_EPOCH / _SS_FINAL_CUTOFF — both engines restrict to
+# sessions ENDING before Jan 29, where eviction is guaranteed.  The
+# oracle mirrors the state machine exactly: second-FLOORED event times
+# (the operator keys state on unix_timestamp seconds, unlike the
+# full-precision session_window oracle _SESSION_SQL), and sum_value as
+# exact integer cents (the operator runs with value_quantum=100).
+_CUSTOM_SESS_SQL = f"""
+WITH e AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS tse, event_id,
+         event_type, value
+  FROM events
+), flagged AS (
+  SELECT user_id, tse, event_id, event_type, value,
+         CASE WHEN lag(tse) OVER w IS NULL OR tse - lag(tse) OVER w > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY tse, event_id)
+), numbered AS (
+  SELECT *, sum(new_session) OVER (PARTITION BY user_id
+                ORDER BY tse, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sno
+  FROM flagged
+)
+SELECT user_id,
+       min(tse) AS session_start_epoch,
+       max(tse) AS session_end_epoch,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+       CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS BIGINT) AS converted
+FROM numbered
+GROUP BY user_id, sno
+HAVING max(tse) <= {_APPEND_CUTOFF_EPOCH}
+"""
+
+
+@query(
+    "streaming_custom_sessionization",
+    sql=_CUSTOM_SESS_SQL,
+    tags=("streaming", "stateful", "pandas"),
+)
 def streaming_custom_sessionization(spark, sf_dir):
     """Custom stateful operator: gap sessionization with explicit per-user
     state via applyInPandasWithState (event-time timeout evicts and emits
-    closed sessions exactly once; append semantics).  Rows-only: emission
-    depends on watermark/timeout mechanics, which are pinned behaviorally
-    in tests/test_stateful.py; the built-in session_window formulation
-    (streaming_session_window) carries the oracle for session semantics."""
+    closed sessions exactly once; append semantics).  Oracle-checked end
+    to end since round 8 — finalization cutoff + exact integer-cent
+    accumulation, see _CUSTOM_SESS_SQL note above; watermark/timeout
+    mechanics stay pinned behaviorally in tests/test_stateful.py."""
     from ..streaming.stateful import sessionize_with_state
 
     json_dir = _staged(spark, sf_dir)
     stream = P.read_event_stream(spark, json_dir, max_files_per_trigger=2)
     out = P.run_to_completion(
-        sessionize_with_state(stream, gap_sec=1800), "t_custom_sess", "append",
+        sessionize_with_state(stream, gap_sec=1800, value_quantum=100),
+        "t_custom_sess",
+        "append",
         state_partitions=_STATE_PARTS,
     )
     return out.select(
         "user_id", "session_start_epoch", "session_end_epoch",
         "n_events", "sum_value", "converted",
-    )
+    ).where(F.col("session_end_epoch") <= F.lit(_APPEND_CUTOFF_EPOCH))
 
 
 @query("streaming_online_scoring", sql=None, tags=("streaming", "foreachbatch", "ml"))

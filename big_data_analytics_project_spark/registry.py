@@ -142,6 +142,7 @@ TIER0_PRIORITY: tuple[str, ...] = (
     "ml_als_quality_contract",
     "streaming_tumbling_append",
     "streaming_dedup",
+    "streaming_custom_sessionization",
 )
 
 # Round-9 rotation plan (VERDICT r7 item 4): after the round-8 window

@@ -41,12 +41,24 @@ SESSION_STATE_SCHEMA = "start long, last long, n long, total double, conv long"
 
 
 def sessionize_with_state(
-    stream: DataFrame, gap_sec: int = 1800, watermark: str = "10 minutes"
+    stream: DataFrame,
+    gap_sec: int = 1800,
+    watermark: str = "10 minutes",
+    value_quantum: int | None = None,
 ) -> DataFrame:
     """Gap-based sessionization with explicit per-user state.  Emits one
     row per CLOSED session (append semantics): closed either by a
     follow-up event arriving > gap later, or by the event-time timeout
-    when the watermark passes the session's end + gap."""
+    when the watermark passes the session's end + gap.
+
+    ``value_quantum``: when set (e.g. 100 for cent-quantized values), the
+    per-session value accumulates as integer quanta — ``round(v *
+    quantum)`` — instead of raw float addition, and ``sum_value`` emits as
+    ``total_quanta / quantum``.  Integer accumulation is exact and
+    order-independent (quanta counts stay far below 2^53), which makes the
+    emitted sum bit-reproducible across arrival orders, partitionings, and
+    engines — required for the differential oracle, and the right
+    accumulator design for money-like measures at any scale."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     events = stream.withWatermark("ts", watermark).select(
@@ -68,7 +80,9 @@ def sessionize_with_state(
                 "session_start_epoch": int(s[0]),
                 "session_end_epoch": int(s[1]),
                 "n_events": int(s[2]),
-                "sum_value": float(s[3]),
+                "sum_value": (
+                    float(s[3]) / value_quantum if value_quantum else float(s[3])
+                ),
                 "converted": int(s[4]),
             }
 
@@ -88,6 +102,8 @@ def sessionize_with_state(
         ):
             ts = int(ts)
             v = float(val) if val == val else 0.0  # null value → 0 contribution
+            if value_quantum:
+                v = float(round(v * value_quantum))
             conv = 1 if et == "purchase" else 0
             if cur is None:
                 cur = [ts, ts, 1, v, conv]

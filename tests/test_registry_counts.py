@@ -10,7 +10,7 @@ from pathlib import Path
 from big_data_analytics_project_spark.registry import load_all
 
 TOTAL = 269
-ORACLE = 254
+ORACLE = 255
 
 
 def test_counts_match_registry():

@@ -31,6 +31,7 @@ EXPECTED_WINDOW = (
     "ml_als_quality_contract",
     "streaming_tumbling_append",
     "streaming_dedup",
+    "streaming_custom_sessionization",
     "ml_engagement_calibration",
     "embedding_label_centroids",
     "embedding_int8_recall_audit",
@@ -76,7 +77,6 @@ EXPECTED_WINDOW = (
     "tokenizer_fertility_by_lang",
     "text_doc_keywords",
     "quality_langid_mismatch",
-    "text_source_entropy",
 )
 
 
