@@ -159,7 +159,12 @@ def ml_rf_quality_contract(spark, sf_dir):
 # users) with ample margin; the gate (n_users >= 100) is recomputed
 # identically by the oracle so the contract is green at every SF.
 
-_ALS_CONTRACT_SQL = """
+# Shared between the Spark call and the oracle literal so neither can
+# drift from the other (ADVICE r8: the SQL hardcoded 16 while the Spark
+# side relied on train_als's default rank).
+_ALS_RANK = 16
+
+_ALS_CONTRACT_SQL = f"""
 WITH ranked AS (
   SELECT user_id,
          CAST(json_extract_string(props, '$.k') AS INTEGER) AS item,
@@ -173,7 +178,7 @@ SELECT CAST((SELECT count(DISTINCT user_id) FROM ranked) AS BIGINT)
        CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_train,
        CAST(count(DISTINCT item) AS BIGINT) AS n_items_train,
        CAST(count(*) AS BIGINT) AS n_interactions,
-       CAST(16 AS BIGINT) AS als_rank,
+       CAST({_ALS_RANK} AS BIGINT) AS als_rank,
        CAST(TRUE AS BOOLEAN) AS user_factors_complete,
        CAST(TRUE AS BOOLEAN) AS item_factors_complete,
        CAST(TRUE AS BOOLEAN) AS recall10_ge_floor
@@ -193,7 +198,7 @@ def ml_als_quality_contract(spark, sf_dir):
     from ..ml.recommend import leave_last_out_split, recall_at_k, train_als
 
     train, held = leave_last_out_split(spark, sf_dir)
-    model = train_als(train, max_iter=5)
+    model = train_als(train, rank=_ALS_RANK, max_iter=5)
     recall = recall_at_k(model, train, held, k=10)
     n_users = held.count()
     n_users_train = train.select("user").distinct().count()

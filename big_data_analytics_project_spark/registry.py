@@ -132,18 +132,14 @@ ROWS_ONLY_WINDOW_LIFT: tuple[str, ...] = ()
 
 # Within tier 0, these names jump to the head of the window (in tuple
 # order) ahead of registration-index order.  Round-8 use (VERDICT r7
-# items 1/5/7): the tier-0 pool (70) exceeds the window (50), and the
-# judge explicitly asked for tpch_q12 (the round-6 latent HUGEINT victim
-# whose CAST fix has never been driver-proven) plus this round's new
-# ALS quality contract and the streaming rows-only→oracle lifts to get
-# driver rows THIS round rather than waiting a rotation.
-TIER0_PRIORITY: tuple[str, ...] = (
-    "tpch_q12_priority_by_linestatus",
-    "ml_als_quality_contract",
-    "streaming_tumbling_append",
-    "streaming_dedup",
-    "streaming_custom_sessionization",
-)
+# items 1/5/7) put tpch_q12, the ALS quality contract, and the three
+# streaming rows-only→oracle lifts here; all five landed green in
+# CORRECTNESS_r08, so the override is dropped (ADVICE r8: a tripwire in
+# tests/test_registry_order.py now fails if every listed name already has
+# a digest row, mirroring test_rows_only_lift_dropped_once_recorded).
+# Re-populate only when a specific tier-0 query must beat registration
+# order into the next window.
+TIER0_PRIORITY: tuple[str, ...] = ()
 
 # Round-9 rotation plan (VERDICT r7 item 4): after the round-8 window
 # lands, the tier-0 remainder is the ~20-25 late-registered TPC-H/new

@@ -27,6 +27,7 @@ custom state, per SURVEY §2.8/T2 note.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 
 import pandas as pd
@@ -103,7 +104,14 @@ def sessionize_with_state(
             ts = int(ts)
             v = float(val) if val == val else 0.0  # null value → 0 contribution
             if value_quantum:
-                v = float(round(v * value_quantum))
+                # half-AWAY-from-zero, matching the oracle's DECIMAL(18,2)
+                # cast — Python round() is banker's (half-to-even) and would
+                # land a cent off on any exact .5 quantized value (ADVICE r8)
+                scaled = v * value_quantum
+                v = float(
+                    math.floor(scaled + 0.5) if scaled >= 0
+                    else math.ceil(scaled - 0.5)
+                )
             conv = 1 if et == "purchase" else 0
             if cur is None:
                 cur = [ts, ts, 1, v, conv]

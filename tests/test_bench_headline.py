@@ -48,3 +48,20 @@ def test_readme_quotes_headline_count():
         f"README says {m.group(1)} headline queries; bench.py has "
         f"{len(HEADLINE)} — update the README sentence"
     )
+
+
+def test_readme_quotes_latest_bench_round():
+    """The README's quoted timing must cite the NEWEST BENCH_r*.json on
+    disk (VERDICT r8 item 4: the prose lagged a round behind the pinned
+    count)."""
+    repo = Path(__file__).resolve().parent.parent
+    latest = max(
+        int(re.search(r"BENCH_r(\d+)", p.name).group(1))
+        for p in repo.glob("BENCH_r*.json")
+    )
+    m = re.search(r"in\s+BENCH_r(\d+)", readme_text := (repo / "README.md").read_text())
+    assert m, "README no longer cites a BENCH round"
+    assert int(m.group(1)) == latest, (
+        f"README cites BENCH_r{m.group(1)} but BENCH_r{latest:02d}.json is "
+        "the newest — refresh the bench sentence"
+    )

@@ -156,3 +156,23 @@ def test_runtime_key_pushdown_reaches_the_fact_scan(registry, spark, sf_dir):
     ), scan
     # column pruning: the scan reads only what the aggregate needs
     assert "l_shipdate" not in scan and "l_quantity" not in scan, scan
+
+
+def test_text_topk_vocab_cut_is_takeordered(registry, spark, sf_dir):
+    """text_zipf_slope and text_term_burstiness cut the vocabulary to
+    top-K via orderBy+limit (TakeOrderedAndProject, per-partition pruned)
+    — a regression to the old partitionless row_number would funnel the
+    FULL term table through one reducer (VERDICT r8 item 2).  Any window
+    in the plan must therefore sit above the limit (zipf ranks its K
+    survivors), never below a global sort of the vocabulary."""
+    for name in ("text_zipf_slope", "text_term_burstiness"):
+        plan = _plan(registry, spark, sf_dir, name)
+        assert "TakeOrderedAndProject" in plan, (name, plan)
+        # no partitionless window BELOW the top-K cut: a window operator,
+        # if present, must consume the TakeOrdered output (appear before
+        # it in the top-down plan string)
+        if "Window" in plan:
+            assert plan.index("Window") < plan.index("TakeOrderedAndProject"), (
+                name,
+                plan,
+            )

@@ -14,6 +14,7 @@ the diff is the acknowledgement).
 from big_data_analytics_project_spark.registry import (
     DRIVER_WINDOW_SIZE,
     ROWS_ONLY_WINDOW_LIFT,
+    TIER0_PRIORITY,
     _load_history,
     driver_window,
     load_all,
@@ -27,56 +28,57 @@ from big_data_analytics_project_spark.registry import (
 # queries lifted into the window tail for ONE round (VERDICT r5 item 4).
 EXPECTED_WINDOW = (
     # tier 0 — never driver-green
-    "tpch_q12_priority_by_linestatus",
-    "ml_als_quality_contract",
-    "streaming_tumbling_append",
-    "streaming_dedup",
-    "streaming_custom_sessionization",
-    "ml_engagement_calibration",
-    "embedding_label_centroids",
-    "embedding_int8_recall_audit",
-    "embedding_dim_variance",
-    "ann_range_search",
-    "embedding_fisher_separability",
-    "abtest_welch_ttest",
-    "agg_spearman_rank_corr",
-    "timeseries_acf_daily",
-    "window_rolling_corr",
-    "agg_weighted_median",
-    "timeseries_theilsen_slope",
-    "agg_mode_value",
-    "inequality_theil_index",
-    "inequality_hhi_supplier",
-    "streaming_interval_join_left",
-    "streaming_windowed_topk",
-    "session_gap_assignment",
-    "timeseries_gapfill_interpolate",
-    "timeseries_ewma_by_user",
-    "forecast_seasonal_naive",
-    "regression_daily_revenue_trend",
-    "timeseries_holt_trend",
-    "session_daily_metrics",
-    "timeseries_gap_histogram",
-    "anomaly_cusum_shift",
-    "anomaly_dow_adjusted",
-    "revenue_wow_growth",
-    "timeseries_monthly_seasonality",
-    "asof_join_forward_event",
-    "retention_longest_streak",
-    "timeseries_rolling_median",
-    "timeseries_max_drawdown",
-    "text_boilerplate_ngram_share",
-    "tfidf_top_terms",
-    "quality_unigram_logprob",
-    "tokens_length_histogram",
-    "vocab_oov_rate",
-    "retrieval_bm25_topk",
-    "drift_js_source_tokens",
-    "text_pmi_collocations",
-    "text_skipgram_pairs",
-    "tokenizer_fertility_by_lang",
-    "text_doc_keywords",
-    "quality_langid_mismatch",
+    "text_source_entropy",
+    "text_hapax_ratio",
+    "text_zipf_slope",
+    "text_term_burstiness",
+    "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q10_returned_items",
+    "tpch_q14_promo_effect",
+    "tpch_q18_large_volume_customer",
+    "tpch_q19_bracketed_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_type_profit",
+    "tpch_q13_customer_distribution",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q11_important_stock",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q16_supplier_part_count",
+    "tpch_q20_part_promotion",
+    "tpch_q21_waiting_supplier",
+    "tpch_q22_idle_balance",
+    # tier 1 — last green r04
+    "skew_salted_agg",
+    "skew_salted_join",
+    "flagship_sessionization",
+    "multimodal_binary_meta",
+    "multimodal_decode_meta",
+    "multimodal_frame_index",
+    "proj_filter_revenue",
+    "case_when_bucketing",
+    "null_impute_coalesce",
+    "json_extract_agg",
+    "string_funcs",
+    "join_multiway_revenue",
+    "join_left_order_items",
+    "join_semi_active_customers",
+    "agg_pricing_summary",
+    "agg_distinct_exact",
+    "agg_rollup_orders",
+    "agg_null_audit",
+    "agg_funnel_share",
+    "window_rank_topn_per_group",
+    "window_range_frame",
+    "topk_global_orders",
+    "sort_by_aggregate",
+    "math_funcs",
+    "conditional_funcs",
+    "array_explode_tokens",
 )
 
 
@@ -187,6 +189,19 @@ def test_rows_only_lift_dropped_once_recorded():
         f"lifted rows-only queries now have driver rows on record {served} "
         "— drop ROWS_ONLY_WINDOW_LIFT and re-pin EXPECTED_WINDOW"
     )
+
+
+def test_tier0_priority_dropped_once_recorded():
+    """TIER0_PRIORITY is a one-shot override (ADVICE r8 item 4): once every
+    listed name has a green row in the digest, the tuple is dead weight —
+    this fails until it is emptied and EXPECTED_WINDOW re-pinned, mirroring
+    test_rows_only_lift_dropped_once_recorded."""
+    history = _load_history()
+    if TIER0_PRIORITY:
+        assert any(n not in history for n in TIER0_PRIORITY), (
+            "every TIER0_PRIORITY name already has a driver-green digest row "
+            f"{sorted(TIER0_PRIORITY)} — empty the tuple and re-pin the window"
+        )
 
 
 def test_driver_history_digest_is_current():

@@ -369,3 +369,41 @@ def test_streaming_scd2_maintains_dimension_history(spark, sf_dir, tmp_path):
     assert sorted(
         d for d in _os.listdir(snap_dir) if d.startswith("version=")
     ) == ["version=0", "version=1"]
+
+
+def test_staged_files_replay_in_event_time_order(spark, sf_dir):
+    """The custom-sessionization oracle equivalence (ADVICE r8) assumes the
+    staged JSON files replay in non-decreasing ts order across triggers:
+    every file's ts range must be disjoint from the next file's (boundary
+    ties allowed — range partitioning splits on (ts, event_id)), the
+    part-file NAMES must sort in range order, and the stamped mtimes (what
+    the streaming file source actually orders discovery by) must ascend
+    with that name order.  If staging ever loses this property, the 10-min
+    watermark would silently drop late rows that the SQL oracle counts."""
+    json_dir = P.stage_events_as_json_stream(spark, sf_dir, n_files=4)
+    try:
+        parts = sorted(
+            f
+            for f in os.listdir(json_dir)
+            if f.startswith("part-") and f.endswith(".json")
+        )
+        assert len(parts) == 4
+        ranges = []
+        for f in parts:
+            ts = [
+                json.loads(line)["ts"]
+                for line in open(os.path.join(json_dir, f))
+                if line.strip()
+            ]
+            assert ts, f"staged file {f} is empty"
+            ranges.append((min(ts), max(ts)))
+        for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+            assert hi <= lo, (
+                f"staged ts ranges overlap across files: {ranges}"
+            )
+        mtimes = [os.path.getmtime(os.path.join(json_dir, f)) for f in parts]
+        assert mtimes == sorted(mtimes) and len(set(mtimes)) == len(mtimes)
+    finally:
+        import shutil
+
+        shutil.rmtree(json_dir, ignore_errors=True)
