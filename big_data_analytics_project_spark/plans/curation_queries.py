@@ -1154,20 +1154,39 @@ _COMPACT_FRAGMENTS = 48
 _COMPACT_TARGET = 256 * 1024
 
 
-@query("maintenance_compact_files", sql=None, tags=("maintenance", "compaction"))
+# Rows-only → oracle lift (VERDICT r8 item 5), contract pattern: the raw
+# files_after/planned_files counts depend on the parquet encoder's byte
+# sizes, so they are carried as BOOLEAN invariants (after == planned,
+# after < before) rather than values; everything else — the fragment
+# count (round-robin repartition of a non-tiny table fills all 48) and
+# the exact row-count / decimal-value preservation audit — the oracle
+# recomputes from the events table alone.  The encoder-valued columns
+# stay pinned in tests/test_maintenance.py.
+_COMPACT_SQL = f"""
+SELECT CAST({_COMPACT_FRAGMENTS} AS BIGINT) AS files_before,
+       CAST(TRUE AS BOOLEAN) AS compacted_fewer_files,
+       CAST(TRUE AS BOOLEAN) AS after_eq_planned,
+       CAST(TRUE AS BOOLEAN) AS rows_preserved,
+       CAST(TRUE AS BOOLEAN) AS value_sum_preserved,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM events
+"""
+
+
+@query(
+    "maintenance_compact_files",
+    sql=_COMPACT_SQL,
+    tags=("maintenance", "compaction"),
+)
 def maintenance_compact_files(spark, sf_dir):
     """Small-file compaction with a built-in preservation audit: fragment
     the events table into {_COMPACT_FRAGMENTS} files (simulating
     micro-batch accretion), compact to ~256 KiB targets via
     ``operators/maintenance.compact``, and emit one stats row proving the
     rewrite lost nothing (exact row count + exact decimal value sum
-    compared before/after).
-
-    File counts and byte sizes depend on the parquet encoder, so this is
-    rows-only by design; the invariants (files_after == planned ==
-    ceil(bytes/target), content preservation, range-clustered sort_by
-    variant) are pinned in tests/test_maintenance.py.  At 100 TB the same
-    call runs per hive-partition directory so each bin-packing shuffle is
+    compared before/after).  Oracle-checked since round 9 under the
+    contract pattern — see _COMPACT_SQL note.  At 100 TB the same call
+    runs per hive-partition directory so each bin-packing shuffle is
     partition-sized — see the operator docstring."""
     import atexit
     import os
@@ -1202,15 +1221,16 @@ def maintenance_compact_files(spark, sf_dir):
         [
             (
                 stats["files_before"],
-                stats["files_after"],
-                stats["planned_files"],
+                bool(stats["files_after"] < stats["files_before"]),
+                bool(stats["files_after"] == stats["planned_files"]),
                 bool(src["n"] == dst["n"]),
                 bool(src["v"] == dst["v"]),
                 int(dst["n"]),
             )
         ],
-        "files_before long, files_after long, planned_files long, "
-        "rows_preserved boolean, value_sum_preserved boolean, n_rows long",
+        "files_before long, compacted_fewer_files boolean, "
+        "after_eq_planned boolean, rows_preserved boolean, "
+        "value_sum_preserved boolean, n_rows long",
     )
 
 

@@ -96,6 +96,6 @@ def test_registered_query_audit_row(spark, sf_dir, registry):
     df = registry["maintenance_compact_files"].fn(spark, sf_dir)
     row = df.collect()[0]
     assert row["files_before"] == 48
-    assert row["files_after"] == row["planned_files"]
+    assert row["compacted_fewer_files"] and row["after_eq_planned"]
     assert row["rows_preserved"] and row["value_sum_preserved"]
     assert row["n_rows"] > 0

@@ -10,7 +10,7 @@ from pathlib import Path
 from big_data_analytics_project_spark.registry import load_all
 
 TOTAL = 269
-ORACLE = 255
+ORACLE = 257
 
 
 def test_counts_match_registry():
@@ -25,3 +25,19 @@ def test_readme_quotes_current_counts():
     m = re.search(r"(\d+) registered queries, (\d+) oracle-checked", text)
     assert m, "README no longer states the registry counts"
     assert (int(m.group(1)), int(m.group(2))) == (TOTAL, ORACLE)
+
+
+def test_rows_only_queries_all_have_finality_verdicts():
+    """Exact-key correspondence between the sql=None queries and
+    registry.ROWS_ONLY_FINAL (VERDICT r8 item 5): a new rows-only query
+    must document why no oracle can exist; a lifted query must drop its
+    stale justification."""
+    from big_data_analytics_project_spark.registry import ROWS_ONLY_FINAL
+
+    reg = load_all()
+    rows_only = {n for n, s in reg.items() if s.sql is None}
+    assert rows_only == set(ROWS_ONLY_FINAL), (
+        f"missing verdicts: {sorted(rows_only - set(ROWS_ONLY_FINAL))}; "
+        f"stale verdicts: {sorted(set(ROWS_ONLY_FINAL) - rows_only)}"
+    )
+    assert all(ROWS_ONLY_FINAL.values()), "empty justification"

@@ -28,6 +28,8 @@ from big_data_analytics_project_spark.registry import (
 # queries lifted into the window tail for ONE round (VERDICT r5 item 4).
 EXPECTED_WINDOW = (
     # tier 0 — never driver-green
+    "maintenance_compact_files",
+    "streaming_fanout_dual_sink",
     "text_source_entropy",
     "text_hapax_ratio",
     "text_zipf_slope",
@@ -77,8 +79,6 @@ EXPECTED_WINDOW = (
     "topk_global_orders",
     "sort_by_aggregate",
     "math_funcs",
-    "conditional_funcs",
-    "array_explode_tokens",
 )
 
 
