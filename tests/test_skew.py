@@ -72,3 +72,122 @@ def test_seqpat_cap_inactive_on_fixture(spark, sf_dir, duck, registry):
     ]
     want = [tuple(r) for r in duck.execute(uncapped_sql).fetchall()]
     assert got == want
+
+
+def test_hot_key_stress_oracle_equal(spark, registry, tmp_path_factory):
+    """Hot-key stress (VERDICT r7 item 8 / r8 item 6): synthesize a fixture
+    with a 10^4-event user, a 300-distinct-part customer (seqpat's
+    _SEQ_MAX_PARTS=128 cap ACTIVE, unlike the uniform TPC-H fixtures), and
+    a degree-50 star node, then pin that the flagship sessionization,
+    basket_sequential_patterns, and connected components all complete and
+    stay oracle-equal — the skew remedies (leakage window over one huge
+    partition, the mirrored per-customer cap, pointer-jumping min-label)
+    must change plans, never answers."""
+    import duckdb
+
+    from big_data_analytics_project_spark.verify import run_one
+
+    hot = str(tmp_path_factory.mktemp("hotkey"))
+
+    # --- events: user 777 with 10_000 events (single purchase at the END so
+    # the leakage cutoff keeps the whole partition), plus 5 normal users
+    hot_ev = spark.range(10_000).selectExpr(
+        "id AS event_id",
+        "CAST(777 AS BIGINT) AS user_id",
+        "timestamp_seconds(1700000000 + id * 60) AS ts",
+        "CASE WHEN id = 9999 THEN 'purchase' ELSE "
+        " element_at(array('view','click','error','signup'),"
+        " CAST(id % 4 AS INT) + 1) END AS event_type",
+        "round(CAST(id % 500 AS DOUBLE) / 100.0 + 1.0, 2) AS value",
+    )
+    norm_ev = spark.range(100).selectExpr(
+        "id + 100000 AS event_id",
+        "CAST(id % 5 AS BIGINT) AS user_id",
+        "timestamp_seconds(1700000000 + id * 3600) AS ts",
+        "element_at(array('view','click','purchase','signup'),"
+        " CAST(id % 4 AS INT) + 1) AS event_type",
+        "round(CAST(id % 97 AS DOUBLE) / 10.0, 2) AS value",
+    )
+    hot_ev.unionByName(norm_ev).coalesce(2).write.parquet(f"{hot}/events.parquet")
+
+    # --- orders/lineitem: customer 1 buys 300 DISTINCT parts one per day
+    # (cap bites at 128); customers 2-5 buy parts 10,20,30 on days 1/2/3
+    # (min-support rows for seqpat); plus a degree-50 star on part 999
+    # (each spoke pair co-occurs in 2 orders -> support>=2 edges for CC).
+    hot_orders = spark.range(300).selectExpr(
+        "id + 1 AS o_orderkey",
+        "CAST(1 AS BIGINT) AS o_custkey",
+        "timestamp_seconds(1600000000 + id * 86400) AS o_orderdate",
+    )
+    norm_orders = spark.range(12).selectExpr(
+        "id + 1001 AS o_orderkey",
+        "CAST(id % 4 + 2 AS BIGINT) AS o_custkey",
+        "timestamp_seconds(1600000000 + CAST(id / 4 AS BIGINT) * 86400)"
+        " AS o_orderdate",
+    )
+    star_orders = spark.range(100).selectExpr(
+        "id + 2001 AS o_orderkey",
+        "CAST(id % 10 + 10 AS BIGINT) AS o_custkey",
+        "timestamp_seconds(1600000000 + id * 43200) AS o_orderdate",
+    )
+    hot_orders.unionByName(norm_orders).unionByName(star_orders).coalesce(
+        1
+    ).write.parquet(f"{hot}/orders.parquet")
+
+    hot_li = spark.range(300).selectExpr(
+        "id + 1 AS l_orderkey", "id + 1 AS l_partkey"
+    )
+    # customer (id%4+2) buys part 10*(day+1) in order id+1001 on day id/4
+    norm_li = spark.range(12).selectExpr(
+        "id + 1001 AS l_orderkey",
+        "(CAST(id / 4 AS BIGINT) + 1) * 10 AS l_partkey",
+    )
+    # star: orders 2001+id each hold {999, 1000 + id/2} -> every spoke pair
+    # appears in exactly 2 orders
+    star_li = spark.range(100).selectExpr(
+        "id + 2001 AS l_orderkey", "CAST(999 AS BIGINT) AS l_partkey"
+    ).unionByName(
+        spark.range(100).selectExpr(
+            "id + 2001 AS l_orderkey",
+            "1000 + CAST(id / 2 AS BIGINT) AS l_partkey",
+        )
+    )
+    hot_li.unionByName(norm_li).unionByName(star_li).coalesce(1).write.parquet(
+        f"{hot}/lineitem.parquet"
+    )
+
+    con = duckdb.connect()
+    for t in ("events", "orders", "lineitem"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{hot}/{t}.parquet/*.parquet')"
+        )
+
+    # the cap must be ACTIVE here (the fixture suites only prove it inert)
+    from big_data_analytics_project_spark.plans.graph_queries import (
+        _SEQ_MAX_PARTS,
+    )
+
+    max_k = con.execute(
+        "SELECT max(k) FROM (SELECT o_custkey, count(DISTINCT l_partkey) AS k"
+        " FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey"
+        " GROUP BY 1)"
+    ).fetchone()[0]
+    assert max_k > _SEQ_MAX_PARTS
+
+    for name in (
+        "flagship_sessionization",
+        "basket_sequential_patterns",
+        "graph_connected_components",
+    ):
+        rep = run_one(spark, con, registry[name], hot)
+        assert rep.ok, (name, rep.detail)
+        assert rep.rows_spark > 0, name
+
+    # the hot star must have resolved into one 51-node component
+    cc = {
+        r["component"]: r["n_nodes"]
+        for r in registry["graph_connected_components"]
+        .fn(spark, hot)
+        .collect()
+    }
+    assert cc.get(999) == 51
