@@ -412,8 +412,29 @@ def main() -> None:
         "sf": sf_val,
         "queries": timings,
     }
-    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_queries.json")
+    repo = os.path.dirname(os.path.abspath(__file__))
+    out_path = os.path.join(repo, "bench_queries.json")
     with open(out_path, "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+    # Checked-in per-round history (VERDICT r8 item 7): BENCH_rN tails
+    # truncate to ~59 queries, so round-over-round comparison needs the
+    # full map.  The CURRENT round number is latest CORRECTNESS_r* + 1
+    # (the driver writes CORRECTNESS at round close); re-runs within a
+    # round overwrite the same snapshot — last wins.  Feed two snapshots
+    # to scripts/bench_compare.py (accepts bare 'r08'-style tokens).
+    import glob
+    import re
+
+    closed = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))
+        if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p))
+    ]
+    hist_dir = os.path.join(repo, "bench_history")
+    os.makedirs(hist_dir, exist_ok=True)
+    with open(
+        os.path.join(hist_dir, f"r{max(closed, default=0) + 1:02d}.json"), "w"
+    ) as f:
         json.dump(detail, f, indent=1, sort_keys=True)
     for name in HEADLINE:
         print(f"# {name}: {timings[name]}")

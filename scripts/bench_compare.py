@@ -19,6 +19,16 @@ import sys
 
 
 def _load(path: str) -> dict[str, float]:
+    import os
+    import re
+
+    # bare round tokens ('r08') resolve to the checked-in history snapshot
+    if re.fullmatch(r"r\d+", path):
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "bench_history",
+            f"{path if len(path) > 2 else 'r0' + path[1]}.json",
+        )
     with open(path) as f:
         d = json.load(f)
     q = d.get("queries", d)
