@@ -345,6 +345,13 @@ HEADLINE = [
     "chunk_long_documents",      # fixed-size document chunking
     "date_parts_agg",            # datetime extraction + group
     "set_union_all",             # set-op family delegate
+    # round-9 additions
+    "dedup_exact_substring_shingles",  # stride-shingle substring dedup
+    "text_ngram_novelty",        # cross-doc first-seen trigram audit
+    "text_ttr_by_source",        # per-source type-token ratio
+    "stats_kendall_tau_cells",   # tau-b via value-domain cell reduction
+    "stats_cramers_v",           # categorical association (chi² / V)
+    "window_pctrank_cumedist",   # tie-aware distribution-position pair
 ]
 
 

@@ -508,3 +508,89 @@ def dedup_keep_best_quality(spark, sf_dir):
             "n_copies",
         )
     )
+
+
+# --- exact-substring duplication via stride shingles -----------------------
+# Lee et al.'s "Deduplicating Training Data Makes Language Models Better"
+# removes exact substrings >= 50 chars shared across documents using a
+# suffix array — a structure with no distributed analog.  The Spark-first
+# re-expression: character 30-gram shingles sampled every 10 chars (any
+# shared substring >= 39 chars must contain a sampled shingle from each
+# doc, so stride sampling preserves detection of long-enough overlaps),
+# grouped by the shingle string itself — a plain shingle-keyed aggregate,
+# linear in corpus size, map-side combined; nothing resembling the
+# suffix array's global sort is needed.  Per-source report: how much of
+# each source's sampled shingle mass is duplicated across documents.
+# Exact integers + one final division (IEEE-exact).
+
+_SUBSTR_LEN = 30
+_SUBSTR_STRIDE = 10
+
+_SUBSTR_SQL = f"""
+WITH shingles AS (
+  SELECT DISTINCT doc_id, source,
+         substr(lower(text), i, {_SUBSTR_LEN}) AS gram
+  FROM documents,
+       LATERAL unnest(generate_series(
+         1, length(text) - {_SUBSTR_LEN} + 1, {_SUBSTR_STRIDE})) AS t(i)
+  WHERE length(text) >= {_SUBSTR_LEN}
+),
+gram_docs AS (
+  SELECT gram, CAST(count(*) AS BIGINT) AS n_docs_with
+  FROM shingles GROUP BY gram
+)
+SELECT s.source,
+       CAST(count(DISTINCT s.doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(count(CASE WHEN g.n_docs_with >= 2 THEN 1 END) AS BIGINT)
+         AS n_dup_shingles,
+       CAST(count(CASE WHEN g.n_docs_with >= 2 THEN 1 END) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS dup_share
+FROM shingles s JOIN gram_docs g ON s.gram = g.gram
+GROUP BY s.source
+"""
+
+
+@query("dedup_exact_substring_shingles", sql=_SUBSTR_SQL, tags=("dedup", "substring"))
+def dedup_exact_substring_shingles(spark, sf_dir):
+    """Cross-document exact-substring duplication via stride-sampled
+    character shingles — see block comment.  Reference-class op: training
+    corpora dedup at the substring level, not just whole-doc; this is the
+    linear shingle-join form of that audit (suffix arrays don't
+    distribute)."""
+    docs = read_table(spark, sf_dir, "documents")
+    lt = F.lower(F.col("text"))
+    # sequence(1, m, s) DESCENDS when m < 1 (determinism.md round-3 trap):
+    # guard on the doc being long enough before generating positions.
+    positions = F.when(
+        F.length("text") >= _SUBSTR_LEN,
+        F.sequence(
+            F.lit(1),
+            F.length("text") - F.lit(_SUBSTR_LEN - 1),
+            F.lit(_SUBSTR_STRIDE),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    shingles = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.explode(positions).alias("i"),
+            lt.alias("lt"),
+        )
+        .select(
+            "doc_id", "source",
+            F.substring(F.col("lt"), F.col("i"), _SUBSTR_LEN).alias("gram"),
+        )
+        .distinct()
+    )
+    gram_docs = shingles.groupBy("gram").agg(
+        F.count("*").cast("long").alias("n_docs_with")
+    )
+    joined = shingles.join(gram_docs, "gram")
+    dup = F.count(F.when(F.col("n_docs_with") >= 2, 1))
+    return joined.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count("*").cast("long").alias("n_shingles"),
+        dup.cast("long").alias("n_dup_shingles"),
+        (dup.cast("double") / F.count("*").cast("double")).alias("dup_share"),
+    )

@@ -1940,3 +1940,34 @@ def profile_equiwidth_histogram(spark, sf_dir):
         .cast("long")
         .alias("bucket_hi_cents"),
     ).agg(F.count("*").cast("long").alias("n_orders"))
+
+
+@query(
+    "window_pctrank_cumedist",
+    sql="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume_dist
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice)
+    """,
+    tags=("window", "distribution"),
+)
+def window_pctrank_cumedist(spark, sf_dir):
+    """percent_rank + cume_dist of each order's price within its customer:
+    the distribution-position window pair (how expensive was this order
+    FOR THIS customer?).  Both are tie-aware — equal prices share a
+    position, so no tie-break is needed for the VALUES — and both reduce
+    to exact integer counts with one IEEE division each ((rank-1)/(n-1),
+    peers_cum/n), so no rounding.  Partitioned by the high-cardinality
+    customer key: per-partition rows are assortment-sized (tens), never a
+    table-wide reducer."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume_dist"),
+    )

@@ -868,3 +868,233 @@ def inequality_hhi_supplier(spark, sf_dir):
             F.col("c2") > 0.0, F.round(sd * sd / F.col("c2"), 6)
         ).alias("effective_suppliers"),
     )
+
+
+# --- Kendall tau-b via value-domain cells -----------------------------------
+# Rank correlation that (unlike agg_spearman_rank_corr's two-pass rank)
+# needs PAIR concordance counts — naively O(n²).  Both columns here live
+# on tiny discrete domains (l_quantity: 1..50 integers; l_discount: 11
+# cent values), so the corpus reduces to a <=550-row (x, y, count) cell
+# table in one aggregate; concordant/discordant pair mass is then a
+# cell×cell product sum over at most 550² broadcast-sized combinations —
+# the same value-domain-reduction trick as the Spearman query, applied
+# to a statistic with no rank-sum shortcut.  Pair-mass moments are
+# quadratic in n (past 2^63 somewhere beyond 3e9 rows), so they widen as
+# Spark DECIMAL(38,0) ↔ DuckDB HUGEINT and emit as one DOUBLE cast
+# (round-7 wide-moment rule); tau_b takes one sqrt + one division,
+# rounded at 6dp.
+
+_KENDALL_SQL = """
+WITH cells AS (
+  SELECT CAST(l_quantity AS BIGINT) AS x,
+         CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS y,
+         CAST(count(*) AS BIGINT) AS c
+  FROM lineitem GROUP BY 1, 2
+),
+pairs AS (
+  -- one orientation (a.x < b.x) counts each unordered cell pair exactly
+  -- once — no halving; pair-mass sums ride DuckDB's native HUGEINT and
+  -- convert to DOUBLE once (round-7 wide-moment rule: n² exceeds 2^63
+  -- somewhere past 3e9 rows, so the moments are emitted as DOUBLE)
+  SELECT CAST(sum(CASE WHEN a.x < b.x AND a.y < b.y
+                       THEN a.c * b.c ELSE 0 END) AS DOUBLE) AS conc,
+         CAST(sum(CASE WHEN a.x < b.x AND a.y > b.y
+                       THEN a.c * b.c ELSE 0 END) AS DOUBLE) AS disc
+  FROM cells a CROSS JOIN cells b
+),
+moments AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n,
+         (SELECT CAST(sum(CAST(cx AS HUGEINT) * (cx - 1)) AS DOUBLE) FROM (
+            SELECT CAST(sum(c) AS BIGINT) AS cx FROM cells GROUP BY x)) AS tx2,
+         (SELECT CAST(sum(CAST(cy AS HUGEINT) * (cy - 1)) AS DOUBLE) FROM (
+            SELECT CAST(sum(c) AS BIGINT) AS cy FROM cells GROUP BY y)) AS ty2
+  FROM cells
+)
+SELECT m.n, p.conc AS concordant, p.disc AS discordant,
+       round((p.conc - p.disc)
+             / sqrt((CAST(m.n AS DOUBLE) * (m.n - 1) / 2.0 - m.tx2 / 2.0)
+                    * (CAST(m.n AS DOUBLE) * (m.n - 1) / 2.0 - m.ty2 / 2.0)),
+             6) AS tau_b
+FROM moments m CROSS JOIN pairs p
+"""
+
+
+@query("stats_kendall_tau_cells", sql=_KENDALL_SQL, tags=("stats", "correlation"))
+def stats_kendall_tau_cells(spark, sf_dir):
+    """Kendall tau-b between quantity and discount via the value-domain
+    cell reduction — see block comment."""
+    li = read_table(spark, sf_dir, "lineitem")
+    cells = li.groupBy(
+        F.col("l_quantity").cast("long").alias("x"),
+        F.floor(F.col("l_discount") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("y"),
+    ).agg(F.count("*").cast("long").alias("c"))
+    a = cells.select(
+        F.col("x").alias("ax"), F.col("y").alias("ay"), F.col("c").alias("ac")
+    )
+    b = cells.select(
+        F.col("x").alias("bx"), F.col("y").alias("by"), F.col("c").alias("bc")
+    )
+    # single orientation (ax < bx) counts each unordered pair once (no
+    # halving); pair-mass and tie moments widen past BIGINT as
+    # DECIMAL(38,0) products, mirrored by DuckDB HUGEINT, both cast to
+    # DOUBLE once (round-7 wide-moment rule)
+    prod = F.col("ac").cast("decimal(38,0)") * F.col("bc")
+    pairs = a.crossJoin(F.broadcast(b)).agg(
+        F.sum(
+            F.when(
+                (F.col("ax") < F.col("bx")) & (F.col("ay") < F.col("by")),
+                prod,
+            ).otherwise(F.lit(0).cast("decimal(38,0)"))
+        )
+        .cast("double")
+        .alias("conc"),
+        F.sum(
+            F.when(
+                (F.col("ax") < F.col("bx")) & (F.col("ay") > F.col("by")),
+                prod,
+            ).otherwise(F.lit(0).cast("decimal(38,0)"))
+        )
+        .cast("double")
+        .alias("disc"),
+    )
+    per_x = cells.groupBy("x").agg(F.sum("c").cast("long").alias("cx"))
+    per_y = cells.groupBy("y").agg(F.sum("c").cast("long").alias("cy"))
+    tx2 = per_x.agg(
+        F.sum(F.col("cx").cast("decimal(38,0)") * (F.col("cx") - 1))
+        .cast("double")
+        .alias("tx2")
+    )
+    ty2 = per_y.agg(
+        F.sum(F.col("cy").cast("decimal(38,0)") * (F.col("cy") - 1))
+        .cast("double")
+        .alias("ty2")
+    )
+    mom = cells.agg(
+        F.sum("c").cast("long").alias("n"),
+    )
+    nd = F.col("n").cast("double")
+    n0 = nd * (F.col("n") - 1) / F.lit(2.0)
+    denom_x = n0 - F.col("tx2") / F.lit(2.0)
+    denom_y = n0 - F.col("ty2") / F.lit(2.0)
+    return (
+        mom.crossJoin(F.broadcast(pairs))
+        .crossJoin(F.broadcast(tx2))
+        .crossJoin(F.broadcast(ty2))
+        .select(
+            "n",
+            F.col("conc").alias("concordant"),
+            F.col("disc").alias("discordant"),
+            F.round(
+                (F.col("conc") - F.col("disc")) / F.sqrt(denom_x * denom_y),
+                6,
+            ).alias("tau_b"),
+        )
+    )
+
+
+# --- Cramér's V (categorical association) -----------------------------------
+# Association strength between event type and day-of-week: the chi-square
+# statistic over the 5×7 contingency table, normalized to [0,1].  Day of
+# week comes from exact integer epoch-day arithmetic ((day + 4) % 7,
+# 1970-01-01 being a Thursday) — never an engine dayofweek() (Spark is
+# 1=Sunday, DuckDB 0=Sunday).  Expected counts and the chi² terms are a
+# handful of IEEE ops per cell and the sum spans 35 cells — the
+# low-cardinality regime where round(·, 6) is safe (determinism.md).
+
+_CRAMERS_SQL = """
+WITH obs AS (
+  SELECT event_type,
+         (CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) + 4) % 7 AS dow,
+         CAST(count(*) AS BIGINT) AS o
+  FROM events GROUP BY 1, 2
+),
+tot AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+               CAST(count(DISTINCT event_type) AS BIGINT) AS r,
+               CAST(count(DISTINCT dow) AS BIGINT) AS k
+        FROM obs),
+margins AS (
+  SELECT o.event_type, o.dow, o.o,
+         rm.row_tot, cm.col_tot
+  FROM obs o
+  JOIN (SELECT event_type, CAST(sum(o) AS BIGINT) AS row_tot
+        FROM obs GROUP BY 1) rm ON o.event_type = rm.event_type
+  JOIN (SELECT dow, CAST(sum(o) AS BIGINT) AS col_tot
+        FROM obs GROUP BY 1) cm ON o.dow = cm.dow
+),
+chi AS (
+  SELECT CAST(sum(
+           (CAST(m.o AS DOUBLE)
+            - CAST(m.row_tot AS DOUBLE) * CAST(m.col_tot AS DOUBLE)
+              / CAST(t.n AS DOUBLE))
+           * (CAST(m.o AS DOUBLE)
+              - CAST(m.row_tot AS DOUBLE) * CAST(m.col_tot AS DOUBLE)
+                / CAST(t.n AS DOUBLE))
+           / (CAST(m.row_tot AS DOUBLE) * CAST(m.col_tot AS DOUBLE)
+              / CAST(t.n AS DOUBLE))) AS DOUBLE) AS chi2
+  FROM margins m CROSS JOIN tot t
+)
+SELECT t.n, t.r AS n_rows_cat, t.k AS n_cols_cat,
+       round(c.chi2, 6) AS chi_square,
+       round(sqrt(c.chi2 / (CAST(t.n AS DOUBLE)
+                            * CAST(least(t.r, t.k) - 1 AS DOUBLE))), 6)
+         AS cramers_v
+FROM tot t CROSS JOIN chi c
+"""
+
+
+@query("stats_cramers_v", sql=_CRAMERS_SQL, tags=("stats", "association"))
+def stats_cramers_v(spark, sf_dir):
+    """Cramér's V between event_type and day-of-week — see block
+    comment."""
+    ev = read_table(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        "event_type",
+        ((F.floor(F.unix_timestamp("ts") / 86400) + 4) % 7)
+        .cast("long")
+        .alias("dow"),
+    ).agg(F.count("*").cast("long").alias("o"))
+    tot = obs.agg(
+        F.sum("o").cast("long").alias("n"),
+        F.countDistinct("event_type").alias("r"),
+        F.countDistinct("dow").alias("k"),
+    )
+    rm = obs.groupBy("event_type").agg(
+        F.sum("o").cast("long").alias("row_tot")
+    )
+    cm = obs.groupBy("dow").agg(F.sum("o").cast("long").alias("col_tot"))
+    m = obs.join(F.broadcast(rm), "event_type").join(F.broadcast(cm), "dow")
+    mt = m.crossJoin(F.broadcast(tot))
+    e = (
+        F.col("row_tot").cast("double")
+        * F.col("col_tot").cast("double")
+        / F.col("n").cast("double")
+    )
+    chi2 = mt.agg(
+        F.sum(
+            (F.col("o").cast("double") - e)
+            * (F.col("o").cast("double") - e)
+            / e
+        )
+        .cast("double")
+        .alias("chi2")
+    )
+    return (
+        tot.crossJoin(F.broadcast(chi2)).select(
+            "n",
+            F.col("r").alias("n_rows_cat"),
+            F.col("k").alias("n_cols_cat"),
+            F.round(F.col("chi2"), 6).alias("chi_square"),
+            F.round(
+                F.sqrt(
+                    F.col("chi2")
+                    / (
+                        F.col("n").cast("double")
+                        * (F.least("r", "k") - 1).cast("double")
+                    )
+                ),
+                6,
+            ).alias("cramers_v"),
+        )
+    )

@@ -1708,3 +1708,120 @@ def text_term_burstiness(spark, sf_dir):
             (F.col("n_docs") > 1) & (F.col("s") > 0), F.round(var / mean, 6)
         ).alias("vmr"),
     )
+
+
+# --- n-gram novelty (memorization / originality audit) ---------------------
+# For each document: what share of its distinct word trigrams had already
+# appeared in an EARLIER document (doc_id order = ingestion order)?  The
+# repeated-gram share is the memorization-risk signal curation pipelines
+# track when deciding how much of a source is boilerplate recycled across
+# crawls.  Shape: per-doc DISTINCT trigrams, one gram-keyed min(doc_id)
+# aggregate (first-seen doc), join back, per-source BIGINT rollup with a
+# single final division — linear, map-side combined, nothing corpus².
+
+_NOVELTY_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, source,
+         regexp_split_to_array(lower(text), '\s+') AS t
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, source,
+         t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+  FROM toks, LATERAL unnest(generate_series(1, len(t) - 2)) AS g(i)
+  WHERE len(t) >= 3
+),
+first_seen AS (
+  SELECT gram, min(doc_id) AS first_doc FROM grams GROUP BY gram
+)
+SELECT g.source,
+       CAST(count(DISTINCT g.doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(count(CASE WHEN f.first_doc < g.doc_id THEN 1 END) AS BIGINT)
+         AS n_repeated,
+       CAST(count(CASE WHEN f.first_doc < g.doc_id THEN 1 END) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS repeated_share
+FROM grams g JOIN first_seen f ON g.gram = f.gram
+GROUP BY g.source
+"""
+
+
+@query("text_ngram_novelty", sql=_NOVELTY_SQL, tags=("text", "novelty"))
+def text_ngram_novelty(spark, sf_dir):
+    """Per-source share of distinct doc trigrams first seen in an earlier
+    document — see block comment."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = T.ws_tokens(F.col("text"))
+    grams_arr = F.when(
+        F.size(toks) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i),
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = (
+        docs.select("doc_id", "source", F.explode(grams_arr).alias("gram"))
+        .distinct()
+    )
+    first_seen = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    j = grams.join(first_seen, "gram")
+    rep = F.count(F.when(F.col("first_doc") < F.col("doc_id"), 1))
+    return j.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count("*").cast("long").alias("n_grams"),
+        rep.cast("long").alias("n_repeated"),
+        (rep.cast("double") / F.count("*").cast("double")).alias(
+            "repeated_share"
+        ),
+    )
+
+
+# --- type-token ratio by source (lexical diversity) ------------------------
+# Corpus-level TTR per source: distinct terms / token occurrences, plus
+# the source's hapax count (terms used exactly once WITHIN the source) —
+# the lexical-diversity profile that separates template-generated sources
+# from organic text.  Distinct from text_hapax_ratio (corpus-global) and
+# text_source_entropy (token-share distribution): this is the per-source
+# vocabulary shape.  Exact BIGINTs + one division.
+
+_TTR_SQL = r"""
+WITH toks AS (
+  SELECT source, unnest(regexp_split_to_array(lower(text), '\s+')) AS term
+  FROM documents
+),
+term_counts AS (
+  SELECT source, term, CAST(count(*) AS BIGINT) AS c
+  FROM toks GROUP BY source, term
+)
+SELECT source,
+       CAST(sum(c) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_types,
+       CAST(count(CASE WHEN c = 1 THEN 1 END) AS BIGINT) AS n_hapax,
+       CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS ttr
+FROM term_counts
+GROUP BY source
+"""
+
+
+@query("text_ttr_by_source", sql=_TTR_SQL, tags=("text", "diversity"))
+def text_ttr_by_source(spark, sf_dir):
+    """Per-source type-token ratio and within-source hapax count — see
+    block comment."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(T.ws_tokens(F.col("text"))).alias("term")
+    )
+    tc = toks.groupBy("source", "term").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    return tc.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_types"),
+        F.count(F.when(F.col("c") == 1, 1)).cast("long").alias("n_hapax"),
+        (F.count("*").cast("double") / F.sum("c").cast("double")).alias("ttr"),
+    )

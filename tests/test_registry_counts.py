@@ -9,8 +9,8 @@ from pathlib import Path
 
 from big_data_analytics_project_spark.registry import load_all
 
-TOTAL = 269
-ORACLE = 257
+TOTAL = 275
+ORACLE = 263
 
 
 def test_counts_match_registry():

@@ -29,11 +29,17 @@ from big_data_analytics_project_spark.registry import (
 EXPECTED_WINDOW = (
     # tier 0 — never driver-green
     "maintenance_compact_files",
+    "dedup_exact_substring_shingles",
+    "window_pctrank_cumedist",
+    "stats_kendall_tau_cells",
+    "stats_cramers_v",
     "streaming_fanout_dual_sink",
     "text_source_entropy",
     "text_hapax_ratio",
     "text_zipf_slope",
     "text_term_burstiness",
+    "text_ngram_novelty",
+    "text_ttr_by_source",
     "tpch_q3_shipping_priority",
     "tpch_q4_order_priority",
     "tpch_q5_local_supplier_volume",
@@ -73,12 +79,6 @@ EXPECTED_WINDOW = (
     "agg_distinct_exact",
     "agg_rollup_orders",
     "agg_null_audit",
-    "agg_funnel_share",
-    "window_rank_topn_per_group",
-    "window_range_frame",
-    "topk_global_orders",
-    "sort_by_aggregate",
-    "math_funcs",
 )
 
 
