@@ -352,6 +352,7 @@ HEADLINE = [
     "stats_kendall_tau_cells",   # tau-b via value-domain cell reduction
     "stats_cramers_v",           # categorical association (chi² / V)
     "window_pctrank_cumedist",   # tie-aware distribution-position pair
+    "embedding_norm_outliers",   # per-label 3-sigma L2-norm audit
 ]
 
 

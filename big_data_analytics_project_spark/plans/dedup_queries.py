@@ -570,23 +570,24 @@ def dedup_exact_substring_shingles(spark, sf_dir):
             F.lit(_SUBSTR_STRIDE),
         ),
     ).otherwise(F.array().cast("array<int>"))
-    shingles = (
-        docs.select(
-            "doc_id",
-            "source",
-            F.explode(positions).alias("i"),
-            lt.alias("lt"),
+    from pyspark.sql import Window
+
+    # per-doc shingle dedup in-map (array_distinct over the generated
+    # substrings), then ONE gram-partitioned window for the per-gram doc
+    # count — two shuffles of the shingle table instead of the naive
+    # distinct + groupBy + join-back's three
+    grams_arr = F.array_distinct(
+        F.transform(
+            positions, lambda i: F.substring(lt, i, _SUBSTR_LEN)
         )
-        .select(
-            "doc_id", "source",
-            F.substring(F.col("lt"), F.col("i"), _SUBSTR_LEN).alias("gram"),
-        )
-        .distinct()
     )
-    gram_docs = shingles.groupBy("gram").agg(
-        F.count("*").cast("long").alias("n_docs_with")
+    shingles = docs.select(
+        "doc_id", "source", F.explode(grams_arr).alias("gram")
     )
-    joined = shingles.join(gram_docs, "gram")
+    joined = shingles.withColumn(
+        "n_docs_with",
+        F.count("*").over(Window.partitionBy("gram")).cast("long"),
+    )
     dup = F.count(F.when(F.col("n_docs_with") >= 2, 1))
     return joined.groupBy("source").agg(
         F.countDistinct("doc_id").alias("n_docs"),

@@ -1093,3 +1093,106 @@ def embedding_fisher_separability(spark, sf_dir):
             ),
         ).alias("f_stat"),
     )
+
+
+# --- embedding norm outlier audit -------------------------------------------
+# Degenerate embeddings (collapsed to near-zero, or exploded by a bad
+# normalization batch) show up as L2-norm outliers before they show up in
+# any downstream recall metric.  Per label: exact norm moments and a
+# 3-sigma outlier count.  Determinism chain: the norm is an order-exact
+# fold of squares (the embedding_l2_normalize rule — identical sequential
+# IEEE ops, sqrt correctly rounded), quantized once onto the 1e-6 BIGINT
+# grid; first/second moments are exact integers (the second widened
+# DECIMAL(38,0) ↔ HUGEINT → one DOUBLE cast, round-7 rule); the 3-sigma
+# threshold is the SAME double expression computed from those exact
+# integers on both engines, so the per-vector comparison can never flip
+# (mirrored-operand rule), and sqrt's argument is clamped at 0 against
+# cancellation.  Scale: one map pass + label-keyed aggregates; the stats
+# join back is broadcast (labels are few).
+
+_NORM_OUT_SQL = """
+WITH q AS (
+  SELECT label,
+         CAST(floor(sqrt(list_reduce(
+                 list_transform(embedding::DOUBLE[], x -> x * x),
+                 (a, b) -> a + b)) * 1000000.0 + 0.5) AS BIGINT) AS qn
+  FROM embeddings
+),
+stats AS (
+  SELECT label,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(qn) AS BIGINT) AS s,
+         CAST(sum(CAST(qn AS HUGEINT) * qn) AS DOUBLE) AS sq
+  FROM q GROUP BY label
+)
+SELECT CAST(st.label AS BIGINT) AS label,
+       st.n AS n_vecs,
+       round(CAST(st.s AS DOUBLE) / CAST(st.n AS DOUBLE) / 1000000.0, 6)
+         AS mean_norm,
+       CASE WHEN st.n > 1 THEN
+         round(sqrt(greatest(
+                 (st.sq - CAST(st.s AS DOUBLE) * CAST(st.s AS DOUBLE)
+                          / CAST(st.n AS DOUBLE))
+                 / (CAST(st.n AS DOUBLE) - 1.0), 0.0)) / 1000000.0, 6)
+       END AS std_norm,
+       CAST(count(CASE WHEN st.n > 1 AND CAST(q.qn AS DOUBLE)
+                    > CAST(st.s AS DOUBLE) / CAST(st.n AS DOUBLE)
+                      + 3.0 * sqrt(greatest(
+                          (st.sq - CAST(st.s AS DOUBLE) * CAST(st.s AS DOUBLE)
+                                   / CAST(st.n AS DOUBLE))
+                          / (CAST(st.n AS DOUBLE) - 1.0), 0.0))
+                  THEN 1 END) AS BIGINT) AS n_outliers
+FROM q JOIN stats st ON q.label = st.label
+GROUP BY st.label, st.n, st.s, st.sq
+"""
+
+
+@query("embedding_norm_outliers", sql=_NORM_OUT_SQL, tags=("embedding", "quality"))
+def embedding_norm_outliers(spark, sf_dir):
+    """Per-label L2-norm moments + 3-sigma outlier count — see block
+    comment."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    sq_fold = F.aggregate(
+        F.transform(F.col("embedding").cast("array<double>"), lambda x: x * x),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+    q = emb.select(
+        "label",
+        F.floor(F.sqrt(sq_fold) * 1000000.0 + F.lit(0.5))
+        .cast("long")
+        .alias("qn"),
+    )
+    stats = q.groupBy("label").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("qn").cast("long").alias("s"),
+        F.sum(F.col("qn").cast("decimal(38,0)") * F.col("qn"))
+        .cast("double")
+        .alias("sq"),
+    )
+    j = q.join(F.broadcast(stats), "label")
+    nd = F.col("n").cast("double")
+    sd_ = F.col("s").cast("double")
+    var = F.greatest(
+        (F.col("sq") - sd_ * sd_ / nd) / (nd - F.lit(1.0)), F.lit(0.0)
+    )
+    thresh = sd_ / nd + F.lit(3.0) * F.sqrt(var)
+    return j.groupBy(
+        F.col("label").cast("long").alias("label"), "n", "s", "sq"
+    ).agg(
+        F.max("n").cast("long").alias("n_vecs"),
+        F.round(F.max(sd_ / nd / F.lit(1000000.0)), 6).alias("mean_norm"),
+        F.max(
+            F.when(
+                F.col("n") > 1,
+                F.round(F.sqrt(var) / F.lit(1000000.0), 6),
+            )
+        ).alias("std_norm"),
+        F.count(
+            F.when(
+                (F.col("n") > 1) & (F.col("qn").cast("double") > thresh), 1
+            )
+        )
+        .cast("long")
+        .alias("n_outliers"),
+    ).drop("n", "s", "sq")

@@ -262,19 +262,23 @@ def text_repetition_ratio(spark, sf_dir):
     boosted = F.when(
         F.col("doc_id") % 11 == 0, F.concat_ws(" ", "text", "text")
     ).otherwise(F.col("text"))
-    toks = T.ws_tokens(boosted)
+    # materialize the token array BEFORE the per-element gram lambda —
+    # feeding the raw split expression into transform makes codegen rerun
+    # the split per element (the text_ngram_novelty 14× lesson, round 9)
+    base = docs.select("doc_id", T.ws_tokens(boosted).alias("t"))
+    tk = F.col("t")
     # when-guard: the filter below and this projection may collapse into
     # one stage, so grams must be short-doc-safe on its own (see
     # operators/text.py::ngram_repetition_ratio)
     grams = F.when(
-        F.size(toks) >= 3,
+        F.size(tk) >= 3,
         F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 2),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
+            F.sequence(F.lit(1), F.size(tk) - 2),
+            lambda i: F.concat_ws(" ", F.slice(tk, i, 3)),
         ),
     )
     return (
-        docs.select("doc_id", toks.alias("t"), grams.alias("g"))
+        base.select("doc_id", "t", grams.alias("g"))
         .where(F.size("t") >= 3)
         .select(
             "doc_id",
@@ -329,27 +333,31 @@ def vocab_top_ngrams(spark, sf_dir):
     N rows, never a full global sort.  Ties broken by the gram string so
     the cut is deterministic across engines."""
     docs = read_table(spark, sf_dir, "documents")
-    toks = T.ws_tokens(F.col("text"))
     # ONE corpus scan and ONE tokenize: unigram and bigram structs concat
     # into a single array before the explode (the earlier two-branch union
-    # scanned and re-tokenized the parquet twice — round-7 rewrite).
+    # scanned and re-tokenized the parquet twice — round-7 rewrite).  The
+    # token array is materialized to a column first — per-element lambdas
+    # over the raw split expression rerun the split per element (round-9
+    # novelty lesson: 14× on the gram build).
+    base = docs.select(T.ws_tokens(F.col("text")).alias("t"))
+    tk = F.col("t")
     grams = F.concat(
         F.transform(
-            toks, lambda t: F.struct(t.alias("gram"), F.lit(1).alias("n"))
+            tk, lambda t: F.struct(t.alias("gram"), F.lit(1).alias("n"))
         ),
         F.when(
-            F.size(toks) >= 2,
+            F.size(tk) >= 2,
             F.transform(
-                F.sequence(F.lit(1), F.size(toks) - 1),
+                F.sequence(F.lit(1), F.size(tk) - 1),
                 lambda i: F.struct(
-                    F.concat_ws(" ", F.slice(toks, i, 2)).alias("gram"),
+                    F.concat_ws(" ", F.slice(tk, i, 2)).alias("gram"),
                     F.lit(2).alias("n"),
                 ),
             ),
         ).otherwise(F.array().cast("array<struct<gram:string,n:int>>")),
     )
     counted = (
-        docs.select(F.explode(grams).alias("g"))
+        base.select(F.explode(grams).alias("g"))
         .groupBy(F.col("g.gram").alias("gram"), F.col("g.n").alias("n"))
         .agg(F.count("*").alias("freq"))
         .select("gram", F.col("n").cast("long").alias("gram_len"), "freq")
@@ -1750,26 +1758,39 @@ GROUP BY g.source
 def text_ngram_novelty(spark, sf_dir):
     """Per-source share of distinct doc trigrams first seen in an earlier
     document — see block comment."""
+    from pyspark.sql import Window
+
     docs = read_table(spark, sf_dir, "documents")
-    toks = T.ws_tokens(F.col("text"))
+    # materialize the token array ONCE before the gram transform: passing
+    # the raw ws_tokens expression into per-element lambdas makes codegen
+    # re-run the split for every element_at (14× at sf0.1: 7.1 s → 0.5 s
+    # for the gram build alone)
+    base = docs.select(
+        "doc_id", "source", T.ws_tokens(F.col("text")).alias("t")
+    )
+    tk = F.col("t")
     grams_arr = F.when(
-        F.size(toks) >= 3,
+        F.size(tk) >= 3,
         F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 2),
+            F.sequence(F.lit(1), F.size(tk) - 2),
             lambda i: F.concat_ws(
                 " ",
-                F.element_at(toks, i),
-                F.element_at(toks, i + 1),
-                F.element_at(toks, i + 2),
+                F.element_at(tk, i),
+                F.element_at(tk, i + 1),
+                F.element_at(tk, i + 2),
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    grams = (
-        docs.select("doc_id", "source", F.explode(grams_arr).alias("gram"))
-        .distinct()
+    # per-doc dedup happens IN-MAP (array_distinct before the explode) and
+    # first-seen attribution is one gram-partitioned window — two total
+    # shuffles of the gram table, vs the naive distinct + groupBy + join
+    # back (three shuffles + a join)
+    grams = base.select(
+        "doc_id", "source", F.explode(F.array_distinct(grams_arr)).alias("gram")
     )
-    first_seen = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
-    j = grams.join(first_seen, "gram")
+    j = grams.withColumn(
+        "first_doc", F.min("doc_id").over(Window.partitionBy("gram"))
+    )
     rep = F.count(F.when(F.col("first_doc") < F.col("doc_id"), 1))
     return j.groupBy("source").agg(
         F.countDistinct("doc_id").alias("n_docs"),

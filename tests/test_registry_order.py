@@ -31,6 +31,7 @@ EXPECTED_WINDOW = (
     "maintenance_compact_files",
     "dedup_exact_substring_shingles",
     "window_pctrank_cumedist",
+    "embedding_norm_outliers",
     "stats_kendall_tau_cells",
     "stats_cramers_v",
     "streaming_fanout_dual_sink",
@@ -78,7 +79,6 @@ EXPECTED_WINDOW = (
     "agg_pricing_summary",
     "agg_distinct_exact",
     "agg_rollup_orders",
-    "agg_null_audit",
 )
 
 
