@@ -353,6 +353,9 @@ HEADLINE = [
     "stats_cramers_v",           # categorical association (chi² / V)
     "window_pctrank_cumedist",   # tie-aware distribution-position pair
     "embedding_norm_outliers",   # per-label 3-sigma L2-norm audit
+    "timeseries_stl_lite",       # trend/seasonal/residual day-grid split
+    "stats_anova_oneway",        # parametric F over exact cent moments
+    "quality_bigram_logprob",    # interpolated bigram-LM fluency score
 ]
 
 

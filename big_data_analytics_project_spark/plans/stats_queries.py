@@ -1098,3 +1098,114 @@ def stats_cramers_v(spark, sf_dir):
             ).alias("cramers_v"),
         )
     )
+
+
+# --- one-way ANOVA F (parametric complement to Kruskal-Wallis) --------------
+# Between/within variance ratio of order value across the five order
+# priorities.  All moments are exact: per-group n and cent sums are
+# BIGINT; the squared-cents second moment exceeds 2^63 at fixture scale
+# already (cents² ~ 1e15 × rows), so it widens as Spark DECIMAL(38,0) ↔
+# DuckDB HUGEINT and converts to DOUBLE once (round-7 rule).  The
+# between-groups moment Σ s²/n is a 5-term sum of unequal-magnitude
+# doubles — order-sensitive, so it folds in PINNED group-name order on
+# both engines (the abtest_kruskal_wallis mirrored-fold rule; a plain
+# double SUM drifted at sf0.001).  SSB/SSW then compose through
+# identical IEEE expressions; one guarded division pair yields F,
+# rounded at 6dp (5-group low-cardinality regime).
+
+_ANOVA_SQL = """
+WITH g AS (
+  SELECT o_orderpriority AS grp,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS s,
+         -- exact wide second moment: stays HUGEINT until the ONE total sum
+         sum(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS HUGEINT)
+             * CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS sq,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+           * CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS gterm
+  FROM orders GROUP BY 1
+),
+tot AS (
+  -- gb sums the 5 per-group s²/n doubles in a PINNED group-name order
+  -- (the mirrored-fold rule: unequal-magnitude double sums are
+  -- order-sensitive, so both engines fold the same sequence)
+  SELECT CAST(sum(n) AS BIGINT) AS n,
+         CAST(sum(s) AS BIGINT) AS s,
+         CAST(sum(sq) AS DOUBLE) AS sq,
+         list_reduce(list(gterm ORDER BY grp), (a, b) -> a + b) AS gb,
+         CAST(count(*) AS BIGINT) AS k
+  FROM g
+),
+parts AS (
+  SELECT t.n, t.k,
+         t.gb - CAST(t.s AS DOUBLE) * CAST(t.s AS DOUBLE)
+                / CAST(t.n AS DOUBLE) AS ssb,
+         t.sq - t.gb AS ssw
+  FROM tot t
+)
+SELECT n, k AS k_groups,
+       round(ssb / 10000.0, 2) AS ss_between,
+       round(ssw / 10000.0, 2) AS ss_within,
+       CASE WHEN k > 1 AND n > k AND ssw > 0.0
+            THEN round((ssb / (CAST(k AS DOUBLE) - 1.0))
+                       / (ssw / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))), 6)
+       END AS f_stat
+FROM parts
+"""
+
+
+@query("stats_anova_oneway", sql=_ANOVA_SQL, tags=("stats", "anova"))
+def stats_anova_oneway(spark, sf_dir):
+    """One-way ANOVA F of order value across order priorities — see block
+    comment."""
+    o = read_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    # second moment stays DECIMAL(38,0) (exact) until the one total sum;
+    # the 5 per-group s²/n doubles sum via the PINNED group-name-ordered
+    # fold (mirrored-fold rule — unequal magnitudes make a plain double
+    # sum engine-order-dependent, caught at sf0.001)
+    g = o.groupBy(F.col("o_orderpriority").alias("grp")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(cents).cast("long").alias("s"),
+        F.sum(cents.cast("decimal(38,0)") * cents).alias("sq"),
+    ).withColumn(
+        "gterm",
+        F.col("s").cast("double")
+        * F.col("s").cast("double")
+        / F.col("n").cast("double"),
+    )
+    parts = g.agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("s").cast("long").alias("s"),
+        F.sum("sq").cast("double").alias("sq"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("grp", "gterm"))),
+                lambda x: x["gterm"],
+            ),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        ).alias("gb"),
+        F.count("*").cast("long").alias("k"),
+    )
+    nd, kd = F.col("n").cast("double"), F.col("k").cast("double")
+    ssb = F.col("gb") - F.col("s").cast("double") * F.col("s").cast(
+        "double"
+    ) / nd
+    ssw = F.col("sq") - F.col("gb")
+    # (sq: exact decimal sum cast to double once; gb: exact decimal sum of
+    # 4dp-quantized group terms — both order-free, so ssb/ssw/f compose
+    # from identical doubles on both engines)
+    return parts.select(
+        "n",
+        F.col("k").alias("k_groups"),
+        F.round(ssb / F.lit(10000.0), 2).alias("ss_between"),
+        F.round(ssw / F.lit(10000.0), 2).alias("ss_within"),
+        F.when(
+            (F.col("k") > 1) & (F.col("n") > F.col("k")) & (ssw > 0.0),
+            F.round((ssb / (kd - F.lit(1.0))) / (ssw / (nd - kd)), 6),
+        ).alias("f_stat"),
+    )

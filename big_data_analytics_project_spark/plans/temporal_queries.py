@@ -1463,3 +1463,110 @@ def timeseries_max_drawdown(spark, sf_dir):
         F.col("drawdown").cast("long").alias("max_drawdown_cents"),
         F.col("day").alias("worst_day"),
     )
+
+
+# --- STL-lite decomposition of the daily revenue series ---------------------
+# Classical trend/seasonal/residual split over the daily order-revenue
+# grid: trend = centered 7-row moving average (ROWS ±3 over the
+# day-ordered grid — row-based so calendar gaps don't change the frame
+# arity on either engine), seasonal = per-weekday mean of the detrended
+# series, residual = what's left.  The corpus reduces ONCE to the daily
+# cent grid (a few thousand rows — calendar-bounded, so the partitionless
+# window over it is the accepted day-grid pattern); every aggregate is an
+# exact BIGINT cent sum with single IEEE divisions at the edges; weekday
+# comes from exact epoch-day arithmetic ((day + 4) % 7).  round(·, 6) on
+# the composed outputs (low-cardinality grid, per determinism.md).
+
+_STL_SQL = """
+WITH daily AS (
+  SELECT CAST(floor(floor(epoch(o_orderdate)) / 86400) AS BIGINT) AS day,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1
+),
+trended AS (
+  SELECT day, cents,
+         CAST(sum(cents) OVER w AS BIGINT) AS win_cents,
+         CAST(count(*) OVER w AS BIGINT) AS win_n
+  FROM daily
+  WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+detrended AS (
+  SELECT day, cents,
+         CAST(win_cents AS DOUBLE) / CAST(win_n AS DOUBLE) / 100.0 AS trend,
+         CAST(cents AS DOUBLE) / 100.0
+           - CAST(win_cents AS DOUBLE) / CAST(win_n AS DOUBLE) / 100.0
+           AS detr,
+         (day + 4) % 7 AS dow
+  FROM trended
+),
+seasonal AS (
+  SELECT dow,
+         CAST(sum(CAST(floor(detr * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) / 100.0 AS seas
+  FROM detrended GROUP BY dow
+)
+SELECT d.day,
+       round(CAST(d.cents AS DOUBLE) / 100.0, 2) AS revenue,
+       round(d.trend, 6) AS trend,
+       round(s.seas, 6) AS seasonal,
+       round(d.detr - s.seas, 6) AS residual
+FROM detrended d JOIN seasonal s ON d.dow = s.dow
+"""
+
+
+@query("timeseries_stl_lite", sql=_STL_SQL, tags=("timeseries", "decomposition"))
+def timeseries_stl_lite(spark, sf_dir):
+    """Trend / weekday-seasonal / residual decomposition of daily revenue
+    — see block comment."""
+    from pyspark.sql import Window
+
+    o = read_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.floor(F.unix_timestamp("o_orderdate") / 86400)
+        .cast("long")
+        .alias("day")
+    ).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        )
+        .cast("long")
+        .alias("cents")
+    )
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    trended = daily.select(
+        "day",
+        "cents",
+        F.sum("cents").over(w).cast("long").alias("win_cents"),
+        F.count("*").over(w).cast("long").alias("win_n"),
+    )
+    trend = (
+        F.col("win_cents").cast("double")
+        / F.col("win_n").cast("double")
+        / F.lit(100.0)
+    )
+    detrended = trended.select(
+        "day",
+        "cents",
+        trend.alias("trend"),
+        (F.col("cents").cast("double") / F.lit(100.0) - trend).alias("detr"),
+        ((F.col("day") + 4) % 7).alias("dow"),
+    )
+    seasonal = detrended.groupBy("dow").agg(
+        (
+            F.sum(
+                F.floor(F.col("detr") * 100.0 + F.lit(0.5)).cast("long")
+            ).cast("double")
+            / F.count("*").cast("double")
+            / F.lit(100.0)
+        ).alias("seas")
+    )
+    return detrended.join(F.broadcast(seasonal), "dow").select(
+        "day",
+        F.round(F.col("cents").cast("double") / F.lit(100.0), 2).alias(
+            "revenue"
+        ),
+        F.round("trend", 6).alias("trend"),
+        F.round("seas", 6).alias("seasonal"),
+        F.round(F.col("detr") - F.col("seas"), 6).alias("residual"),
+    )

@@ -1846,3 +1846,107 @@ def text_ttr_by_source(spark, sf_dir):
         F.count(F.when(F.col("c") == 1, 1)).cast("long").alias("n_hapax"),
         (F.count("*").cast("double") / F.sum("c").cast("double")).alias("ttr"),
     )
+
+
+# --- interpolated bigram LM quality proxy -----------------------------------
+# The bigram upgrade of quality_unigram_logprob: every adjacent token
+# pair is scored by an interpolated bigram model fit on the corpus
+# itself (p = 0.9·c12/c1 + 0.1·c2/ctot, all counts over bigram
+# positions, so the model is self-contained), and documents roll up to a
+# per-source mean negative log-probability — the fluency signal that
+# separates scrambled/templated text from organic word order, which a
+# unigram model cannot see.  Scale: ONE pair scan reduces to
+# (source, w1, w2) tf cells; every model count (c12, c1, c2, total)
+# DERIVES from those cells by further aggregation — the corpus is never
+# touched again, and all joins are vocab²-sized keyed equi-joins.
+# Determinism: each type's -ln(p) rounds to 6dp and casts to
+# DECIMAL(18,6) BEFORE the tf-weighted sum (the quality_unigram_logprob
+# contract); counts are exact BIGINTs; one final division.
+
+_BIGRAM_LP_SQL = r"""
+WITH toks AS (
+  SELECT source, regexp_split_to_array(lower(text), '\s+') AS t
+  FROM documents
+),
+pairs AS (
+  SELECT source, t[i] AS w1, t[i+1] AS w2
+  FROM toks, LATERAL unnest(generate_series(1, len(t) - 1)) AS g(i)
+  WHERE len(t) >= 2
+),
+cells AS (
+  SELECT source, w1, w2, CAST(count(*) AS BIGINT) AS tf
+  FROM pairs GROUP BY source, w1, w2
+),
+big AS (SELECT w1, w2, CAST(sum(tf) AS BIGINT) AS c12 FROM cells GROUP BY w1, w2),
+ctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM big GROUP BY w1),
+nxt AS (SELECT w2, CAST(sum(c12) AS BIGINT) AS c2 FROM big GROUP BY w2),
+tot AS (SELECT CAST(sum(c12) AS DOUBLE) AS ctot FROM big),
+typed AS (
+  SELECT b.w1, b.w2,
+         CAST(round(-ln(0.9 * CAST(b.c12 AS DOUBLE) / CAST(x.c1 AS DOUBLE)
+                        + 0.1 * CAST(n.c2 AS DOUBLE) / t.ctot), 6)
+              AS DECIMAL(18,6)) AS q
+  FROM big b JOIN ctx x ON b.w1 = x.w1
+             JOIN nxt n ON b.w2 = n.w2
+             CROSS JOIN tot t
+)
+SELECT c.source,
+       CAST(sum(c.tf) AS BIGINT) AS n_bigrams,
+       CAST(sum(c.tf * ty.q) AS DOUBLE) / CAST(sum(c.tf) AS DOUBLE)
+         AS avg_neg_logprob
+FROM cells c JOIN typed ty ON c.w1 = ty.w1 AND c.w2 = ty.w2
+GROUP BY c.source
+"""
+
+
+@query("quality_bigram_logprob", sql=_BIGRAM_LP_SQL, tags=("text", "quality", "lm"))
+def quality_bigram_logprob(spark, sf_dir):
+    """Interpolated bigram-LM mean negative log-probability per source —
+    see block comment."""
+    docs = read_table(spark, sf_dir, "documents")
+    # materialize the token array before per-element lambdas (round-9 rule)
+    base = docs.select("source", T.ws_tokens(F.col("text")).alias("t"))
+    tk = F.col("t")
+    pair_arr = F.when(
+        F.size(tk) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tk) - 1),
+            lambda i: F.struct(
+                F.element_at(tk, i).alias("w1"),
+                F.element_at(tk, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    cells = (
+        base.select("source", F.explode(pair_arr).alias("p"))
+        .groupBy("source", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    big = cells.groupBy("w1", "w2").agg(F.sum("tf").cast("long").alias("c12"))
+    ctx = big.groupBy("w1").agg(F.sum("c12").cast("long").alias("c1"))
+    nxt = big.groupBy("w2").agg(F.sum("c12").cast("long").alias("c2"))
+    tot = big.agg(F.sum("c12").cast("double").alias("ctot"))
+    p = (
+        F.lit(0.9) * F.col("c12").cast("double") / F.col("c1").cast("double")
+        + F.lit(0.1) * F.col("c2").cast("double") / F.col("ctot")
+    )
+    typed = (
+        big.join(ctx, "w1")
+        .join(nxt, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1", "w2",
+            F.round(-F.log(p), 6).cast("decimal(18,6)").alias("q"),
+        )
+    )
+    return (
+        cells.join(typed, ["w1", "w2"])
+        .groupBy("source")
+        .agg(
+            F.sum("tf").cast("long").alias("n_bigrams"),
+            (
+                F.sum(F.col("tf") * F.col("q")).cast("double")
+                / F.sum("tf").cast("double")
+            ).alias("avg_neg_logprob"),
+        )
+    )

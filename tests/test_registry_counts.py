@@ -9,8 +9,8 @@ from pathlib import Path
 
 from big_data_analytics_project_spark.registry import load_all
 
-TOTAL = 276
-ORACLE = 264
+TOTAL = 279
+ORACLE = 267
 
 
 def test_counts_match_registry():

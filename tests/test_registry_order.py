@@ -34,13 +34,16 @@ EXPECTED_WINDOW = (
     "embedding_norm_outliers",
     "stats_kendall_tau_cells",
     "stats_cramers_v",
+    "stats_anova_oneway",
     "streaming_fanout_dual_sink",
+    "timeseries_stl_lite",
     "text_source_entropy",
     "text_hapax_ratio",
     "text_zipf_slope",
     "text_term_burstiness",
     "text_ngram_novelty",
     "text_ttr_by_source",
+    "quality_bigram_logprob",
     "tpch_q3_shipping_priority",
     "tpch_q4_order_priority",
     "tpch_q5_local_supplier_volume",
@@ -76,9 +79,6 @@ EXPECTED_WINDOW = (
     "join_multiway_revenue",
     "join_left_order_items",
     "join_semi_active_customers",
-    "agg_pricing_summary",
-    "agg_distinct_exact",
-    "agg_rollup_orders",
 )
 
 
