@@ -176,3 +176,30 @@ def test_text_topk_vocab_cut_is_takeordered(registry, spark, sf_dir):
                 name,
                 plan,
             )
+
+
+def test_gram_audits_have_no_join(registry, spark, sf_dir):
+    """text_ngram_novelty and dedup_exact_substring_shingles attribute
+    per-gram facts via ONE gram-partitioned window after an in-map
+    array_distinct — a regression to the distinct + groupBy + join-back
+    form would show a join operator and a third exchange."""
+    for name in ("text_ngram_novelty", "dedup_exact_substring_shingles"):
+        plan = _plan(registry, spark, sf_dir, name)
+        assert "Join" not in plan, (name, plan)
+        assert plan.count("Exchange") <= 3, (name, plan)
+
+
+def test_kendall_cells_join_is_broadcast_only(registry, spark, sf_dir):
+    """The tau-b cell×cell pair scan must be a broadcast nested loop over
+    the value-domain-bounded cell table — never a shuffled cartesian."""
+    plan = _plan(registry, spark, sf_dir, "stats_kendall_tau_cells")
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_pctrank_single_customer_exchange(registry, spark, sf_dir):
+    """window_pctrank_cumedist is one hash exchange on the customer key
+    feeding one window — no global sort, no second shuffle."""
+    plan = _plan(registry, spark, sf_dir, "window_pctrank_cumedist")
+    assert plan.count("Exchange") == 1, plan
+    assert "Window" in plan, plan
