@@ -356,6 +356,7 @@ HEADLINE = [
     "timeseries_stl_lite",       # trend/seasonal/residual day-grid split
     "stats_anova_oneway",        # parametric F over exact cent moments
     "quality_bigram_logprob",    # interpolated bigram-LM fluency score
+    "ann_ivf_nprobe_recall_curve",  # probe-depth -> recall tuning sweep
 ]
 
 

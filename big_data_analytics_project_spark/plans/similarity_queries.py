@@ -1196,3 +1196,92 @@ def embedding_norm_outliers(spark, sf_dir):
         .cast("long")
         .alias("n_outliers"),
     ).drop("n", "s", "sq")
+
+
+# --- IVF nprobe → recall tuning curve ----------------------------------------
+# The production ANN knob: how many inverted lists must a query probe
+# before recall is acceptable?  One row per nprobe ∈ {1, 2, 4, 8} with
+# the MEAN Recall@10 over the query set against the exact brute-force
+# top-10 — the curve that picks the latency/recall trade-off before a
+# deploy.  Everything reuses the pinned-centroid machinery
+# (ann_ivf_topk): list assignment and probe ranking are computed ONCE
+# and shared across the four probe depths; recall is exact integer hit
+# counts with one final division.  Scale: candidate volume per query is
+# probes × list size — the sweep multiplies query-side work only, never
+# the corpus shuffles.
+
+_NPROBE_SWEEP = (1, 2, 4, 8)
+
+
+def _nprobe_branch(n: int) -> str:
+    return f"""
+  SELECT CAST({n} AS BIGINT) AS nprobe,
+         CAST(count(DISTINCT b.query_id) AS BIGINT) AS n_queries,
+         CAST(count(i.neighbor_id) AS BIGINT) AS total_hits,
+         CAST(count(i.neighbor_id) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS mean_recall_at_10
+  FROM brute b LEFT JOIN (
+    SELECT query_id, neighbor_id FROM (
+      SELECT s.*, row_number() OVER (PARTITION BY query_id
+                 ORDER BY cosine_sim DESC, neighbor_id) AS rank
+      FROM (
+        SELECT a.vec_id AS query_id, b2.vec_id AS neighbor_id,
+               round({_COS.replace('b.v', 'b2.v')}, 6) AS cosine_sim
+        FROM (SELECT vec_id, list_id FROM ranked_d
+              WHERE rn <= {n} AND vec_id < 5) p
+        JOIN v a ON a.vec_id = p.vec_id
+        JOIN assign s2 ON s2.list_id = p.list_id
+        JOIN v b2 ON b2.vec_id = s2.vec_id
+        WHERE b2.vec_id != a.vec_id
+      ) s
+    ) WHERE rank <= 10
+  ) i ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+"""
+
+
+_NPROBE_CURVE_SQL = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT * FROM (VALUES
+    {_CENT_VALUES}) AS t(i, c)),
+dists AS (
+  SELECT v.vec_id, cent.i, {duck_l2sq("v.v", "cent.c")} AS d
+  FROM v CROSS JOIN cent
+),
+ranked_d AS (
+  SELECT vec_id, i AS list_id,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d, i) AS rn
+  FROM dists
+),
+assign AS (SELECT vec_id, list_id FROM ranked_d WHERE rn = 1),
+brute AS ({_DUCK_BRUTE_TOPK.strip()})
+{" UNION ALL ".join(_nprobe_branch(n) for n in _NPROBE_SWEEP)}
+"""
+
+
+@query(
+    "ann_ivf_nprobe_recall_curve",
+    sql=_NPROBE_CURVE_SQL,
+    tags=("similarity", "ann", "tuning"),
+)
+def ann_ivf_nprobe_recall_curve(spark, sf_dir):
+    """Mean Recall@10 per IVF probe depth (nprobe ∈ 1,2,4,8) — see block
+    comment."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 5)
+    brute = S.brute_force_topk(emb, q, k=10).select("query_id", "neighbor_id")
+    out = None
+    for n in _NPROBE_SWEEP:
+        ivf = (
+            S.ivf_topk(emb, q, k=10, nprobe=n, centroids=IVF_CENTROIDS)
+            .select("query_id", "neighbor_id")
+            .withColumn("__hit", F.lit(1))
+        )
+        row = brute.join(ivf, ["query_id", "neighbor_id"], "left").agg(
+            F.lit(n).cast("long").alias("nprobe"),
+            F.countDistinct("query_id").alias("n_queries"),
+            F.count("__hit").cast("long").alias("total_hits"),
+            (F.count("__hit").cast("double") / F.count("*").cast("double"))
+            .alias("mean_recall_at_10"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

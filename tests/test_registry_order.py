@@ -32,6 +32,7 @@ EXPECTED_WINDOW = (
     "dedup_exact_substring_shingles",
     "window_pctrank_cumedist",
     "embedding_norm_outliers",
+    "ann_ivf_nprobe_recall_curve",
     "stats_kendall_tau_cells",
     "stats_cramers_v",
     "stats_anova_oneway",
@@ -78,7 +79,6 @@ EXPECTED_WINDOW = (
     "string_funcs",
     "join_multiway_revenue",
     "join_left_order_items",
-    "join_semi_active_customers",
 )
 
 
