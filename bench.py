@@ -357,6 +357,7 @@ HEADLINE = [
     "stats_anova_oneway",        # parametric F over exact cent moments
     "quality_bigram_logprob",    # interpolated bigram-LM fluency score
     "ann_ivf_nprobe_recall_curve",  # probe-depth -> recall tuning sweep
+    "ml_kmeans_quality_contract",   # 4th MLlib contract (KMeans floors)
 ]
 
 

@@ -368,3 +368,70 @@ def ml_naive_bayes_langid(spark, sf_dir):
         F.col("actual").alias("lang_actual"),
         F.col("cand").alias("lang_pred"),
     ).agg(F.count("*").cast("long").alias("n_docs"))
+
+
+# --- KMeans under the contract pattern (4th MLlib surface) -------------------
+# Same driver-checkable shape as the RF/ALS contracts: the oracle
+# recomputes everything SQL can see (corpus size, the configured k and
+# dimensionality as shared literals) and the model side contributes
+# BOOLEAN invariants robust to float drift across partitionings — every
+# vector assigned, all k clusters non-empty, per-vector inertia under a
+# generous floor (observed ~0.93 on the fixture embeddings at both SFs;
+# floor 1.2).  Seeded MLlib KMeans is deterministic for a fixed
+# partitioning but its centroid means are float sums across partitions,
+# so VALUE-level centroids stay out of the contract (the same reasoning
+# as the RF probability exclusion, registry.ROWS_ONLY_FINAL).
+
+_KMEANS_K = 8
+_KMEANS_DIM = 64
+_KMEANS_INERTIA_FLOOR = 1.2
+
+_KMEANS_CONTRACT_SQL = f"""
+SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST({_KMEANS_K} AS BIGINT) AS k,
+       CAST({_KMEANS_DIM} AS BIGINT) AS dim,
+       CAST(TRUE AS BOOLEAN) AS assignments_complete,
+       CAST(TRUE AS BOOLEAN) AS all_clusters_used,
+       CAST(TRUE AS BOOLEAN) AS inertia_per_vec_below_floor
+FROM embeddings
+"""
+
+
+@query(
+    "ml_kmeans_quality_contract",
+    sql=_KMEANS_CONTRACT_SQL,
+    tags=("ml", "clustering", "contract"),
+)
+def ml_kmeans_quality_contract(spark, sf_dir):
+    """MLlib KMeans over the embeddings under the contract pattern — see
+    block comment."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from ..sources import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        array_to_vector(F.col("embedding").cast("array<double>")).alias(
+            "features"
+        ),
+    )
+    n = emb.count()
+    model = KMeans(
+        k=_KMEANS_K, maxIter=10, seed=42, featuresCol="features"
+    ).fit(emb)
+    preds = model.transform(emb)
+    n_assigned = preds.where(F.col("prediction").isNotNull()).count()
+    k_used = preds.select("prediction").distinct().count()
+    per_vec = model.summary.trainingCost / n if n else 0.0
+    dim = len(model.clusterCenters()[0])
+    return spark.range(1).select(
+        F.lit(n).cast("long").alias("n_vectors"),
+        F.lit(_KMEANS_K).cast("long").alias("k"),
+        F.lit(dim).cast("long").alias("dim"),
+        F.lit(bool(n_assigned == n)).alias("assignments_complete"),
+        F.lit(bool(k_used == _KMEANS_K)).alias("all_clusters_used"),
+        F.lit(bool(per_vec < _KMEANS_INERTIA_FLOOR)).alias(
+            "inertia_per_vec_below_floor"
+        ),
+    )

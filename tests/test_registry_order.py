@@ -30,6 +30,7 @@ EXPECTED_WINDOW = (
     # tier 0 — never driver-green
     "maintenance_compact_files",
     "dedup_exact_substring_shingles",
+    "ml_kmeans_quality_contract",
     "window_pctrank_cumedist",
     "embedding_norm_outliers",
     "ann_ivf_nprobe_recall_curve",
@@ -78,7 +79,6 @@ EXPECTED_WINDOW = (
     "json_extract_agg",
     "string_funcs",
     "join_multiway_revenue",
-    "join_left_order_items",
 )
 
 
