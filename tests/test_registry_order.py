@@ -27,58 +27,58 @@ from big_data_analytics_project_spark.registry import (
 # rotate out), with the four never-driver-checked rows-only streaming
 # queries lifted into the window tail for ONE round (VERDICT r5 item 4).
 EXPECTED_WINDOW = (
-    # tier 0 — never driver-green
-    "maintenance_compact_files",
-    "dedup_exact_substring_shingles",
-    "ml_kmeans_quality_contract",
-    "window_pctrank_cumedist",
-    "embedding_norm_outliers",
-    "ann_ivf_nprobe_recall_curve",
-    "stats_kendall_tau_cells",
-    "stats_cramers_v",
-    "stats_anova_oneway",
-    "streaming_fanout_dual_sink",
-    "timeseries_stl_lite",
-    "text_source_entropy",
-    "text_hapax_ratio",
-    "text_zipf_slope",
-    "text_term_burstiness",
-    "text_ngram_novelty",
-    "text_ttr_by_source",
-    "quality_bigram_logprob",
-    "tpch_q3_shipping_priority",
-    "tpch_q4_order_priority",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q6_forecast_revenue",
-    "tpch_q10_returned_items",
-    "tpch_q14_promo_effect",
-    "tpch_q18_large_volume_customer",
-    "tpch_q19_bracketed_revenue",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_product_type_profit",
-    "tpch_q13_customer_distribution",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q11_important_stock",
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q16_supplier_part_count",
-    "tpch_q20_part_promotion",
-    "tpch_q21_waiting_supplier",
-    "tpch_q22_idle_balance",
     # tier 1 — last green r04
-    "skew_salted_agg",
-    "skew_salted_join",
-    "flagship_sessionization",
-    "multimodal_binary_meta",
-    "multimodal_decode_meta",
-    "multimodal_frame_index",
-    "proj_filter_revenue",
-    "case_when_bucketing",
-    "null_impute_coalesce",
-    "json_extract_agg",
-    "string_funcs",
-    "join_multiway_revenue",
+    "join_left_order_items",
+    "join_semi_active_customers",
+    "agg_pricing_summary",
+    "agg_distinct_exact",
+    "agg_rollup_orders",
+    "agg_null_audit",
+    "agg_funnel_share",
+    "window_rank_topn_per_group",
+    "window_range_frame",
+    "topk_global_orders",
+    "sort_by_aggregate",
+    "math_funcs",
+    "conditional_funcs",
+    "array_explode_tokens",
+    "pivot_event_counts",
+    "heuristic_intent_score",
+    "dedup_subset_keys",
+    "agg_percentiles",
+    "agg_corr_covar",
+    "ann_bruteforce_topk",
+    "ann_lsh_topk",
+    "embedding_cosine_neardup",
+    "streaming_tumbling_window",
+    "streaming_session_window",
+    "text_token_stats",
+    "text_quality_scores",
+    "text_language_id",
+    "text_fingerprint",
+    "text_redact_pii",
+    "text_repetition_ratio",
+    # tier 1 — last green r05
+    "sample_hash_stratified",
+    "pack_token_budget_bins",
+    "zorder_code_events",
+    "scd2_customer_segments",
+    "unpivot_lineitem_measures",
+    "dq_constraint_audit",
+    "chunk_long_documents",
+    "dedup_exact_fingerprint",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_clusters",
+    "dedup_simhash_pairs",
+    "dedup_incremental_batch",
+    "decontaminate_benchmark_ngrams",
+    "window_nth_lag_defaults",
+    "date_arithmetic",
+    "array_funcs",
+    "text_edit_distance",
+    "union_schema_evolution",
+    "flagship_sessionization_joinform",
 )
 
 
