@@ -510,88 +510,125 @@ def dedup_keep_best_quality(spark, sf_dir):
     )
 
 
-# --- exact-substring duplication via stride shingles -----------------------
+# --- exact-substring duplication via winnowed shingles ---------------------
 # Lee et al.'s "Deduplicating Training Data Makes Language Models Better"
 # removes exact substrings >= 50 chars shared across documents using a
 # suffix array — a structure with no distributed analog.  The Spark-first
-# re-expression: character 30-gram shingles sampled every 10 chars (any
-# shared substring >= 39 chars must contain a sampled shingle from each
-# doc, so stride sampling preserves detection of long-enough overlaps),
-# grouped by the shingle string itself — a plain shingle-keyed aggregate,
-# linear in corpus size, map-side combined; nothing resembling the
-# suffix array's global sort is needed.  Per-source report: how much of
-# each source's sampled shingle mass is duplicated across documents.
+# re-expression is winnowing (Schleimer/Wilkerson/Aiken, MOSS): hash every
+# dense character 30-gram, slide a window of 10 consecutive positions, and
+# keep each window's MINIMUM hash as the fingerprint.  Selection depends
+# only on the content inside the window — never on absolute offsets — so
+# it is alignment-invariant: any substring of length >= 30 + 10 - 1 = 39
+# chars shared by two documents contains a full window of identical grams
+# in BOTH docs, whose min hash is the same value; the docs are guaranteed
+# to share that fingerprint regardless of where the substring starts.
+# (A stride-sampled earlier version only caught overlaps whose offsets
+# agreed mod the stride — ADVICE r9 medium.)  Fingerprints are the 60-bit
+# portable md5 hash (plans/_duck.hash60 == operators.dedup.md5_hash60) so
+# Spark and DuckDB select bit-identical minima.  Per-source report: how
+# much of each source's fingerprint mass is duplicated across documents.
 # Exact integers + one final division (IEEE-exact).
 
 _SUBSTR_LEN = 30
-_SUBSTR_STRIDE = 10
+_WINNOW_W = 10  # guarantee threshold = _SUBSTR_LEN + _WINNOW_W - 1 = 39 chars
 
 _SUBSTR_SQL = f"""
-WITH shingles AS (
-  SELECT DISTINCT doc_id, source,
-         substr(lower(text), i, {_SUBSTR_LEN}) AS gram
-  FROM documents,
-       LATERAL unnest(generate_series(
-         1, length(text) - {_SUBSTR_LEN} + 1, {_SUBSTR_STRIDE})) AS t(i)
-  WHERE length(text) >= {_SUBSTR_LEN}
+WITH d AS (
+  SELECT doc_id, source, lower(text) AS lt
+  FROM documents
+  WHERE length(text) >= {_SUBSTR_LEN + _WINNOW_W - 1}
 ),
-gram_docs AS (
-  SELECT gram, CAST(count(*) AS BIGINT) AS n_docs_with
-  FROM shingles GROUP BY gram
+pos AS (
+  SELECT doc_id, source, p,
+         {_duck_hash60(f"substr(lt, p, {_SUBSTR_LEN})")} AS h
+  FROM d, LATERAL unnest(generate_series(
+    1, length(lt) - {_SUBSTR_LEN - 1}, 1)) AS t(p)
+),
+wins AS (
+  SELECT doc_id, source, p,
+         min(h) OVER (PARTITION BY doc_id ORDER BY p
+                      ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING)
+           AS fp,
+         count(*) OVER (PARTITION BY doc_id) AS npos
+  FROM pos
+),
+fps AS (
+  SELECT DISTINCT doc_id, source, fp
+  FROM wins WHERE p <= npos - {_WINNOW_W - 1}
+),
+fp_docs AS (
+  SELECT fp, CAST(count(*) AS BIGINT) AS n_docs_with
+  FROM fps GROUP BY fp
 )
-SELECT s.source,
-       CAST(count(DISTINCT s.doc_id) AS BIGINT) AS n_docs,
-       CAST(count(*) AS BIGINT) AS n_shingles,
+SELECT f.source,
+       CAST(count(DISTINCT f.doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_fingerprints,
        CAST(count(CASE WHEN g.n_docs_with >= 2 THEN 1 END) AS BIGINT)
-         AS n_dup_shingles,
+         AS n_dup_fingerprints,
        CAST(count(CASE WHEN g.n_docs_with >= 2 THEN 1 END) AS DOUBLE)
          / CAST(count(*) AS DOUBLE) AS dup_share
-FROM shingles s JOIN gram_docs g ON s.gram = g.gram
-GROUP BY s.source
+FROM fps f JOIN fp_docs g ON f.fp = g.fp
+GROUP BY f.source
 """
+
+
+def winnow_fingerprints(docs):
+    """(doc_id, source, fp) winnowed fingerprints of ``docs.text`` — one
+    60-bit portable-hash fingerprint per full sliding window of
+    ``_WINNOW_W`` dense ``_SUBSTR_LEN``-gram hashes, distinct per doc.
+    Alignment-invariance (any shared substring >= 39 chars yields a shared
+    fp at ANY pair of offsets) is regression-tested in tests/test_dedup.py.
+    All per-doc work is in-map array math: dense gram hashes materialized
+    ONCE as a column (determinism.md round-9 re-split lesson — a lambda
+    over a non-materialized array recomputes it per element), sliding
+    minima via transform+slice+array_min."""
+    docs = (
+        # need at least one FULL winnowing window of dense grams
+        docs.where(F.length("text") >= _SUBSTR_LEN + _WINNOW_W - 1)
+        .withColumn("lt", F.lower("text"))
+    )
+    n_pos = F.length("lt") - F.lit(_SUBSTR_LEN - 1)
+    hashed = docs.withColumn(
+        "hs",
+        F.transform(
+            F.sequence(F.lit(1), n_pos),
+            lambda i: F.conv(
+                F.substring(F.md5(F.col("lt").substr(i, F.lit(_SUBSTR_LEN))), 1, 15),
+                16,
+                10,
+            ).cast("long"),
+        ),
+    )
+    n_wins = F.size("hs") - F.lit(_WINNOW_W - 1)
+    fps_arr = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n_wins),
+            lambda j: F.array_min(F.slice(F.col("hs"), j, _WINNOW_W)),
+        )
+    )
+    return hashed.select("doc_id", "source", F.explode(fps_arr).alias("fp"))
 
 
 @query("dedup_exact_substring_shingles", sql=_SUBSTR_SQL, tags=("dedup", "substring"))
 def dedup_exact_substring_shingles(spark, sf_dir):
-    """Cross-document exact-substring duplication via stride-sampled
-    character shingles — see block comment.  Reference-class op: training
-    corpora dedup at the substring level, not just whole-doc; this is the
-    linear shingle-join form of that audit (suffix arrays don't
-    distribute)."""
-    docs = read_table(spark, sf_dir, "documents")
-    lt = F.lower(F.col("text"))
-    # sequence(1, m, s) DESCENDS when m < 1 (determinism.md round-3 trap):
-    # guard on the doc being long enough before generating positions.
-    positions = F.when(
-        F.length("text") >= _SUBSTR_LEN,
-        F.sequence(
-            F.lit(1),
-            F.length("text") - F.lit(_SUBSTR_LEN - 1),
-            F.lit(_SUBSTR_STRIDE),
-        ),
-    ).otherwise(F.array().cast("array<int>"))
+    """Cross-document exact-substring duplication via WINNOWED character
+    shingles — see block comment and ``winnow_fingerprints``.
+    Reference-class op: training corpora dedup at the substring level, not
+    just whole-doc; winnowing is the alignment-invariant linear form of
+    that audit (suffix arrays don't distribute).  One gram-partitioned
+    window for the cross-doc count above the in-map fingerprint build —
+    join-free, <=3 exchanges (pinned in tests/test_plan_pins.py)."""
     from pyspark.sql import Window
 
-    # per-doc shingle dedup in-map (array_distinct over the generated
-    # substrings), then ONE gram-partitioned window for the per-gram doc
-    # count — two shuffles of the shingle table instead of the naive
-    # distinct + groupBy + join-back's three
-    grams_arr = F.array_distinct(
-        F.transform(
-            positions, lambda i: F.substring(lt, i, _SUBSTR_LEN)
-        )
-    )
-    shingles = docs.select(
-        "doc_id", "source", F.explode(grams_arr).alias("gram")
-    )
-    joined = shingles.withColumn(
+    fps = winnow_fingerprints(read_table(spark, sf_dir, "documents"))
+    counted = fps.withColumn(
         "n_docs_with",
-        F.count("*").over(Window.partitionBy("gram")).cast("long"),
+        F.count("*").over(Window.partitionBy("fp")).cast("long"),
     )
     dup = F.count(F.when(F.col("n_docs_with") >= 2, 1))
-    return joined.groupBy("source").agg(
+    return counted.groupBy("source").agg(
         F.countDistinct("doc_id").alias("n_docs"),
-        F.count("*").cast("long").alias("n_shingles"),
-        dup.cast("long").alias("n_dup_shingles"),
+        F.count("*").cast("long").alias("n_fingerprints"),
+        dup.cast("long").alias("n_dup_fingerprints"),
         (dup.cast("double") / F.count("*").cast("double")).alias("dup_share"),
     )

@@ -110,3 +110,28 @@ def test_tokenization_parity_on_hostile_whitespace(spark, duck):
             "select regexp_split_to_array(lower(?), '\\s+')", [c]
         ).fetchone()[0]
         assert got[c] == list(want), f"tokenization diverges on {c!r}"
+
+
+def test_winnow_fingerprints_alignment_invariant(spark):
+    """ADVICE r9 medium regression: the pre-winnowing stride sampler only
+    caught overlaps whose start offsets agreed mod the stride.  Winnowing
+    selects each window's min hash — a function of content only — so two
+    docs sharing a >=39-char substring at DIFFERENT offsets (here shifted
+    by 3, the old sampler's worst case) must share a fingerprint."""
+    from big_data_analytics_project_spark.plans.dedup_queries import (
+        winnow_fingerprints,
+    )
+
+    shared = "the quick brown fox jumps over the lazy dog again and again"  # 60 chars
+    rows = [
+        (1, "srcA", "xyz" + shared + " tail one padding material here"),
+        (2, "srcB", shared + " completely different ending text over here"),
+        (3, "srcC", "no overlap with anything else in this corpus at all"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    fps = winnow_fingerprints(docs).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert by_doc[1] & by_doc[2], "misaligned 60-char overlap must share a fingerprint"
+    assert not (by_doc[3] & (by_doc[1] | by_doc[2])), "unrelated doc must not collide"
