@@ -435,19 +435,26 @@ def main() -> None:
     # (the driver writes CORRECTNESS at round close); re-runs within a
     # round overwrite the same snapshot — last wins.  Feed two snapshots
     # to scripts/bench_compare.py (accepts bare 'r08'-style tokens).
+    # A bench re-run AFTER the driver has already dropped CORRECTNESS_rN
+    # (i.e. it measures round N, not N+1) must pin its target explicitly:
+    # SPARK_GRAFT_BENCH_ROUND=N (ADVICE r9: the r9 close-sweep snapshot
+    # had to be placed by hand while a stray r10.json appeared).
     import glob
     import re
 
-    closed = [
-        int(m.group(1))
-        for p in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))
-        if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p))
-    ]
+    round_env = os.environ.get("SPARK_GRAFT_BENCH_ROUND")
+    if round_env:
+        snap_round = int(round_env)
+    else:
+        closed = [
+            int(m.group(1))
+            for p in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))
+            if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p))
+        ]
+        snap_round = max(closed, default=0) + 1
     hist_dir = os.path.join(repo, "bench_history")
     os.makedirs(hist_dir, exist_ok=True)
-    with open(
-        os.path.join(hist_dir, f"r{max(closed, default=0) + 1:02d}.json"), "w"
-    ) as f:
+    with open(os.path.join(hist_dir, f"r{snap_round:02d}.json"), "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
     for name in HEADLINE:
         print(f"# {name}: {timings[name]}")

@@ -10,6 +10,19 @@ absolute delta exceeds 0.2 s (sub-overhead noise is not a regression).
 
 The driver records one bench per round; keep each round's
 bench_queries.json aside (they're gitignored) to feed this.
+
+Round-numbering convention for bench_history/ (VERDICT r9 item 5):
+``bench_history/rN.json`` holds the run measured DURING round N's build
+window.  The builder's close-sweep snapshot for round N therefore lands
+in ``rN.json``, while the driver's end-of-round bench — which runs AFTER
+``CORRECTNESS_rN.json`` exists and is summarized in ``BENCH_rN.json`` —
+lands in ``r(N+1).json`` (bench.py infers "current round" as latest
+CORRECTNESS + 1).  So ``r09.json`` (builder, 163.8 s) and ``r10.json``
+(driver, = BENCH_r09's 167.7 s) are BOTH round-9 measurements, one
+pre-close and one post-close.  When both files exist, the invariant
+"sum(bench_history/r{N+1}) == BENCH_rN's parsed headline total" is
+pinned by tests/test_bench_headline.py.  A post-close re-run that should
+overwrite rN instead of r(N+1) sets ``SPARK_GRAFT_BENCH_ROUND=N``.
 """
 
 from __future__ import annotations

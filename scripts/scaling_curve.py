@@ -29,6 +29,15 @@ def main() -> None:
 
     from bench import HEADLINE
 
+    # SPARK_GRAFT_AUDIT_ONLY=a,b,c audits a subset (splice rows into the
+    # doc by hand; full-HEADLINE refreshes stay the per-round batch job)
+    only = os.environ.get("SPARK_GRAFT_AUDIT_ONLY")
+    if only:
+        names = [n for n in only.split(",") if n]
+        missing = [n for n in names if n not in HEADLINE]
+        assert not missing, f"not in HEADLINE: {missing}"
+        HEADLINE = names
+
     from big_data_analytics_project_spark.registry import load_all
     from big_data_analytics_project_spark.session import get_spark
 

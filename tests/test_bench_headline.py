@@ -65,3 +65,33 @@ def test_readme_quotes_latest_bench_round():
         f"README cites BENCH_r{m.group(1)} but BENCH_r{latest:02d}.json is "
         "the newest — refresh the bench sentence"
     )
+
+
+def test_bench_history_driver_snapshot_matches_bench_round():
+    """bench_history round convention (see scripts/bench_compare.py
+    docstring): the driver's end-of-round bench for round N is summarized
+    in BENCH_rN.json but snapshotted as bench_history/r(N+1).json, because
+    bench.py infers the round as latest CORRECTNESS + 1 and CORRECTNESS_rN
+    already exists when the driver benches.  When both files exist, their
+    totals must agree — a mismatch means a post-close re-run clobbered the
+    driver snapshot without SPARK_GRAFT_BENCH_ROUND."""
+    import json
+
+    repo = Path(__file__).resolve().parent.parent
+    latest = max(
+        int(re.search(r"BENCH_r(\d+)", p.name).group(1))
+        for p in repo.glob("BENCH_r*.json")
+    )
+    hist = repo / "bench_history" / f"r{latest + 1:02d}.json"
+    if not hist.exists():
+        return  # driver snapshot not yet taken for the newest round
+    bench = json.loads((repo / f"BENCH_r{latest:02d}.json").read_text())
+    m = re.search(r'\{"metric": "headline_total".*', bench.get("tail", ""))
+    assert m, f"BENCH_r{latest:02d}.json tail has no headline JSON line"
+    driver_total = json.loads(m.group(0))["value"]
+    hist_total = round(sum(json.loads(hist.read_text())["queries"].values()), 3)
+    assert abs(hist_total - driver_total) < 0.02, (
+        f"bench_history/r{latest + 1:02d}.json sums {hist_total} but "
+        f"BENCH_r{latest:02d} parsed {driver_total} — post-close re-run "
+        "without SPARK_GRAFT_BENCH_ROUND?"
+    )
