@@ -346,7 +346,7 @@ HEADLINE = [
     "date_parts_agg",            # datetime extraction + group
     "set_union_all",             # set-op family delegate
     # round-9 additions
-    "dedup_exact_substring_shingles",  # stride-shingle substring dedup
+    "dedup_exact_substring_shingles",  # winnowed substring dedup (r10 rewrite)
     "text_ngram_novelty",        # cross-doc first-seen trigram audit
     "text_ttr_by_source",        # per-source type-token ratio
     "stats_kendall_tau_cells",   # tau-b via value-domain cell reduction
@@ -358,6 +358,8 @@ HEADLINE = [
     "quality_bigram_logprob",    # interpolated bigram-LM fluency score
     "ann_ivf_nprobe_recall_curve",  # probe-depth -> recall tuning sweep
     "ml_kmeans_quality_contract",   # 4th MLlib contract (KMeans floors)
+    # round-10 additions
+    "dedup_against_signature_index",  # persisted-index anti-join dedup
 ]
 
 

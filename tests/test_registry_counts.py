@@ -9,8 +9,8 @@ from pathlib import Path
 
 from big_data_analytics_project_spark.registry import load_all
 
-TOTAL = 281
-ORACLE = 269
+TOTAL = 282
+ORACLE = 270
 
 
 def test_counts_match_registry():

@@ -27,6 +27,8 @@ from big_data_analytics_project_spark.registry import (
 # rotate out), with the four never-driver-checked rows-only streaming
 # queries lifted into the window tail for ONE round (VERDICT r5 item 4).
 EXPECTED_WINDOW = (
+    # tier 0 — never driver-green
+    "dedup_against_signature_index",
     # tier 1 — last green r04
     "join_left_order_items",
     "join_semi_active_customers",
@@ -78,7 +80,6 @@ EXPECTED_WINDOW = (
     "array_funcs",
     "text_edit_distance",
     "union_schema_evolution",
-    "flagship_sessionization_joinform",
 )
 
 
