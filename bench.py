@@ -360,6 +360,13 @@ HEADLINE = [
     "ml_kmeans_quality_contract",   # 4th MLlib contract (KMeans floors)
     # round-10 additions
     "dedup_against_signature_index",  # persisted-index anti-join dedup
+    "dedup_substring_pair_overlap",   # winnowed-fp pair ranking, df-capped
+    "decontaminate_substring_winnow", # char-level benchmark contamination
+    "text_heaps_law_fit",             # vocab-growth OLS across sources
+    "embedding_anisotropy_audit",     # pair-free avg pairwise cosine
+    "curation_dup_rate_by_quality_band",  # dup share per quality band
+    "stats_mann_kendall_monthly",     # exact-integer trend test
+    "ml_logreg_quality_contract",     # 5th MLlib contract (LR, 2-class)
 ]
 
 

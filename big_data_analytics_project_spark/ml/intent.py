@@ -173,3 +173,52 @@ def tune_intent_model(
         for pm, m in zip(grid, fitted.validationMetrics)
     ]
     return fitted.bestModel, rows
+
+
+def train_logreg_model(
+    features: DataFrame,
+    max_iter: int = 50,
+    reg_param: float = 0.01,
+    seed: int = 42,
+):
+    """Logistic-regression twin of ``train_intent_model`` (5th MLlib
+    surface under the contract pattern): same FEATURES assembly, same
+    seeded 80/20 split, LBFGS-fit LR.  LR is the scale-default baseline
+    classifier — one pass per iteration, no per-tree shuffles — so a
+    deployment would A/B it against the RF before paying tree training
+    at 100 TB.  Returns (model, IntentMetrics)."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.evaluation import (
+        BinaryClassificationEvaluator,
+        MulticlassClassificationEvaluator,
+    )
+    from pyspark.ml.feature import VectorAssembler
+
+    assembler = VectorAssembler(inputCols=FEATURES, outputCol="features")
+    data = assembler.transform(features.fillna(0)).select("label", "features")
+    train, test = data.randomSplit([0.8, 0.2], seed=seed)
+    train = train.cache()
+    test = test.cache()
+    lr = LogisticRegression(
+        labelCol="label",
+        featuresCol="features",
+        maxIter=max_iter,
+        regParam=reg_param,
+    )
+    model = lr.fit(train)
+    pred = model.transform(test).cache()
+    auc = BinaryClassificationEvaluator(
+        labelCol="label", metricName="areaUnderROC"
+    ).evaluate(pred)
+    mc = MulticlassClassificationEvaluator(
+        labelCol="label", predictionCol="prediction"
+    )
+    metrics = IntentMetrics(
+        auc=auc,
+        f1=mc.evaluate(pred, {mc.metricName: "f1"}),
+        weighted_recall=mc.evaluate(pred, {mc.metricName: "weightedRecall"}),
+        accuracy=mc.evaluate(pred, {mc.metricName: "accuracy"}),
+        n_train=train.count(),
+        n_test=test.count(),
+    )
+    return model, metrics

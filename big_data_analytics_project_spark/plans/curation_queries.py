@@ -2705,3 +2705,98 @@ def sample_neyman_allocation(spark, sf_dir):
         .cast("long")
         .alias("alloc_n"),
     )
+
+
+# --- duplication rate by quality band ---------------------------------------
+# Curation insight query: ARE low-quality documents more duplicated?
+# (In web corpora they overwhelmingly are — boilerplate, SEO spam, error
+# pages — so dedup and quality filtering overlap, and their joint budget
+# effect should be measured, not assumed.)  Composes the exact-fingerprint
+# dedup key with the heuristic quality score: per quality band
+# (floor(q*10), capped to 9), the share of docs whose fingerprint occurs
+# >= 2x in the corpus.  Fixture plants whitespace variants of every 7th
+# doc (same roles as dedup_exact_fingerprint).  One fingerprint window +
+# one band aggregate; everything map-side before the two keyed exchanges.
+
+_DUP_BY_QUALITY_SQL = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text || '  .' AS text
+  FROM documents WHERE doc_id % 7 = 0
+),
+scored AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+           AS fingerprint,
+         round(least(length(text)::DOUBLE / 500.0, 1.0) * 0.4
+               + least(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                       x -> list_contains(['the','a','of','to','and','in','is','it'], x)))::DOUBLE
+                       / len(regexp_split_to_array(lower(text), '\\s+')) * 4, 1.0) * 0.3
+               + greatest(1.0 - (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE
+                          / length(text) * 10, 0.0) * 0.3, 6) AS q
+  FROM corpus
+),
+flagged AS (
+  SELECT doc_id, q,
+         CAST(least(floor(q * 10.0), 9.0) AS BIGINT) AS band,
+         count(*) OVER (PARTITION BY fingerprint) >= 2 AS is_dup
+  FROM scored
+)
+SELECT band,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(CASE WHEN is_dup THEN 1 END) AS BIGINT) AS n_dups,
+       round(CAST(count(CASE WHEN is_dup THEN 1 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS dup_share,
+       round(CAST(sum(CAST(q AS DECIMAL(18,6))) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS avg_quality
+FROM flagged GROUP BY band
+"""
+
+
+@query(
+    "curation_dup_rate_by_quality_band",
+    sql=_DUP_BY_QUALITY_SQL,
+    tags=("curation", "dedup", "quality"),
+)
+def curation_dup_rate_by_quality_band(spark, sf_dir):
+    """Duplication rate per quality band — see block comment."""
+    from pyspark.sql import Window
+
+    from ..operators.text import normalized_fingerprint, quality_score, ws_tokens
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    variants = docs.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit("  .")).alias("text"),
+    )
+    corpus = docs.unionByName(variants)
+    scored = corpus.select(
+        "doc_id",
+        normalized_fingerprint(F.col("text")).alias("fingerprint"),
+        F.round(
+            quality_score(F.col("text"), ws_tokens(F.col("text"))), 6
+        ).alias("q"),
+    )
+    flagged = scored.select(
+        "q",
+        F.least(F.floor(F.col("q") * 10.0), F.lit(9.0))
+        .cast("long")
+        .alias("band"),
+        (F.count("*").over(Window.partitionBy("fingerprint")) >= 2).alias(
+            "is_dup"
+        ),
+    )
+    dup = F.count(F.when(F.col("is_dup"), 1))
+    return flagged.groupBy("band").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        dup.cast("long").alias("n_dups"),
+        F.round(dup.cast("double") / F.count("*").cast("double"), 6).alias(
+            "dup_share"
+        ),
+        F.round(
+            F.sum(F.col("q").cast("decimal(18,6)")).cast("double")
+            / F.count("*").cast("double"),
+            6,
+        ).alias("avg_quality"),
+    )

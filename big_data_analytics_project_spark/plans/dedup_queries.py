@@ -572,8 +572,8 @@ GROUP BY f.source
 """
 
 
-def winnow_fingerprints(docs):
-    """(doc_id, source, fp) winnowed fingerprints of ``docs.text`` — one
+def winnow_fingerprints(docs, id_cols=("doc_id", "source")):
+    """(*id_cols, fp) winnowed fingerprints of ``docs.text`` — one
     60-bit portable-hash fingerprint per full sliding window of
     ``_WINNOW_W`` dense ``_SUBSTR_LEN``-gram hashes, distinct per doc.
     Alignment-invariance (any shared substring >= 39 chars yields a shared
@@ -606,7 +606,7 @@ def winnow_fingerprints(docs):
             lambda j: F.array_min(F.slice(F.col("hs"), j, _WINNOW_W)),
         )
     )
-    return hashed.select("doc_id", "source", F.explode(fps_arr).alias("fp"))
+    return hashed.select(*id_cols, F.explode(fps_arr).alias("fp"))
 
 
 @query("dedup_exact_substring_shingles", sql=_SUBSTR_SQL, tags=("dedup", "substring"))
@@ -728,4 +728,168 @@ def dedup_against_signature_index(spark, sf_dir):
     new_sigs = batch_sig.join(persisted_index, "fp", "left_anti")
     return persisted_index.withColumn("origin", F.lit("index")).unionByName(
         new_sigs.withColumn("origin", F.lit("batch"))
+    )
+
+
+def _duck_winnow_cte(docs_cte: str) -> str:
+    """DuckDB CTE fragment computing winnowed fingerprints (pos/wins/fps,
+    see the winnowing block comment above) of a CTE exposing
+    (doc_id, text).  fps = (doc_id, fp), distinct per doc."""
+    return f"""
+pos AS (
+  SELECT doc_id, p,
+         {_duck_hash60(f"substr(lower(text), p, {_SUBSTR_LEN})")} AS h
+  FROM {docs_cte}, LATERAL unnest(generate_series(
+    1, length(text) - {_SUBSTR_LEN - 1}, 1)) AS t(p)
+  WHERE length(text) >= {_SUBSTR_LEN + _WINNOW_W - 1}
+),
+wins AS (
+  SELECT doc_id, p,
+         min(h) OVER (PARTITION BY doc_id ORDER BY p
+                      ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING)
+           AS fp,
+         count(*) OVER (PARTITION BY doc_id) AS npos
+  FROM pos
+),
+fps AS (
+  SELECT DISTINCT doc_id, fp FROM wins WHERE p <= npos - {_WINNOW_W - 1}
+)"""
+
+
+# --- substring-overlap pair ranking over winnowed fingerprints --------------
+# Which document PAIRS share long exact substrings?  The winnowed
+# fingerprint table is the linear-cost index; a pair sharing k
+# fingerprints shares (roughly) k distinct >=39-char regions.  Boilerplate
+# grams shared by many docs are CAPPED OUT (fp doc-frequency 2..20) so the
+# per-fingerprint self-join is bucket-bounded — the same candidate-bound
+# trick as MinHash-LSH banding; at 100 TB the cap keeps the pair
+# explosion at sum_f min(df_f, 20)^2 instead of sum df^2.  The fixture
+# plants offset-shifted copies ('PREFIX>> ' = 9 chars, deliberately not a
+# multiple of the old stride) of every 11th doc, which ONLY an
+# alignment-invariant sampler pairs with its original.
+
+_PAIR_MAX_DF = 20
+_PAIR_MIN_SHARED = 3
+
+_SUBSTR_PAIRS_SQL = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 3000000 AS doc_id, 'PREFIX>> ' || text AS text
+  FROM documents WHERE doc_id % 11 = 0
+),
+{_duck_winnow_cte("corpus")},
+fp_docs AS (
+  SELECT fp, count(*) AS nd FROM fps GROUP BY fp
+),
+keep AS (
+  SELECT f.doc_id, f.fp
+  FROM fps f JOIN fp_docs d ON f.fp = d.fp
+  WHERE d.nd BETWEEN 2 AND {_PAIR_MAX_DF}
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(count(*) AS BIGINT) AS n_shared_fps
+FROM keep a JOIN keep b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= {_PAIR_MIN_SHARED}
+"""
+
+
+@query(
+    "dedup_substring_pair_overlap",
+    sql=_SUBSTR_PAIRS_SQL,
+    tags=("dedup", "substring", "pairs"),
+)
+def dedup_substring_pair_overlap(spark, sf_dir):
+    """Document pairs ranked by shared winnowed fingerprints — see block
+    comment.  Plan: in-map winnowing (no join), ONE fp-partitioned window
+    for the doc-frequency cap, one capped fp equi-self-join, pair
+    aggregate."""
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    variants = docs.where(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"),
+        F.concat(F.lit("PREFIX>> "), F.col("text")).alias("text"),
+    )
+    corpus = docs.unionByName(variants)
+    fps = winnow_fingerprints(corpus, id_cols=("doc_id",))
+    capped = (
+        fps.withColumn("nd", F.count("*").over(Window.partitionBy("fp")))
+        .where((F.col("nd") >= 2) & (F.col("nd") <= _PAIR_MAX_DF))
+        .select("doc_id", "fp")
+    )
+    a = capped.select(F.col("doc_id").alias("id_a"), "fp")
+    b = capped.select(F.col("doc_id").alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("long").alias("n_shared_fps"))
+        .where(F.col("n_shared_fps") >= _PAIR_MIN_SHARED)
+    )
+
+
+# --- substring-level benchmark decontamination ------------------------------
+# The 13-gram decontamination above works at word level; verbatim leaks
+# that survive re-tokenization (markup changes, joined/split words) are
+# caught at the CHARACTER level by the same winnowed-fingerprint index:
+# flag corpus docs sharing any >=39-char substring with a benchmark doc.
+# Benchmark side is tiny → broadcast; corpus side never self-joins.
+
+_SUBSTR_DECON_SQL = f"""
+WITH bench_docs AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 31 = 0
+),
+corpus_docs AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 31 <> 0
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, 'Q: ' || text AS text
+  FROM documents WHERE doc_id % 62 = 0
+),
+all_docs AS (
+  SELECT * FROM bench_docs UNION ALL SELECT * FROM corpus_docs
+),
+{_duck_winnow_cte("all_docs")},
+bench_fps AS (
+  SELECT DISTINCT fp FROM fps WHERE doc_id % 31 = 0 AND doc_id < 2000000
+),
+corpus_fps AS (
+  SELECT doc_id, fp FROM fps
+  WHERE doc_id >= 2000000 OR doc_id % 31 <> 0
+)
+SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_bench_fps
+FROM corpus_fps c JOIN bench_fps b ON c.fp = b.fp
+GROUP BY c.doc_id
+"""
+
+
+@query(
+    "decontaminate_substring_winnow",
+    sql=_SUBSTR_DECON_SQL,
+    tags=("dedup", "decontamination", "substring"),
+)
+def decontaminate_substring_winnow(spark, sf_dir):
+    """Character-level benchmark decontamination via winnowed
+    fingerprints — see block comment.  Fixture roles mirror
+    decontaminate_benchmark_ngrams (benchmark = every 31st doc) plus
+    planted 'Q: '-prefixed copies of every 62nd doc in the corpus, which
+    only an alignment-invariant sampler flags.  Output: contaminated
+    corpus doc → number of benchmark fingerprints it shares."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bench_docs = docs.where(F.col("doc_id") % 31 == 0)
+    planted = docs.where(F.col("doc_id") % 62 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(F.lit("Q: "), F.col("text")).alias("text"),
+    )
+    corpus_docs = docs.where(F.col("doc_id") % 31 != 0).unionByName(planted)
+
+    bench_fps = winnow_fingerprints(bench_docs, id_cols=("doc_id",)).select(
+        "fp"
+    ).distinct()
+    corpus_fps = winnow_fingerprints(corpus_docs, id_cols=("doc_id",))
+    return (
+        corpus_fps.join(F.broadcast(bench_fps), "fp")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_bench_fps"))
     )

@@ -435,3 +435,95 @@ def ml_kmeans_quality_contract(spark, sf_dir):
             "inertia_per_vec_below_floor"
         ),
     )
+
+
+# --- logistic regression under the contract pattern (5th MLlib surface) -----
+# Same shape as the RF contract, but on a target the fixture makes
+# genuinely TWO-class: "early converter" = first purchase within the
+# user's first 5 events (the flagship label is single-class here — every
+# user eventually purchases — which drives an unregularized-intercept fit
+# to +inf; a real two-class target lets the contract assert the
+# divergence check production LR gates on: every coefficient finite).
+# LR is the 100 TB baseline classifier — one aggregation pass per LBFGS
+# iteration, no per-tree shuffles.  The oracle recomputes the exact
+# label-table shape; floors 0.90 (measured AUC 1.0 / acc 0.97 at sf0.01,
+# 1.0/1.0 at sf0.001 — pre-conversion feature counts separate early
+# converters structurally: their kept history is <= 5 events).
+
+_LOGREG_MAX_ITER = 50
+_EARLY_K = 5
+
+_LOGREG_CONTRACT_SQL = f"""
+WITH pos AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+lab AS (
+  SELECT user_id,
+         CAST(max(CASE WHEN event_type = \'purchase\' AND rn <= {_EARLY_K}
+                       THEN 1 ELSE 0 END) AS BIGINT) AS label
+  FROM pos GROUP BY user_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(label) AS BIGINT) AS n_positive,
+       CAST({_LOGREG_MAX_ITER} AS BIGINT) AS max_iter,
+       CAST(8 AS BIGINT) AS n_features,
+       CAST(TRUE AS BOOLEAN) AS auc_ge_090,
+       CAST(TRUE AS BOOLEAN) AS accuracy_ge_090,
+       CAST(TRUE AS BOOLEAN) AS coefficients_finite,
+       CAST(TRUE AS BOOLEAN) AS split_nonempty
+FROM lab
+"""
+
+
+@query(
+    "ml_logreg_quality_contract",
+    sql=_LOGREG_CONTRACT_SQL,
+    tags=("ml", "contract"),
+)
+def ml_logreg_quality_contract(spark, sf_dir):
+    """Logistic-regression quality contract on the early-converter
+    target — see block comment."""
+    import math
+
+    from pyspark.sql import Window
+
+    from ..ml.intent import FEATURES, build_feature_table, train_logreg_model
+    from ..sources import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lab = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("rn") <= _EARLY_K),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("label")
+        )
+    )
+    feats = (
+        build_feature_table(spark, sf_dir)
+        .drop("label")
+        .join(lab, "user_id")
+    )
+    model, m = train_logreg_model(feats, max_iter=_LOGREG_MAX_ITER)
+    coefs = list(model.coefficients) + [model.intercept]
+    finite = all(math.isfinite(c) for c in coefs)
+    return lab.agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum("label").cast("long").alias("n_positive"),
+        F.lit(_LOGREG_MAX_ITER).cast("long").alias("max_iter"),
+        F.lit(len(FEATURES)).cast("long").alias("n_features"),
+        F.lit(bool(m.auc >= 0.90)).alias("auc_ge_090"),
+        F.lit(bool(m.accuracy >= 0.90)).alias("accuracy_ge_090"),
+        F.lit(bool(finite)).alias("coefficients_finite"),
+        F.lit(bool(m.n_train > 0 and m.n_test > 0)).alias("split_nonempty"),
+    )

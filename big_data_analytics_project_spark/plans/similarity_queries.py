@@ -1344,3 +1344,133 @@ def ann_ivf_nprobe_recall_curve(spark, sf_dir):
             .alias("mean_recall_at_10"),
         )
     )
+
+
+# --- embedding anisotropy audit ---------------------------------------------
+# Ethayarajh-style anisotropy: contextual/learned embedding spaces often
+# collapse into a narrow cone, making raw cosine uninformative.  The two
+# standard per-label diagnostics, both computable in ONE pass without any
+# pair scan: ||mean direction|| (length of the average unit vector, 0 =
+# isotropic, 1 = fully collapsed) and the average pairwise cosine, exactly
+# recovered from the identity  ||Σx̂||² = Σ||x̂||² + 2·Σ_{i<j} x̂ᵢ·x̂ⱼ  —
+# so the N² pair sum falls out of a d-dimensional component sum.  At
+# 100 TB this is a map + one (label, dim)-keyed aggregate; nothing scales
+# with pairs.  Determinism: components of each unit vector are
+# micro-quantized to BIGINT (floor(x·1e6 + .5)); all sums exact
+# (DECIMAL(38,0) for the squared totals); divisions at the end.
+
+_ANISO_SQL = """
+WITH base AS (
+  SELECT vec_id, label,
+         embedding AS e,
+         sqrt(list_sum(list_transform(embedding,
+                                      x -> CAST(x AS DOUBLE) * x))) AS nrm
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id, label,
+         list_transform(e, x -> CAST(floor(CAST(x AS DOUBLE) / nrm
+                                           * 1000000.0 + 0.5) AS BIGINT)) AS qv
+  FROM base WHERE nrm > 0
+),
+self_sq AS (
+  SELECT label,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(list_sum(list_transform(qv, c -> c * c)))
+              AS DECIMAL(38,0)) AS self_q
+  FROM q GROUP BY label
+),
+comps AS (
+  SELECT label, i AS pos, CAST(sum(qv[i]) AS BIGINT) AS s
+  FROM q, LATERAL unnest(generate_series(1, len(qv))) AS t(i)
+  GROUP BY label, i
+),
+tot AS (
+  SELECT label, CAST(sum(CAST(s AS DECIMAL(38,0)) * s) AS DOUBLE) AS s2
+  FROM comps GROUP BY label
+)
+SELECT CAST(a.label AS BIGINT) AS label,
+       a.n AS n_vecs,
+       round(sqrt(t.s2) / CAST(a.n AS DOUBLE) / 1000000.0, 6)
+         AS mean_direction_norm,
+       CASE WHEN a.n > 1
+            THEN round((t.s2 - CAST(a.self_q AS DOUBLE))
+                       / 1000000000000.0
+                       / (CAST(a.n AS DOUBLE) * CAST(a.n - 1 AS DOUBLE)), 6)
+       END AS avg_pairwise_cosine
+FROM self_sq a JOIN tot t ON a.label = t.label
+"""
+
+
+@query(
+    "embedding_anisotropy_audit",
+    sql=_ANISO_SQL,
+    tags=("embedding", "audit", "anisotropy"),
+)
+def embedding_anisotropy_audit(spark, sf_dir):
+    """Per-label anisotropy diagnostics (mean-direction norm + exact
+    average pairwise cosine WITHOUT a pair scan) — see block comment."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    ed = F.col("embedding").cast("array<double>")
+    base = emb.select(
+        "vec_id",
+        "label",
+        ed.alias("e"),
+        F.sqrt(
+            F.aggregate(
+                F.transform(ed, lambda x: x * x),
+                F.lit(0.0),
+                lambda a, b: a + b,
+            )
+        ).alias("nrm"),
+    ).where(F.col("nrm") > 0)
+    # quantized unit vector, materialized so downstream folds read elements
+    q = base.withColumn(
+        "qv",
+        F.transform(
+            F.col("e"),
+            lambda x: F.floor(x / F.col("nrm") * 1000000.0 + F.lit(0.5)).cast(
+                "long"
+            ),
+        ),
+    )
+    self_sq = q.groupBy("label").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(
+            F.aggregate(
+                F.transform(F.col("qv"), lambda c: c * c),
+                F.lit(0).cast("long"),
+                lambda a, b: a + b,
+            )
+        )
+        .cast("decimal(38,0)")
+        .alias("self_q"),
+    )
+    comps = (
+        q.select("label", F.posexplode("qv").alias("pos", "qc"))
+        .groupBy("label", "pos")
+        .agg(F.sum("qc").cast("long").alias("s"))
+    )
+    tot = comps.groupBy("label").agg(
+        F.sum(F.col("s").cast("decimal(38,0)") * F.col("s"))
+        .cast("double")
+        .alias("s2")
+    )
+    j = self_sq.join(tot, "label")
+    nd = F.col("n").cast("double")
+    return j.select(
+        F.col("label").cast("long").alias("label"),
+        F.col("n").alias("n_vecs"),
+        F.round(F.sqrt(F.col("s2")) / nd / 1000000.0, 6).alias(
+            "mean_direction_norm"
+        ),
+        F.when(
+            F.col("n") > 1,
+            F.round(
+                (F.col("s2") - F.col("self_q").cast("double"))
+                / 1000000000000.0
+                / (nd * (nd - F.lit(1.0))),
+                6,
+            ),
+        ).alias("avg_pairwise_cosine"),
+    )

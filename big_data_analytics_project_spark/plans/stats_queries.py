@@ -1209,3 +1209,108 @@ def stats_anova_oneway(spark, sf_dir):
             F.round((ssb / (kd - F.lit(1.0))) / (ssw / (nd - kd)), 6),
         ).alias("f_stat"),
     )
+
+
+# --- Mann-Kendall monotone trend test ----------------------------------------
+# Nonparametric trend detection on the monthly revenue series: S = number
+# of concordant minus discordant month pairs, variance with the exact tie
+# correction, normal-approximation z.  The fact table reduces ONCE to
+# ~n_months exact DECIMAL cells; the pair scan is a broadcast self-join
+# over that month-domain-bounded cell table (same bounding argument as
+# Kendall tau-b above — at 100 TB the pair stage is months², independent
+# of row count).  Everything integer-exact until the final z division:
+# sign() on exact decimals, S as BIGINT, Var(S)·18 kept as a BIGINT so no
+# engine divides early; sqrt/division are IEEE-identical at the end.
+
+_MK_SQL = """
+WITH monthly AS (
+  SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS ym,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders GROUP BY 1
+),
+pairs AS (
+  SELECT CAST(sum(CASE WHEN b.rev > a.rev THEN 1
+                       WHEN b.rev < a.rev THEN -1 ELSE 0 END) AS BIGINT) AS s
+  FROM monthly a JOIN monthly b ON a.ym < b.ym
+),
+ties AS (
+  SELECT CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+           AS tie_term
+  FROM (
+    SELECT CAST(count(*) AS BIGINT) AS t FROM monthly GROUP BY rev
+  ) WHERE t > 1
+),
+base AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM monthly
+)
+SELECT base.n AS n_months,
+       pairs.s AS s_stat,
+       base.n * (base.n - 1) * (2 * base.n + 5) - ties.tie_term
+         AS var_s_x18,
+       CASE WHEN base.n * (base.n - 1) * (2 * base.n + 5) - ties.tie_term > 0
+            THEN round((CAST(pairs.s AS DOUBLE)
+                        - CAST(sign(pairs.s) AS DOUBLE))
+                       / sqrt(CAST(base.n * (base.n - 1) * (2 * base.n + 5)
+                                   - ties.tie_term AS DOUBLE) / 18.0), 6)
+       END AS z_score
+FROM base, pairs, ties
+"""
+
+
+@query(
+    "stats_mann_kendall_monthly",
+    sql=_MK_SQL,
+    tags=("stats", "trend", "timeseries"),
+)
+def stats_mann_kendall_monthly(spark, sf_dir):
+    """Mann-Kendall trend test over monthly order revenue — see block
+    comment."""
+    orders = read_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+        .cast("long")
+        .alias("ym")
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+
+    a = monthly.select(F.col("ym").alias("ym_a"), F.col("rev").alias("rev_a"))
+    b = monthly.select(F.col("ym").alias("ym_b"), F.col("rev").alias("rev_b"))
+    pairs = (
+        a.join(F.broadcast(b), F.col("ym_a") < F.col("ym_b"))
+        .agg(
+            F.sum(
+                F.when(F.col("rev_b") > F.col("rev_a"), 1)
+                .when(F.col("rev_b") < F.col("rev_a"), -1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("s")
+        )
+    )
+    t = F.col("t")
+    ties = (
+        monthly.groupBy("rev")
+        .agg(F.count("*").cast("long").alias("t"))
+        .where(t > 1)
+        .agg(
+            F.coalesce(F.sum(t * (t - 1) * (2 * t + 5)), F.lit(0))
+            .cast("long")
+            .alias("tie_term")
+        )
+    )
+    base = monthly.agg(F.count("*").cast("long").alias("n"))
+    j = base.crossJoin(F.broadcast(pairs)).crossJoin(F.broadcast(ties))
+    n = F.col("n")
+    var18 = n * (n - 1) * (2 * n + 5) - F.col("tie_term")
+    return j.select(
+        n.alias("n_months"),
+        F.col("s").alias("s_stat"),
+        var18.alias("var_s_x18"),
+        F.when(
+            var18 > 0,
+            F.round(
+                (F.col("s").cast("double") - F.signum(F.col("s").cast("double")))
+                / F.sqrt(var18.cast("double") / F.lit(18.0)),
+                6,
+            ),
+        ).alias("z_score"),
+    )

@@ -1950,3 +1950,124 @@ def quality_bigram_logprob(spark, sf_dir):
             ).alias("avg_neg_logprob"),
         )
     )
+
+
+# --- Heaps' law fit ----------------------------------------------------------
+# Heaps' law: vocabulary size grows as V = k * N^beta (beta ~ 0.4-0.6 for
+# natural text).  Fit beta/ln(k) by log-log OLS across the per-SOURCE
+# (token count, type count) points — the cross-source companion to the
+# within-source Zipf slope above, and a corpus-health audit: a source
+# family whose vocab growth falls far off the fitted line is either
+# boilerplate-heavy (beta too low) or noise/ID-heavy (too high).  Same
+# determinism treatment as Zipf: micro-quantized ln as BIGINT points,
+# exact integer moments, final double divisions.
+
+_HEAPS_SQL = r"""
+WITH toks AS (
+  SELECT source, unnest(regexp_split_to_array(lower(text), '\s+')) AS term
+  FROM documents
+),
+per_source AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(count(DISTINCT term) AS BIGINT) AS n_types
+  FROM toks GROUP BY source
+),
+pts AS (
+  SELECT CAST(floor(ln(CAST(n_tokens AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+           AS x,
+         CAST(floor(ln(CAST(n_types AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+           AS y
+  FROM per_source
+),
+mom AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM pts
+)
+SELECT n AS n_sources,
+       CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0.0
+            THEN round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                       / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+       END AS heaps_beta,
+       CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0.0
+            THEN round((CAST(sy AS DOUBLE)
+                        - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                          / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                          * CAST(sx AS DOUBLE))
+                       / CAST(n AS DOUBLE) / 1000000.0, 6)
+       END AS ln_k,
+       CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0.0
+             AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0.0
+            THEN round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                       * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                       / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                       / (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)), 6)
+       END AS r_squared
+FROM mom
+"""
+
+
+@query("text_heaps_law_fit", sql=_HEAPS_SQL, tags=("text", "stats"))
+def text_heaps_law_fit(spark, sf_dir):
+    """Heaps' law vocabulary-growth fit across sources — see block
+    comment.  One token scan → 20 per-source (N, V) cells → 1-row OLS;
+    every aggregate is map-side combined, the regression itself is
+    driver-row-sized."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(T.ws_tokens(F.col("text"))).alias("term")
+    )
+    per_source = toks.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.countDistinct("term").cast("long").alias("n_types"),
+    )
+    pts = per_source.select(
+        F.floor(F.log(F.col("n_tokens").cast("double")) * 1000000.0 + F.lit(0.5))
+        .cast("long")
+        .alias("x"),
+        F.floor(F.log(F.col("n_types").cast("double")) * 1000000.0 + F.lit(0.5))
+        .cast("long")
+        .alias("y"),
+    )
+    mom = pts.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    dx = nd * sxx - sx * sx
+    dy = nd * syy - sy * sy
+    num = nd * sxy - sx * sy
+    slope = num / dx
+    return mom.select(
+        F.col("n").alias("n_sources"),
+        F.when(dx > 0.0, F.round(slope, 6)).alias("heaps_beta"),
+        F.when(
+            dx > 0.0, F.round((sy - slope * sx) / nd / 1000000.0, 6)
+        ).alias("ln_k"),
+        F.when(
+            (dx > 0.0) & (dy > 0.0), F.round(num * num / dx / dy, 6)
+        ).alias("r_squared"),
+    )

@@ -9,8 +9,8 @@ from pathlib import Path
 
 from big_data_analytics_project_spark.registry import load_all
 
-TOTAL = 282
-ORACLE = 270
+TOTAL = 289
+ORACLE = 277
 
 
 def test_counts_match_registry():

@@ -28,7 +28,14 @@ from big_data_analytics_project_spark.registry import (
 # queries lifted into the window tail for ONE round (VERDICT r5 item 4).
 EXPECTED_WINDOW = (
     # tier 0 — never driver-green
+    "curation_dup_rate_by_quality_band",
     "dedup_against_signature_index",
+    "dedup_substring_pair_overlap",
+    "decontaminate_substring_winnow",
+    "ml_logreg_quality_contract",
+    "embedding_anisotropy_audit",
+    "stats_mann_kendall_monthly",
+    "text_heaps_law_fit",
     # tier 1 — last green r04
     "join_left_order_items",
     "join_semi_active_customers",
@@ -73,13 +80,6 @@ EXPECTED_WINDOW = (
     "dedup_minhash_lsh",
     "dedup_clusters",
     "dedup_simhash_pairs",
-    "dedup_incremental_batch",
-    "decontaminate_benchmark_ngrams",
-    "window_nth_lag_defaults",
-    "date_arithmetic",
-    "array_funcs",
-    "text_edit_distance",
-    "union_schema_evolution",
 )
 
 
