@@ -186,7 +186,12 @@ def test_gram_audits_have_no_join(registry, spark, sf_dir):
     for name in ("text_ngram_novelty", "dedup_exact_substring_shingles"):
         plan = _plan(registry, spark, sf_dir, name)
         assert "Join" not in plan, (name, plan)
-        assert plan.count("Exchange") <= 3, (name, plan)
+        # shingles budget is 4 since round 10: winnow_fingerprints spends
+        # one deliberate doc_id repartition to spread the CPU-bound dense
+        # md5 kernel when the scan yields fewer splits than cores (never
+        # fires at scale); novelty keeps the original 3.
+        budget = 4 if name == "dedup_exact_substring_shingles" else 3
+        assert plan.count("Exchange") <= budget, (name, plan)
 
 
 def test_kendall_cells_join_is_broadcast_only(registry, spark, sf_dir):
@@ -203,3 +208,21 @@ def test_pctrank_single_customer_exchange(registry, spark, sf_dir):
     plan = _plan(registry, spark, sf_dir, "window_pctrank_cumedist")
     assert plan.count("Exchange") == 1, plan
     assert "Window" in plan, plan
+
+
+def test_mann_kendall_pair_scan_is_broadcast_only(registry, spark, sf_dir):
+    """The Mann-Kendall month-pair scan must stay a broadcast nested loop
+    over the month-domain-bounded cell table — never a shuffled cartesian
+    (same bounding argument as Kendall tau-b)."""
+    plan = _plan(registry, spark, sf_dir, "stats_mann_kendall_monthly")
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_substring_pair_join_is_fp_equi(registry, spark, sf_dir):
+    """dedup_substring_pair_overlap's pair stage must be an equi-join on
+    the fingerprint (df-capped buckets), never a cartesian — a regression
+    to pairing before the fp key would explode quadratically."""
+    plan = _plan(registry, spark, sf_dir, "dedup_substring_pair_overlap")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
