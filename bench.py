@@ -367,6 +367,11 @@ HEADLINE = [
     "curation_dup_rate_by_quality_band",  # dup share per quality band
     "stats_mann_kendall_monthly",     # exact-integer trend test
     "ml_logreg_quality_contract",     # 5th MLlib contract (LR, 2-class)
+    "dedup_containment_pairs",        # overlap-coefficient subset dedup
+    "quality_perplexity_buckets",     # CCNet-style LM perplexity bands
+    "session_gap_histogram",          # inter-event gap mix (threshold evidence)
+    "timeseries_changepoint_cusum",   # integer-exact CUSUM changepoint
+    "stats_runs_test",                # Wald-Wolfowitz runs z
 ]
 
 

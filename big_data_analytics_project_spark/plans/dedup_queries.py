@@ -904,3 +904,115 @@ def decontaminate_substring_winnow(spark, sf_dir):
         .groupBy("doc_id")
         .agg(F.count("*").cast("long").alias("n_bench_fps"))
     )
+
+
+# --- containment / overlap-coefficient near-dup pairs ------------------------
+# Jaccard misses SUBSET duplication: a doc quoted or truncated inside
+# another has tiny Jaccard (union is large) but overlap coefficient
+# |A∩B| / min(|A|,|B|) ≈ 1 (Szymkiewicz–Simpson; "containment" in the
+# Broder near-dup taxonomy).  Candidates come from an inverted shingle
+# index with a doc-frequency cap (2..20) — a pair sharing ONLY
+# boilerplate shingles is noise, so capping bounds the per-shingle pair
+# explosion at df² ≤ 400 without losing real containments (a contained
+# doc shares ~|A| shingles, almost all rare).  Fixture plants the first
+# half of every 13th doc as a new doc; Jaccard ≈ 0.5 (below the 0.5
+# near-dup gate elsewhere) while containment ≈ 1 — only THIS query
+# catches them.
+
+_CONTAIN_MAX_DF = 20
+_CONTAIN_T = 0.9
+
+_CONTAIN_SQL = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 4000000 AS doc_id,
+         substr(text, 1, CAST(floor(length(text) / 2) AS INTEGER)) AS text
+  FROM documents WHERE doc_id % 13 = 0
+),
+toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t FROM corpus
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                        for i in range(1, len(t) - 1)]) AS s
+  FROM toks WHERE len(t) >= 3
+),
+inv AS (
+  SELECT doc_id, unnest(s) AS shingle FROM sh
+),
+capped AS (
+  SELECT doc_id, shingle FROM (
+    SELECT doc_id, shingle,
+           count(*) OVER (PARTITION BY shingle) AS df
+    FROM inv
+  ) WHERE df BETWEEN 2 AND {_CONTAIN_MAX_DF}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM capped a JOIN capped b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+)
+SELECT c.id_a, c.id_b,
+       CAST(len(sa.s) AS BIGINT) AS n_a,
+       CAST(len(sb.s) AS BIGINT) AS n_b,
+       round(len(list_intersect(sa.s, sb.s))::DOUBLE
+             / least(len(sa.s), len(sb.s)), 6) AS containment
+FROM cand c JOIN sh sa ON c.id_a = sa.doc_id
+            JOIN sh sb ON c.id_b = sb.doc_id
+WHERE len(list_intersect(sa.s, sb.s))::DOUBLE
+      / least(len(sa.s), len(sb.s)) >= {_CONTAIN_T}
+"""
+
+
+@query(
+    "dedup_containment_pairs",
+    sql=_CONTAIN_SQL,
+    tags=("dedup", "containment"),
+)
+def dedup_containment_pairs(spark, sf_dir):
+    """Overlap-coefficient (containment) near-dup pairs — see block
+    comment.  Plan: one shingle window for the df cap, one capped
+    inverted-index self-join for candidates, two id-keyed equi-joins to
+    re-attach the shingle arrays, in-map intersection."""
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.where(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + 4000000).alias("doc_id"),
+        F.substring(
+            F.col("text"), 1, F.floor(F.length("text") / 2).cast("int")
+        ).alias("text"),
+    )
+    corpus = docs.unionByName(planted)
+    sh = D.shingled(corpus, "doc_id", "text", 3)
+    inv = sh.select("doc_id", F.explode("shingle_set").alias("shingle"))
+    capped = inv.withColumn(
+        "df", F.count("*").over(Window.partitionBy("shingle"))
+    ).where((F.col("df") >= 2) & (F.col("df") <= _CONTAIN_MAX_DF))
+    a = capped.select(F.col("doc_id").alias("id_a"), "shingle")
+    b = capped.select(F.col("doc_id").alias("id_b"), "shingle")
+    cand = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("id_a"), F.col("shingle_set").alias("sa"))
+    sb = sh.select(F.col("doc_id").alias("id_b"), F.col("shingle_set").alias("sb"))
+    joined = cand.join(sa, "id_a").join(sb, "id_b")
+    inter = F.size(F.array_intersect("sa", "sb")).cast("double")
+    denom = F.least(F.size("sa"), F.size("sb")).cast("double")
+    return (
+        joined.select(
+            "id_a",
+            "id_b",
+            F.size("sa").cast("long").alias("n_a"),
+            F.size("sb").cast("long").alias("n_b"),
+            F.round(inter / denom, 6).alias("containment"),
+            (inter / denom).alias("__raw"),
+        )
+        .where(F.col("__raw") >= _CONTAIN_T)
+        .drop("__raw")
+    )

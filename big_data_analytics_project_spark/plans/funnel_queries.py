@@ -1922,3 +1922,73 @@ def segment_migration_matrix(spark, sf_dir):
         .groupBy("q_first_half", "q_second_half")
         .agg(F.count("*").cast("long").alias("n_users"))
     )
+
+
+# --- inter-event gap histogram -----------------------------------------------
+# The distribution that CHOOSES the sessionization gap threshold: bucket
+# every user's consecutive-event gap into human time bands and report the
+# mix.  (The flagship uses a fixed 30-minute session gap; this query is
+# the evidence for that constant — a healthy threshold sits in the valley
+# between the intra-session and inter-session modes.)  One user-keyed lag
+# window, then a 5-row aggregate; thresholds are integer seconds so the
+# bucketing is engine-exact.
+
+_GAP_SQL = """
+WITH ordered AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS te,
+         lag(CAST(floor(epoch(ts)) AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_te
+  FROM events
+),
+gaps AS (
+  SELECT te - prev_te AS gap_sec FROM ordered WHERE prev_te IS NOT NULL
+),
+bucketed AS (
+  SELECT CASE WHEN gap_sec < 60 THEN '0_lt_1m'
+              WHEN gap_sec < 1800 THEN '1_lt_30m'
+              WHEN gap_sec < 3600 THEN '2_lt_1h'
+              WHEN gap_sec < 86400 THEN '3_lt_1d'
+              ELSE '4_ge_1d' END AS bucket
+  FROM gaps
+)
+SELECT bucket,
+       CAST(count(*) AS BIGINT) AS n_gaps,
+       round(CAST(count(*) AS DOUBLE)
+             / CAST(sum(count(*)) OVER () AS DOUBLE), 6) AS share
+FROM bucketed GROUP BY bucket
+"""
+
+
+@query("session_gap_histogram", sql=_GAP_SQL, tags=("funnel", "session"))
+def session_gap_histogram(spark, sf_dir):
+    """Inter-event gap histogram — see block comment."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    te = F.unix_timestamp("ts").cast("long")
+    gaps = (
+        ev.select(te.alias("te"), F.lag(te).over(w).alias("prev_te"))
+        .where(F.col("prev_te").isNotNull())
+        .select((F.col("te") - F.col("prev_te")).alias("gap_sec"))
+    )
+    bucket = (
+        F.when(F.col("gap_sec") < 60, "0_lt_1m")
+        .when(F.col("gap_sec") < 1800, "1_lt_30m")
+        .when(F.col("gap_sec") < 3600, "2_lt_1h")
+        .when(F.col("gap_sec") < 86400, "3_lt_1d")
+        .otherwise("4_ge_1d")
+    )
+    counted = gaps.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").cast("long").alias("n_gaps")
+    )
+    tot = Window.partitionBy()
+    return counted.select(
+        "bucket",
+        "n_gaps",
+        F.round(
+            F.col("n_gaps").cast("double")
+            / F.sum("n_gaps").over(tot).cast("double"),
+            6,
+        ).alias("share"),
+    )

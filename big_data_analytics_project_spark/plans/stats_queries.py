@@ -1314,3 +1314,126 @@ def stats_mann_kendall_monthly(spark, sf_dir):
             ),
         ).alias("z_score"),
     )
+
+
+# --- Wald-Wolfowitz runs test -------------------------------------------------
+# Randomness check on the daily revenue series: dichotomize each day
+# against the LOWER MEDIAN (an order statistic — no interpolation, so both
+# engines pick the identical exact cent value), count sign runs, compare
+# to the closed-form run-count moments.  Companion to Mann-Kendall above:
+# MK detects monotone drift, the runs test detects clustering /
+# oscillation.  All counts integer-exact; mean/variance/z are IEEE-exact
+# functions of (n, n1, n0, R) at the end.  The fact table reduces once to
+# the bounded day grid; windows run on that grid.
+
+_RUNS_SQL = """
+WITH daily AS (
+  SELECT CAST(floor(epoch(o_orderdate) / 86400.0) AS BIGINT) AS d,
+         CAST(sum(CAST(round(o_totalprice * 100.0, 0) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+),
+med AS (
+  SELECT cents AS med_lo FROM (
+    SELECT cents, row_number() OVER (ORDER BY cents, d) AS r FROM daily
+  ) WHERE r = (SELECT CAST(floor((count(*) + 1) / 2) AS BIGINT) FROM daily)
+),
+signed AS (
+  SELECT d, CASE WHEN cents >= (SELECT med_lo FROM med) THEN 1 ELSE 0 END AS s
+  FROM daily
+),
+runs AS (
+  SELECT s,
+         lag(s) OVER (ORDER BY d) AS prev_s
+  FROM signed
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(s) AS BIGINT) AS n1,
+         CAST(count(*) - sum(s) AS BIGINT) AS n0,
+         CAST(1 + sum(CASE WHEN prev_s IS NOT NULL AND s <> prev_s
+                           THEN 1 ELSE 0 END) AS BIGINT) AS r
+  FROM runs
+)
+SELECT n AS n_days, n1 AS n_above, n0 AS n_below, r AS n_runs,
+       CASE WHEN n1 > 0 AND n0 > 0
+             AND 2.0 * n1 * n0 * (2.0 * n1 * n0 - n)
+                 / (CAST(n AS DOUBLE) * n * (n - 1.0)) > 0.0
+            THEN round((CAST(r AS DOUBLE) - (1.0 + 2.0 * n1 * n0 / n))
+                       / sqrt(2.0 * n1 * n0 * (2.0 * n1 * n0 - n)
+                              / (CAST(n AS DOUBLE) * n * (n - 1.0))), 6)
+       END AS z_score
+FROM agg
+"""
+
+
+@query("stats_runs_test", sql=_RUNS_SQL, tags=("stats", "randomness"))
+def stats_runs_test(spark, sf_dir):
+    """Wald-Wolfowitz runs test over daily revenue — see block comment."""
+    from pyspark.sql import Window
+
+    orders = read_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.floor(F.unix_timestamp("o_orderdate") / F.lit(86400.0))
+        .cast("long")
+        .alias("d")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100.0, 0).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    n_total = daily.agg(F.count("*").cast("long").alias("nn"))
+    ranked = daily.select(
+        "d",
+        "cents",
+        F.row_number().over(Window.orderBy("cents", "d")).alias("r"),
+    )
+    med = (
+        ranked.crossJoin(F.broadcast(n_total))
+        .where(F.col("r") == F.floor((F.col("nn") + 1) / 2).cast("long"))
+        .select(F.col("cents").alias("med_lo"))
+    )
+    signed = daily.crossJoin(F.broadcast(med)).select(
+        "d",
+        F.when(F.col("cents") >= F.col("med_lo"), 1).otherwise(0).alias("s"),
+    )
+    runs = signed.select(
+        "s", F.lag("s").over(Window.orderBy("d")).alias("prev_s")
+    )
+    agg = runs.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("s").cast("long").alias("n1"),
+        (F.count("*") - F.sum("s")).cast("long").alias("n0"),
+        (
+            F.lit(1)
+            + F.sum(
+                F.when(
+                    F.col("prev_s").isNotNull()
+                    & (F.col("s") != F.col("prev_s")),
+                    1,
+                ).otherwise(0)
+            )
+        )
+        .cast("long")
+        .alias("r"),
+    )
+    n = F.col("n").cast("double")
+    n1 = F.col("n1").cast("double")
+    n0 = F.col("n0").cast("double")
+    r = F.col("r").cast("double")
+    var = (
+        F.lit(2.0) * n1 * n0 * (F.lit(2.0) * n1 * n0 - n)
+        / (n * n * (n - F.lit(1.0)))
+    )
+    return agg.select(
+        F.col("n").alias("n_days"),
+        F.col("n1").alias("n_above"),
+        F.col("n0").alias("n_below"),
+        F.col("r").alias("n_runs"),
+        F.when(
+            (F.col("n1") > 0) & (F.col("n0") > 0) & (var > 0.0),
+            F.round(
+                (r - (F.lit(1.0) + F.lit(2.0) * n1 * n0 / n)) / F.sqrt(var), 6
+            ),
+        ).alias("z_score"),
+    )

@@ -1570,3 +1570,105 @@ def timeseries_stl_lite(spark, sf_dir):
         F.round("seas", 6).alias("seasonal"),
         F.round(F.col("detr") - F.col("seas"), 6).alias("residual"),
     )
+
+
+# --- CUSUM changepoint detection ---------------------------------------------
+# Page's cumulative-sum changepoint estimate on the daily revenue series:
+# the day t maximizing |prefix_t - t*mean| is the single-changepoint MLE
+# for a mean shift.  Kept integer-exact by scaling out the division:
+# D_t = n*prefix_t - t*total (cents), argmax |D_t| with min-day
+# tie-break; the reported magnitude max|CUSUM| = |D|/n in currency units
+# divides only at the end.  The fact table reduces once to the bounded
+# day grid; the cumulative window runs on that grid (documented bounded
+# single-partition frame, like the STL/Holt folds above).
+
+_CUSUM_SQL = """
+WITH daily AS (
+  SELECT CAST(floor(epoch(o_orderdate) / 86400.0) AS BIGINT) AS d,
+         CAST(sum(CAST(round(o_totalprice * 100.0, 0) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+),
+serie AS (
+  SELECT d, cents,
+         row_number() OVER (ORDER BY d) AS t,
+         sum(cents) OVER (ORDER BY d
+                          ROWS UNBOUNDED PRECEDING) AS prefix
+  FROM daily
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(cents) AS DECIMAL(38,0)) AS total
+  FROM daily
+),
+dev AS (
+  SELECT s.d, s.t,
+         CAST(s.prefix AS DECIMAL(38,0)) * tot.n
+           - CAST(s.t AS DECIMAL(38,0)) * tot.total AS dt,
+         tot.n AS n
+  FROM serie s, tot
+)
+SELECT n AS n_days,
+       d AS changepoint_day,
+       round(abs(CAST(dt AS DOUBLE)) / CAST(n AS DOUBLE) / 100.0, 6)
+         AS max_abs_cusum
+FROM dev
+ORDER BY abs(dt) DESC, d ASC
+LIMIT 1
+"""
+
+
+@query(
+    "timeseries_changepoint_cusum",
+    sql=_CUSUM_SQL,
+    tags=("timeseries", "changepoint"),
+)
+def timeseries_changepoint_cusum(spark, sf_dir):
+    """CUSUM single-changepoint estimate over daily order revenue — see
+    block comment."""
+    from pyspark.sql import Window
+
+    orders = read_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.floor(F.unix_timestamp("o_orderdate") / F.lit(86400.0))
+        .cast("long")
+        .alias("d")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100.0, 0).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    # bounded day-grid window (single partition over ~years of days)
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    serie = daily.select(
+        "d",
+        "cents",
+        F.row_number().over(Window.orderBy("d")).alias("t"),
+        F.sum("cents").over(w).alias("prefix"),
+    )
+    tot = daily.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cents").cast("decimal(38,0)").alias("total"),
+    )
+    dev = serie.crossJoin(F.broadcast(tot)).select(
+        "d",
+        "n",
+        (
+            F.col("prefix").cast("decimal(38,0)") * F.col("n")
+            - F.col("t").cast("decimal(38,0)") * F.col("total")
+        ).alias("dt"),
+    )
+    return (
+        dev.orderBy(F.abs(F.col("dt")).desc(), F.col("d").asc())
+        .limit(1)
+        .select(
+            F.col("n").alias("n_days"),
+            F.col("d").alias("changepoint_day"),
+            F.round(
+                F.abs(F.col("dt").cast("double"))
+                / F.col("n").cast("double")
+                / F.lit(100.0),
+                6,
+            ).alias("max_abs_cusum"),
+        )
+    )

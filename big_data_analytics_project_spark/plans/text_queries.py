@@ -2071,3 +2071,135 @@ def text_heaps_law_fit(spark, sf_dir):
             (dx > 0.0) & (dy > 0.0), F.round(num * num / dx / dy, 6)
         ).alias("r_squared"),
     )
+
+
+# --- perplexity-bucket quality filter (CCNet shape) --------------------------
+# The standard LM-quality curation step (CCNet / Wenzek et al.): score
+# every document by LM perplexity, bucket the corpus, and keep/downsample
+# buckets.  Scoring model = the same interpolated bigram LM as
+# quality_bigram_logprob (trained on the WHOLE corpus — every model count
+# derives from one (w1,w2) cell scan); per-DOC mean negative logprob is
+# then banded at 0.05-nat width (floor(nlp*20) — the synthetic corpus
+# spans ~3.27-3.65 nats, so integer bands would collapse to one).  Per-type 6-dp
+# DECIMAL quantization before every cross-row sum keeps the fold exact;
+# all joins are vocab-sized equi-joins; nothing scales with pairs.
+
+_PPL_BUCKET_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t
+  FROM documents
+),
+pairs AS (
+  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+  FROM toks, LATERAL unnest(generate_series(1, len(t) - 1)) AS g(i)
+  WHERE len(t) >= 2
+),
+cells AS (
+  SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS tf
+  FROM pairs GROUP BY doc_id, w1, w2
+),
+big AS (SELECT w1, w2, CAST(sum(tf) AS BIGINT) AS c12 FROM cells GROUP BY w1, w2),
+ctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM big GROUP BY w1),
+nxt AS (SELECT w2, CAST(sum(c12) AS BIGINT) AS c2 FROM big GROUP BY w2),
+tot AS (SELECT CAST(sum(c12) AS DOUBLE) AS ctot FROM big),
+typed AS (
+  SELECT b.w1, b.w2,
+         CAST(round(-ln(0.9 * CAST(b.c12 AS DOUBLE) / CAST(x.c1 AS DOUBLE)
+                        + 0.1 * CAST(n.c2 AS DOUBLE) / t.ctot), 6)
+              AS DECIMAL(18,6)) AS q
+  FROM big b JOIN ctx x ON b.w1 = x.w1
+             JOIN nxt n ON b.w2 = n.w2
+             CROSS JOIN tot t
+),
+doc_scores AS (
+  SELECT c.doc_id,
+         CAST(sum(c.tf) AS BIGINT) AS n_bigrams,
+         CAST(round(CAST(sum(c.tf * ty.q) AS DOUBLE)
+                    / CAST(sum(c.tf) AS DOUBLE), 6)
+              AS DECIMAL(18,6)) AS nlp
+  FROM cells c JOIN typed ty ON c.w1 = ty.w1 AND c.w2 = ty.w2
+  GROUP BY c.doc_id
+)
+SELECT CAST(floor(nlp * 20) AS BIGINT) AS ppl_band,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_bigrams) AS BIGINT) AS n_bigrams,
+       round(CAST(sum(nlp) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+         AS avg_neg_logprob
+FROM doc_scores GROUP BY 1
+"""
+
+
+@query(
+    "quality_perplexity_buckets",
+    sql=_PPL_BUCKET_SQL,
+    tags=("text", "quality", "lm", "curation"),
+)
+def quality_perplexity_buckets(spark, sf_dir):
+    """Perplexity-bucketed corpus profile (CCNet-style quality filter) —
+    see block comment."""
+    docs = read_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", T.ws_tokens(F.col("text")).alias("t"))
+    tk = F.col("t")
+    pair_arr = F.when(
+        F.size(tk) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tk) - 1),
+            lambda i: F.struct(
+                F.element_at(tk, i).alias("w1"),
+                F.element_at(tk, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    cells = (
+        base.select("doc_id", F.explode(pair_arr).alias("p"))
+        .groupBy("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    big = cells.groupBy("w1", "w2").agg(F.sum("tf").cast("long").alias("c12"))
+    ctx = big.groupBy("w1").agg(F.sum("c12").cast("long").alias("c1"))
+    nxt = big.groupBy("w2").agg(F.sum("c12").cast("long").alias("c2"))
+    tot = big.agg(F.sum("c12").cast("double").alias("ctot"))
+    typed = (
+        big.join(ctx, "w1")
+        .join(nxt, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            F.round(
+                -F.log(
+                    F.lit(0.9)
+                    * F.col("c12").cast("double")
+                    / F.col("c1").cast("double")
+                    + F.lit(0.1) * F.col("c2").cast("double") / F.col("ctot")
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("q"),
+        )
+    )
+    doc_scores = (
+        cells.join(typed, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_bigrams"),
+            F.round(
+                F.sum(F.col("tf") * F.col("q")).cast("double")
+                / F.sum("tf").cast("double"),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("nlp"),
+        )
+    )
+    band = (
+        F.floor(F.col("nlp") * 20).cast("long").alias("ppl_band")
+    )
+    return doc_scores.groupBy(band).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_bigrams").cast("long").alias("n_bigrams"),
+        F.round(
+            F.sum("nlp").cast("double") / F.count("*").cast("double"), 6
+        ).alias("avg_neg_logprob"),
+    )

@@ -32,10 +32,15 @@ EXPECTED_WINDOW = (
     "dedup_against_signature_index",
     "dedup_substring_pair_overlap",
     "decontaminate_substring_winnow",
+    "dedup_containment_pairs",
+    "session_gap_histogram",
     "ml_logreg_quality_contract",
     "embedding_anisotropy_audit",
     "stats_mann_kendall_monthly",
+    "stats_runs_test",
+    "timeseries_changepoint_cusum",
     "text_heaps_law_fit",
+    "quality_perplexity_buckets",
     # tier 1 — last green r04
     "join_left_order_items",
     "join_semi_active_customers",
@@ -75,11 +80,6 @@ EXPECTED_WINDOW = (
     "unpivot_lineitem_measures",
     "dq_constraint_audit",
     "chunk_long_documents",
-    "dedup_exact_fingerprint",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_clusters",
-    "dedup_simhash_pairs",
 )
 
 
