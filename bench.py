@@ -372,6 +372,10 @@ HEADLINE = [
     "session_gap_histogram",          # inter-event gap mix (threshold evidence)
     "timeseries_changepoint_cusum",   # integer-exact CUSUM changepoint
     "stats_runs_test",                # Wald-Wolfowitz runs z
+    "retrieval_rrf_hybrid_topk",      # BM25+cosine RRF fusion
+    "text_code_like_share",           # code-vs-prose routing heuristic
+    "graph_modularity_brands",        # Newman Q of a given partition
+    "multimodal_byte_entropy",        # already-compressed detector
 ]
 
 

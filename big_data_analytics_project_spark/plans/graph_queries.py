@@ -594,3 +594,96 @@ def graph_bfs_distances(spark, sf_dir):
     return dist.groupBy("dist").agg(
         F.count("*").cast("long").alias("n_nodes")
     )
+
+
+# --- modularity of the brand partition ----------------------------------------
+# Newman modularity Q of a GIVEN node partition (part brand) over the
+# co-purchase graph: per community c, contribution = e_c/m - (d_c/2m)^2.
+# This is the evaluation half of community detection — at 100 TB you
+# score candidate partitions (brand, category, label-prop output) with
+# exactly this aggregate: the edge table joins the broadcast node-label
+# dimension twice, degrees come from the existing degree pipeline, and
+# everything reduces to community-sized integer cells (e_c, d_c).
+# Integer-exact: each row's contribution is an IEEE-exact function of
+# BIGINT (e_c, d_c, m).
+
+_MODULARITY_SQL = f"""
+WITH {_EDGES_SQL},
+labels AS (SELECT p_partkey AS node, p_brand AS brand FROM part),
+m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM edges),
+within AS (
+  SELECT la.brand, CAST(count(*) AS BIGINT) AS e_c
+  FROM edges e
+  JOIN labels la ON e.src = la.node
+  JOIN labels lb ON e.dst = lb.node AND la.brand = lb.brand
+  GROUP BY la.brand
+),
+degs AS (
+  SELECT l.brand,
+         CAST(count(*) AS BIGINT) AS n_nodes,
+         CAST(sum(d.deg) AS BIGINT) AS d_c
+  FROM deg d JOIN labels l ON d.node = l.node
+  GROUP BY l.brand
+)
+SELECT degs.brand,
+       degs.n_nodes,
+       degs.d_c,
+       CAST(coalesce(w.e_c, 0) AS BIGINT) AS e_c,
+       round(CAST(coalesce(w.e_c, 0) AS DOUBLE) / CAST(m.m AS DOUBLE)
+             - (CAST(degs.d_c AS DOUBLE) / (2.0 * CAST(m.m AS DOUBLE)))
+               * (CAST(degs.d_c AS DOUBLE) / (2.0 * CAST(m.m AS DOUBLE))), 6)
+         AS q_contribution
+FROM degs LEFT JOIN within w ON degs.brand = w.brand
+CROSS JOIN m
+"""
+
+
+@query(
+    "graph_modularity_brands",
+    sql=_MODULARITY_SQL,
+    tags=("graph", "community"),
+)
+def graph_modularity_brands(spark, sf_dir):
+    """Per-brand Newman modularity contribution over the co-purchase
+    graph — see block comment."""
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("node"), F.col("p_brand").alias("brand")
+    )
+    edges = G.copurchase_edges(li).persist()
+    m = edges.agg(F.count("*").cast("long").alias("m"))
+    la = part.select(F.col("node").alias("src"), F.col("brand").alias("brand_a"))
+    lb = part.select(F.col("node").alias("dst"), F.col("brand").alias("brand_b"))
+    within = (
+        edges.join(F.broadcast(la), "src")
+        .join(F.broadcast(lb), "dst")
+        .where(F.col("brand_a") == F.col("brand_b"))
+        .groupBy(F.col("brand_a").alias("brand"))
+        .agg(F.count("*").cast("long").alias("e_c"))
+    )
+    degs = (
+        G.degrees(edges)
+        .join(F.broadcast(part), "node")
+        .groupBy("brand")
+        .agg(
+            F.count("*").cast("long").alias("n_nodes"),
+            F.sum("deg").cast("long").alias("d_c"),
+        )
+    )
+    md = F.col("m").cast("double")
+    half = F.col("d_c").cast("double") / (F.lit(2.0) * md)
+    return (
+        degs.join(within, "brand", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "brand",
+            "n_nodes",
+            "d_c",
+            F.coalesce(F.col("e_c"), F.lit(0)).cast("long").alias("e_c"),
+            F.round(
+                F.coalesce(F.col("e_c"), F.lit(0)).cast("double") / md
+                - half * half,
+                6,
+            ).alias("q_contribution"),
+        )
+    )

@@ -121,3 +121,108 @@ def multimodal_binary_dedup(spark, sf_dir):
         )
         .where(F.col("n_copies") > 1)
     )
+
+
+# --- payload byte-entropy audit ------------------------------------------------
+# The already-compressed detector: media/binary payloads that are already
+# entropy-coded (JPEG/MP3/zstd) show per-byte entropy near ln(256), text
+# near ~3 nats — storage pipelines route on this before wasting CPU on
+# recompression.  Audited over the first 256 payload bytes (the same
+# header-window trick as the meta parsers above, so cost per blob is
+# constant regardless of payload size).  Per-doc entropy via
+# H = ln(n) - (1/n)*sum(c*ln(c)) with portable 6-dp-quantized ln and
+# exact DECIMAL sums; per-source roll-up with the decimal-sum/count
+# idiom.  One (doc, byte)-keyed aggregate, one doc-keyed, one
+# source-keyed — all map-side combined.
+
+_ENTROPY_WIN = 256
+
+_ENTROPY_SQL = f"""
+WITH prefixes AS (
+  SELECT doc_id, source, substr(text, 1, {_ENTROPY_WIN}) AS pre
+  FROM documents WHERE length(text) > 0
+),
+chars AS (
+  SELECT doc_id, source, substr(pre, i, 1) AS ch
+  FROM prefixes, LATERAL unnest(generate_series(1, length(pre))) AS t(i)
+),
+cnt AS (
+  SELECT doc_id, source, ch, CAST(count(*) AS BIGINT) AS c
+  FROM chars GROUP BY doc_id, source, ch
+),
+per_doc AS (
+  SELECT doc_id, source,
+         CAST(sum(c) AS BIGINT) AS n,
+         CAST(sum(c * CAST(round(ln(CAST(c AS DOUBLE)), 6)
+                           AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS clnc
+  FROM cnt GROUP BY doc_id, source
+),
+h AS (
+  SELECT source,
+         CAST(round(round(ln(CAST(n AS DOUBLE)), 6)
+                    - CAST(clnc AS DOUBLE) / CAST(n AS DOUBLE), 6)
+              AS DECIMAL(18,6)) AS h
+  FROM per_doc
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(CAST(sum(h) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+         AS avg_entropy,
+       CAST(min(h) AS DOUBLE) AS min_entropy,
+       CAST(max(h) AS DOUBLE) AS max_entropy
+FROM h GROUP BY source
+"""
+
+
+@query(
+    "multimodal_byte_entropy",
+    sql=_ENTROPY_SQL,
+    tags=("multimodal", "audit"),
+)
+def multimodal_byte_entropy(spark, sf_dir):
+    """Per-source byte-entropy audit of payload header windows — see
+    block comment."""
+    docs = read_table(spark, sf_dir, "documents").where(F.length("text") > 0)
+    pre = docs.select(
+        "doc_id", "source", F.substring("text", 1, _ENTROPY_WIN).alias("pre")
+    )
+    chars = pre.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("pre")),
+                lambda i: F.substring(F.col("pre"), i, 1),
+            )
+        ).alias("ch"),
+    )
+    cnt = chars.groupBy("doc_id", "source", "ch").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    per_doc = cnt.groupBy("doc_id", "source").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(
+            F.col("c")
+            * F.round(F.log(F.col("c").cast("double")), 6).cast("decimal(18,6)")
+        )
+        .cast("decimal(28,6)")
+        .alias("clnc"),
+    )
+    h = per_doc.select(
+        "source",
+        F.round(
+            F.round(F.log(F.col("n").cast("double")), 6)
+            - F.col("clnc").cast("double") / F.col("n").cast("double"),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("h"),
+    )
+    return h.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.round(
+            F.sum("h").cast("double") / F.count("*").cast("double"), 6
+        ).alias("avg_entropy"),
+        F.min("h").cast("double").alias("min_entropy"),
+        F.max("h").cast("double").alias("max_entropy"),
+    )

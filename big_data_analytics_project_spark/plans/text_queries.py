@@ -2203,3 +2203,227 @@ def quality_perplexity_buckets(spark, sf_dir):
             F.sum("nlp").cast("double") / F.count("*").cast("double"), 6
         ).alias("avg_neg_logprob"),
     )
+
+
+# --- reciprocal-rank-fusion hybrid retrieval ---------------------------------
+# The standard hybrid-search fusion (Cormack/Clarke/Buettcher RRF):
+# combine the LEXICAL ranking (BM25 above) with the DENSE ranking (exact
+# cosine over the aligned embeddings table — vec_id == doc_id in the
+# fixtures) as score = Σ_lists 1/(60 + rank), which needs no score
+# calibration between the two retrievers.  Fixture pairing: BM25 query_id
+# q's dense representation is embedding vec_id q.  Both input rankings
+# are top-5 with deterministic tie-breaks; the fusion sum has at most two
+# IEEE-exact terms, so ordering is engine-exact.  At 100 TB each side is
+# its own bounded retrieval (broadcast terms / broadcast probes); the
+# fusion is a candidate-sized full-outer equi-join.
+
+_RRF_K = 60
+_RRF_TOP_K = 5
+
+from ..functions.vector import duck_cosine as _dc_rrf  # noqa: E402
+
+_duck_cos = _dc_rrf("a.v", "b.v")
+
+_RRF_SQL = rf"""
+WITH qterms(query_id, term) AS (VALUES {_BM25_VALUES}),
+docs AS (
+  SELECT doc_id, len(regexp_split_to_array(lower(text), '\s+')) AS dl,
+         regexp_split_to_array(lower(text), '\s+') AS toks
+  FROM documents
+),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+  FROM docs
+),
+tok AS (SELECT doc_id, dl, unnest(toks) AS term FROM docs),
+postings AS (
+  SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+  FROM tok WHERE term IN (SELECT DISTINCT term FROM qterms)
+  GROUP BY doc_id, term
+),
+idf AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df,
+         floor(ln((s.n_docs - count(*) + 0.5) / (count(*) + 0.5) + 1.0)
+               * 1000000.0 + 0.5) / 1000000.0 AS idf
+  FROM postings CROSS JOIN stats s
+  GROUP BY term, s.n_docs
+),
+contrib AS (
+  SELECT q.query_id, p.doc_id,
+         CAST(floor(i.idf * (p.tf * 2.2)
+                    / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / s.avgdl))
+                    * 1000000.0 + 0.5) AS BIGINT) AS c_micro
+  FROM postings p
+  JOIN idf i ON p.term = i.term
+  JOIN qterms q ON p.term = q.term
+  CROSS JOIN stats s
+),
+lex_scored AS (
+  SELECT query_id, doc_id, sum(c_micro) AS score_micro
+  FROM contrib GROUP BY query_id, doc_id
+),
+lex AS (
+  SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY score_micro DESC, doc_id) AS BIGINT) AS lex_rank
+  FROM lex_scored
+  QUALIFY lex_rank <= {_RRF_TOP_K}
+),
+v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sims AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS doc_id,
+         round({_duck_cos}, 6) AS cosine_sim
+  FROM v a JOIN v b ON a.vec_id IN (1, 2, 3) AND b.vec_id != a.vec_id
+),
+dense AS (
+  SELECT query_id, doc_id,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine_sim DESC, doc_id) AS BIGINT) AS dense_rank
+  FROM sims
+  QUALIFY dense_rank <= {_RRF_TOP_K}
+),
+fused AS (
+  SELECT coalesce(l.query_id, d.query_id) AS query_id,
+         coalesce(l.doc_id, d.doc_id) AS doc_id,
+         l.lex_rank, d.dense_rank,
+         coalesce(1.0 / ({_RRF_K} + l.lex_rank), 0.0)
+           + coalesce(1.0 / ({_RRF_K} + d.dense_rank), 0.0) AS rrf
+  FROM lex l FULL OUTER JOIN dense d
+    ON l.query_id = d.query_id AND l.doc_id = d.doc_id
+)
+SELECT query_id, doc_id, lex_rank, dense_rank,
+       round(rrf, 6) AS rrf_score,
+       CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY rrf DESC, doc_id) AS BIGINT) AS fused_rank
+FROM fused
+QUALIFY fused_rank <= {_RRF_TOP_K}
+"""
+
+
+@query(
+    "retrieval_rrf_hybrid_topk",
+    sql=_RRF_SQL,
+    tags=("text", "retrieval", "hybrid"),
+)
+def retrieval_rrf_hybrid_topk(spark, sf_dir):
+    """RRF hybrid retrieval (BM25 ∪ exact-cosine, k=60) — see block
+    comment."""
+    from pyspark.sql import Window
+
+    from ..operators import similarity as S
+    from ..sources import read_table as _rt
+
+    lex = retrieval_bm25_topk(spark, sf_dir).select(
+        "query_id", "doc_id", F.col("rank").alias("lex_rank")
+    ).where(F.col("lex_rank") <= _RRF_TOP_K)
+
+    emb = _rt(spark, sf_dir, "embeddings")
+    dense = S.brute_force_topk(
+        emb, emb.where(F.col("vec_id").isin(1, 2, 3)), k=_RRF_TOP_K
+    ).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").cast("long").alias("dense_rank"),
+    )
+
+    fused = lex.join(dense, ["query_id", "doc_id"], "full_outer").select(
+        "query_id",
+        "doc_id",
+        "lex_rank",
+        "dense_rank",
+        (
+            F.coalesce(
+                F.lit(1.0) / (F.lit(_RRF_K) + F.col("lex_rank")), F.lit(0.0)
+            )
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(_RRF_K) + F.col("dense_rank")), F.lit(0.0)
+            )
+        ).alias("rrf"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf").desc(), F.col("doc_id")
+    )
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("fused_rank") <= _RRF_TOP_K)
+        .select(
+            "query_id",
+            "doc_id",
+            "lex_rank",
+            "dense_rank",
+            F.round("rrf", 6).alias("rrf_score"),
+            "fused_rank",
+        )
+    )
+
+
+# --- code-like document share ------------------------------------------------
+# The code-vs-prose router every training-data pipeline needs: a
+# deterministic symbol-density heuristic (share of {}();=<>[]# chars)
+# with a fixed threshold routes docs to the code or prose pipeline.  The
+# synthetic corpus is pure prose (symbol ratio 0.0 on every doc), so the
+# fixture plants code-ified variants of every 23rd doc (spaces replaced
+# by ' ; ', ratio ~0.15) that the threshold must catch — same planted-
+# role pattern as the dedup fixtures.  Exact integer char counts; one
+# map pass + one source-keyed aggregate.
+
+_CODE_SYM = r"[{}();=<>\[\]#]"
+_CODE_T = 0.02
+
+_CODE_SHARE_SQL = rf"""
+WITH corpus AS (
+  SELECT source, doc_id, text FROM documents
+  UNION ALL
+  SELECT source, doc_id + 5000000 AS doc_id,
+         replace(text, ' ', ' ; ') AS text
+  FROM documents WHERE doc_id % 23 = 0
+),
+scored AS (
+  SELECT source,
+         (length(text) - length(regexp_replace(text, '{_CODE_SYM}', '', 'g')))
+           ::DOUBLE / length(text) AS sr
+  FROM corpus WHERE length(text) > 0
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(CASE WHEN sr >= {_CODE_T} THEN 1 END) AS BIGINT)
+         AS n_code_like,
+       round(CAST(count(CASE WHEN sr >= {_CODE_T} THEN 1 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS code_share,
+       round(CAST(sum(CAST(round(sr, 6) AS DECIMAL(18,6))) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS avg_symbol_ratio
+FROM scored GROUP BY source
+"""
+
+
+@query("text_code_like_share", sql=_CODE_SHARE_SQL, tags=("text", "routing"))
+def text_code_like_share(spark, sf_dir):
+    """Code-vs-prose routing share per source — see block comment."""
+    docs = read_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", "text"
+    )
+    variants = docs.where(F.col("doc_id") % 23 == 0).select(
+        "source",
+        (F.col("doc_id") + 5000000).alias("doc_id"),
+        F.regexp_replace(F.col("text"), " ", " ; ").alias("text"),
+    )
+    corpus = docs.unionByName(variants).where(F.length("text") > 0)
+    sr = (
+        F.length("text")
+        - F.length(F.regexp_replace(F.col("text"), _CODE_SYM, ""))
+    ).cast("double") / F.length("text").cast("double")
+    scored = corpus.select("source", sr.alias("sr"))
+    code = F.count(F.when(F.col("sr") >= _CODE_T, 1))
+    return scored.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        code.cast("long").alias("n_code_like"),
+        F.round(code.cast("double") / F.count("*").cast("double"), 6).alias(
+            "code_share"
+        ),
+        F.round(
+            F.sum(F.round(F.col("sr"), 6).cast("decimal(18,6)")).cast("double")
+            / F.count("*").cast("double"),
+            6,
+        ).alias("avg_symbol_ratio"),
+    )

@@ -9,8 +9,8 @@ from pathlib import Path
 
 from big_data_analytics_project_spark.registry import load_all
 
-TOTAL = 294
-ORACLE = 282
+TOTAL = 298
+ORACLE = 286
 
 
 def test_counts_match_registry():

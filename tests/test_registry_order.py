@@ -34,13 +34,17 @@ EXPECTED_WINDOW = (
     "decontaminate_substring_winnow",
     "dedup_containment_pairs",
     "session_gap_histogram",
+    "graph_modularity_brands",
     "ml_logreg_quality_contract",
+    "multimodal_byte_entropy",
     "embedding_anisotropy_audit",
     "stats_mann_kendall_monthly",
     "stats_runs_test",
     "timeseries_changepoint_cusum",
     "text_heaps_law_fit",
     "quality_perplexity_buckets",
+    "retrieval_rrf_hybrid_topk",
+    "text_code_like_share",
     # tier 1 — last green r04
     "join_left_order_items",
     "join_semi_active_customers",
@@ -76,10 +80,6 @@ EXPECTED_WINDOW = (
     "sample_hash_stratified",
     "pack_token_budget_bins",
     "zorder_code_events",
-    "scd2_customer_segments",
-    "unpivot_lineitem_measures",
-    "dq_constraint_audit",
-    "chunk_long_documents",
 )
 
 
