@@ -23,6 +23,9 @@ pre-close and one post-close.  When both files exist, the invariant
 "sum(bench_history/r{N+1}) == BENCH_rN's parsed headline total" is
 pinned by tests/test_bench_headline.py.  A post-close re-run that should
 overwrite rN instead of r(N+1) sets ``SPARK_GRAFT_BENCH_ROUND=N``.
+The builder's round-(N+1) close sweep legitimately supersedes the
+driver's copy in r(N+1).json (both infer the same round number); the
+driver's numbers remain parseable from ``BENCH_rN.json``.
 """
 
 from __future__ import annotations

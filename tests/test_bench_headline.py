@@ -74,7 +74,12 @@ def test_bench_history_driver_snapshot_matches_bench_round():
     bench.py infers the round as latest CORRECTNESS + 1 and CORRECTNESS_rN
     already exists when the driver benches.  When both files exist, their
     totals must agree — a mismatch means a post-close re-run clobbered the
-    driver snapshot without SPARK_GRAFT_BENCH_ROUND."""
+    driver snapshot without SPARK_GRAFT_BENCH_ROUND.  Supersede rule: the
+    builder's round-(N+1) close sweep legitimately overwrites that same
+    file (bench.py infers round N+1 for it too); it is recognizable by a
+    different query count (the headline grows between rounds), in which
+    case the driver's numbers live on in BENCH_rN.json and this check
+    does not apply."""
     import json
 
     repo = Path(__file__).resolve().parent.parent
@@ -88,8 +93,12 @@ def test_bench_history_driver_snapshot_matches_bench_round():
     bench = json.loads((repo / f"BENCH_r{latest:02d}.json").read_text())
     m = re.search(r'\{"metric": "headline_total".*', bench.get("tail", ""))
     assert m, f"BENCH_r{latest:02d}.json tail has no headline JSON line"
-    driver_total = json.loads(m.group(0))["value"]
-    hist_total = round(sum(json.loads(hist.read_text())["queries"].values()), 3)
+    parsed = json.loads(m.group(0))
+    driver_total = parsed["value"]
+    hist_queries = json.loads(hist.read_text())["queries"]
+    if len(hist_queries) != parsed.get("n_queries"):
+        return  # superseded by a builder close sweep with a grown headline
+    hist_total = round(sum(hist_queries.values()), 3)
     assert abs(hist_total - driver_total) < 0.02, (
         f"bench_history/r{latest + 1:02d}.json sums {hist_total} but "
         f"BENCH_r{latest:02d} parsed {driver_total} — post-close re-run "
