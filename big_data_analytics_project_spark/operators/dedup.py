@@ -78,9 +78,26 @@ def _spread(df: DataFrame, key: str) -> DataFrame:
 
 
 def shingled(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    return _spread(df, id_col).select(
-        F.col(id_col), shingles(tokens(F.col(text_col)), n).alias("shingle_set")
-    ).where(F.size("shingle_set") > 0)
+    # Two round-10 fixes to the shared shingle build, found profiling the
+    # containment query (both apply to EVERY shingle consumer):
+    # 1. Materialize the token array BEFORE the per-element shingle lambda
+    #    — passing the raw split() expression into transform re-runs the
+    #    split per element (determinism.md round-9 re-split trap; this
+    #    site was missed in the round-9 sweep).
+    # 2. Filter on the CHEAP token count, not on size(shingle_set):
+    #    Catalyst inlines the projected expression into the filter, so a
+    #    size(shingle_set) > 0 predicate re-evaluates the whole
+    #    transform+array_distinct per row (measured 3.1 s vs 0.35 s at
+    #    sf0.1).  size(__toks) >= n is exactly equivalent: the gram array
+    #    is non-empty iff the doc has at least n tokens.
+    return (
+        _spread(df, id_col)
+        .withColumn("__toks", tokens(F.col(text_col)))
+        .where(F.size("__toks") >= n)
+        .select(
+            F.col(id_col), shingles(F.col("__toks"), n).alias("shingle_set")
+        )
+    )
 
 
 def shingle_hashes(shingle_set: Column) -> Column:

@@ -910,16 +910,20 @@ def decontaminate_substring_winnow(spark, sf_dir):
 # Jaccard misses SUBSET duplication: a doc quoted or truncated inside
 # another has tiny Jaccard (union is large) but overlap coefficient
 # |A∩B| / min(|A|,|B|) ≈ 1 (Szymkiewicz–Simpson; "containment" in the
-# Broder near-dup taxonomy).  Candidates come from an inverted shingle
-# index with a doc-frequency cap (2..20) — a pair sharing ONLY
-# boilerplate shingles is noise, so capping bounds the per-shingle pair
-# explosion at df² ≤ 400 without losing real containments (a contained
-# doc shares ~|A| shingles, almost all rare).  Fixture plants the first
-# half of every 13th doc as a new doc; Jaccard ≈ 0.5 (below the 0.5
-# near-dup gate elsewhere) while containment ≈ 1 — only THIS query
-# catches them.
+# Broder near-dup taxonomy).  Candidate generation is PREFIX FILTERING
+# (the set-similarity-join standard): each doc probes only its 3 RAREST
+# shingles (global doc-frequency, shingle tie-break) against the
+# df-capped inverted index.  If A ⊆ B then every A shingle — including
+# its rarest — appears in B, so the pair is guaranteed found; candidate
+# volume is ≤ 3·df_cap per doc instead of Σ df² over all shingles (the
+# naive capped-index self-join produced 1.2M pairs on the sf0.1 fixture,
+# whose template-generated prose shares almost every 3-gram across docs;
+# prefix filtering cuts it ~50×).  Fixture plants the first half of
+# every 13th doc as a new doc; Jaccard ≈ 0.5 (below the 0.5 near-dup
+# gate elsewhere) while containment ≈ 1 — only THIS query catches them.
 
 _CONTAIN_MAX_DF = 20
+_CONTAIN_PROBES = 3
 _CONTAIN_T = 0.9
 
 _CONTAIN_SQL = f"""
@@ -940,19 +944,23 @@ sh AS (
   FROM toks WHERE len(t) >= 3
 ),
 inv AS (
-  SELECT doc_id, unnest(s) AS shingle FROM sh
+  SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df
+  FROM (SELECT doc_id, unnest(s) AS shingle FROM sh)
 ),
-capped AS (
+probes AS (
   SELECT doc_id, shingle FROM (
     SELECT doc_id, shingle,
-           count(*) OVER (PARTITION BY shingle) AS df
+           row_number() OVER (PARTITION BY doc_id ORDER BY df, shingle) AS rn
     FROM inv
-  ) WHERE df BETWEEN 2 AND {_CONTAIN_MAX_DF}
+  ) WHERE rn <= {_CONTAIN_PROBES}
 ),
 cand AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM capped a JOIN capped b
-    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  SELECT DISTINCT least(p.doc_id, i.doc_id) AS id_a,
+                  greatest(p.doc_id, i.doc_id) AS id_b
+  FROM probes p
+  JOIN inv i ON p.shingle = i.shingle
+            AND i.df BETWEEN 2 AND {_CONTAIN_MAX_DF}
+            AND p.doc_id <> i.doc_id
 )
 SELECT c.id_a, c.id_b,
        CAST(len(sa.s) AS BIGINT) AS n_a,
@@ -973,9 +981,10 @@ WHERE len(list_intersect(sa.s, sb.s))::DOUBLE
 )
 def dedup_containment_pairs(spark, sf_dir):
     """Overlap-coefficient (containment) near-dup pairs — see block
-    comment.  Plan: one shingle window for the df cap, one capped
-    inverted-index self-join for candidates, two id-keyed equi-joins to
-    re-attach the shingle arrays, in-map intersection."""
+    comment.  Plan: one shingle window for df, per-doc rarest-3 probes
+    (prefix filtering), one probe->index equi-join for candidates, two
+    id-keyed equi-joins to re-attach the shingle arrays, in-map
+    intersection."""
     from pyspark.sql import Window
 
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -986,17 +995,35 @@ def dedup_containment_pairs(spark, sf_dir):
         ).alias("text"),
     )
     corpus = docs.unionByName(planted)
-    sh = D.shingled(corpus, "doc_id", "text", 3)
-    inv = sh.select("doc_id", F.explode("shingle_set").alias("shingle"))
-    capped = inv.withColumn(
-        "df", F.count("*").over(Window.partitionBy("shingle"))
-    ).where((F.col("df") >= 2) & (F.col("df") <= _CONTAIN_MAX_DF))
-    a = capped.select(F.col("doc_id").alias("id_a"), "shingle")
-    b = capped.select(F.col("doc_id").alias("id_b"), "shingle")
+    # sh feeds three consumers (inv + both array re-attach sides) and inv
+    # two (probes + index): persist both or the shingle build and its
+    # window re-run per consumer (measured 8.9 -> 3.7 s at sf0.1)
+    sh = D.shingled(corpus, "doc_id", "text", 3).persist()
+    inv = (
+        sh.select("doc_id", F.explode("shingle_set").alias("shingle"))
+        .withColumn("df", F.count("*").over(Window.partitionBy("shingle")))
+        .persist()
+    )
+    probes = (
+        inv.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("df", "shingle")
+            ),
+        )
+        .where(F.col("rn") <= _CONTAIN_PROBES)
+        .select(F.col("doc_id").alias("pid"), "shingle")
+    )
+    index = inv.where(
+        (F.col("df") >= 2) & (F.col("df") <= _CONTAIN_MAX_DF)
+    ).select(F.col("doc_id").alias("iid"), "shingle")
     cand = (
-        a.join(b, "shingle")
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        probes.join(index, "shingle")
+        .where(F.col("pid") != F.col("iid"))
+        .select(
+            F.least("pid", "iid").alias("id_a"),
+            F.greatest("pid", "iid").alias("id_b"),
+        )
         .distinct()
     )
     sa = sh.select(F.col("doc_id").alias("id_a"), F.col("shingle_set").alias("sa"))
