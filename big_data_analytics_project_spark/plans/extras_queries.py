@@ -254,3 +254,86 @@ def skew_salted_join(spark, sf_dir):
         F.count("*").alias("n_rows"),
         (F.sum(F.col("val") * F.col("weight"))).cast("double").alias("weighted_value"),
     )
+
+
+# --- Count-Min sketch contract ---------------------------------------------------
+# Completes the DataSketches family (Theta / KLL / approx_top_k above)
+# with Spark's count_min_sketch aggregate: the streaming-frequency
+# structure whose guarantee is one-sided — estimates NEVER undercount
+# and overcount by at most eps*N with probability >= confidence.  The
+# contract asserts exactly that, per event type, against exact counts
+# the oracle recomputes: seeded sketch -> deterministic binary, so the
+# booleans are stable.  Estimation uses the JVM sketch object directly
+# (org.apache.spark.util.sketch.CountMinSketch.readFrom) on the
+# one-row collected sketch — driver-side scalar work on a 5-key domain,
+# the same shape as the ML contracts.  At 100 TB the sketch is the
+# point: mergeable partials, fixed size, one pass.
+
+_CMS_EPS = 0.001
+_CMS_CONF = 0.99
+_CMS_SEED = 42
+
+_CMS_SQL = """
+WITH per_type AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY event_type
+)
+SELECT CAST(sum(cnt) AS BIGINT) AS n_events,
+       CAST(count(*) AS BIGINT) AS n_types,
+       CAST(max(cnt) AS BIGINT) AS max_type_count,
+       CAST(TRUE AS BOOLEAN) AS cms_never_undercounts,
+       CAST(TRUE AS BOOLEAN) AS cms_within_eps
+FROM per_type
+"""
+
+
+@query(
+    "sketch_count_min_contract",
+    sql=_CMS_SQL,
+    tags=("sketch", "contract"),
+)
+def sketch_count_min_contract(spark, sf_dir):
+    """Count-Min sketch one-sided-error contract over event types — see
+    block comment."""
+    import math
+
+    ev = read_table(spark, sf_dir, "events")
+    exact = {
+        r["event_type"]: r["cnt"]
+        for r in ev.groupBy("event_type")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .collect()
+    }
+    n_events = sum(exact.values())
+    sketch_bytes = ev.agg(
+        F.count_min_sketch(
+            "event_type",
+            F.lit(_CMS_EPS),
+            F.lit(_CMS_CONF),
+            F.lit(_CMS_SEED),
+        ).alias("s")
+    ).collect()[0]["s"]
+    jvm = spark.sparkContext._jvm
+    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        bytes(sketch_bytes)
+    )
+    bound = math.ceil(_CMS_EPS * n_events)
+    never_under = all(
+        cms.estimateCount(k) >= v for k, v in exact.items()
+    )
+    within_eps = all(
+        cms.estimateCount(k) <= v + bound for k, v in exact.items()
+    )
+    return spark.createDataFrame(
+        [
+            (
+                int(n_events),
+                len(exact),
+                int(max(exact.values())),
+                bool(never_under),
+                bool(within_eps),
+            )
+        ],
+        "n_events long, n_types long, max_type_count long, "
+        "cms_never_undercounts boolean, cms_within_eps boolean",
+    )

@@ -687,3 +687,79 @@ def graph_modularity_brands(spark, sf_dir):
             ).alias("q_contribution"),
         )
     )
+
+
+# --- degree assortativity -------------------------------------------------------
+# Newman's degree assortativity: the Pearson correlation of endpoint
+# degrees over the directed edge list (each undirected edge counted in
+# both directions, the standard convention).  Positive = hubs link to
+# hubs (social nets), negative = hub-and-spoke (tech/co-occurrence
+# graphs).  By the both-directions symmetry the two endpoint-degree
+# marginals are identical, so r reduces to
+# (M·Σjk − (Σj)²) / (M·Σj² − (Σj)²) over exact BIGINT/DECIMAL moments
+# with one IEEE division — no sqrt needed.  Edge build + degrees reuse
+# the existing 2-shuffle pipeline; the moment pass is one broadcast
+# degree join over the edge list.
+
+_ASSORT_SQL = f"""
+WITH {_EDGES_SQL},
+ends AS (
+  SELECT da.deg AS j, db.deg AS k
+  FROM dir e
+  JOIN deg da ON e.src = da.node
+  JOIN deg db ON e.dst = db.node
+),
+mom AS (
+  SELECT CAST(count(*) AS BIGINT) AS m2,
+         CAST(sum(j) AS DECIMAL(38,0)) AS sj,
+         CAST(sum(CAST(j AS DECIMAL(38,0)) * j) AS DECIMAL(38,0)) AS sjj,
+         CAST(sum(CAST(j AS DECIMAL(38,0)) * k) AS DECIMAL(38,0)) AS sjk
+  FROM ends
+)
+SELECT CAST(m2 / 2 AS BIGINT) AS n_edges,
+       CASE WHEN CAST(m2 AS DOUBLE) * CAST(sjj AS DOUBLE)
+                 - CAST(sj AS DOUBLE) * CAST(sj AS DOUBLE) > 0.0
+            THEN round((CAST(m2 AS DOUBLE) * CAST(sjk AS DOUBLE)
+                        - CAST(sj AS DOUBLE) * CAST(sj AS DOUBLE))
+                       / (CAST(m2 AS DOUBLE) * CAST(sjj AS DOUBLE)
+                          - CAST(sj AS DOUBLE) * CAST(sj AS DOUBLE)), 6)
+       END AS assortativity
+FROM mom
+"""
+
+
+@query("graph_assortativity", sql=_ASSORT_SQL, tags=("graph", "stats"))
+def graph_assortativity(spark, sf_dir):
+    """Degree assortativity of the co-purchase graph — see block
+    comment."""
+    li = read_table(spark, sf_dir, "lineitem")
+    edges = G.copurchase_edges(li)
+    dir_ = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = G.degrees(edges)
+    da = deg.select(F.col("node").alias("src"), F.col("deg").alias("j"))
+    db = deg.select(F.col("node").alias("dst"), F.col("deg").alias("k"))
+    ends = dir_.join(F.broadcast(da), "src").join(F.broadcast(db), "dst")
+    mom = ends.agg(
+        F.count("*").cast("long").alias("m2"),
+        F.sum("j").cast("decimal(38,0)").alias("sj"),
+        F.sum(F.col("j").cast("decimal(38,0)") * F.col("j"))
+        .cast("decimal(38,0)")
+        .alias("sjj"),
+        F.sum(F.col("j").cast("decimal(38,0)") * F.col("k"))
+        .cast("decimal(38,0)")
+        .alias("sjk"),
+    )
+    m2d = F.col("m2").cast("double")
+    sj = F.col("sj").cast("double")
+    den = m2d * F.col("sjj").cast("double") - sj * sj
+    return mom.select(
+        (F.col("m2") / 2).cast("long").alias("n_edges"),
+        F.when(
+            den > 0.0,
+            F.round(
+                (m2d * F.col("sjk").cast("double") - sj * sj) / den, 6
+            ),
+        ).alias("assortativity"),
+    )

@@ -1672,3 +1672,114 @@ def timeseries_changepoint_cusum(spark, sf_dir):
             ).alias("max_abs_cusum"),
         )
     )
+
+
+# --- autocorrelation function -------------------------------------------------
+# ACF at lags 1..14 of the daily revenue series — the seasonality /
+# model-order diagnostic (the STL and Holt queries above assume weekly
+# structure; this measures it).  Integer-exact via mean scale-out:
+# with n days, total S and x_t in cents, D_t = n*x_t - S, so
+# acf(k) = sum_t D_t*D_{t+k} / sum_t D_t^2 with every sum an exact
+# DECIMAL(38,0) and ONE IEEE division per lag.  Lags index the
+# row_number-ordered series (consecutive observations), the standard ACF
+# convention.  The fact table reduces once to the bounded day grid; the
+# lag join is a 14-way self-join of that grid, day-grid-sized.
+
+_ACF_MAX_LAG = 14
+
+_ACF_SQL = f"""
+WITH daily AS (
+  SELECT CAST(floor(epoch(o_orderdate) / 86400.0) AS BIGINT) AS d,
+         CAST(sum(CAST(round(o_totalprice * 100.0, 0) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+),
+serie AS (
+  SELECT row_number() OVER (ORDER BY d) AS t, cents FROM daily
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS s
+  FROM serie
+),
+dev AS (
+  SELECT t, CAST(serie.cents AS DECIMAL(38,0)) * tot.n
+            - CAST(tot.s AS DECIMAL(38,0)) AS dt
+  FROM serie, tot
+),
+den AS (
+  SELECT CAST(sum(dt * dt) AS DOUBLE) AS den FROM dev
+),
+lags AS (SELECT unnest(generate_series(1, {_ACF_MAX_LAG})) AS lag),
+num AS (
+  SELECT l.lag, CAST(sum(a.dt * b.dt) AS DOUBLE) AS num,
+         CAST(count(*) AS BIGINT) AS n_pairs
+  FROM lags l
+  JOIN dev a ON TRUE
+  JOIN dev b ON b.t = a.t + l.lag
+  GROUP BY l.lag
+)
+SELECT CAST(num.lag AS BIGINT) AS lag,
+       num.n_pairs,
+       CASE WHEN den.den > 0 THEN round(num.num / den.den, 6) END AS acf
+FROM num, den
+ORDER BY lag
+"""
+
+
+@query("timeseries_acf_lags", sql=_ACF_SQL, tags=("timeseries", "stats"))
+def timeseries_acf_lags(spark, sf_dir):
+    """Daily-revenue autocorrelation at lags 1..{_ACF_MAX_LAG} — see
+    block comment."""
+    from pyspark.sql import Window
+
+    orders = read_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.floor(F.unix_timestamp("o_orderdate") / F.lit(86400.0))
+        .cast("long")
+        .alias("d")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100.0, 0).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    serie = daily.select(
+        F.row_number().over(Window.orderBy("d")).alias("t"), "cents"
+    )
+    tot = serie.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+    )
+    dev = serie.crossJoin(F.broadcast(tot)).select(
+        "t",
+        (
+            F.col("cents").cast("decimal(38,0)") * F.col("n")
+            - F.col("s").cast("decimal(38,0)")
+        ).alias("dt"),
+    )
+    den = dev.agg(
+        F.sum(F.col("dt") * F.col("dt")).cast("double").alias("den")
+    )
+    lags = spark.range(1, _ACF_MAX_LAG + 1).select(F.col("id").alias("lag"))
+    a = dev.select(F.col("t").alias("ta"), F.col("dt").alias("da"))
+    b = dev.select(F.col("t").alias("tb"), F.col("dt").alias("db"))
+    num = (
+        F.broadcast(lags)
+        .join(a, F.lit(True))
+        .join(b, F.col("tb") == F.col("ta") + F.col("lag"))
+        .groupBy("lag")
+        .agg(
+            F.sum(F.col("da") * F.col("db")).cast("double").alias("num"),
+            F.count("*").cast("long").alias("n_pairs"),
+        )
+    )
+    return (
+        num.crossJoin(F.broadcast(den))
+        .select(
+            F.col("lag").cast("long").alias("lag"),
+            "n_pairs",
+            F.when(
+                F.col("den") > 0, F.round(F.col("num") / F.col("den"), 6)
+            ).alias("acf"),
+        )
+        .orderBy("lag")
+    )
