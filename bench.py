@@ -376,6 +376,9 @@ HEADLINE = [
     "text_code_like_share",           # code-vs-prose routing heuristic
     "graph_modularity_brands",        # Newman Q of a given partition
     "multimodal_byte_entropy",        # already-compressed detector
+    "timeseries_acf_lags",            # ACF 1-14, exact DECIMAL moments
+    "graph_assortativity",            # endpoint-degree Pearson r
+    "sketch_count_min_contract",      # CMS one-sided-error contract
 ]
 
 

@@ -9,8 +9,8 @@ from pathlib import Path
 
 from big_data_analytics_project_spark.registry import load_all
 
-TOTAL = 298
-ORACLE = 286
+TOTAL = 301
+ORACLE = 289
 
 
 def test_counts_match_registry():

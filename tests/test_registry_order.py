@@ -33,14 +33,17 @@ EXPECTED_WINDOW = (
     "dedup_substring_pair_overlap",
     "decontaminate_substring_winnow",
     "dedup_containment_pairs",
+    "sketch_count_min_contract",
     "session_gap_histogram",
     "graph_modularity_brands",
+    "graph_assortativity",
     "ml_logreg_quality_contract",
     "multimodal_byte_entropy",
     "embedding_anisotropy_audit",
     "stats_mann_kendall_monthly",
     "stats_runs_test",
     "timeseries_changepoint_cusum",
+    "timeseries_acf_lags",
     "text_heaps_law_fit",
     "quality_perplexity_buckets",
     "retrieval_rrf_hybrid_topk",
@@ -76,10 +79,6 @@ EXPECTED_WINDOW = (
     "text_fingerprint",
     "text_redact_pii",
     "text_repetition_ratio",
-    # tier 1 — last green r05
-    "sample_hash_stratified",
-    "pack_token_budget_bins",
-    "zorder_code_events",
 )
 
 
