@@ -379,6 +379,8 @@ HEADLINE = [
     "timeseries_acf_lags",            # ACF 1-14, exact DECIMAL moments
     "graph_assortativity",            # endpoint-degree Pearson r
     "sketch_count_min_contract",      # CMS one-sided-error contract
+    "sketch_hll_distinct_contract",   # HLL + sketch-union merge contract
+    "stats_levene_variance",          # Brown-Forsythe W (ANOVA guard)
 ]
 
 

@@ -337,3 +337,74 @@ def sketch_count_min_contract(spark, sf_dir):
         "n_events long, n_types long, max_type_count long, "
         "cms_never_undercounts boolean, cms_within_eps boolean",
     )
+
+
+# --- HLL sketch contract ----------------------------------------------------------
+# The last missing DataSketches member (Theta / KLL / approx_top_k / CMS
+# above): Datasketches HLL via hll_sketch_agg, whose 100 TB point is
+# MERGEABILITY — per-partition/per-day sketches union to the global
+# cardinality without re-scanning.  The contract asserts both halves
+# against exact counts the oracle recomputes: every per-event-type
+# estimate within 5% of the exact distinct-user count (lgK=12 gives
+# ~1.6% rse), and the UNION of the per-type sketches estimating the
+# global distinct within 5% — the merge path exercised end-to-end.
+# DataSketches HLL is deterministic by construction (no seed), so the
+# booleans are stable across engines, sessions and partitionings.
+
+_HLL_LGK = 12
+_HLL_TOL = 0.05
+
+_HLL_SQL = """
+WITH per_type AS (
+  SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_u
+  FROM events GROUP BY event_type
+)
+SELECT CAST(count(*) AS BIGINT) AS n_types,
+       CAST((SELECT count(DISTINCT user_id) FROM events) AS BIGINT)
+         AS exact_global_users,
+       CAST(max(exact_u) AS BIGINT) AS max_type_users,
+       CAST(TRUE AS BOOLEAN) AS per_type_within_5pct,
+       CAST(TRUE AS BOOLEAN) AS union_within_5pct
+FROM per_type
+"""
+
+
+@query(
+    "sketch_hll_distinct_contract",
+    sql=_HLL_SQL,
+    tags=("sketch", "hll", "contract"),
+)
+def sketch_hll_distinct_contract(spark, sf_dir):
+    """Datasketches-HLL distinct-count contract with a real merge path —
+    see block comment."""
+    ev = read_table(spark, sf_dir, "events")
+    per = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_u"),
+        F.hll_sketch_agg("user_id", F.lit(_HLL_LGK)).alias("sk"),
+    )
+    rows = per.select(
+        "event_type", "exact_u", F.hll_sketch_estimate("sk").alias("est")
+    ).collect()
+    union_est = per.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("u")
+    ).collect()[0]["u"]
+    exact_global = ev.agg(
+        F.countDistinct("user_id").cast("long").alias("g")
+    ).collect()[0]["g"]
+    per_ok = all(
+        abs(r["est"] - r["exact_u"]) <= _HLL_TOL * r["exact_u"] for r in rows
+    )
+    union_ok = abs(union_est - exact_global) <= _HLL_TOL * exact_global
+    return spark.createDataFrame(
+        [
+            (
+                len(rows),
+                int(exact_global),
+                int(max(r["exact_u"] for r in rows)),
+                bool(per_ok),
+                bool(union_ok),
+            )
+        ],
+        "n_types long, exact_global_users long, max_type_users long, "
+        "per_type_within_5pct boolean, union_within_5pct boolean",
+    )

@@ -1437,3 +1437,132 @@ def stats_runs_test(spark, sf_dir):
             ),
         ).alias("z_score"),
     )
+
+
+# --- Brown-Forsythe (Levene) equality-of-variances test ------------------------
+# The guard test BEFORE trusting the ANOVA above: one-way ANOVA F
+# recomputed on z = |x - group MEDIAN| (Brown-Forsythe's robust Levene
+# variant).  The group median is the LOWER-MEDIAN order statistic
+# (rank floor((n+1)/2) with an order-key tie-break — no interpolation,
+# so both engines pick the identical exact cent value), which makes z a
+# BIGINT and the whole moment pipeline exact; from there the machinery
+# is the stats_anova_oneway pattern verbatim (DECIMAL(38,0) ↔ HUGEINT
+# wide second moment, PINNED group-order fold for the 5-term s²/n sum).
+# Two keyed passes (rank, moments) + one broadcast 5-row median join.
+
+_LEVENE_SQL = """
+WITH base AS (
+  SELECT o_orderpriority AS grp, o_orderkey,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+),
+ranked AS (
+  SELECT grp, cents,
+         row_number() OVER (PARTITION BY grp ORDER BY cents, o_orderkey)
+           AS r,
+         count(*) OVER (PARTITION BY grp) AS ng
+  FROM base
+),
+med AS (
+  SELECT grp, cents AS med_lo FROM ranked
+  WHERE r = CAST(floor((ng + 1) / 2) AS BIGINT)
+),
+z AS (
+  SELECT b.grp, abs(b.cents - m.med_lo) AS z
+  FROM base b JOIN med m ON b.grp = m.grp
+),
+g AS (
+  SELECT grp,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(z) AS BIGINT) AS s,
+         sum(CAST(z AS HUGEINT) * z) AS sq,
+         CAST(sum(z) AS DOUBLE) * CAST(sum(z) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS gterm
+  FROM z GROUP BY grp
+),
+tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS n,
+         CAST(sum(s) AS BIGINT) AS s,
+         CAST(sum(sq) AS DOUBLE) AS sq,
+         list_reduce(list(gterm ORDER BY grp), (a, b) -> a + b) AS gb,
+         CAST(count(*) AS BIGINT) AS k
+  FROM g
+),
+parts AS (
+  SELECT t.n, t.k,
+         t.gb - CAST(t.s AS DOUBLE) * CAST(t.s AS DOUBLE)
+                / CAST(t.n AS DOUBLE) AS ssb,
+         t.sq - t.gb AS ssw
+  FROM tot t
+)
+SELECT n, k AS k_groups,
+       CASE WHEN k > 1 AND n > k AND ssw > 0.0
+            THEN round((ssb / (CAST(k AS DOUBLE) - 1.0))
+                       / (ssw / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))), 6)
+       END AS levene_w
+FROM parts
+"""
+
+
+@query("stats_levene_variance", sql=_LEVENE_SQL, tags=("stats", "variance"))
+def stats_levene_variance(spark, sf_dir):
+    """Brown-Forsythe equality-of-variances W across order priorities —
+    see block comment."""
+    from pyspark.sql import Window
+
+    o = read_table(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    wr = Window.partitionBy("grp").orderBy("cents", "o_orderkey")
+    wc = Window.partitionBy("grp")
+    med = (
+        base.withColumn("r", F.row_number().over(wr))
+        .withColumn("ng", F.count("*").over(wc))
+        .where(F.col("r") == F.floor((F.col("ng") + 1) / 2).cast("long"))
+        .select("grp", F.col("cents").alias("med_lo"))
+    )
+    z = base.join(F.broadcast(med), "grp").select(
+        "grp", F.abs(F.col("cents") - F.col("med_lo")).alias("z")
+    )
+    g = z.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("z").cast("long").alias("s"),
+        F.sum(F.col("z").cast("decimal(38,0)") * F.col("z")).alias("sq"),
+    ).withColumn(
+        "gterm",
+        F.col("s").cast("double")
+        * F.col("s").cast("double")
+        / F.col("n").cast("double"),
+    )
+    parts = g.agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("s").cast("long").alias("s"),
+        F.sum("sq").cast("double").alias("sq"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("grp", "gterm"))),
+                lambda x: x["gterm"],
+            ),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        ).alias("gb"),
+        F.count("*").cast("long").alias("k"),
+    )
+    nd, kd = F.col("n").cast("double"), F.col("k").cast("double")
+    ssb = F.col("gb") - F.col("s").cast("double") * F.col("s").cast(
+        "double"
+    ) / nd
+    ssw = F.col("sq") - F.col("gb")
+    return parts.select(
+        "n",
+        F.col("k").alias("k_groups"),
+        F.when(
+            (F.col("k") > 1) & (F.col("n") > F.col("k")) & (ssw > 0.0),
+            F.round((ssb / (kd - F.lit(1.0))) / (ssw / (nd - kd)), 6),
+        ).alias("levene_w"),
+    )

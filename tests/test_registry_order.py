@@ -34,6 +34,7 @@ EXPECTED_WINDOW = (
     "decontaminate_substring_winnow",
     "dedup_containment_pairs",
     "sketch_count_min_contract",
+    "sketch_hll_distinct_contract",
     "session_gap_histogram",
     "graph_modularity_brands",
     "graph_assortativity",
@@ -42,6 +43,7 @@ EXPECTED_WINDOW = (
     "embedding_anisotropy_audit",
     "stats_mann_kendall_monthly",
     "stats_runs_test",
+    "stats_levene_variance",
     "timeseries_changepoint_cusum",
     "timeseries_acf_lags",
     "text_heaps_law_fit",
@@ -77,8 +79,6 @@ EXPECTED_WINDOW = (
     "text_quality_scores",
     "text_language_id",
     "text_fingerprint",
-    "text_redact_pii",
-    "text_repetition_ratio",
 )
 
 
