@@ -717,7 +717,13 @@ def dedup_against_signature_index(spark, sf_dir):
         F.min("doc_id").cast("long").alias("keep_id")
     )
 
-    # persist the index: the artifact a next-round ingest would read
+    # persist the index: the artifact a next-round ingest would read.
+    # tempfile.mkdtemp is a DRIVER-LOCAL path — correct in local mode
+    # (this harness) because driver and executors share one filesystem;
+    # on a real cluster the scratch root must be shared storage (the
+    # warehouse dir / an object-store prefix, e.g. derived from sf_dir)
+    # or executors would write parts to their own disks and the
+    # read-back would silently lose rows (ADVICE r10).
     work = tempfile.mkdtemp(prefix="bdap_sigidx_")
     atexit.register(shutil.rmtree, work, ignore_errors=True)
     idx_path = os.path.join(work, "signature_index")
@@ -914,7 +920,11 @@ def decontaminate_substring_winnow(spark, sf_dir):
 # (the set-similarity-join standard): each doc probes only its 3 RAREST
 # shingles (global doc-frequency, shingle tie-break) against the
 # df-capped inverted index.  If A ⊆ B then every A shingle — including
-# its rarest — appears in B, so the pair is guaranteed found; candidate
+# its rarest — appears in B, so the pair is found PROVIDED A's rarest
+# probe survives the df cap (df ≤ _CONTAIN_MAX_DF): a contained doc
+# whose 3 rarest shingles are ALL more common than the cap probes
+# nothing and the pair is missed — the same recall-vs-candidate-volume
+# trade LSH banding makes, not an unconditional guarantee; candidate
 # volume is ≤ 3·df_cap per doc instead of Σ df² over all shingles (the
 # naive capped-index self-join produced 1.2M pairs on the sf0.1 fixture,
 # whose template-generated prose shares almost every 3-gram across docs;

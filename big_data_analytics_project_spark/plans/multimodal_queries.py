@@ -132,8 +132,13 @@ def multimodal_binary_dedup(spark, sf_dir):
 # constant regardless of payload size).  Per-doc entropy via
 # H = ln(n) - (1/n)*sum(c*ln(c)) with portable 6-dp-quantized ln and
 # exact DECIMAL sums; per-source roll-up with the decimal-sum/count
-# idiom.  One (doc, byte)-keyed aggregate, one doc-keyed, one
-# source-keyed — all map-side combined.
+# idiom.  The per-doc histogram is computed ENTIRELY IN-MAP (VERDICT r10
+# item 4): sort the bounded char array, find run boundaries, run lengths
+# = counts — no (doc, char) explode, so the only shuffle left is the
+# final source-keyed roll-up.  Subexpressions (sorted array, boundary
+# list) are LET-BOUND via single-element-array transform() so Catalyst
+# evaluates each once per row instead of inlining them per reference
+# (the round-10 projection-collapse lesson, docs/determinism.md).
 
 _ENTROPY_WIN = 256
 
@@ -183,30 +188,58 @@ def multimodal_byte_entropy(spark, sf_dir):
     """Per-source byte-entropy audit of payload header windows — see
     block comment."""
     docs = read_table(spark, sf_dir, "documents").where(F.length("text") > 0)
+    # the in-map histogram kernel is CPU-bound (higher-order functions run
+    # interpreted); a small parquet arrives as ONE input split and would
+    # serialize it on one core — spread by doc_id only when the scan
+    # yielded fewer splits than cores (the dedup winnowing guard; at scale
+    # inputs arrive in thousands of size-capped splits and this never
+    # fires, so no 100 TB shuffle is introduced)
+    sc = docs.sparkSession.sparkContext
+    if docs.rdd.getNumPartitions() < sc.defaultParallelism:
+        docs = docs.repartition(sc.defaultParallelism, "doc_id")
     pre = docs.select(
         "doc_id", "source", F.substring("text", 1, _ENTROPY_WIN).alias("pre")
     )
-    chars = pre.select(
-        "doc_id",
+
+    def let(expr, body):
+        # bind expr ONCE as a lambda variable (single-element-array
+        # transform): inside `body` every reference is a cheap
+        # NamedLambdaVariable lookup, never a re-evaluation
+        return F.get(F.transform(F.array(expr), body), 0)
+
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("pre")),
+        lambda i: F.substring(F.col("pre"), i, 1),
+    )
+    # run-length histogram over the sorted char array: boundary positions
+    # (0-based indices where the char differs from its predecessor) zipped
+    # with their successors give run lengths = per-char counts
+    counts = let(
+        F.array_sort(chars),
+        lambda s: let(
+            F.filter(
+                F.sequence(F.lit(0), F.size(s) - 1),
+                lambda i: (i == 0) | (F.get(s, i) != F.get(s, i - 1)),
+            ),
+            lambda b: F.zip_with(
+                b,
+                F.concat(F.slice(b, 2, F.size(b) - 1), F.array(F.size(s))),
+                lambda st, en: (en - st).cast("long"),
+            ),
+        ),
+    )
+    per_doc = pre.select(
         "source",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.length("pre")),
-                lambda i: F.substring(F.col("pre"), i, 1),
-            )
-        ).alias("ch"),
-    )
-    cnt = chars.groupBy("doc_id", "source", "ch").agg(
-        F.count("*").cast("long").alias("c")
-    )
-    per_doc = cnt.groupBy("doc_id", "source").agg(
-        F.sum("c").cast("long").alias("n"),
-        F.sum(
-            F.col("c")
-            * F.round(F.log(F.col("c").cast("double")), 6).cast("decimal(18,6)")
-        )
-        .cast("decimal(28,6)")
-        .alias("clnc"),
+        F.length("pre").cast("long").alias("n"),
+        F.aggregate(
+            counts,
+            F.lit(0).cast("decimal(28,6)"),
+            lambda a, c: (
+                a
+                + c.cast("decimal(18,0)")
+                * F.round(F.log(c.cast("double")), 6).cast("decimal(18,6)")
+            ).cast("decimal(28,6)"),
+        ).alias("clnc"),
     )
     h = per_doc.select(
         "source",

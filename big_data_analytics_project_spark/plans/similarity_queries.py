@@ -1436,15 +1436,17 @@ def embedding_anisotropy_audit(spark, sf_dir):
     )
     self_sq = q.groupBy("label").agg(
         F.count("*").cast("long").alias("n"),
+        # cast to decimal(38,0) BEFORE the cross-row fold: a per-row
+        # self-dot is <= d * 10^12 (~6.4e13 at d=64), so the long sum
+        # would overflow int64 past ~140k rows/label while DuckDB
+        # silently widens sum(BIGINT) to HUGEINT (ADVICE r10).
         F.sum(
             F.aggregate(
                 F.transform(F.col("qv"), lambda c: c * c),
                 F.lit(0).cast("long"),
                 lambda a, b: a + b,
-            )
-        )
-        .cast("decimal(38,0)")
-        .alias("self_q"),
+            ).cast("decimal(38,0)")
+        ).alias("self_q"),
     )
     comps = (
         q.select("label", F.posexplode("qv").alias("pos", "qc"))

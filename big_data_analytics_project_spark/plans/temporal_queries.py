@@ -1728,7 +1728,7 @@ ORDER BY lag
 
 @query("timeseries_acf_lags", sql=_ACF_SQL, tags=("timeseries", "stats"))
 def timeseries_acf_lags(spark, sf_dir):
-    """Daily-revenue autocorrelation at lags 1..{_ACF_MAX_LAG} — see
+    """Daily-revenue autocorrelation at lags 1..14 (_ACF_MAX_LAG) — see
     block comment."""
     from pyspark.sql import Window
 

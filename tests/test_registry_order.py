@@ -27,58 +27,58 @@ from big_data_analytics_project_spark.registry import (
 # rotate out), with the four never-driver-checked rows-only streaming
 # queries lifted into the window tail for ONE round (VERDICT r5 item 4).
 EXPECTED_WINDOW = (
-    # tier 0 — never driver-green
-    "curation_dup_rate_by_quality_band",
-    "dedup_against_signature_index",
-    "dedup_substring_pair_overlap",
-    "decontaminate_substring_winnow",
-    "dedup_containment_pairs",
-    "sketch_count_min_contract",
-    "sketch_hll_distinct_contract",
-    "session_gap_histogram",
-    "graph_modularity_brands",
-    "graph_assortativity",
-    "ml_logreg_quality_contract",
-    "multimodal_byte_entropy",
-    "embedding_anisotropy_audit",
-    "stats_mann_kendall_monthly",
-    "stats_runs_test",
-    "stats_levene_variance",
-    "timeseries_changepoint_cusum",
-    "timeseries_acf_lags",
-    "text_heaps_law_fit",
-    "quality_perplexity_buckets",
-    "retrieval_rrf_hybrid_topk",
-    "text_code_like_share",
     # tier 1 — last green r04
-    "join_left_order_items",
-    "join_semi_active_customers",
-    "agg_pricing_summary",
-    "agg_distinct_exact",
-    "agg_rollup_orders",
-    "agg_null_audit",
-    "agg_funnel_share",
-    "window_rank_topn_per_group",
-    "window_range_frame",
-    "topk_global_orders",
-    "sort_by_aggregate",
-    "math_funcs",
-    "conditional_funcs",
-    "array_explode_tokens",
-    "pivot_event_counts",
-    "heuristic_intent_score",
-    "dedup_subset_keys",
-    "agg_percentiles",
-    "agg_corr_covar",
-    "ann_bruteforce_topk",
-    "ann_lsh_topk",
-    "embedding_cosine_neardup",
-    "streaming_tumbling_window",
-    "streaming_session_window",
-    "text_token_stats",
-    "text_quality_scores",
-    "text_language_id",
-    "text_fingerprint",
+    "text_redact_pii",
+    "text_repetition_ratio",
+    # tier 1 — last green r05
+    "sample_hash_stratified",
+    "pack_token_budget_bins",
+    "zorder_code_events",
+    "scd2_customer_segments",
+    "unpivot_lineitem_measures",
+    "dq_constraint_audit",
+    "chunk_long_documents",
+    "dedup_exact_fingerprint",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_clusters",
+    "dedup_simhash_pairs",
+    "dedup_incremental_batch",
+    "decontaminate_benchmark_ngrams",
+    "window_nth_lag_defaults",
+    "date_arithmetic",
+    "array_funcs",
+    "text_edit_distance",
+    "union_schema_evolution",
+    "flagship_sessionization_joinform",
+    "funnel_ordered_stages",
+    "cohort_retention_daily",
+    "date_parts_agg",
+    "join_broadcast_part",
+    "join_anti_inactive_customers",
+    "agg_approx_distinct",
+    "agg_cube_customer",
+    "agg_grouping_sets",
+    "agg_stats_summary",
+    "window_rank_dense_rank",
+    "window_lag_lead",
+    "window_running_total",
+    "window_distribution",
+    "window_first_last",
+    "set_union_all",
+    "set_intersect",
+    "set_except",
+    "distinct_pairs",
+    "agg_approx_percentile_check",
+    "ann_ivf_topk",
+    "ann_ivf_recall_audit",
+    "ann_ivfpq_topk",
+    "streaming_sliding_window",
+    "streaming_static_enrich",
+    "streaming_interval_join",
+    "asof_join_nearest_event",
+    "range_join_attribution",
+    "hypertable_rollup_events",
 )
 
 
@@ -202,6 +202,45 @@ def test_tier0_priority_dropped_once_recorded():
             "every TIER0_PRIORITY name already has a driver-green digest row "
             f"{sorted(TIER0_PRIORITY)} — empty the tuple and re-pin the window"
         )
+
+
+# Rounds a driver-green oracle query may go without a re-check before the
+# rotation MUST queue it (VERDICT r10 item 3).  The remedy for an overdue
+# query is membership in the current driver window — the test fails only
+# when registration pace has outrun the rotation so badly that an
+# over-budget name is NOT even queued for this round's re-check (as
+# happened at the round-10 close, when the two r4-vintage names were
+# displaced by 22 new tier-0 registrations).
+STALENESS_BUDGET = 5
+
+
+def test_overdue_queries_are_queued_in_window():
+    """Rotation-debt tripwire: every oracle query whose last driver-green
+    round is more than STALENESS_BUDGET rounds behind the latest recorded
+    CORRECTNESS round must sit inside the CURRENT driver window.  Turning
+    the judge's rotation-debt observation into a red test: if this fires,
+    stop registering new tier-0 queries until the stale tail clears."""
+    import glob
+    import re
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    current = 0
+    for p in glob.glob(str(repo / "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", p)
+        if m:
+            current = max(current, int(m.group(1)))
+    history = _load_history()
+    window = set(driver_window())
+    overdue = sorted(
+        n for n, r in history.items() if current - r > STALENESS_BUDGET
+    )
+    missing = [n for n in overdue if n not in window]
+    assert not missing, (
+        f"queries over the {STALENESS_BUDGET}-round staleness budget are not "
+        f"queued in the current driver window: {missing} — pause new "
+        "registrations until the stale tail clears"
+    )
 
 
 def test_driver_history_digest_is_current():
