@@ -381,6 +381,7 @@ HEADLINE = [
     "sketch_count_min_contract",      # CMS one-sided-error contract
     "sketch_hll_distinct_contract",   # HLL + sketch-union merge contract
     "stats_levene_variance",          # Brown-Forsythe W (ANOVA guard)
+    "dedup_near_against_band_index",  # persisted MinHash band-index probe
 ]
 
 

@@ -9,8 +9,8 @@ from pathlib import Path
 
 from big_data_analytics_project_spark.registry import load_all
 
-TOTAL = 303
-ORACLE = 291
+TOTAL = 304
+ORACLE = 292
 
 
 def test_counts_match_registry():

@@ -27,6 +27,8 @@ from big_data_analytics_project_spark.registry import (
 # rotate out), with the four never-driver-checked rows-only streaming
 # queries lifted into the window tail for ONE round (VERDICT r5 item 4).
 EXPECTED_WINDOW = (
+    # tier 0 — never driver-green
+    "dedup_near_against_band_index",
     # tier 1 — last green r04
     "text_redact_pii",
     "text_repetition_ratio",
@@ -78,7 +80,6 @@ EXPECTED_WINDOW = (
     "streaming_interval_join",
     "asof_join_nearest_event",
     "range_join_attribution",
-    "hypertable_rollup_events",
 )
 
 
