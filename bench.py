@@ -171,7 +171,9 @@ HEADLINE = [
     "timeseries_gap_histogram",
     # round-7: the notebook EDA report — one multi-agg pass + stack unpivot
     # (ml_rf_quality_contract's RF path is already benched via
-    # ml_intent_rf_metrics; re-training it here would double that cost)
+    # ml_intent_rf_metrics; re-training it here would double that cost.
+    # ml_tuning_grid_contract is excluded for the same reason: its 4 RF
+    # fits re-train the very sweep the contract audits)
     "eda_events_report",
     # Kaplan-Meier conversion survival: user rollup + day-grid prefix folds
     "survival_kaplan_meier",

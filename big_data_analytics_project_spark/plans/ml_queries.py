@@ -80,6 +80,84 @@ def ml_intent_tuning_grid(spark, sf_dir):
     )
 
 
+# --- tuning-grid contract (VERDICT r10 item 7) ------------------------------
+# The grid-point AUC VALUES are seeded-model artifacts (rows-only above),
+# but the sweep's SHAPE is exactly checkable: the full 2x2 grid must be
+# reported, the best flag must be the argmax of the reported metrics (a
+# by-construction invariant — immune to undersampling's partition noise,
+# unlike "exactly one best", which can flip on metric ties at AUC~1.0),
+# and every grid point must clear the near-separable fixture's 0.95 AUC
+# floor (same floor as tests/test_ml.py).  The feature-table shape is
+# recomputed exactly by the oracle through the flagship CTE, same as
+# ml_rf_quality_contract.
+
+_TUNING_GRID_CONTRACT_SQL = """
+WITH marked AS (
+  SELECT *,
+         min(CASE WHEN event_type = 'purchase' THEN ts END)
+             OVER (PARTITION BY user_id) AS first_conversion_ts
+  FROM events
+), kept AS (
+  SELECT * FROM marked
+  WHERE first_conversion_ts IS NULL OR ts <= first_conversion_ts
+), feats AS (
+  SELECT user_id,
+         CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS label
+  FROM kept GROUP BY user_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(label) AS BIGINT) AS n_positive,
+       CAST(4 AS BIGINT) AS n_grid_points,
+       CAST(2 AS BIGINT) AS n_tree_values,
+       CAST(2 AS BIGINT) AS n_depth_values,
+       CAST(TRUE AS BOOLEAN) AS grid_pairs_complete,
+       CAST(TRUE AS BOOLEAN) AS best_nonempty,
+       CAST(TRUE AS BOOLEAN) AS best_is_argmax,
+       CAST(TRUE AS BOOLEAN) AS all_points_auc_ge_095
+FROM feats
+"""
+
+
+@query(
+    "ml_tuning_grid_contract",
+    sql=_TUNING_GRID_CONTRACT_SQL,
+    tags=("ml", "tuning", "contract"),
+)
+def ml_tuning_grid_contract(spark, sf_dir):
+    """TrainValidationSplit sweep under the M-family contract pattern —
+    see block comment.  Grid shape, best-flag argmax consistency, and
+    per-point AUC floors become driver-checkable booleans; the training
+    population shape (n_users, n_positive) is recomputed exactly by the
+    oracle.  A sweep wiring regression (missing grid point, argmax bug,
+    quality collapse) flips a compared value and fails the driver hash."""
+    from ..ml.intent import build_feature_table, tune_intent_model, undersample
+
+    feats = build_feature_table(spark, sf_dir)
+    sampled = undersample(feats).cache()
+    _, rows = tune_intent_model(sampled)
+    pairs = {(r["num_trees"], r["max_depth"]) for r in rows}
+    best = [r for r in rows if r["is_best"]]
+    max_auc = max(r["val_auc"] for r in rows)
+    return feats.agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum("label").cast("long").alias("n_positive"),
+        F.lit(len(rows)).cast("long").alias("n_grid_points"),
+        F.lit(len({p[0] for p in pairs})).cast("long").alias("n_tree_values"),
+        F.lit(len({p[1] for p in pairs})).cast("long").alias("n_depth_values"),
+        F.lit(pairs == {(10, 3), (10, 5), (20, 3), (20, 5)}).alias(
+            "grid_pairs_complete"
+        ),
+        F.lit(len(best) >= 1).alias("best_nonempty"),
+        F.lit(bool(best) and all(r["val_auc"] == max_auc for r in best)).alias(
+            "best_is_argmax"
+        ),
+        F.lit(all(r["val_auc"] >= 0.95 for r in rows)).alias(
+            "all_points_auc_ge_095"
+        ),
+    )
+
+
 # --- M-family oracle exposure (VERDICT r6 item 7) -------------------------
 # The model metrics themselves have no SQL equivalent, but two things DO:
 # the feature table the model trains on (exactly — it is the flagship

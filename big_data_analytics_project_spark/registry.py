@@ -172,8 +172,9 @@ ROWS_ONLY_FINAL: dict[str, str] = {
         " shape + factor completeness + Recall@10 floor)"
     ),
     "ml_intent_tuning_grid": (
-        "grid-point validation AUCs are seeded-model artifacts; best-point"
-        " selection logic is pinned in tests/test_ml.py"
+        "grid-point validation AUCs are seeded-model artifacts; the"
+        " oracle-checked dual is ml_tuning_grid_contract (grid shape,"
+        " best-flag argmax consistency, per-point AUC floors)"
     ),
     "sample_seeded": (
         "Spark's XORShift sample() is engine-defined — DuckDB cannot"

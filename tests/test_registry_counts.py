@@ -9,8 +9,8 @@ from pathlib import Path
 
 from big_data_analytics_project_spark.registry import load_all
 
-TOTAL = 304
-ORACLE = 292
+TOTAL = 305
+ORACLE = 293
 
 
 def test_counts_match_registry():

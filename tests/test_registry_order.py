@@ -29,6 +29,7 @@ from big_data_analytics_project_spark.registry import (
 EXPECTED_WINDOW = (
     # tier 0 — never driver-green
     "dedup_near_against_band_index",
+    "ml_tuning_grid_contract",
     # tier 1 — last green r04
     "text_redact_pii",
     "text_repetition_ratio",
@@ -79,7 +80,6 @@ EXPECTED_WINDOW = (
     "streaming_static_enrich",
     "streaming_interval_join",
     "asof_join_nearest_event",
-    "range_join_attribution",
 )
 
 
