@@ -248,3 +248,95 @@ def test_aqe_actually_splits_hot_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_winnow_pair_cap_bounds_boilerplate_skew(spark):
+    """VERDICT r10 item 8: dedup_substring_pair_overlap's df-cap must keep
+    the per-fingerprint self-join bounded when ONE fingerprint is shared
+    by 10^4 docs (site-wide boilerplate — the hot-fp shape the in-code
+    comment at the winnowing gram window argues about).  Built from the
+    query's own constants so a cap change re-proves the bound."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from big_data_analytics_project_spark.plans.dedup_queries import (
+        _PAIR_MAX_DF,
+        _PAIR_MIN_SHARED,
+        winnow_fingerprints,
+    )
+
+    n_docs = 10_000
+    n_pairs = 50
+    boiler = (
+        "subscribe to our newsletter today for daily updates and "
+        "exclusive member offers delivered straight to your inbox "
+    )
+    # unique per-doc body: two md5 hex strings -> ~70 chars of content no
+    # other doc shares (plenty of winnowed fps, each with df 1)
+    base = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit(boiler),
+            F.lit("unique document body "),
+            F.md5(F.col("id").cast("string")),
+            F.lit(" "),
+            F.md5((F.col("id") + 7).cast("string")),
+        ).alias("text"),
+    )
+    # planted dup pairs: offset-shifted copies of the first n_pairs docs
+    # ('OFF>> ' = 6 chars, not a multiple of the gram window) — their
+    # shared unique regions produce df=2 fps the cap must KEEP
+    variants = base.where(F.col("doc_id") < n_pairs).select(
+        (F.col("doc_id") + n_docs).alias("doc_id"),
+        F.concat(F.lit("OFF>> "), F.col("text")).alias("text"),
+    )
+    corpus = base.unionByName(variants)
+
+    fps = winnow_fingerprints(corpus, id_cols=("doc_id",)).persist()
+    df_counts = fps.groupBy("fp").agg(F.count("*").alias("nd")).persist()
+
+    # the skew exists: the boilerplate fingerprints are shared by every
+    # doc — 10^4 docs on one fp, 5000x the df of the planted-pair fps
+    hot = df_counts.agg(F.max("nd").alias("m")).collect()[0]["m"]
+    assert hot >= n_docs, f"expected a boilerplate fp with df >= {n_docs}, got {hot}"
+
+    # replicate the query's capped join input
+    capped = (
+        fps.withColumn("nd", F.count("*").over(Window.partitionBy("fp")))
+        .where((F.col("nd") >= 2) & (F.col("nd") <= _PAIR_MAX_DF))
+        .select("doc_id", "fp")
+    )
+    # 1. the hot fp is capped OUT entirely
+    max_capped_df = (
+        capped.groupBy("fp").count().agg(F.max("count").alias("m")).collect()[0]["m"]
+    )
+    assert max_capped_df <= _PAIR_MAX_DF
+
+    # 2. candidate volume obeys sum_f C(min(df,cap), 2): the uncapped
+    # boilerplate join would be C(10050, 2) ~ 5e7 pairs; the capped join
+    # must stay within the planted-pair budget (50 pairs x their shared
+    # rare fps), orders of magnitude below the hot-fp blowup
+    a = capped.select(F.col("doc_id").alias("id_a"), "fp")
+    b = capped.select(F.col("doc_id").alias("id_b"), "fp")
+    cand = a.join(b, "fp").where(F.col("id_a") < F.col("id_b"))
+    n_cand = cand.count()
+    budget = (
+        df_counts.where(F.col("nd").between(2, _PAIR_MAX_DF))
+        .agg(F.sum(F.expr("nd * (nd - 1) / 2")).alias("s"))
+        .collect()[0]["s"]
+    )
+    assert n_cand == int(budget)
+    assert n_cand < 10_000, f"capped candidates blew up: {n_cand}"
+
+    # 3. recall survives the cap: every planted pair is recovered
+    pairs = (
+        cand.groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= _PAIR_MIN_SHARED)
+        .collect()
+    )
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    want = {(i, i + n_docs) for i in range(n_pairs)}
+    assert want <= got, f"missing planted pairs: {sorted(want - got)[:5]}"
+    fps.unpersist()
+    df_counts.unpersist()
