@@ -335,9 +335,12 @@ def basket_association_rules(spark, sf_dir):
     )
     ia = item.select(F.col("part").alias("part_a"), F.col("n_item").alias("n_a"))
     ib = item.select(F.col("part").alias("part_b"), F.col("n_item").alias("n_b"))
+    # ia/ib are part-sized (unbounded at scale) — no broadcast hint; AQE
+    # broadcasts when small, shuffles on the part key otherwise.  Only the
+    # 1-row total keeps an explicit hint.
     scored = (
-        pairs.join(F.broadcast(ia), "part_a")
-        .join(F.broadcast(ib), "part_b")
+        pairs.join(ia, "part_a")
+        .join(ib, "part_b")
         .crossJoin(F.broadcast(n))
         .select(
             "part_a",
@@ -481,7 +484,8 @@ def basket_sequential_patterns(spark, sf_dir):
     fa = firsts.select(
         F.col("part").alias("part_a"), F.col("n_first").alias("n_a")
     )
-    scored = pairs.join(F.broadcast(fa), "part_a").select(
+    # fa is part-sized (unbounded at scale) — no broadcast hint; AQE decides
+    scored = pairs.join(fa, "part_a").select(
         "part_a",
         "part_b",
         "n_ab",
@@ -601,8 +605,9 @@ def graph_bfs_distances(spark, sf_dir):
 # co-purchase graph: per community c, contribution = e_c/m - (d_c/2m)^2.
 # This is the evaluation half of community detection — at 100 TB you
 # score candidate partitions (brand, category, label-prop output) with
-# exactly this aggregate: the edge table joins the broadcast node-label
-# dimension twice, degrees come from the existing degree pipeline, and
+# exactly this aggregate: the edge table joins the node-label dimension
+# twice (hint-free: AQE broadcasts it when small, shuffles on the node
+# key when not), degrees come from the existing degree pipeline, and
 # everything reduces to community-sized integer cells (e_c, d_c).
 # Integer-exact: each row's contribution is an IEEE-exact function of
 # BIGINT (e_c, d_c, m).
@@ -654,16 +659,19 @@ def graph_modularity_brands(spark, sf_dir):
     m = edges.agg(F.count("*").cast("long").alias("m"))
     la = part.select(F.col("node").alias("src"), F.col("brand").alias("brand_a"))
     lb = part.select(F.col("node").alias("dst"), F.col("brand").alias("brand_b"))
+    # la/lb/part are node-sized label dims (unbounded at scale) — no
+    # broadcast hint (same policy as degrees above); AQE broadcasts when
+    # small, shuffles on the node key otherwise.  m stays hinted (1 row).
     within = (
-        edges.join(F.broadcast(la), "src")
-        .join(F.broadcast(lb), "dst")
+        edges.join(la, "src")
+        .join(lb, "dst")
         .where(F.col("brand_a") == F.col("brand_b"))
         .groupBy(F.col("brand_a").alias("brand"))
         .agg(F.count("*").cast("long").alias("e_c"))
     )
     degs = (
         G.degrees(edges)
-        .join(F.broadcast(part), "node")
+        .join(part, "node")
         .groupBy("brand")
         .agg(
             F.count("*").cast("long").alias("n_nodes"),
@@ -698,8 +706,9 @@ def graph_modularity_brands(spark, sf_dir):
 # marginals are identical, so r reduces to
 # (M·Σjk − (Σj)²) / (M·Σj² − (Σj)²) over exact BIGINT/DECIMAL moments
 # with one IEEE division — no sqrt needed.  Edge build + degrees reuse
-# the existing 2-shuffle pipeline; the moment pass is one broadcast
-# degree join over the edge list.
+# the existing 2-shuffle pipeline; the moment pass is one hint-free
+# degree join over the edge list (AQE broadcasts the node-sized degree
+# table when small, key-shuffles when not — scale-adaptive by design).
 
 _ASSORT_SQL = f"""
 WITH {_EDGES_SQL},
@@ -740,7 +749,9 @@ def graph_assortativity(spark, sf_dir):
     deg = G.degrees(edges)
     da = deg.select(F.col("node").alias("src"), F.col("deg").alias("j"))
     db = deg.select(F.col("node").alias("dst"), F.col("deg").alias("k"))
-    ends = dir_.join(F.broadcast(da), "src").join(F.broadcast(db), "dst")
+    # da/db are node-sized degree tables (unbounded at scale) — no
+    # broadcast hint; AQE broadcasts when small, shuffles otherwise
+    ends = dir_.join(da, "src").join(db, "dst")
     mom = ends.agg(
         F.count("*").cast("long").alias("m2"),
         F.sum("j").cast("decimal(38,0)").alias("sj"),
