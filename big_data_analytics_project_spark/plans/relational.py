@@ -1682,9 +1682,11 @@ def agg_percent_of_parent(spark, sf_dir):
     cust = read_table(spark, sf_dir, "customer")
     nation = read_table(spark, sf_dir, "nation")
     region = read_table(spark, sf_dir, "region")
+    # customer is SF-sized (unbounded at scale) — no broadcast hint; AQE
+    # broadcasts the 2-col projection when small, key-shuffles otherwise
     per_nation = (
         orders.join(
-            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            cust.select("c_custkey", "c_nationkey"),
             orders.o_custkey == cust.c_custkey,
         )
         .groupBy(F.col("c_nationkey").alias("nationkey"))
