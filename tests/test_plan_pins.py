@@ -226,3 +226,39 @@ def test_substring_pair_join_is_fp_equi(registry, spark, sf_dir):
     plan = _plan(registry, spark, sf_dir, "dedup_substring_pair_overlap")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def _analyzed(registry, spark, sf_dir, name: str) -> str:
+    spark.catalog.clearCache()
+    df = registry[name].fn(spark, sf_dir)
+    return df._jdf.queryExecution().analyzed().toString()
+
+
+def test_graph_moment_joins_are_hint_free(registry, spark, sf_dir):
+    """Node- and part-sized dims (degrees, labels, item frequencies) must
+    NOT carry explicit broadcast hints — at 100 TB they outgrow any
+    executor, so the scale-adaptive plan is hint-free (AQE broadcasts
+    when small, key-shuffles when not).  Only 1-row aggregates may keep a
+    hint.  Pins the round-11 policy so a convenience hint can't creep
+    back in."""
+    # assortativity: degree joins only, no 1-row crossJoin -> zero hints
+    assert "ResolvedHint" not in _analyzed(
+        registry, spark, sf_dir, "graph_assortativity"
+    )
+    # modularity: the single permitted hint is the 1-row edge total m
+    assert _analyzed(
+        registry, spark, sf_dir, "graph_modularity_brands"
+    ).count("ResolvedHint") == 1
+    # basket rules: the single permitted hint is the 1-row basket total n
+    assert _analyzed(
+        registry, spark, sf_dir, "basket_association_rules"
+    ).count("ResolvedHint") == 1
+    # sequential patterns: part-sized first-purchase counts, zero hints
+    assert "ResolvedHint" not in _analyzed(
+        registry, spark, sf_dir, "basket_sequential_patterns"
+    )
+    # percent-of-parent: customer is SF-sized; only the fixed 25-nation /
+    # 5-region dims (bounded domains) may stay hinted
+    assert _analyzed(
+        registry, spark, sf_dir, "agg_percent_of_parent"
+    ).count("ResolvedHint") == 2
