@@ -77,6 +77,33 @@ def _spread(df: DataFrame, key: str) -> DataFrame:
     return df.repartition(df.sparkSession.sparkContext.defaultParallelism, key)
 
 
+def spread_if_few_splits(df: DataFrame, key: str) -> DataFrame:
+    """Guarded ``_spread``: repartition ONLY when the scan yielded fewer
+    splits than cores.  For CPU-bound in-map kernels (interpreted
+    higher-order functions, md5 gram hashing) a small parquet arrives as
+    one input split and would serialize on a single core; at scale inputs
+    arrive in thousands of size-capped splits and the guard never fires,
+    so no fact-sized shuffle is ever introduced (few splits ⇒ input is at
+    most cores × maxPartitionBytes ⇒ the shuffle is bounded-small).
+    Canonical form of the determinism.md round-10 lesson 3 guard —
+    keep call sites on this helper so the split-count heuristic stays in
+    one place."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism, key)
+    return df
+
+
+def let(expr: Column, body: Callable[[Column], Column]) -> Column:
+    """Let-bind ``expr`` once via a single-element-array ``transform``:
+    inside ``body`` every reference to the bound variable is a cheap
+    NamedLambdaVariable lookup, so ``expr`` evaluates exactly ONCE per
+    row no matter how many times the body references it — Catalyst's
+    projection collapse cannot inline it back (determinism.md round-11
+    lesson; the round-10 re-evaluation trap's general cure)."""
+    return F.get(F.transform(F.array(expr), body), 0)
+
+
 def shingled(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     # Two round-10 fixes to the shared shingle build, found profiling the
     # containment query (both apply to EVERY shingle consumer):

@@ -587,16 +587,10 @@ def winnow_fingerprints(docs, id_cols=("doc_id", "source")):
         docs.where(F.length("text") >= _SUBSTR_LEN + _WINNOW_W - 1)
         .withColumn("lt", F.lower("text"))
     )
-    # The dense-gram md5 kernel is CPU-bound; a small parquet arrives as a
-    # single input split and would serialize it on one core.  Spread by
-    # doc_id ONLY when the scan yielded fewer splits than cores — at scale
-    # inputs arrive in thousands of >=128 MB-capped splits and this branch
-    # never fires, so no 100 TB text shuffle is ever introduced (few
-    # splits => input is at most cores x maxPartitionBytes => the shuffle
-    # is bounded-small).  Measured 3.1 s -> 0.5 s at sf0.1 local[32].
-    sc = docs.sparkSession.sparkContext
-    if docs.rdd.getNumPartitions() < sc.defaultParallelism:
-        docs = docs.repartition(sc.defaultParallelism, "doc_id")
+    # The dense-gram md5 kernel is CPU-bound — see spread_if_few_splits
+    # for the guard rationale.  Measured 3.1 s -> 0.5 s at sf0.1
+    # local[32] when the guard fires.
+    docs = D.spread_if_few_splits(docs, "doc_id")
     n_pos = F.length("lt") - F.lit(_SUBSTR_LEN - 1)
     hashed = docs.withColumn(
         "hs",
@@ -760,7 +754,9 @@ def dedup_against_signature_index(spark, sf_dir):
 # candidates are verified with exact Jaccard.  Cost scales with the batch
 # and its bucket cohabitants, never the corpus.  Degenerate mega-buckets
 # (boilerplate corpora) are bounded the same way as lsh_candidate_pairs'
-# max_bucket cap — a df census on band_key before the probe join.
+# max_bucket cap — a df census on band_key drops buckets with df >
+# _BANDIDX_MAX_BUCKET from the probe join, identically in both engines
+# (a recall trade, inactive at the oracle grades where max df = 2).
 #
 # Oracle strategy = the ``dedup_simhash_pairs`` pattern: the WHOLE
 # pipeline runs on the engine-portable md5-60-bit hash (operators.dedup.
@@ -779,6 +775,12 @@ _BANDIDX_K = _BANDIDX_BANDS * _BANDIDX_ROWS
 _BANDIDX_PARAMS = D.minhash_params(_BANDIDX_K, seed=42)
 _BANDIDX_M = (1 << 31) - 1  # Mersenne 2^31-1: a*h+b < 2^62 stays in int64
 _BANDIDX_T = 0.5
+# Mega-bucket cap: index buckets with more than this many members are
+# dropped from the probe (the lsh_candidate_pairs max_bucket recall
+# trade).  Inactive at the oracle grades (max bucket df = 2 at both
+# sf0.01 and sf0.001); applied identically in Spark and DuckDB so
+# results agree wherever it bites.
+_BANDIDX_MAX_BUCKET = 200
 _BANDIDX_TAIL = " appended audit note"
 
 
@@ -851,9 +853,16 @@ sig_b AS (
 bands_b AS (
   {_duck_band_rows("sig_b")}
 ),
+bdf AS (
+  SELECT band, key FROM (
+    SELECT band, key, count(*) AS df FROM bands_p GROUP BY band, key
+  ) WHERE df <= {_BANDIDX_MAX_BUCKET}
+),
 cand AS (
   SELECT DISTINCT b.doc_id AS bid, p.doc_id AS pid
-  FROM bands_b b JOIN bands_p p ON b.band = p.band AND b.key = p.key
+  FROM bands_b b
+  JOIN bands_p p ON b.band = p.band AND b.key = p.key
+  JOIN bdf ON p.band = bdf.band AND p.key = bdf.key
 ),
 ver AS (
   SELECT c.bid, c.pid,
@@ -909,11 +918,9 @@ def dedup_near_against_band_index(spark, sf_dir):
     )
     batch = docs.where(F.col("doc_id") % 3 == 0).unionByName(variants)
 
-    def let(expr, body):
-        # bind expr once as a lambda variable so Catalyst's projection
-        # collapse cannot inline the md5 transform into each of the 16
-        # array_min consumers (determinism.md round-10 lesson)
-        return F.get(F.transform(F.array(expr), body), 0)
+    # D.let binds the md5 transform once so Catalyst's projection
+    # collapse cannot inline it into each of the 16 array_min consumers
+    let = D.let
 
     def signed(df):
         sh = D.shingled(df, "doc_id", "text", 3)
@@ -971,9 +978,19 @@ def dedup_near_against_band_index(spark, sf_dir):
     banded(sig_prior).write.parquet(idx_path)
     band_index = spark.read.parquet(idx_path)
 
+    # df census on band_key: drop degenerate mega-buckets before the
+    # probe join (see _BANDIDX_MAX_BUCKET) so per-batch-row fan-out is
+    # bounded even on boilerplate corpora
+    ok_buckets = (
+        band_index.groupBy("band", "key")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") <= _BANDIDX_MAX_BUCKET)
+        .select("band", "key")
+    )
+    capped_index = band_index.join(ok_buckets, ["band", "key"], "left_semi")
     cand = (
         banded(sig_batch)
-        .join(band_index.withColumnRenamed("doc_id", "pid"), ["band", "key"])
+        .join(capped_index.withColumnRenamed("doc_id", "pid"), ["band", "key"])
         .select(F.col("doc_id").alias("bid"), "pid")
         .distinct()
     )

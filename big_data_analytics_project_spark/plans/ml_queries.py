@@ -138,7 +138,9 @@ def ml_tuning_grid_contract(spark, sf_dir):
     _, rows = tune_intent_model(sampled)
     pairs = {(r["num_trees"], r["max_depth"]) for r in rows}
     best = [r for r in rows if r["is_best"]]
-    max_auc = max(r["val_auc"] for r in rows)
+    # default guards the empty-sweep regression: the contract must then
+    # REPORT failure (booleans flip False below), not crash at plan build
+    max_auc = max((r["val_auc"] for r in rows), default=float("nan"))
     return feats.agg(
         F.count("*").cast("long").alias("n_users"),
         F.sum("label").cast("long").alias("n_positive"),
@@ -152,7 +154,7 @@ def ml_tuning_grid_contract(spark, sf_dir):
         F.lit(bool(best) and all(r["val_auc"] == max_auc for r in best)).alias(
             "best_is_argmax"
         ),
-        F.lit(all(r["val_auc"] >= 0.95 for r in rows)).alias(
+        F.lit(bool(rows) and all(r["val_auc"] >= 0.95 for r in rows)).alias(
             "all_points_auc_ge_095"
         ),
     )

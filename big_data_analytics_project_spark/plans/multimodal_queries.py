@@ -187,25 +187,15 @@ FROM h GROUP BY source
 def multimodal_byte_entropy(spark, sf_dir):
     """Per-source byte-entropy audit of payload header windows — see
     block comment."""
+    from ..operators.dedup import let, spread_if_few_splits
+
     docs = read_table(spark, sf_dir, "documents").where(F.length("text") > 0)
     # the in-map histogram kernel is CPU-bound (higher-order functions run
-    # interpreted); a small parquet arrives as ONE input split and would
-    # serialize it on one core — spread by doc_id only when the scan
-    # yielded fewer splits than cores (the dedup winnowing guard; at scale
-    # inputs arrive in thousands of size-capped splits and this never
-    # fires, so no 100 TB shuffle is introduced)
-    sc = docs.sparkSession.sparkContext
-    if docs.rdd.getNumPartitions() < sc.defaultParallelism:
-        docs = docs.repartition(sc.defaultParallelism, "doc_id")
+    # interpreted) — see spread_if_few_splits for the guard rationale
+    docs = spread_if_few_splits(docs, "doc_id")
     pre = docs.select(
         "doc_id", "source", F.substring("text", 1, _ENTROPY_WIN).alias("pre")
     )
-
-    def let(expr, body):
-        # bind expr ONCE as a lambda variable (single-element-array
-        # transform): inside `body` every reference is a cheap
-        # NamedLambdaVariable lookup, never a re-evaluation
-        return F.get(F.transform(F.array(expr), body), 0)
 
     chars = F.transform(
         F.sequence(F.lit(1), F.length("pre")),
