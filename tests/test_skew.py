@@ -340,3 +340,69 @@ def test_winnow_pair_cap_bounds_boilerplate_skew(spark):
     assert want <= got, f"missing planted pairs: {sorted(want - got)[:5]}"
     fps.unpersist()
     df_counts.unpersist()
+
+
+def test_band_index_mega_bucket_cap_bounds_boilerplate(
+    spark, registry, tmp_path_factory
+):
+    """dedup_near_against_band_index's df census (_BANDIDX_MAX_BUCKET) must
+    be ACTIVE and oracle-equal on a boilerplate corpus: 300 identical
+    prior docs put every band bucket far over the cap, so probing batch
+    boilerplate yields ZERO candidates (without the census each would pull
+    ~300 bucket cohabitants — the quadratic blowup the cap exists to
+    stop), while the unique-doc family still matches through its df=1
+    buckets.  Both engines apply the census identically, so the full
+    output stays hash-equal with the cap biting."""
+    import duckdb
+
+    from big_data_analytics_project_spark.plans.dedup_queries import (
+        _BANDIDX_MAX_BUCKET,
+    )
+    from big_data_analytics_project_spark.verify import run_one
+
+    work = str(tmp_path_factory.mktemp("bandidx"))
+    boiler = spark.range(450).selectExpr(
+        "id AS doc_id",
+        "'terms of service apply to every document in this corpus and"
+        " nothing in this boilerplate ever changes between documents' AS text",
+    )
+    uniq = spark.range(1000, 1100).selectExpr(
+        "id AS doc_id",
+        "concat_ws(' ', transform(sequence(1, 30),"
+        " i -> concat('u', CAST(id AS STRING), 'w', CAST(i AS STRING))))"
+        " AS text",
+    )
+    boiler.unionByName(uniq).coalesce(1).write.parquet(f"{work}/documents.parquet")
+
+    # the census must be ACTIVE: 300 identical prior docs >> the cap
+    assert 300 > _BANDIDX_MAX_BUCKET
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM"
+        f" read_parquet('{work}/documents.parquet/*.parquet')"
+    )
+    rep = run_one(
+        spark, con, registry["dedup_near_against_band_index"], work
+    )
+    assert rep.ok, rep.detail
+
+    rows = {
+        r["doc_id"]: r
+        for r in registry["dedup_near_against_band_index"]
+        .fn(spark, work)
+        .collect()
+    }
+    # every boilerplate batch doc (originals AND planted variants) probes
+    # only dropped mega-buckets -> zero candidates, classified novel
+    boiler_rows = [r for d, r in rows.items() if d < 1000 or 2000000 <= d < 2001000]
+    assert boiler_rows, "fixture produced no boilerplate batch rows"
+    assert all(r["n_candidates"] == 0 for r in boiler_rows)
+    assert all(r["status"] == "novel" for r in boiler_rows)
+    # the unique family's df=1 buckets survive the census: its planted
+    # append-tail variants still match their prior originals
+    uniq_variants = [r for d, r in rows.items() if d >= 2001000]
+    assert uniq_variants, "fixture produced no unique variants"
+    matched = [r for r in uniq_variants if r["status"] == "near_dup_of_index"]
+    assert matched, "census must not kill small-bucket matching"
+    assert all(r["best_jaccard"] >= 0.5 for r in matched)
