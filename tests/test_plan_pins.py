@@ -262,3 +262,15 @@ def test_graph_moment_joins_are_hint_free(registry, spark, sf_dir):
     assert _analyzed(
         registry, spark, sf_dir, "agg_percent_of_parent"
     ).count("ResolvedHint") == 2
+
+
+def test_band_index_probe_is_bucket_equijoin(registry, spark, sf_dir):
+    """dedup_near_against_band_index's candidate stage must be equi-joins
+    on (band, key) / doc ids — never a cartesian or nested loop — so the
+    probe cost stays bucket-bounded; and the band index must actually be
+    READ BACK from its parquet artifact (the persisted-index shape), not
+    recomputed from the corpus."""
+    plan = _plan(registry, spark, sf_dir, "dedup_near_against_band_index")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "band_index" in plan, plan  # the read-back parquet scan
