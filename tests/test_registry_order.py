@@ -27,59 +27,59 @@ from big_data_analytics_project_spark.registry import (
 # rotate out), with the four never-driver-checked rows-only streaming
 # queries lifted into the window tail for ONE round (VERDICT r5 item 4).
 EXPECTED_WINDOW = (
-    # tier 0 — never driver-green
-    "dedup_near_against_band_index",
-    "ml_tuning_grid_contract",
-    # tier 1 — last green r04
-    "text_redact_pii",
-    "text_repetition_ratio",
     # tier 1 — last green r05
-    "sample_hash_stratified",
-    "pack_token_budget_bins",
-    "zorder_code_events",
-    "scd2_customer_segments",
-    "unpivot_lineitem_measures",
-    "dq_constraint_audit",
-    "chunk_long_documents",
-    "dedup_exact_fingerprint",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_clusters",
-    "dedup_simhash_pairs",
-    "dedup_incremental_batch",
-    "decontaminate_benchmark_ngrams",
-    "window_nth_lag_defaults",
-    "date_arithmetic",
-    "array_funcs",
-    "text_edit_distance",
-    "union_schema_evolution",
-    "flagship_sessionization_joinform",
-    "funnel_ordered_stages",
-    "cohort_retention_daily",
-    "date_parts_agg",
-    "join_broadcast_part",
-    "join_anti_inactive_customers",
-    "agg_approx_distinct",
-    "agg_cube_customer",
-    "agg_grouping_sets",
-    "agg_stats_summary",
-    "window_rank_dense_rank",
-    "window_lag_lead",
-    "window_running_total",
-    "window_distribution",
-    "window_first_last",
-    "set_union_all",
-    "set_intersect",
-    "set_except",
-    "distinct_pairs",
-    "agg_approx_percentile_check",
-    "ann_ivf_topk",
-    "ann_ivf_recall_audit",
-    "ann_ivfpq_topk",
-    "streaming_sliding_window",
-    "streaming_static_enrich",
-    "streaming_interval_join",
-    "asof_join_nearest_event",
+    "range_join_attribution",
+    "hypertable_rollup_events",
+    "vocab_top_ngrams",
+    # tier 1 — last green r06
+    "embedding_quantize_int8",
+    "quality_gopher_rules",
+    "mix_domain_weights",
+    "mask_span_corruption",
+    "mix_interleave_schedule",
+    "embedding_l2_normalize",
+    "sample_exact_n_per_group",
+    "quality_value_winsorize",
+    "batch_length_buckets",
+    "drift_psi_bins",
+    "observe_inflight_metrics",
+    "mix_budget_select",
+    "diff_snapshot_customers",
+    "anomaly_mad_outliers",
+    "mix_temperature_resample",
+    "dedup_keep_latest",
+    "path_common_journeys",
+    "path_transition_matrix",
+    "abtest_conversion_lift",
+    "retention_dau_wau",
+    "cohort_ltv_curve",
+    "attribution_first_last_touch",
+    "funnel_conversion_latency",
+    "graph_degree_distribution",
+    "graph_triangle_count",
+    "graph_pagerank_copurchase",
+    "graph_link_prediction_topk",
+    "graph_clustering_coefficient",
+    "set_except_all",
+    "set_intersect_all",
+    "sketch_theta_set_ops",
+    "sketch_kll_value_quantiles",
+    "sketch_topk_frequent_events",
+    "profile_decile_order_totals",
+    "ml_threshold_sweep",
+    "ann_lsh_multiprobe_topk",
+    "ann_ivf_ndcg_audit",
+    "dedup_semantic_clusters",
+    "decontaminate_semantic_pairs",
+    "embedding_matryoshka_audit",
+    # tier 1 — last green r07
+    "dq_benford_leading_digit",
+    "sample_weighted_pps",
+    "ml_fold_assignment",
+    "layout_bucketed_join",
+    "curriculum_phase_assignment",
+    "layout_partition_pruned_scan",
+    "maintenance_merge_upsert",
 )
 
 
