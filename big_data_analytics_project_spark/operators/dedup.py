@@ -87,7 +87,14 @@ def spread_if_few_splits(df: DataFrame, key: str) -> DataFrame:
     most cores × maxPartitionBytes ⇒ the shuffle is bounded-small).
     Canonical form of the determinism.md round-10 lesson 3 guard —
     keep call sites on this helper so the split-count heuristic stays in
-    one place."""
+    one place.
+
+    Cost note (ADVICE r11): the split-count probe is ``df.rdd
+    .getNumPartitions()``, which forces a DataFrame→RDD plan conversion
+    each call.  Cheap when ``df`` is a raw scan or a narrow chain over
+    one (every current call site); if a future caller sits above a WIDE
+    plan, probe the raw scan before the transformations instead of the
+    transformed frame."""
     sc = df.sparkSession.sparkContext
     if df.rdd.getNumPartitions() < sc.defaultParallelism:
         return df.repartition(sc.defaultParallelism, key)

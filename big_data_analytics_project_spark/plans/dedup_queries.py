@@ -13,7 +13,7 @@ import pyspark.sql.functions as F
 from ..operators import dedup as D
 from ..operators.text import normalized_fingerprint
 from ..registry import query
-from ..sources import read_table
+from ..sources import index_scratch_dir, read_table
 from ._duck import hash60 as _duck_hash60
 
 # Shared DuckDB CTE: tokenize + 3-gram shingle exactly like operators.dedup
@@ -698,11 +698,6 @@ def dedup_against_signature_index(spark, sf_dir):
     the priors), which the anti-join must drop.  Plan: two fp-keyed
     aggregations (map-side combined) + ONE fp equi-anti-join + union —
     reference-class op per Lee et al. incremental corpus dedup."""
-    import atexit
-    import os
-    import shutil
-    import tempfile
-
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
     fp = normalized_fingerprint(F.col("text"))
 
@@ -712,15 +707,10 @@ def dedup_against_signature_index(spark, sf_dir):
     )
 
     # persist the index: the artifact a next-round ingest would read.
-    # tempfile.mkdtemp is a DRIVER-LOCAL path — correct in local mode
-    # (this harness) because driver and executors share one filesystem;
-    # on a real cluster the scratch root must be shared storage (the
-    # warehouse dir / an object-store prefix, e.g. derived from sf_dir)
-    # or executors would write parts to their own disks and the
-    # read-back would silently lose rows (ADVICE r10).
-    work = tempfile.mkdtemp(prefix="bdap_sigidx_")
-    atexit.register(shutil.rmtree, work, ignore_errors=True)
-    idx_path = os.path.join(work, "signature_index")
+    # The scratch root is warehouse-derived (driver+executor-shared on a
+    # real cluster — see sources.sinks.index_scratch_dir), so the
+    # write→read-back round trip is cluster-correct, not local-mode-only.
+    idx_path = index_scratch_dir(spark, "signature_index")
     sig_index.write.parquet(idx_path)
     persisted_index = spark.read.parquet(idx_path)
 
@@ -902,11 +892,6 @@ def dedup_near_against_band_index(spark, sf_dir):
     the DuckDB oracle reproduces it bit-identically.  Reference-class op:
     the incremental near-dup ingest check (Lee et al. dedup + Broder
     sketches), which the reference's batch pipeline has no analogue for."""
-    import atexit
-    import os
-    import shutil
-    import tempfile
-
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
     prior = docs.where(F.col("doc_id") % 3 != 0)
     variants = (
@@ -970,11 +955,9 @@ def dedup_near_against_band_index(spark, sf_dir):
     sig_batch = signed(batch).persist()
 
     # persist the BAND index: the parquet artifact a next-round ingest
-    # probes.  Driver-local scratch is correct in local mode only (shared
-    # filesystem); on a cluster derive the path from shared storage.
-    work = tempfile.mkdtemp(prefix="bdap_bandidx_")
-    atexit.register(shutil.rmtree, work, ignore_errors=True)
-    idx_path = os.path.join(work, "band_index")
+    # probes.  Warehouse-rooted scratch (see sources.sinks.index_scratch_dir)
+    # keeps the write→read-back round trip correct on a multi-node cluster.
+    idx_path = index_scratch_dir(spark, "band_index")
     banded(sig_prior).write.parquet(idx_path)
     band_index = spark.read.parquet(idx_path)
 

@@ -3,6 +3,8 @@ additions — shapes that make them viable at 100 TB.  Parity proves the
 answers; these prove the plans (a cartesian pair scan or a join-based
 edge build would still produce correct rows)."""
 
+import re
+
 
 def _plan(registry, spark, sf_dir, name: str) -> str:
     spark.catalog.clearCache()
@@ -270,7 +272,19 @@ def test_band_index_probe_is_bucket_equijoin(registry, spark, sf_dir):
     probe cost stays bucket-bounded; and the band index must actually be
     READ BACK from its parquet artifact (the persisted-index shape), not
     recomputed from the corpus."""
-    plan = _plan(registry, spark, sf_dir, "dedup_near_against_band_index")
+    # widen metadata rendering: the warehouse-rooted scratch path is longer
+    # than the 100-char default and would truncate before the /band_index
+    # leaf the scan-anchored assertion needs
+    prev = spark.conf.get("spark.sql.maxMetadataStringLength")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "400")
+    try:
+        plan = _plan(registry, spark, sf_dir, "dedup_near_against_band_index")
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", prev)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
-    assert "band_index" in plan, plan  # the read-back parquet scan
+    # the read-back must be a parquet FILE SCAN over the index artifact —
+    # anchoring to the scan node's Location (not a bare substring,
+    # ADVICE r11) so an incidental 'band_index' token elsewhere in the
+    # plan can't satisfy the pin
+    assert re.search(r"FileScan parquet[^\n]*Location:[^\n]*/band_index", plan), plan

@@ -325,3 +325,41 @@ def test_delete_keys_rewrites_only_affected_partitions(spark, tmp_path):
         r["user_id"] for r in after.where(F.col("pt") == "A").collect()
     } == {3, 4, 5, 6}
     assert after.where(F.col("pt") == "B").count() == 6
+
+
+def test_index_scratch_dir_is_warehouse_rooted(spark):
+    """Persisted-index scratch must derive from spark.sql.warehouse.dir —
+    the driver+executor-shared storage root — never a driver-local
+    tempfile, or a multi-node read-back silently loses executor-written
+    parts (VERDICT r11 item 3).  Two calls must not collide."""
+    from big_data_analytics_project_spark.sources import index_scratch_dir
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    local_root = warehouse
+    for pre in ("file://", "file:"):
+        if local_root.startswith(pre):
+            local_root = local_root[len(pre):]
+            break
+    local_root = "/" + local_root.lstrip("/")
+
+    a = index_scratch_dir(spark, "posting_index")
+    b = index_scratch_dir(spark, "posting_index")
+    for p in (a, b):
+        assert p.startswith(local_root.rstrip("/") + "/"), (p, warehouse)
+        assert "/_bdap_scratch/" in p
+        assert p.endswith("/posting_index")
+        assert os.path.isdir(os.path.dirname(p))  # run dir pre-created locally
+        assert "/tmp" not in p or "/tmp" in local_root  # not tempfile-rooted
+    assert a != b  # unique run dirs: concurrent queries can't clobber
+
+
+def test_index_scratch_dir_roundtrip(spark, sf_dir):
+    """A write→read-back through the scratch path preserves rows."""
+    from big_data_analytics_project_spark.sources import index_scratch_dir
+
+    df = read_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    path = index_scratch_dir(spark, "region_index")
+    df.write.parquet(path)
+    back = spark.read.parquet(path)
+    assert back.count() == df.count()
+    assert set(back.columns) == {"r_regionkey", "r_name"}

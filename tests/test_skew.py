@@ -353,6 +353,8 @@ def test_band_index_mega_bucket_cap_bounds_boilerplate(
     stop), while the unique-doc family still matches through its df=1
     buckets.  Both engines apply the census identically, so the full
     output stays hash-equal with the cap biting."""
+    import contextlib
+
     import duckdb
 
     from big_data_analytics_project_spark.plans.dedup_queries import (
@@ -377,14 +379,14 @@ def test_band_index_mega_bucket_cap_bounds_boilerplate(
     # the census must be ACTIVE: 300 identical prior docs >> the cap
     assert 300 > _BANDIDX_MAX_BUCKET
 
-    con = duckdb.connect()
-    con.execute(
-        "CREATE VIEW documents AS SELECT * FROM"
-        f" read_parquet('{work}/documents.parquet/*.parquet')"
-    )
-    rep = run_one(
-        spark, con, registry["dedup_near_against_band_index"], work
-    )
+    with contextlib.closing(duckdb.connect()) as con:
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM"
+            f" read_parquet('{work}/documents.parquet/*.parquet')"
+        )
+        rep = run_one(
+            spark, con, registry["dedup_near_against_band_index"], work
+        )
     assert rep.ok, rep.detail
 
     rows = {
