@@ -384,6 +384,8 @@ HEADLINE = [
     "sketch_hll_distinct_contract",   # HLL + sketch-union merge contract
     "stats_levene_variance",          # Brown-Forsythe W (ANOVA guard)
     "dedup_near_against_band_index",  # persisted MinHash band-index probe
+    # round-12 additions
+    "ann_ivf_against_posting_index",  # persisted IVF index, DPP probe
 ]
 
 

@@ -8,6 +8,7 @@ the neighbor id as tie-break so top-k sets are engine-independent.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+from pyspark.sql import Window
 
 from ..functions.vector import (
     duck_cosine,
@@ -17,7 +18,7 @@ from ..functions.vector import (
 )
 from ..operators import similarity as S
 from ..registry import query
-from ..sources import read_table
+from ..sources import index_scratch_dir, read_table
 from .ivf_centroids import IVF_CENTROIDS
 
 _COS = duck_cosine("a.v", "b.v")
@@ -139,7 +140,12 @@ _CENT_VALUES = ",\n    ".join(
     for i, c in enumerate(IVF_CENTROIDS)
 )
 
-_DUCK_IVF_TOPK = f"""
+def _duck_ivf_sql(nprobe: int, query_pred: str) -> str:
+    """One oracle template for every IVF query: assignment (argmin over
+    l2sq to the pinned centroid literals), probing (``nprobe`` nearest
+    lists for vectors matching ``query_pred``), exact-cosine rescore,
+    (cosine DESC, neighbor_id) tie-broken top-10."""
+    return f"""
 WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 cent AS (SELECT * FROM (VALUES
     {_CENT_VALUES}) AS t(i, c)),
@@ -152,7 +158,7 @@ ranked_d AS (
   FROM dists
 ),
 assign AS (SELECT vec_id, i AS list_id FROM ranked_d WHERE rn = 1),
-probes AS (SELECT vec_id, i AS list_id FROM ranked_d WHERE rn <= 4 AND vec_id < 5),
+probes AS (SELECT vec_id, i AS list_id FROM ranked_d WHERE rn <= {nprobe} AND {query_pred}),
 sims AS (
   SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
          round({_COS}, 6) AS cosine_sim
@@ -170,6 +176,9 @@ ranked AS (
 SELECT query_id, neighbor_id, cosine_sim, CAST(rank AS BIGINT) AS rank
 FROM ranked WHERE rank <= 10
 """
+
+
+_DUCK_IVF_TOPK = _duck_ivf_sql(4, "vec_id < 5")
 
 
 @query("ann_ivf_topk", sql=_DUCK_IVF_TOPK, tags=("similarity", "ann", "ivf"))
@@ -239,6 +248,67 @@ def ann_ivf_recall_audit(spark, sf_dir):
             F.count("__hit").alias("n_hits"),
             (F.count("__hit").cast("double") / 10).alias("recall_at_10"),
         )
+    )
+
+
+_DUCK_IVF_POSTING = _duck_ivf_sql(3, "vec_id < 8")
+
+
+@query(
+    "ann_ivf_against_posting_index",
+    sql=_DUCK_IVF_POSTING,
+    tags=("similarity", "ann", "ivf", "index"),
+)
+def ann_ivf_against_posting_index(spark, sf_dir):
+    """ANN retrieval against a PERSISTED IVF posting index — the
+    incremental-retrieval shape a 100 TB corpus needs (index built once,
+    query batches probe it), completing the persisted-index triad: exact
+    signature index (r10), MinHash band index (r11), IVF posting index.
+
+    Corpus side: map-only inverted-list assignment to the pinned
+    centroids (literals inside codegen, no shuffle), written to
+    warehouse-rooted shared scratch as parquet PARTITIONED BY list_id —
+    the production layout, where a probe touching nprobe of 16 lists
+    prunes the other partitions at scan time instead of filtering rows.
+    Probe side: the query batch (vec_id < 8) computes its 3 nearest
+    lists, equi-joins the read-back index on the partition column, and
+    exact-cosine rescores within probed lists only.  Fully deterministic
+    given the pinned centroids (same argmin/probe/rescore folds as
+    ann_ivf_topk), so the oracle mirrors it exactly — persistence is
+    result-transparent.  Reference-class op: FAISS-style IVF serving
+    (Johnson et al.), which the reference's batch pipeline has no
+    analogue for."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    vec = S.as_double("embedding")
+
+    posting_rows = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        vec.alias("v"),
+        S.nearest_centroid(vec, IVF_CENTROIDS).alias("list_id"),
+    )
+    idx_path = index_scratch_dir(spark, "posting_index")
+    posting_rows.write.partitionBy("list_id").parquet(idx_path)
+    posting = spark.read.parquet(idx_path)
+
+    q = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        vec.alias("qv"),
+        F.explode(S.probe_centroids(vec, IVF_CENTROIDS, 3)).alias("list_id"),
+    )
+    sims = (
+        F.broadcast(q)
+        .join(posting, "list_id")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(S.cosine(F.col("qv"), F.col("v")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), "neighbor_id")
+    return (
+        sims.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 10)
     )
 
 

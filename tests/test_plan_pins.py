@@ -288,3 +288,23 @@ def test_band_index_probe_is_bucket_equijoin(registry, spark, sf_dir):
     # ADVICE r11) so an incidental 'band_index' token elsewhere in the
     # plan can't satisfy the pin
     assert re.search(r"FileScan parquet[^\n]*Location:[^\n]*/band_index", plan), plan
+
+
+def test_posting_index_probe_prunes_partitions(registry, spark, sf_dir):
+    """ann_ivf_against_posting_index must (a) read the corpus side back
+    from its persisted parquet artifact, (b) equi-join on the list id —
+    never cartesian/nested-loop — and (c) hit the PARTITIONED layout with
+    dynamic partition pruning, so a probe touching nprobe of 16 lists
+    skips the other partitions at scan time (the 100 TB serving shape)."""
+    prev = spark.conf.get("spark.sql.maxMetadataStringLength")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "400")
+    try:
+        plan = _plan(registry, spark, sf_dir, "ann_ivf_against_posting_index")
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", prev)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    m = re.search(r"FileScan parquet[^\n]*/posting_index[^\n]*", plan)
+    assert m, plan  # read-back scan over the persisted artifact
+    scan_line = m.group(0)
+    assert "dynamicpruningexpression" in scan_line, scan_line

@@ -9,8 +9,8 @@ from pathlib import Path
 
 from big_data_analytics_project_spark.registry import load_all
 
-TOTAL = 305
-ORACLE = 293
+TOTAL = 306
+ORACLE = 294
 
 
 def test_counts_match_registry():

@@ -27,6 +27,8 @@ from big_data_analytics_project_spark.registry import (
 # rotate out), with the four never-driver-checked rows-only streaming
 # queries lifted into the window tail for ONE round (VERDICT r5 item 4).
 EXPECTED_WINDOW = (
+    # tier 0 — never driver-green
+    "ann_ivf_against_posting_index",
     # tier 1 — last green r05
     "range_join_attribution",
     "hypertable_rollup_events",
@@ -79,7 +81,6 @@ EXPECTED_WINDOW = (
     "layout_bucketed_join",
     "curriculum_phase_assignment",
     "layout_partition_pruned_scan",
-    "maintenance_merge_upsert",
 )
 
 
