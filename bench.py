@@ -386,6 +386,7 @@ HEADLINE = [
     "dedup_near_against_band_index",  # persisted MinHash band-index probe
     # round-12 additions
     "ann_ivf_against_posting_index",  # persisted IVF index, DPP probe
+    "streaming_scd2_dimension",       # versioned CDC fold, oracle since r12
 ]
 
 

@@ -667,25 +667,58 @@ def pyds_clickstream_stream_agg(spark, sf_dir):
     return out.orderBy("event_type")
 
 
-@query("streaming_scd2_dimension", sql=None, tags=("streaming", "scd2", "cdc"))
+# Oracle lift (VERDICT r11 item 5): with EVENT-TIME effective timestamps
+# (valid_from = the change row's own ts) the finalized SCD2 table is a
+# pure function of the change log — batch boundaries cancel out under the
+# ordered-delivery contract the staged replay pins — so the batch SQL fold
+# (per-user change compression in (µs ts, event_id) order) IS the oracle.
+# A dropped/duplicated/reordered micro-batch now breaks the value hash.
+_SCD2_SQL = """
+WITH pts AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
+  FROM events
+),
+flagged AS (
+  SELECT user_id, event_type, ts_us, event_id,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+           AS prev_attr
+  FROM pts
+),
+changes AS (
+  SELECT user_id, event_type, ts_us, event_id
+  FROM flagged
+  WHERE prev_attr IS NULL OR prev_attr <> event_type
+)
+SELECT user_id,
+       event_type AS activity_state,
+       CAST(floor(ts_us / 1000000) AS BIGINT) AS valid_from_epoch,
+       CAST(floor(lead(ts_us) OVER (PARTITION BY user_id
+              ORDER BY ts_us, event_id) / 1000000) AS BIGINT)
+         AS valid_to_epoch
+FROM changes
+"""
+
+
+@query("streaming_scd2_dimension", sql=_SCD2_SQL, tags=("streaming", "scd2", "cdc"))
 def streaming_scd2_dimension(spark, sf_dir):
     """Streaming SCD2 dimension maintenance (bridge.run_scd2_stream): the
     event stream consumed as a CDC feed, folded per micro-batch into a
-    history-keeping user-activity dimension; batch N merges onto snapshot
-    version N−1, so replays are idempotent.  Rows-only: the per-batch
-    fold depends on the replay's batch boundaries, which DuckDB has no
-    analog for; the final-state invariants are pinned in
-    tests/test_streaming.py."""
-    import tempfile
-
+    history-keeping user-activity dimension; batch N folds onto snapshot
+    version N−1, so replays are idempotent.  Oracle-checked since round
+    12: valid_from is the change row's OWN event time, so the finalized
+    table equals the batch SQL fold over the events table — invariant to
+    micro-batch boundaries under the (ts, event_id) ordered-delivery
+    contract (pinned by test_staged_files_replay_in_event_time_order);
+    per-version merge mechanics stay pinned in tests/test_streaming.py."""
+    from ..sources import index_scratch_dir
     from ..streaming.bridge import run_scd2_stream
 
     json_dir = _staged(spark, sf_dir)
     stream = P.read_event_stream(spark, json_dir, max_files_per_trigger=2)
-    # the returned frame reads the final snapshot lazily, so the dir must
-    # outlive this call; reuse the staged-dir exit cleanup
-    snap_dir = tempfile.mkdtemp(prefix="bdap_scd2_")
-    _STAGE_CACHE[("__scd2_snapshot__", snap_dir)] = snap_dir
+    # the snapshot versions are a product artifact (the dimension) — use
+    # warehouse-rooted shared scratch, cluster-correct like the persisted
+    # indexes; its atexit cleanup outlives the lazy final-version read
+    snap_dir = index_scratch_dir(spark, "scd2_snapshots")
     final = run_scd2_stream(
         stream, snap_dir, key="user_id", attr="event_type",
         ts_col="ts", order_col="event_id", state_partitions=_STATE_PARTS,

@@ -205,13 +205,6 @@ ROWS_ONLY_FINAL: dict[str, str] = {
         "same generated-source rationale as pyds_clickstream_gen_agg, via"
         " the streaming path"
     ),
-    "streaming_scd2_dimension": (
-        "valid_from epochs are per-BATCH max timestamps, so the final"
-        " dimension depends on Spark's range-sampled file boundaries —"
-        " unreproducible in SQL by design; batch SCD2 semantics are"
-        " oracle-checked by scd2_point_in_time_lookup and the merge is"
-        " pinned in tests/test_streaming.py"
-    ),
 }
 
 # Round-9 rotation plan (VERDICT r7 item 4): after the round-8 window

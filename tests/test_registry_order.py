@@ -29,6 +29,7 @@ from big_data_analytics_project_spark.registry import (
 EXPECTED_WINDOW = (
     # tier 0 — never driver-green
     "ann_ivf_against_posting_index",
+    "streaming_scd2_dimension",
     # tier 1 — last green r05
     "range_join_attribution",
     "hypertable_rollup_events",
@@ -80,7 +81,6 @@ EXPECTED_WINDOW = (
     "ml_fold_assignment",
     "layout_bucketed_join",
     "curriculum_phase_assignment",
-    "layout_partition_pruned_scan",
 )
 
 
