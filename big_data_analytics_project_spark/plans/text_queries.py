@@ -1014,10 +1014,21 @@ def text_pmi_collocations(spark, sf_dir):
         .select("gram")
     )
     dt = toks.join(F.broadcast(vocab), "gram").select("doc_id", "gram").distinct()
-    n = dt.agg(F.countDistinct("doc_id").cast("long").alias("n_docs"))
-    df = dt.groupBy("gram").agg(F.count("*").cast("long").alias("df"))
-    per_doc = dt.groupBy("doc_id").agg(
-        F.array_sort(F.collect_set("gram")).alias("terms")
+    # per_doc is the ONE materialization of the tokenize→vocab→dedup
+    # subtree (persisted: ≤K terms per doc, doc-bounded).  n and df are
+    # derived FROM it instead of from dt — without this, each of the
+    # three dt consumers re-ran the full tokenization + vocab top-K
+    # (~8 corpus scans total; the scaling audit's former worst line).
+    per_doc = (
+        dt.groupBy("doc_id")
+        .agg(F.array_sort(F.collect_set("gram")).alias("terms"))
+        .persist()
+    )
+    n = per_doc.agg(F.count("*").cast("long").alias("n_docs"))
+    df = (
+        per_doc.select(F.explode("terms").alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").cast("long").alias("df"))
     )
     pair_arrays = per_doc.select(
         F.explode(
