@@ -1380,11 +1380,15 @@ def abc_brand_revenue(spark, sf_dir):
 # --- fulfillment-lag SLA by order priority --------------------------------
 # Ops question: how long from order placement to FIRST shipment, and does
 # priority actually buy speed?  Lag is exact integer days (epoch-day
-# subtraction); per-priority p50/p90 are exact order statistics from a
-# priority-keyed row_number window (5 priority groups, each distributed
-# across its partition — never a global single reducer), picked at
-# ceil(q·n) with the (lag, order key) tie-break.  One order-keyed join
-# shuffle + one priority-keyed window shuffle.
+# subtraction); per-priority p50/p90 are exact order statistics.  Scale
+# shape (round 12): lag_days is a BOUNDED integer domain, so instead of a
+# row_number window over the fact keyed by only 5 priorities (a 5-way
+# near-single-reducer — the scaling audit's 2.87× line), the orders
+# reduce to a (priority, lag_days) CELL table (map-side combined), and
+# the ceil(q·n) order statistic is read off the cell cumulative counts:
+# the value at rank ceil(q·n) in (lag, key) order is exactly the smallest
+# lag whose cumulative count reaches ceil(q·n).  One order-keyed join
+# shuffle + one fact-sized hash agg; every window runs on the cell table.
 
 _SLA_SQL = """
 WITH ship AS (
@@ -1439,18 +1443,25 @@ def ops_fulfillment_lag_by_priority(spark, sf_dir):
             ),
         )
     )
-    w = Window.partitionBy("priority").orderBy("lag_days", "o_orderkey")
-    wn = Window.partitionBy("priority")
-    ranked = ship.withColumn("rk", F.row_number().over(w)).withColumn(
-        "n", F.count("*").over(wn)
+    cells = ship.groupBy("priority", "lag_days").agg(
+        F.count("*").cast("long").alias("c")
     )
-    pick = lambda q: F.max(  # noqa: E731
+    w_cum = (
+        Window.partitionBy("priority")
+        .orderBy("lag_days")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_n = Window.partitionBy("priority")
+    cum = cells.withColumn("cum", F.sum("c").over(w_cum)).withColumn(
+        "n", F.sum("c").over(w_n)
+    )
+    pick = lambda q: F.min(  # noqa: E731
         F.when(
-            F.col("rk") == F.ceil(F.lit(q) * F.col("n")).cast("long"),
+            F.col("cum") >= F.ceil(F.lit(q) * F.col("n")).cast("long"),
             F.col("lag_days"),
         )
     )
-    return ranked.groupBy("priority").agg(
+    return cum.groupBy("priority").agg(
         F.max("n").cast("long").alias("n_orders"),
         F.min("lag_days").cast("long").alias("min_days"),
         pick(0.5).alias("p50_days"),
