@@ -24,6 +24,33 @@ def write_parquet(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).parquet(path)
 
 
+def hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for ``path`` via the Hadoop FileSystem API —
+    portable across local/HDFS/S3A, unlike ``os.path`` probes which only
+    see the driver's local disk.  The one sanctioned way for driver-side
+    code to inspect artifact directories (same pattern as
+    ``operators.maintenance.data_files``)."""
+    jpath = spark.sparkContext._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return fs, jpath
+
+
+def dir_exists(spark: SparkSession, path: str) -> bool:
+    """True if ``path`` exists on its (possibly remote) filesystem."""
+    fs, jpath = hadoop_fs(spark, path)
+    return bool(fs.exists(jpath))
+
+
+def list_subdir_names(spark: SparkSession, path: str) -> list[str]:
+    """Names of directories directly under ``path`` (portable listing)."""
+    fs, jpath = hadoop_fs(spark, path)
+    return [
+        str(st.getPath().getName())
+        for st in fs.listStatus(jpath)
+        if st.isDirectory()
+    ]
+
+
 def index_scratch_dir(spark: SparkSession, leaf: str) -> str:
     """Cluster-safe scratch directory for persisted index artifacts.
 

@@ -25,6 +25,7 @@ import numpy as np
 from pyspark.sql import DataFrame
 
 from ..ml.online import FEATURE_COLUMNS, OnlineIntentModel
+from ..sources.sinks import dir_exists, list_subdir_names
 
 
 class MetricsStore:
@@ -291,10 +292,13 @@ def run_scd2_stream(
     )
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
-        prev = os.path.join(snapshot_dir, f"version={batch_id - 1}")
+        # portable existence probe (Hadoop FS, not os.path) — the
+        # snapshot dir lives on warehouse-rooted shared storage, which on
+        # a real cluster the driver's local disk cannot see
+        prev = f"{snapshot_dir}/version={batch_id - 1}"
         current = (
             spark.read.schema(state_schema).parquet(prev)
-            if os.path.isdir(prev)
+            if dir_exists(spark, prev)
             else spark.createDataFrame([], state_schema)
         )
         log = current.select(key, attr, "__ts_us", "__ord").unionByName(
@@ -324,7 +328,7 @@ def run_scd2_stream(
             "__ord",
         )
         merged.write.mode("overwrite").parquet(
-            os.path.join(snapshot_dir, f"version={batch_id}")
+            f"{snapshot_dir}/version={batch_id}"
         )
 
     with tempfile.TemporaryDirectory(prefix="bdap_ckpt_") as ckpt:
@@ -338,8 +342,8 @@ def run_scd2_stream(
             q.awaitTermination()
     versions = sorted(
         int(d.split("=")[1])
-        for d in os.listdir(snapshot_dir)
+        for d in list_subdir_names(spark, snapshot_dir)
         if d.startswith("version=")
     )
-    final = os.path.join(snapshot_dir, f"version={versions[-1]}")
+    final = f"{snapshot_dir}/version={versions[-1]}"
     return spark.read.schema(state_schema).parquet(final)
