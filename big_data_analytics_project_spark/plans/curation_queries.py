@@ -1188,17 +1188,14 @@ def maintenance_compact_files(spark, sf_dir):
     contract pattern — see _COMPACT_SQL note.  At 100 TB the same call
     runs per hive-partition directory so each bin-packing shuffle is
     partition-sized — see the operator docstring."""
-    import atexit
-    import os
-    import shutil
-    import tempfile
-
     from ..operators import maintenance as M
+    from ..sources import index_scratch_dir
 
-    work = tempfile.mkdtemp(prefix="bdap_compact_")
-    atexit.register(shutil.rmtree, work, ignore_errors=True)
-    frag_dir = os.path.join(work, "fragmented")
-    dest_dir = os.path.join(work, "compacted")
+    # executor-written artifact dirs — warehouse-rooted shared scratch
+    # (the helper owns exit cleanup), never a driver-local tempdir
+    work = index_scratch_dir(spark, "compact")
+    frag_dir = f"{work}/fragmented"
+    dest_dir = f"{work}/compacted"
 
     ev = read_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "value"
@@ -1691,11 +1688,14 @@ def layout_bucketed_join(spark, sf_dir):
     """Per-segment order revenue through BUCKETED catalog tables — the
     co-located join layout (see block comment)."""
     import os
-    import tempfile
+
+    from ..sources import index_scratch_dir
 
     _BUCKET_SEQ[0] += 1
     tag = f"{os.getpid()}_{_BUCKET_SEQ[0]}"
-    base = tempfile.mkdtemp(prefix="bdap_bucketed_")
+    # bucketed CATALOG tables belong under the warehouse anyway — the
+    # shared scratch keeps their data files executor-visible on a cluster
+    base = index_scratch_dir(spark, "bucketed_tables")
     for tbl, df, key in (
         (f"bdap_orders_{tag}", read_table(spark, sf_dir, "orders"), "o_custkey"),
         (
@@ -1836,15 +1836,11 @@ def layout_partition_pruned_scan(spark, sf_dir):
     """Per-type counts for the corpus's FIRST day, answered through a
     day-partitioned copy of the table so only that day's directory is
     scanned — see block comment."""
-    import os
-    import tempfile
-
-    from ..sources.sinks import write_partitioned
+    from ..sources.sinks import index_scratch_dir, write_partitioned
 
     _PRUNE_SEQ[0] += 1
-    base = os.path.join(
-        tempfile.mkdtemp(prefix="bdap_dayparts_"), f"run{_PRUNE_SEQ[0]}"
-    )
+    # executor-written partitioned layout — warehouse-rooted shared scratch
+    base = f"{index_scratch_dir(spark, 'dayparts')}/run{_PRUNE_SEQ[0]}"
     ev = read_table(spark, sf_dir, "events")
     day = F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day")
     write_partitioned(ev.withColumn("day", day), base, ["day"])

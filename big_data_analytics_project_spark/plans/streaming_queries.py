@@ -330,10 +330,13 @@ def streaming_tumbling_append(spark, sf_dir):
     for the oracle harness).  Oracle-checked end to end since round 8: the
     finalized-window set below the fixed cutoff is exactly the batch
     tumbling aggregate (see _APPEND_CUTOFF_EPOCH note above)."""
-    import tempfile
+    from ..sources import index_scratch_dir
 
     json_dir = _staged(spark, sf_dir)
-    out_dir = tempfile.mkdtemp(prefix="bdap_append_")
+    # the file sink is written BY EXECUTORS — it must live on storage the
+    # whole cluster shares (warehouse-rooted scratch), not a driver-local
+    # tempdir that each executor would resolve to its own disk
+    out_dir = index_scratch_dir(spark, "append_sink")
     try:
         stream = P.read_event_stream(spark, json_dir, max_files_per_trigger=2)
         agg = P.tumbling_features(stream)
@@ -353,17 +356,15 @@ def streaming_tumbling_append(spark, sf_dir):
         raise
     if spark.sparkContext.master.startswith("local"):
         # localCheckpoint (eager) materializes the sink contents into Spark
-        # block storage so the temp sink dir can be removed immediately —
-        # no orphaned bdap_append_* dirs after a bench/driver run.  Safe
-        # only in local mode: localCheckpoint blocks are lost on executor
-        # failure, which would make the result unrecomputable once the
-        # sink dir is gone.
+        # block storage so the scratch sink dir can be removed immediately —
+        # no accumulation across a long bench/driver run.  Safe only in
+        # local mode: localCheckpoint blocks are lost on executor failure,
+        # which would make the result unrecomputable once the sink dir is
+        # gone.
         result = result.localCheckpoint()
         shutil.rmtree(out_dir, ignore_errors=True)
-    else:
-        # on a real cluster, keep the sink dir as the durable source and
-        # clean it up at process exit instead
-        atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
+    # on a real cluster the warehouse-rooted sink dir stays as the durable
+    # source; index_scratch_dir's exit cleanup / storage retention owns it
     return result
 
 
@@ -647,7 +648,6 @@ def pyds_clickstream_stream_agg(spark, sf_dir):
     per-type aggregate.  Deterministic by the generator's counter-hash
     contract (stream/batch parity is pinned in tests/test_eventgen.py),
     rows-only because the data never exists DuckDB-side."""
-    import tempfile
 
     from ..sources.eventgen import register
 
@@ -760,8 +760,7 @@ def streaming_fanout_dual_sink(spark, sf_dir):
     since round 9 — archive completeness is batch-SQL-equal (see
     _FANOUT_SQL note).  Compute-once and per-batch delivery stay pinned in
     tests/test_streaming.py."""
-    import tempfile
-
+    from ..sources import index_scratch_dir
     from ..streaming.bridge import (
         idempotent_parquet_writer,
         run_fanout_stream,
@@ -769,8 +768,10 @@ def streaming_fanout_dual_sink(spark, sf_dir):
 
     json_dir = _staged(spark, sf_dir)
     stream = P.read_event_stream(spark, json_dir, max_files_per_trigger=2)
-    raw_dir = tempfile.mkdtemp(prefix="bdap_fanout_")
-    _STAGE_CACHE[("__fanout_archive__", raw_dir)] = raw_dir
+    # the raw archive is an executor-written product artifact — same
+    # warehouse-rooted scratch rule as the persisted indexes; its exit
+    # cleanup outlives the lazy read-back below
+    raw_dir = index_scratch_dir(spark, "fanout_archive")
     agg_counts: list[tuple[int, int]] = []
 
     def agg_writer(batch_df, batch_id):
