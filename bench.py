@@ -387,6 +387,7 @@ HEADLINE = [
     # round-12 additions
     "ann_ivf_against_posting_index",  # persisted IVF index, DPP probe
     "streaming_scd2_dimension",       # versioned CDC fold, oracle since r12
+    "drift_against_persisted_baseline",  # frozen-histogram PSI probe
 ]
 
 

@@ -1019,6 +1019,124 @@ def drift_psi_bins(spark, sf_dir):
     )
 
 
+# --- drift vs a PERSISTED baseline artifact --------------------------------
+# The production drift monitor does not re-scan last month's corpus per
+# check: the reference distribution is computed ONCE, frozen as an
+# artifact, and every candidate batch probes it — the same
+# build-once/probe-many shape as the persisted signature/band/posting
+# indexes.  Fixture roles: baseline corpus = even doc_ids, candidate
+# batch = odd doc_ids; the measure is document length in whitespace
+# tokens, binned at 16-token width into 10 capped bins.  The artifact is
+# the baseline's 10-row (bin, n_ref) histogram on warehouse-rooted
+# scratch; the probe full-outer-joins its own 10-row histogram against
+# the read-back, Laplace-smooths both sides, and emits the per-bin PSI
+# term (same determinism argument as drift_psi_bins: exact BIGINT
+# counts, one double division per side, one ln, rounded to 6dp over ≤10
+# rows).  Persistence is result-transparent, so the oracle computes both
+# histograms from the documents table directly.
+
+_BASEDRIFT_BIN_TOKENS = 16
+_BASEDRIFT_MAX_BIN = 9
+
+_BASEDRIFT_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         LEAST({_BASEDRIFT_MAX_BIN},
+               CAST(floor(len(regexp_split_to_array(trim(text), '\\s+'))
+                    / {_BASEDRIFT_BIN_TOKENS}) AS BIGINT)) AS bin
+  FROM documents
+),
+ref AS (
+  SELECT bin, CAST(count(*) AS BIGINT) AS n_ref
+  FROM d WHERE doc_id % 2 = 0 GROUP BY bin
+),
+cur AS (
+  SELECT bin, CAST(count(*) AS BIGINT) AS n_new
+  FROM d WHERE doc_id % 2 = 1 GROUP BY bin
+),
+j AS (
+  SELECT COALESCE(ref.bin, cur.bin) AS bin,
+         COALESCE(n_ref, 0) AS n_ref,
+         COALESCE(n_new, 0) AS n_new
+  FROM ref FULL OUTER JOIN cur ON ref.bin = cur.bin
+),
+t AS (
+  SELECT bin, n_ref, n_new,
+         CAST(sum(n_ref) OVER () AS BIGINT) AS tot_ref,
+         CAST(sum(n_new) OVER () AS BIGINT) AS tot_new
+  FROM j
+)
+SELECT bin, n_ref, n_new,
+       round((CAST(n_ref + 1 AS DOUBLE) / (tot_ref + 10)
+              - CAST(n_new + 1 AS DOUBLE) / (tot_new + 10))
+             * ln((CAST(n_ref + 1 AS DOUBLE) / (tot_ref + 10))
+                  / (CAST(n_new + 1 AS DOUBLE) / (tot_new + 10))), 6)
+         AS psi_term
+FROM t
+"""
+
+
+@query(
+    "drift_against_persisted_baseline",
+    sql=_BASEDRIFT_SQL,
+    tags=("curation", "quality", "drift", "index"),
+)
+def drift_against_persisted_baseline(spark, sf_dir):
+    """Token-length drift of a candidate batch against a PERSISTED
+    baseline histogram artifact — see block comment.  The baseline is
+    written to warehouse-rooted scratch, read back, and probed; a stale
+    or corrupted artifact breaks the value hash."""
+    from pyspark.sql import Window
+
+    from ..sources import index_scratch_dir
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bin_col = F.least(
+        F.lit(_BASEDRIFT_MAX_BIN),
+        F.floor(
+            PK.whitespace_token_count(F.col("text")) / _BASEDRIFT_BIN_TOKENS
+        ).cast("long"),
+    ).alias("bin")
+    d = docs.select("doc_id", bin_col)
+
+    baseline = (
+        d.where(F.col("doc_id") % 2 == 0)
+        .groupBy("bin")
+        .agg(F.count("*").cast("long").alias("n_ref"))
+    )
+    # freeze the baseline: the artifact every future batch probes
+    base_path = index_scratch_dir(spark, "drift_baseline")
+    baseline.write.parquet(base_path)
+    frozen = spark.read.parquet(base_path)
+
+    cur = (
+        d.where(F.col("doc_id") % 2 == 1)
+        .groupBy("bin")
+        .agg(F.count("*").cast("long").alias("n_new"))
+    )
+    j = (
+        frozen.join(cur, "bin", "full")
+        .select(
+            "bin",
+            F.coalesce("n_ref", F.lit(0)).cast("long").alias("n_ref"),
+            F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new"),
+        )
+    )
+    w = Window.partitionBy()
+    p = (F.col("n_ref") + 1).cast("double") / (F.col("tot_ref") + 10)
+    q = (F.col("n_new") + 1).cast("double") / (F.col("tot_new") + 10)
+    return (
+        j.withColumn("tot_ref", F.sum("n_ref").over(w).cast("long"))
+        .withColumn("tot_new", F.sum("n_new").over(w).cast("long"))
+        .select(
+            "bin",
+            "n_ref",
+            "n_new",
+            F.round((p - q) * F.log(p / q), 6).alias("psi_term"),
+        )
+    )
+
+
 # --- single-pass in-flight pipeline metrics (Observation API) -------------
 # The production answer to "don't scan the data twice for DQ counters": a
 # named Observation attached to the pipeline's own pass collects exact

@@ -47,6 +47,12 @@ def stage_events_as_json_stream(
     The write is distributed (range-partitioned by ts → executors write the
     chunk files directly; no driver collect).  File mtimes are then set to
     follow the ts ranges so the file source replays in event-time order.
+
+    Deliberately DRIVER-LOCAL (tempfile + os.utime + os.listdir): this is
+    the local-mode replay FIXTURE standing in for the Kafka source, not a
+    product artifact — unlike the warehouse-rooted scratch used for
+    persisted indexes/sinks (sources.sinks.index_scratch_dir), it never
+    needs to exist on a cluster, where the stream reads from a broker.
     """
     out_dir = out_dir or tempfile.mkdtemp(prefix="bdap_stream_")
     from ..sources import read_table

@@ -9,8 +9,8 @@ from pathlib import Path
 
 from big_data_analytics_project_spark.registry import load_all
 
-TOTAL = 306
-ORACLE = 295
+TOTAL = 307
+ORACLE = 296
 
 
 def test_counts_match_registry():

@@ -28,6 +28,7 @@ from big_data_analytics_project_spark.registry import (
 # queries lifted into the window tail for ONE round (VERDICT r5 item 4).
 EXPECTED_WINDOW = (
     # tier 0 — never driver-green
+    "drift_against_persisted_baseline",
     "ann_ivf_against_posting_index",
     "streaming_scd2_dimension",
     # tier 1 — last green r05
@@ -80,7 +81,6 @@ EXPECTED_WINDOW = (
     "sample_weighted_pps",
     "ml_fold_assignment",
     "layout_bucketed_join",
-    "curriculum_phase_assignment",
 )
 
 
