@@ -308,3 +308,14 @@ def test_posting_index_probe_prunes_partitions(registry, spark, sf_dir):
     assert m, plan  # read-back scan over the persisted artifact
     scan_line = m.group(0)
     assert "dynamicpruningexpression" in scan_line, scan_line
+
+
+def test_fulfillment_percentiles_run_on_the_cell_table(registry, spark, sf_dir):
+    """ops_fulfillment_lag_by_priority's p50/p90 must come from cumulative
+    counts over the (priority, lag_days) CELL reduction — never a
+    row_number window over the per-order fact keyed by only 5 priorities
+    (a 5-way near-single-reducer at scale; the round-12 rewrite)."""
+    plan = _plan(registry, spark, sf_dir, "ops_fulfillment_lag_by_priority")
+    assert "row_number" not in plan, plan  # the rank-pick form regressed
+    # the cell aggregation's exchange feeds the windows
+    assert re.search(r"hashpartitioning\(priority#\d+, lag_days#\d+", plan), plan
