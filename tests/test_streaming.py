@@ -407,3 +407,35 @@ def test_staged_files_replay_in_event_time_order(spark, sf_dir):
         import shutil
 
         shutil.rmtree(json_dir, ignore_errors=True)
+
+
+def test_scd2_fold_is_batch_boundary_invariant(spark, sf_dir, tmp_path):
+    """The round-12 oracle lift rests on this property: with event-time
+    valid_from and ordered delivery, the finalized SCD2 table is a pure
+    function of the change log — replaying the SAME staged files as 4
+    micro-batches or as 1 must produce identical dimensions."""
+    from big_data_analytics_project_spark.streaming.bridge import (
+        run_scd2_stream,
+    )
+
+    json_dir = P.stage_events_as_json_stream(spark, sf_dir, n_files=4)
+
+    def fold(trigger_files, tag):
+        stream = P.read_event_stream(
+            spark, json_dir, max_files_per_trigger=trigger_files
+        )
+        final = run_scd2_stream(
+            stream, str(tmp_path / f"snap_{tag}"), key="user_id",
+            attr="event_type", ts_col="ts", order_col="event_id",
+            state_partitions=4,
+        )
+        return sorted(
+            (r["user_id"], r["event_type"], r["valid_from_epoch"],
+             r["valid_to_epoch"])
+            for r in final.collect()
+        )
+
+    fine = fold(1, "fine")      # 4 micro-batches
+    coarse = fold(4, "coarse")  # 1 batch = the pure batch fold
+    assert fine == coarse
+    assert len(fine) > 0
