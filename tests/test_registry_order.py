@@ -27,60 +27,58 @@ from big_data_analytics_project_spark.registry import (
 # rotate out), with the four never-driver-checked rows-only streaming
 # queries lifted into the window tail for ONE round (VERDICT r5 item 4).
 EXPECTED_WINDOW = (
-    # tier 0 — never driver-green
-    "drift_against_persisted_baseline",
-    "ann_ivf_against_posting_index",
-    "streaming_scd2_dimension",
-    # tier 1 — last green r05
-    "range_join_attribution",
-    "hypertable_rollup_events",
-    "vocab_top_ngrams",
-    # tier 1 — last green r06
-    "embedding_quantize_int8",
-    "quality_gopher_rules",
-    "mix_domain_weights",
-    "mask_span_corruption",
-    "mix_interleave_schedule",
-    "embedding_l2_normalize",
-    "sample_exact_n_per_group",
-    "quality_value_winsorize",
-    "batch_length_buckets",
-    "drift_psi_bins",
-    "observe_inflight_metrics",
-    "mix_budget_select",
-    "diff_snapshot_customers",
-    "anomaly_mad_outliers",
-    "mix_temperature_resample",
-    "dedup_keep_latest",
-    "path_common_journeys",
-    "path_transition_matrix",
-    "abtest_conversion_lift",
-    "retention_dau_wau",
-    "cohort_ltv_curve",
-    "attribution_first_last_touch",
-    "funnel_conversion_latency",
-    "graph_degree_distribution",
-    "graph_triangle_count",
-    "graph_pagerank_copurchase",
-    "graph_link_prediction_topk",
-    "graph_clustering_coefficient",
-    "set_except_all",
-    "set_intersect_all",
-    "sketch_theta_set_ops",
-    "sketch_kll_value_quantiles",
-    "sketch_topk_frequent_events",
-    "profile_decile_order_totals",
-    "ml_threshold_sweep",
-    "ann_lsh_multiprobe_topk",
-    "ann_ivf_ndcg_audit",
-    "dedup_semantic_clusters",
-    "decontaminate_semantic_pairs",
-    "embedding_matryoshka_audit",
     # tier 1 — last green r07
-    "dq_benford_leading_digit",
-    "sample_weighted_pps",
-    "ml_fold_assignment",
-    "layout_bucketed_join",
+    "curriculum_phase_assignment",
+    "layout_partition_pruned_scan",
+    "maintenance_merge_upsert",
+    "pipeline_curation_accounting",
+    "layout_runtime_key_pushdown",
+    "dq_referential_integrity",
+    "maintenance_incremental_agg",
+    "scd2_point_in_time_lookup",
+    "dq_revenue_reconciliation",
+    "privacy_k_anonymity",
+    "quality_bot_regularity",
+    "sample_neyman_allocation",
+    "dedup_keep_best_quality",
+    "eda_events_report",
+    "eda_hour_of_week_heatmap",
+    "eda_uniqueness_profile",
+    "eda_basket_size_histogram",
+    "rfm_customer_segments",
+    "abtest_chi_square_mix",
+    "inequality_gini_revenue",
+    "abtest_mann_whitney_values",
+    "abtest_kruskal_wallis",
+    "survival_kaplan_meier",
+    "attribution_position_weighted",
+    "abtest_ks_statistic",
+    "funnel_time_bounded",
+    "retention_growth_accounting",
+    "inequality_top_user_share",
+    "repeat_purchase_intervals",
+    "segment_migration_matrix",
+    "basket_association_rules",
+    "basket_sequential_patterns",
+    "graph_connected_components",
+    "graph_bfs_distances",
+    "ml_rf_quality_contract",
+    "ml_naive_bayes_langid",
+    "multimodal_binary_dedup",
+    "abc_brand_revenue",
+    "ops_fulfillment_lag_by_priority",
+    "ops_open_orders_backlog",
+    "date_dimension_quarter_rollup",
+    "agg_percent_of_parent",
+    "agg_bitmask_event_types",
+    "ops_business_days_lag",
+    "profile_equiwidth_histogram",
+    "variant_semi_structured",
+    # tier 1 — last green r08
+    "ml_als_quality_contract",
+    "ml_engagement_calibration",
+    "embedding_label_centroids",
+    "embedding_int8_recall_audit",
 )
 
 
