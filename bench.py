@@ -388,6 +388,9 @@ HEADLINE = [
     "ann_ivf_against_posting_index",  # persisted IVF index, DPP probe
     "streaming_scd2_dimension",       # versioned CDC fold, oracle since r12
     "drift_against_persisted_baseline",  # frozen-histogram PSI probe
+    # round-13 additions
+    "dedup_band_index_incremental_append",  # gen-partition index append, no rebuild
+    "streaming_frozen_scoring",       # frozen-model foreachBatch scoring, append
 ]
 
 

@@ -791,6 +791,53 @@ def _duck_band_rows(sig_cte: str) -> str:
     return "\n  UNION ALL ".join(selects)
 
 
+def _bandidx_signed(df):
+    """(doc_id, shingle_set, sig) — MinHash-sign ``df`` (doc_id, text)
+    with the shared ``_BANDIDX_*`` parameters.  ``D.let`` binds the md5
+    transform once so Catalyst's projection collapse cannot inline it
+    into each of the 16 ``array_min`` consumers."""
+    sh = D.shingled(df, "doc_id", "text", 3)
+    hs = F.transform(
+        F.col("shingle_set"),
+        lambda g: F.pmod(D.md5_hash60(g), F.lit(_BANDIDX_M)),
+    )
+    sig = D.let(
+        hs,
+        lambda h: F.array(
+            *[
+                F.array_min(
+                    F.transform(
+                        h,
+                        lambda x: F.pmod(x * F.lit(a) + F.lit(b), F.lit(_BANDIDX_M)),
+                    )
+                )
+                for a, b in _BANDIDX_PARAMS
+            ]
+        ),
+    )
+    return sh.select("doc_id", "shingle_set", sig.alias("sig"))
+
+
+def _bandidx_banded(df):
+    """Explode a signed frame into (doc_id, band, key) LSH band rows."""
+    bands = F.transform(
+        F.sequence(F.lit(0), F.lit(_BANDIDX_BANDS - 1)),
+        lambda bnd: F.struct(
+            bnd.alias("band"),
+            F.array_join(
+                F.transform(
+                    F.slice(F.col("sig"), bnd * _BANDIDX_ROWS + 1, _BANDIDX_ROWS),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("key"),
+        ),
+    )
+    return df.select("doc_id", F.explode(bands).alias("bk")).select(
+        "doc_id", "bk.band", "bk.key"
+    )
+
+
 _DUCK_BAND_INDEX = f"""
 WITH prior_docs AS (
   SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0
@@ -902,52 +949,7 @@ def dedup_near_against_band_index(spark, sf_dir):
         )
     )
     batch = docs.where(F.col("doc_id") % 3 == 0).unionByName(variants)
-
-    # D.let binds the md5 transform once so Catalyst's projection
-    # collapse cannot inline it into each of the 16 array_min consumers
-    let = D.let
-
-    def signed(df):
-        sh = D.shingled(df, "doc_id", "text", 3)
-        hs = F.transform(
-            F.col("shingle_set"),
-            lambda g: F.pmod(D.md5_hash60(g), F.lit(_BANDIDX_M)),
-        )
-        sig = let(
-            hs,
-            lambda h: F.array(
-                *[
-                    F.array_min(
-                        F.transform(
-                            h,
-                            lambda x: F.pmod(
-                                x * F.lit(a) + F.lit(b), F.lit(_BANDIDX_M)
-                            ),
-                        )
-                    )
-                    for a, b in _BANDIDX_PARAMS
-                ]
-            ),
-        )
-        return sh.select("doc_id", "shingle_set", sig.alias("sig"))
-
-    def banded(df):
-        bands = F.transform(
-            F.sequence(F.lit(0), F.lit(_BANDIDX_BANDS - 1)),
-            lambda bnd: F.struct(
-                bnd.alias("band"),
-                F.array_join(
-                    F.transform(
-                        F.slice(F.col("sig"), bnd * _BANDIDX_ROWS + 1, _BANDIDX_ROWS),
-                        lambda x: x.cast("string"),
-                    ),
-                    ",",
-                ).alias("key"),
-            ),
-        )
-        return df.select("doc_id", F.explode(bands).alias("bk")).select(
-            "doc_id", "bk.band", "bk.key"
-        )
+    signed, banded = _bandidx_signed, _bandidx_banded
 
     # both signature frames feed TWO consumers (band rows + the Jaccard
     # verify join) — persist so the md5 signing runs once per side
@@ -1006,6 +1008,239 @@ def dedup_near_against_band_index(spark, sf_dir):
             "doc_id",
             F.coalesce("n_candidates", F.lit(0).cast("long")).alias("n_candidates"),
             F.coalesce("n_matches", F.lit(0).cast("long")).alias("n_matches"),
+            "best_jaccard",
+            F.when(F.coalesce("n_matches", F.lit(0)) > 0, "near_dup_of_index")
+            .otherwise("novel")
+            .alias("status"),
+        )
+    )
+
+
+# --- incremental band-index MAINTENANCE (append, no rebuild) --------------
+# The operational shape a 100 TB corpus actually runs (VERDICT r12 item 4):
+# a persisted MinHash band index exists (generation 0); a NEW wave of
+# documents arrives and is appended to the index WITHOUT rebuilding it —
+# only the new wave is signed and banded, and its band rows land as a new
+# `gen=1` partition directory of the same parquet index
+# (partitionBy("gen") + mode("append"): existing gen=0 files are never
+# touched, so the append costs O(|new wave|) regardless of index size).
+# The df census (mega-bucket cap) is then RE-TAKEN over the MERGED index —
+# a bucket that was under the cap at gen 0 may blow past it once gen 1's
+# members join — and a probe batch classifies against the merged index.
+#
+# Equivalence proof: the DuckDB oracle knows nothing about generations or
+# parquet partitions — it builds the index in ONE pass over gen0 ∪ gen1
+# (i.e. the full REBUILD semantics).  A value-hash match therefore proves
+# append ≡ rebuild on the probe surface.  The Spark side additionally
+# reports per-probe-doc how many matches came from the APPENDED partition
+# (`n_matches_from_append`), read off the index's PHYSICAL `gen` partition
+# column — the oracle derives the same number from doc_id arithmetic, so
+# a mis-partitioned append (rows in the wrong directory) also hash-fails.
+#
+# Waves (modular, deterministic): gen0 = doc_id % 3 == 1, gen1 (appended)
+# = doc_id % 3 == 2, probe = doc_id % 3 == 0 plus tail-variant near-dups
+# of every 7th index doc — variants of gen1 docs can ONLY match if the
+# appended partition actually serves probes.
+
+_BANDAPP_TAIL = " incremental append audit"
+
+_DUCK_BAND_APPEND = f"""
+WITH idx_docs AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0
+),
+probe_docs AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, text || '{_BANDAPP_TAIL}' AS text
+  FROM documents WHERE doc_id % 3 <> 0 AND doc_id % 7 = 0
+),
+tok_i AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t FROM idx_docs
+),
+sh_i AS (
+  SELECT doc_id,
+         list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                        for i in range(1, len(t) - 1)]) AS s
+  FROM tok_i WHERE len(t) >= 3
+),
+h_i AS (
+  SELECT doc_id, s, [({_duck_hash60("g")}) % {_BANDIDX_M} for g in s] AS hs
+  FROM sh_i
+),
+sig_i AS (
+  SELECT doc_id, s,
+         {_duck_minhash_mins()}
+  FROM h_i
+),
+bands_i AS (
+  {_duck_band_rows("sig_i")}
+),
+tok_q AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t FROM probe_docs
+),
+sh_q AS (
+  SELECT doc_id,
+         list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                        for i in range(1, len(t) - 1)]) AS s
+  FROM tok_q WHERE len(t) >= 3
+),
+h_q AS (
+  SELECT doc_id, s, [({_duck_hash60("g")}) % {_BANDIDX_M} for g in s] AS hs
+  FROM sh_q
+),
+sig_q AS (
+  SELECT doc_id, s,
+         {_duck_minhash_mins()}
+  FROM h_q
+),
+bands_q AS (
+  {_duck_band_rows("sig_q")}
+),
+bdf AS (
+  SELECT band, key FROM (
+    SELECT band, key, count(*) AS df FROM bands_i GROUP BY band, key
+  ) WHERE df <= {_BANDIDX_MAX_BUCKET}
+),
+cand AS (
+  SELECT DISTINCT q.doc_id AS bid, i.doc_id AS pid
+  FROM bands_q q
+  JOIN bands_i i ON q.band = i.band AND q.key = i.key
+  JOIN bdf ON i.band = bdf.band AND i.key = bdf.key
+),
+ver AS (
+  SELECT c.bid, c.pid,
+         CASE WHEN c.pid % 3 = 2 THEN 1 ELSE 0 END AS gen,
+         len(list_intersect(sq.s, si.s))::DOUBLE
+           / len(list_distinct(list_concat(sq.s, si.s))) AS j
+  FROM cand c
+  JOIN sig_q sq ON sq.doc_id = c.bid
+  JOIN sig_i si ON si.doc_id = c.pid
+),
+roll AS (
+  SELECT bid,
+         CAST(count(*) AS BIGINT) AS n_candidates,
+         CAST(count(*) FILTER (WHERE j >= {_BANDIDX_T}) AS BIGINT) AS n_matches,
+         CAST(count(*) FILTER (WHERE j >= {_BANDIDX_T} AND gen = 1) AS BIGINT)
+           AS n_matches_from_append,
+         round(max(j) FILTER (WHERE j >= {_BANDIDX_T}), 6) AS best_jaccard
+  FROM ver GROUP BY bid
+)
+SELECT sq.doc_id,
+       COALESCE(r.n_candidates, 0) AS n_candidates,
+       COALESCE(r.n_matches, 0) AS n_matches,
+       COALESCE(r.n_matches_from_append, 0) AS n_matches_from_append,
+       r.best_jaccard,
+       CASE WHEN COALESCE(r.n_matches, 0) > 0
+            THEN 'near_dup_of_index' ELSE 'novel' END AS status
+FROM sig_q sq LEFT JOIN roll r ON r.bid = sq.doc_id
+"""
+
+
+@query(
+    "dedup_band_index_incremental_append",
+    sql=_DUCK_BAND_APPEND,
+    tags=("dedup", "incremental", "index", "minhash", "maintenance"),
+)
+def dedup_band_index_incremental_append(spark, sf_dir):
+    """Incremental MinHash band-index maintenance: append a new document
+    wave to the persisted index as a `gen=1` partition (no rebuild),
+    re-census the mega-bucket cap over the merged index, probe it — see
+    block comment.  The oracle rebuilds from scratch in one pass, so the
+    value hash IS the append≡rebuild proof; `n_matches_from_append` is
+    counted off the physical partition column, pinning partition
+    placement too.  Completes the index lifecycle the r10–r12 triad
+    started (build→probe → now append)."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    gen0 = docs.where(F.col("doc_id") % 3 == 1)
+    gen1 = docs.where(F.col("doc_id") % 3 == 2)
+    variants = (
+        docs.where((F.col("doc_id") % 3 != 0) & (F.col("doc_id") % 7 == 0))
+        .select(
+            (F.col("doc_id") + 2000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(_BANDAPP_TAIL)).alias("text"),
+        )
+    )
+    probe = docs.where(F.col("doc_id") % 3 == 0).unionByName(variants)
+
+    # sig_idx feeds the two partition writes AND the Jaccard verify join;
+    # sig_probe feeds its band rows and the verify join — persist each so
+    # the md5 signing runs once per side (same policy as the build query)
+    sig_idx = _bandidx_signed(docs.where(F.col("doc_id") % 3 != 0)).persist()
+    sig_probe = _bandidx_signed(probe).persist()
+
+    idx_path = index_scratch_dir(spark, "band_index_gen")
+    # initial build: generation-0 docs only, partitioned by gen
+    (
+        _bandidx_banded(sig_idx.where(F.col("doc_id") % 3 == 1))
+        .withColumn("gen", F.lit(0))
+        .write.partitionBy("gen")
+        .mode("overwrite")
+        .parquet(idx_path)
+    )
+    # THE MAINTENANCE STEP: sign/band only the new wave and APPEND it as
+    # a fresh gen=1 directory — gen=0 files are not rewritten
+    (
+        _bandidx_banded(sig_idx.where(F.col("doc_id") % 3 == 2))
+        .withColumn("gen", F.lit(1))
+        .write.partitionBy("gen")
+        .mode("append")
+        .parquet(idx_path)
+    )
+    merged = spark.read.parquet(idx_path)
+
+    # re-census over the MERGED index: caps must reflect post-append df
+    ok_buckets = (
+        merged.groupBy("band", "key")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") <= _BANDIDX_MAX_BUCKET)
+        .select("band", "key")
+    )
+    capped = merged.join(ok_buckets, ["band", "key"], "left_semi")
+    cand = (
+        _bandidx_banded(sig_probe)
+        .join(
+            capped.select(
+                "band", "key", F.col("doc_id").alias("pid"), F.col("gen").alias("g")
+            ),
+            ["band", "key"],
+        )
+        .select(F.col("doc_id").alias("bid"), "pid", "g")
+        .distinct()
+    )
+    ver = (
+        cand.join(
+            sig_probe.select(
+                F.col("doc_id").alias("bid"), F.col("shingle_set").alias("sq")
+            ),
+            "bid",
+        )
+        .join(
+            sig_idx.select(
+                F.col("doc_id").alias("pid"), F.col("shingle_set").alias("si")
+            ),
+            "pid",
+        )
+        .select("bid", "pid", "g", D.jaccard(F.col("sq"), F.col("si")).alias("j"))
+    )
+    hit = F.col("j") >= _BANDIDX_T
+    roll = ver.groupBy("bid").agg(
+        F.count("*").cast("long").alias("n_candidates"),
+        F.count(F.when(hit, 1)).cast("long").alias("n_matches"),
+        F.count(F.when(hit & (F.col("g") == 1), 1))
+        .cast("long")
+        .alias("n_matches_from_append"),
+        F.round(F.max(F.when(hit, F.col("j"))), 6).alias("best_jaccard"),
+    )
+    return (
+        sig_probe.select("doc_id")
+        .join(roll, F.col("doc_id") == F.col("bid"), "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_candidates", F.lit(0).cast("long")).alias("n_candidates"),
+            F.coalesce("n_matches", F.lit(0).cast("long")).alias("n_matches"),
+            F.coalesce("n_matches_from_append", F.lit(0).cast("long")).alias(
+                "n_matches_from_append"
+            ),
             "best_jaccard",
             F.when(F.coalesce("n_matches", F.lit(0)) > 0, "near_dup_of_index")
             .otherwise("novel")

@@ -514,6 +514,82 @@ def streaming_online_scoring(spark, sf_dir):
     )
 
 
+# Frozen-scorer oracle dual for streaming_online_scoring (VERDICT r12
+# item 5): the ONLINE bridge's metrics genuinely depend on the micro-batch
+# trajectory (each batch is scored by the model as of the previous
+# batches' partial_fits), but a FROZEN model is a pure per-row function —
+# run the same foreachBatch machinery in APPEND mode (each window reaches
+# the bridge exactly once, finalized) with no learning step, and the
+# cumulative scored surface is batch-boundary-invariant.  The unfitted
+# model scores with the M7 cold-start heuristic (ml/online.py:81), whose
+# thresholds the oracle mirrors as a CASE ladder (later heuristic
+# assignments override earlier ones, hence the reversed precedence).
+# proba depends only on view_count/total_events, so the HLL-approximate
+# unique_items_approx feature never reaches the output surface.  Same
+# finalization cutoff as streaming_tumbling_append.
+_FROZEN_SCORING_SQL = f"""
+SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start_epoch,
+       user_id,
+       CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS label,
+       count(CASE WHEN event_type = 'view' THEN 1 END) AS view_count,
+       count(*) AS total_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+       CAST(CASE WHEN count(CASE WHEN event_type = 'view' THEN 1 END) >= 5
+                      AND count(*) >= 15 THEN 0.85
+                 WHEN count(*) >= 10 THEN 0.60
+                 WHEN count(CASE WHEN event_type = 'view' THEN 1 END) >= 3 THEN 0.35
+                 ELSE 0.05 END AS DOUBLE) AS proba
+FROM events
+WHERE ts < to_timestamp({_APPEND_CUTOFF_EPOCH})
+GROUP BY 1, 2
+"""
+
+
+@query(
+    "streaming_frozen_scoring",
+    sql=_FROZEN_SCORING_SQL,
+    tags=("streaming", "foreachbatch", "ml", "append"),
+)
+def streaming_frozen_scoring(spark, sf_dir):
+    """T6 oracle-checked: the foreachBatch scoring bridge with a FROZEN
+    model — watermarked tumbling features in append mode, each finalized
+    window scored exactly once by the unfitted online model (= the M7
+    cold-start heuristic), no partial_fit.  See block comment: freezing
+    the model is what makes the scored surface batch-boundary-invariant,
+    the same finalization-cutoff trick that lifted sessionization (r8)
+    and SCD2 (r12)."""
+    from ..streaming.bridge import FrozenScoringBridge, run_foreach_batch
+
+    json_dir = _staged(spark, sf_dir)
+    stream = P.read_event_stream(spark, json_dir, max_files_per_trigger=2)
+    # project the epoch key in-plan (JVM-side) so the bridge's pandas view
+    # is flat scalars; the 4 FEATURE_COLUMNS ride along for the scorer
+    agg = P.tumbling_features(stream).select(
+        F.unix_timestamp("win.start").cast("long").alias("window_start_epoch"),
+        "user_id", "label", "view_count", "total_events", "total_value",
+        "unique_items_approx",
+    )
+    bridge = FrozenScoringBridge()
+    run_foreach_batch(agg, bridge, output_mode="append")
+
+    schema = (
+        "window_start_epoch long, user_id long, label long, view_count long,"
+        " total_events long, total_value double, proba double"
+    )
+    cols = [
+        "window_start_epoch", "user_id", "label", "view_count",
+        "total_events", "total_value", "proba",
+    ]
+    if not bridge.frames:
+        return spark.createDataFrame([], schema)
+    import pandas as pd
+
+    scored = pd.concat([pdf[cols] for pdf in bridge.frames])
+    return spark.createDataFrame(scored, schema=schema).where(
+        F.col("window_start_epoch") + 3600 <= F.lit(_APPEND_CUTOFF_EPOCH)
+    )
+
+
 @query("pyds_clickstream_gen_agg", sql=None, tags=("source", "pyds", "generator"))
 def pyds_clickstream_gen_agg(spark, sf_dir):
     """S4-class source, container-honest: the reference's CSV→Kafka event

@@ -1048,7 +1048,7 @@ def text_pmi_collocations(spark, sf_dir):
     ).groupBy("term_a", "term_b").agg(F.count("*").cast("long").alias("df_ab"))
     fa = df.select(F.col("gram").alias("term_a"), F.col("df").alias("df_a"))
     fb = df.select(F.col("gram").alias("term_b"), F.col("df").alias("df_b"))
-    return (
+    result = (
         pairs.where(F.col("df_ab") >= _PMI_MIN_DF)
         .join(F.broadcast(fa), "term_a")
         .join(F.broadcast(fb), "term_b")
@@ -1072,6 +1072,16 @@ def text_pmi_collocations(spark, sf_dir):
             ).alias("pmi"),
         )
     )
+    # Scope the corpus-sized per_doc cache to this build (ADVICE r12: the
+    # persist leaked across a long driver session).  The FINAL surface is
+    # vocab-bounded (≤ K·(K−1)/2 = 435 rows at K=30), so an eager
+    # localCheckpoint materializes it once — per_doc serves its three
+    # consumers during that single job — and the cache can be released
+    # before returning; the caller's action replays only the tiny
+    # checkpointed blocks, which the ContextCleaner reclaims on GC.
+    result = result.localCheckpoint(eager=True)
+    per_doc.unpersist()
+    return result
 
 
 # --- positional skip-gram co-occurrence (embedding-training prep) ---------

@@ -191,10 +191,13 @@ ROWS_ONLY_FINAL: dict[str, str] = {
         " tests/test_properties.py"
     ),
     "streaming_online_scoring": (
-        "per-batch model metrics depend on the micro-batch trajectory"
-        " (predict→fit→re-score across batch boundaries chosen by Spark's"
-        " range sampler); the stateless feature aggregation underneath is"
-        " oracle-checked as streaming_tumbling_append"
+        "per-batch model metrics depend on the micro-batch trajectory:"
+        " batch N is scored by the model AFTER batches <N's partial_fits,"
+        " so every surface (proba means, rolling accuracy) shifts with"
+        " where Spark cuts the batches; the oracle-checked duals are"
+        " streaming_tumbling_append (the feature aggregation) and"
+        " streaming_frozen_scoring (the same foreachBatch bridge with the"
+        " learning step frozen — boundary-invariant, r13)"
     ),
     "pyds_clickstream_gen_agg": (
         "source connector over container-generated synthetic events —"

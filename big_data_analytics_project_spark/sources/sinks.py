@@ -13,6 +13,7 @@ from __future__ import annotations
 import atexit
 import os
 import shutil
+import urllib.parse
 import uuid
 
 import pyspark.sql.functions as F
@@ -75,10 +76,20 @@ def index_scratch_dir(spark: SparkSession, leaf: str) -> str:
     warehouse = spark.conf.get("spark.sql.warehouse.dir")
     run = f"_bdap_scratch/{uuid.uuid4().hex}"
     if warehouse.startswith("file:"):
-        local_root = warehouse[len("file:") :]
-        # file:///x → ///x; normalize the leading slashes to one
-        while local_root.startswith("//"):
-            local_root = local_root[1:]
+        # Proper URI parse (ADVICE r12): string-stripping "file:" turned
+        # file://host/path into /host/path (host silently becomes a local
+        # directory) and left %20-style escapes encoded.  urlparse gives
+        # the decoded path; a non-empty netloc means a remote-host file
+        # URI we cannot reach locally — refuse loudly instead of writing
+        # to the wrong directory.
+        parsed = urllib.parse.urlparse(warehouse)
+        if parsed.netloc not in ("", "localhost"):
+            raise ValueError(
+                f"file: warehouse URI has a remote authority "
+                f"{parsed.netloc!r} ({warehouse!r}); scratch must be on a "
+                "filesystem the driver can reach"
+            )
+        local_root = urllib.parse.unquote(parsed.path)
         run_dir = os.path.join(local_root, run)
         os.makedirs(run_dir, exist_ok=True)
         atexit.register(shutil.rmtree, run_dir, ignore_errors=True)

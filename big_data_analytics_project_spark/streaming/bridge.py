@@ -85,18 +85,48 @@ class OnlineScoringBridge:
             self.store.update(metrics)
 
 
-def run_scored_stream(agg: DataFrame, bridge: OnlineScoringBridge) -> list[dict]:
-    """Attach the bridge to a streaming aggregate and drain all available
-    input (update mode: only changed windows reach the bridge per batch)."""
+class FrozenScoringBridge:
+    """foreachBatch scorer with a FROZEN model: pure per-row scoring, no
+    ``partial_fit``/``observe``, so — unlike :class:`OnlineScoringBridge`,
+    whose metrics track the predict→fit trajectory across whatever batch
+    boundaries Spark chose — the union of its outputs over a complete
+    append-mode replay is batch-boundary-invariant and oracle-checkable
+    (the production "score a stream with last night's model" shape).
+    Collects the scored pandas frames; at 100 TB each scored batch would
+    land straight to a parquet sink instead of accumulating (the scoring
+    itself is already vectorized per batch)."""
+
+    def __init__(self, model: OnlineIntentModel | None = None):
+        self.model = model or OnlineIntentModel()  # unfitted → M7 heuristic
+        self.frames: list = []
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():  # T7 empty-batch guard
+            return
+        pdf = batch_df.toPandas().fillna(0)
+        x = pdf[FEATURE_COLUMNS].to_numpy(dtype=np.float64)
+        pdf["proba"] = self.model.predict_proba(x)
+        self.frames.append(pdf)
+
+
+def run_foreach_batch(df: DataFrame, fn, output_mode: str = "update") -> None:
+    """Drain all available input of a streaming frame through a
+    foreachBatch callable (availableNow trigger, throwaway checkpoint)."""
     with tempfile.TemporaryDirectory(prefix="bdap_ckpt_") as ckpt:
         q = (
-            agg.writeStream.outputMode("update")
+            df.writeStream.outputMode(output_mode)
             .option("checkpointLocation", ckpt)
-            .foreachBatch(bridge)
+            .foreachBatch(fn)
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination()
+
+
+def run_scored_stream(agg: DataFrame, bridge: OnlineScoringBridge) -> list[dict]:
+    """Attach the bridge to a streaming aggregate and drain all available
+    input (update mode: only changed windows reach the bridge per batch)."""
+    run_foreach_batch(agg, bridge, "update")
     return bridge.batches
 
 

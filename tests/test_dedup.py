@@ -135,3 +135,49 @@ def test_winnow_fingerprints_alignment_invariant(spark):
         by_doc.setdefault(r.doc_id, set()).add(r.fp)
     assert by_doc[1] & by_doc[2], "misaligned 60-char overlap must share a fingerprint"
     assert not (by_doc[3] & (by_doc[1] | by_doc[2])), "unrelated doc must not collide"
+
+
+def test_band_index_append_leaves_gen0_files_untouched(spark, sf_dir, tmp_path):
+    """The round-13 maintenance query's scale claim: appending a new wave
+    as a gen=1 partition must not rewrite any gen=0 file (append cost is
+    O(|new wave|), independent of index size), and the merged read-back
+    must equal the union of the two generations' band rows."""
+    import os
+
+    from big_data_analytics_project_spark.plans.dedup_queries import (
+        _bandidx_banded,
+        _bandidx_signed,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    idx = str(tmp_path / "band_idx")
+    g0 = _bandidx_banded(_bandidx_signed(docs.where(F.col("doc_id") % 3 == 1)))
+    g0.withColumn("gen", F.lit(0)).write.partitionBy("gen").mode(
+        "overwrite"
+    ).parquet(idx)
+
+    def snap_gen0():
+        d = os.path.join(idx, "gen=0")
+        return {
+            f: (os.path.getsize(os.path.join(d, f)),
+                os.path.getmtime(os.path.join(d, f)))
+            for f in sorted(os.listdir(d))
+            if f.endswith(".parquet")
+        }
+
+    before = snap_gen0()
+    assert before, "gen=0 partition must contain parquet files"
+
+    g1 = _bandidx_banded(_bandidx_signed(docs.where(F.col("doc_id") % 3 == 2)))
+    g1.withColumn("gen", F.lit(1)).write.partitionBy("gen").mode(
+        "append"
+    ).parquet(idx)
+
+    assert snap_gen0() == before, "append rewrote gen=0 files"
+    assert os.path.isdir(os.path.join(idx, "gen=1"))
+
+    merged = spark.read.parquet(idx)
+    n0, n1 = g0.count(), g1.count()
+    assert merged.count() == n0 + n1
+    assert merged.where(F.col("gen") == 0).count() == n0
+    assert merged.where(F.col("gen") == 1).count() == n1

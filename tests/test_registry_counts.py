@@ -9,8 +9,8 @@ from pathlib import Path
 
 from big_data_analytics_project_spark.registry import load_all
 
-TOTAL = 307
-ORACLE = 296
+TOTAL = 309
+ORACLE = 298
 
 
 def test_counts_match_registry():

@@ -27,6 +27,9 @@ from big_data_analytics_project_spark.registry import (
 # rotate out), with the four never-driver-checked rows-only streaming
 # queries lifted into the window tail for ONE round (VERDICT r5 item 4).
 EXPECTED_WINDOW = (
+    # tier 0 — never driver-green
+    "dedup_band_index_incremental_append",
+    "streaming_frozen_scoring",
     # tier 1 — last green r07
     "curriculum_phase_assignment",
     "layout_partition_pruned_scan",
@@ -77,8 +80,6 @@ EXPECTED_WINDOW = (
     # tier 1 — last green r08
     "ml_als_quality_contract",
     "ml_engagement_calibration",
-    "embedding_label_centroids",
-    "embedding_int8_recall_audit",
 )
 
 

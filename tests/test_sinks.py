@@ -353,6 +353,41 @@ def test_index_scratch_dir_is_warehouse_rooted(spark):
     assert a != b  # unique run dirs: concurrent queries can't clobber
 
 
+def test_index_scratch_dir_uri_edge_cases(tmp_path):
+    """file: warehouse URIs are parsed as URIs (ADVICE r12): percent-
+    escapes decode, and a remote authority (file://host/...) is refused
+    instead of silently becoming a local /host/... directory."""
+    import pytest as _pytest
+
+    from big_data_analytics_project_spark.sources import index_scratch_dir
+
+    class _FakeConf:
+        def __init__(self, warehouse):
+            self._w = warehouse
+
+        def get(self, key):
+            assert key == "spark.sql.warehouse.dir"
+            return self._w
+
+    class _FakeSpark:
+        def __init__(self, warehouse):
+            self.conf = _FakeConf(warehouse)
+
+    escaped_root = tmp_path / "ware house"
+    uri = "file://" + str(escaped_root).replace(" ", "%20")
+    p = index_scratch_dir(_FakeSpark(uri), "idx")
+    assert p.startswith(str(escaped_root) + "/"), p  # %20 decoded
+    assert os.path.isdir(os.path.dirname(p))
+
+    with _pytest.raises(ValueError, match="remote authority"):
+        index_scratch_dir(_FakeSpark("file://nfs-host/data/warehouse"), "idx")
+
+    # file://localhost/... is the RFC-8089 local form — accepted
+    uri_lh = "file://localhost" + str(tmp_path / "lh")
+    p2 = index_scratch_dir(_FakeSpark(uri_lh), "idx")
+    assert p2.startswith(str(tmp_path / "lh") + "/"), p2
+
+
 def test_index_scratch_dir_roundtrip(spark, sf_dir):
     """A write→read-back through the scratch path preserves rows."""
     from big_data_analytics_project_spark.sources import index_scratch_dir

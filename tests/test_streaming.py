@@ -409,6 +409,54 @@ def test_staged_files_replay_in_event_time_order(spark, sf_dir):
         shutil.rmtree(json_dir, ignore_errors=True)
 
 
+def test_frozen_scoring_is_batch_boundary_invariant(spark, sf_dir):
+    """The round-13 oracle lift dual rests on this property: a FROZEN
+    model is a pure per-row function, so append-mode tumbling features
+    scored batch-by-batch produce the same cumulative surface whether the
+    replay runs as 4 micro-batches or as 1 (contrast: the ONLINE bridge's
+    metrics shift with batch boundaries because each batch is scored
+    after the previous batches' partial_fits)."""
+    from big_data_analytics_project_spark.plans.streaming_queries import (
+        _APPEND_CUTOFF_EPOCH,
+    )
+    from big_data_analytics_project_spark.streaming.bridge import (
+        FrozenScoringBridge,
+        run_foreach_batch,
+    )
+
+    json_dir = P.stage_events_as_json_stream(spark, sf_dir, n_files=4)
+    try:
+        def score(trigger_files):
+            stream = P.read_event_stream(
+                spark, json_dir, max_files_per_trigger=trigger_files
+            )
+            agg = P.tumbling_features(stream).select(
+                F.unix_timestamp("win.start").cast("long").alias("wse"),
+                "user_id", "label", "view_count", "total_events",
+                "total_value", "unique_items_approx",
+            )
+            bridge = FrozenScoringBridge()
+            run_foreach_batch(agg, bridge, output_mode="append")
+            return sorted(
+                (int(r.wse), int(r.user_id), int(r.label), int(r.view_count),
+                 int(r.total_events), float(r.total_value), float(r.proba))
+                for pdf in bridge.frames
+                for r in pdf.itertuples()
+                if r.wse + 3600 <= _APPEND_CUTOFF_EPOCH
+            )
+
+        fine = score(1)    # 4 micro-batches
+        coarse = score(4)  # 1 batch
+        assert fine == coarse
+        assert len(fine) > 0
+        # frozen model ⇒ only the heuristic's four operating points appear
+        assert {row[-1] for row in fine} <= {0.05, 0.35, 0.60, 0.85}
+    finally:
+        import shutil
+
+        shutil.rmtree(json_dir, ignore_errors=True)
+
+
 def test_scd2_fold_is_batch_boundary_invariant(spark, sf_dir, tmp_path):
     """The round-12 oracle lift rests on this property: with event-time
     valid_from and ordered delivery, the finalized SCD2 table is a pure
