@@ -391,6 +391,7 @@ HEADLINE = [
     # round-13 additions
     "dedup_band_index_incremental_append",  # gen-partition index append, no rebuild
     "streaming_frozen_scoring",       # frozen-model foreachBatch scoring, append
+    "dedup_band_index_tombstone_delete",  # logical index delete, O(|wave|) write
 ]
 
 

@@ -1249,6 +1249,212 @@ def dedup_band_index_incremental_append(spark, sf_dir):
     )
 
 
+# --- band-index logical DELETE (tombstones, no rewrite) -------------------
+# The third index-lifecycle verb (build r11 → append r13 → delete r13):
+# a wave of documents must leave the index — GDPR erasure, licence
+# takedown, retraction — WITHOUT rewriting the banded parquet (at 100 TB
+# rewriting the index to drop 0.1% of rows is the wrong shape; the
+# fact-table analogue `delete_keys_partitioned` rewrites only touched
+# partitions, but band rows aren't partitioned by doc, so a physical
+# delete would touch every file).  Instead the delete wave's doc_ids are
+# written as a TOMBSTONE parquet next to the index — an O(|delete set|)
+# write — and every probe anti-joins the tombstone set before matching;
+# the df census (mega-bucket cap) runs over the LIVE index so a bucket
+# can fall back under the cap when members are deleted.  A periodic
+# compaction folds tombstones physically (maintenance_compact_files is
+# that machinery).  The oracle knows no tombstones — it builds the live
+# index directly with the delete predicate — so a value-hash match
+# proves tombstoned probing ≡ physically-deleted rebuild.  A probe
+# variant whose only near-dup was deleted must come back 'novel'.
+
+_BANDDEL_TAIL = " tombstone delete audit"
+
+_DUCK_BAND_DELETE = f"""
+WITH idx_docs AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0
+),
+probe_docs AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, text || '{_BANDDEL_TAIL}' AS text
+  FROM documents WHERE doc_id % 3 <> 0 AND doc_id % 5 = 0
+),
+tok_i AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t FROM idx_docs
+),
+sh_i AS (
+  SELECT doc_id,
+         list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                        for i in range(1, len(t) - 1)]) AS s
+  FROM tok_i WHERE len(t) >= 3
+),
+h_i AS (
+  SELECT doc_id, s, [({_duck_hash60("g")}) % {_BANDIDX_M} for g in s] AS hs
+  FROM sh_i
+),
+sig_i AS (
+  SELECT doc_id, s,
+         {_duck_minhash_mins()}
+  FROM h_i
+),
+bands_all AS (
+  {_duck_band_rows("sig_i")}
+),
+live AS (
+  SELECT * FROM bands_all WHERE NOT (doc_id % 3 = 1 AND doc_id % 5 = 0)
+),
+tok_q AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t FROM probe_docs
+),
+sh_q AS (
+  SELECT doc_id,
+         list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                        for i in range(1, len(t) - 1)]) AS s
+  FROM tok_q WHERE len(t) >= 3
+),
+h_q AS (
+  SELECT doc_id, s, [({_duck_hash60("g")}) % {_BANDIDX_M} for g in s] AS hs
+  FROM sh_q
+),
+sig_q AS (
+  SELECT doc_id, s,
+         {_duck_minhash_mins()}
+  FROM h_q
+),
+bands_q AS (
+  {_duck_band_rows("sig_q")}
+),
+bdf AS (
+  SELECT band, key FROM (
+    SELECT band, key, count(*) AS df FROM live GROUP BY band, key
+  ) WHERE df <= {_BANDIDX_MAX_BUCKET}
+),
+cand AS (
+  SELECT DISTINCT q.doc_id AS bid, i.doc_id AS pid
+  FROM bands_q q
+  JOIN live i ON q.band = i.band AND q.key = i.key
+  JOIN bdf ON i.band = bdf.band AND i.key = bdf.key
+),
+ver AS (
+  SELECT c.bid, c.pid,
+         len(list_intersect(sq.s, si.s))::DOUBLE
+           / len(list_distinct(list_concat(sq.s, si.s))) AS j
+  FROM cand c
+  JOIN sig_q sq ON sq.doc_id = c.bid
+  JOIN sig_i si ON si.doc_id = c.pid
+),
+roll AS (
+  SELECT bid,
+         CAST(count(*) AS BIGINT) AS n_candidates,
+         CAST(count(*) FILTER (WHERE j >= {_BANDIDX_T}) AS BIGINT) AS n_matches,
+         round(max(j) FILTER (WHERE j >= {_BANDIDX_T}), 6) AS best_jaccard
+  FROM ver GROUP BY bid
+)
+SELECT sq.doc_id,
+       COALESCE(r.n_candidates, 0) AS n_candidates,
+       COALESCE(r.n_matches, 0) AS n_matches,
+       r.best_jaccard,
+       CASE WHEN COALESCE(r.n_matches, 0) > 0
+            THEN 'near_dup_of_index' ELSE 'novel' END AS status
+FROM sig_q sq LEFT JOIN roll r ON r.bid = sq.doc_id
+"""
+
+
+@query(
+    "dedup_band_index_tombstone_delete",
+    sql=_DUCK_BAND_DELETE,
+    tags=("dedup", "incremental", "index", "minhash", "maintenance"),
+)
+def dedup_band_index_tombstone_delete(spark, sf_dir):
+    """Logical delete from the persisted MinHash band index via a
+    TOMBSTONE parquet — see block comment.  The banded index files are
+    never rewritten (the delete write is O(|delete set|)); probes
+    anti-join the tombstone set and the mega-bucket census runs over the
+    live index.  The oracle builds the post-delete index directly, so
+    the value hash proves tombstoned probing ≡ physically-deleted
+    rebuild.  Completes the index lifecycle: build/probe (r10–r12),
+    append, delete."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    idx_docs = docs.where(F.col("doc_id") % 3 != 0)
+    variants = (
+        docs.where((F.col("doc_id") % 3 != 0) & (F.col("doc_id") % 5 == 0))
+        .select(
+            (F.col("doc_id") + 2000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(_BANDDEL_TAIL)).alias("text"),
+        )
+    )
+    probe = docs.where(F.col("doc_id") % 3 == 0).unionByName(variants)
+
+    sig_idx = _bandidx_signed(idx_docs).persist()
+    sig_probe = _bandidx_signed(probe).persist()
+
+    idx_path = index_scratch_dir(spark, "band_index_full")
+    _bandidx_banded(sig_idx).write.parquet(idx_path)
+    band_index = spark.read.parquet(idx_path)
+
+    # THE DELETE STEP: tombstone the erase wave — an O(|wave|) parquet
+    # write next to the index, no index file touched
+    tomb_path = index_scratch_dir(spark, "band_index_tombstones")
+    (
+        idx_docs.where((F.col("doc_id") % 3 == 1) & (F.col("doc_id") % 5 == 0))
+        .select("doc_id")
+        .write.parquet(tomb_path)
+    )
+    tombstones = spark.read.parquet(tomb_path)
+
+    # live view of the index: anti-join the tombstones (broadcast at this
+    # delete-set size; bucket-key semi-structure unchanged), then
+    # re-census the mega-bucket cap over what actually remains probe-able
+    live = band_index.join(F.broadcast(tombstones), "doc_id", "left_anti")
+    ok_buckets = (
+        live.groupBy("band", "key")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") <= _BANDIDX_MAX_BUCKET)
+        .select("band", "key")
+    )
+    capped = live.join(ok_buckets, ["band", "key"], "left_semi")
+    cand = (
+        _bandidx_banded(sig_probe)
+        .join(capped.withColumnRenamed("doc_id", "pid"), ["band", "key"])
+        .select(F.col("doc_id").alias("bid"), "pid")
+        .distinct()
+    )
+    ver = (
+        cand.join(
+            sig_probe.select(
+                F.col("doc_id").alias("bid"), F.col("shingle_set").alias("sq")
+            ),
+            "bid",
+        )
+        .join(
+            sig_idx.select(
+                F.col("doc_id").alias("pid"), F.col("shingle_set").alias("si")
+            ),
+            "pid",
+        )
+        .select("bid", "pid", D.jaccard(F.col("sq"), F.col("si")).alias("j"))
+    )
+    hit = F.col("j") >= _BANDIDX_T
+    roll = ver.groupBy("bid").agg(
+        F.count("*").cast("long").alias("n_candidates"),
+        F.count(F.when(hit, 1)).cast("long").alias("n_matches"),
+        F.round(F.max(F.when(hit, F.col("j"))), 6).alias("best_jaccard"),
+    )
+    return (
+        sig_probe.select("doc_id")
+        .join(roll, F.col("doc_id") == F.col("bid"), "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_candidates", F.lit(0).cast("long")).alias("n_candidates"),
+            F.coalesce("n_matches", F.lit(0).cast("long")).alias("n_matches"),
+            "best_jaccard",
+            F.when(F.coalesce("n_matches", F.lit(0)) > 0, "near_dup_of_index")
+            .otherwise("novel")
+            .alias("status"),
+        )
+    )
+
+
 def _duck_winnow_cte(docs_cte: str) -> str:
     """DuckDB CTE fragment computing winnowed fingerprints (pos/wins/fps,
     see the winnowing block comment above) of a CTE exposing

@@ -181,3 +181,27 @@ def test_band_index_append_leaves_gen0_files_untouched(spark, sf_dir, tmp_path):
     assert merged.count() == n0 + n1
     assert merged.where(F.col("gen") == 0).count() == n0
     assert merged.where(F.col("gen") == 1).count() == n1
+
+
+def test_tombstone_delete_flips_orphaned_variants_to_novel(duck):
+    """The tombstone query's semantic teeth: a probe variant whose ONLY
+    near-dup was deleted must classify 'novel' once the tombstones hide
+    it.  Checked oracle-side (both engines are hash-equal per the parity
+    suite, so the oracle carries the semantics)."""
+    from big_data_analytics_project_spark.plans.dedup_queries import (
+        _DUCK_BAND_DELETE,
+    )
+
+    with_del = duck.execute(_DUCK_BAND_DELETE).fetchdf()
+    no_del = duck.execute(
+        _DUCK_BAND_DELETE.replace(
+            "WHERE NOT (doc_id % 3 = 1 AND doc_id % 5 = 0)", ""
+        )
+    ).fetchdf()
+    m = with_del.merge(no_del, on="doc_id", suffixes=("_d", "_n"))
+    flipped = (
+        (m.status_n == "near_dup_of_index") & (m.status_d == "novel")
+    ).sum()
+    assert flipped > 0, "delete wave must orphan at least one variant"
+    # deletion can only REMOVE matches, never add them
+    assert (m.n_matches_d <= m.n_matches_n).all()

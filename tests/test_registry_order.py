@@ -29,6 +29,7 @@ from big_data_analytics_project_spark.registry import (
 EXPECTED_WINDOW = (
     # tier 0 — never driver-green
     "dedup_band_index_incremental_append",
+    "dedup_band_index_tombstone_delete",
     "streaming_frozen_scoring",
     # tier 1 — last green r07
     "curriculum_phase_assignment",
@@ -79,7 +80,6 @@ EXPECTED_WINDOW = (
     "variant_semi_structured",
     # tier 1 — last green r08
     "ml_als_quality_contract",
-    "ml_engagement_calibration",
 )
 
 
