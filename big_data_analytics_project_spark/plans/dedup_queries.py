@@ -791,6 +791,36 @@ def _duck_band_rows(sig_cte: str) -> str:
     return "\n  UNION ALL ".join(selects)
 
 
+def _duck_sig_chain(docs_cte: str, suffix: str) -> str:
+    """The shared tokenize→shingle→hash→minhash-sign→band CTE chain over
+    ``docs_cte`` (must expose doc_id, text), emitting ``sig_<suffix>``
+    and ``bands_<suffix>`` — the SQL mirror of ``_bandidx_signed`` +
+    ``_bandidx_banded``, factored once for the three band-index queries
+    (build/probe, incremental append, tombstone delete)."""
+    s = suffix
+    return f"""tok_{s} AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t FROM {docs_cte}
+),
+sh_{s} AS (
+  SELECT doc_id,
+         list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                        for i in range(1, len(t) - 1)]) AS s
+  FROM tok_{s} WHERE len(t) >= 3
+),
+h_{s} AS (
+  SELECT doc_id, s, [({_duck_hash60("g")}) % {_BANDIDX_M} for g in s] AS hs
+  FROM sh_{s}
+),
+sig_{s} AS (
+  SELECT doc_id, s,
+         {_duck_minhash_mins()}
+  FROM h_{s}
+),
+bands_{s} AS (
+  {_duck_band_rows(f"sig_{s}")}
+)"""
+
+
 def _bandidx_signed(df):
     """(doc_id, shingle_set, sig) — MinHash-sign ``df`` (doc_id, text)
     with the shared ``_BANDIDX_*`` parameters.  ``D.let`` binds the md5
@@ -848,48 +878,8 @@ batch_docs AS (
   SELECT doc_id + 2000000 AS doc_id, text || '{_BANDIDX_TAIL}' AS text
   FROM documents WHERE doc_id % 3 <> 0 AND doc_id % 5 = 0
 ),
-tok_p AS (
-  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t FROM prior_docs
-),
-sh_p AS (
-  SELECT doc_id,
-         list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
-                        for i in range(1, len(t) - 1)]) AS s
-  FROM tok_p WHERE len(t) >= 3
-),
-h_p AS (
-  SELECT doc_id, s, [({_duck_hash60("g")}) % {_BANDIDX_M} for g in s] AS hs
-  FROM sh_p
-),
-sig_p AS (
-  SELECT doc_id, s,
-         {_duck_minhash_mins()}
-  FROM h_p
-),
-bands_p AS (
-  {_duck_band_rows("sig_p")}
-),
-tok_b AS (
-  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t FROM batch_docs
-),
-sh_b AS (
-  SELECT doc_id,
-         list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
-                        for i in range(1, len(t) - 1)]) AS s
-  FROM tok_b WHERE len(t) >= 3
-),
-h_b AS (
-  SELECT doc_id, s, [({_duck_hash60("g")}) % {_BANDIDX_M} for g in s] AS hs
-  FROM sh_b
-),
-sig_b AS (
-  SELECT doc_id, s,
-         {_duck_minhash_mins()}
-  FROM h_b
-),
-bands_b AS (
-  {_duck_band_rows("sig_b")}
-),
+{_duck_sig_chain("prior_docs", "p")},
+{_duck_sig_chain("batch_docs", "b")},
 bdf AS (
   SELECT band, key FROM (
     SELECT band, key, count(*) AS df FROM bands_p GROUP BY band, key
@@ -1054,48 +1044,8 @@ probe_docs AS (
   SELECT doc_id + 2000000 AS doc_id, text || '{_BANDAPP_TAIL}' AS text
   FROM documents WHERE doc_id % 3 <> 0 AND doc_id % 7 = 0
 ),
-tok_i AS (
-  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t FROM idx_docs
-),
-sh_i AS (
-  SELECT doc_id,
-         list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
-                        for i in range(1, len(t) - 1)]) AS s
-  FROM tok_i WHERE len(t) >= 3
-),
-h_i AS (
-  SELECT doc_id, s, [({_duck_hash60("g")}) % {_BANDIDX_M} for g in s] AS hs
-  FROM sh_i
-),
-sig_i AS (
-  SELECT doc_id, s,
-         {_duck_minhash_mins()}
-  FROM h_i
-),
-bands_i AS (
-  {_duck_band_rows("sig_i")}
-),
-tok_q AS (
-  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t FROM probe_docs
-),
-sh_q AS (
-  SELECT doc_id,
-         list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
-                        for i in range(1, len(t) - 1)]) AS s
-  FROM tok_q WHERE len(t) >= 3
-),
-h_q AS (
-  SELECT doc_id, s, [({_duck_hash60("g")}) % {_BANDIDX_M} for g in s] AS hs
-  FROM sh_q
-),
-sig_q AS (
-  SELECT doc_id, s,
-         {_duck_minhash_mins()}
-  FROM h_q
-),
-bands_q AS (
-  {_duck_band_rows("sig_q")}
-),
+{_duck_sig_chain("idx_docs", "i")},
+{_duck_sig_chain("probe_docs", "q")},
 bdf AS (
   SELECT band, key FROM (
     SELECT band, key, count(*) AS df FROM bands_i GROUP BY band, key
@@ -1279,51 +1229,11 @@ probe_docs AS (
   SELECT doc_id + 2000000 AS doc_id, text || '{_BANDDEL_TAIL}' AS text
   FROM documents WHERE doc_id % 3 <> 0 AND doc_id % 5 = 0
 ),
-tok_i AS (
-  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t FROM idx_docs
-),
-sh_i AS (
-  SELECT doc_id,
-         list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
-                        for i in range(1, len(t) - 1)]) AS s
-  FROM tok_i WHERE len(t) >= 3
-),
-h_i AS (
-  SELECT doc_id, s, [({_duck_hash60("g")}) % {_BANDIDX_M} for g in s] AS hs
-  FROM sh_i
-),
-sig_i AS (
-  SELECT doc_id, s,
-         {_duck_minhash_mins()}
-  FROM h_i
-),
-bands_all AS (
-  {_duck_band_rows("sig_i")}
-),
+{_duck_sig_chain("idx_docs", "i")},
 live AS (
-  SELECT * FROM bands_all WHERE NOT (doc_id % 3 = 1 AND doc_id % 5 = 0)
+  SELECT * FROM bands_i WHERE NOT (doc_id % 3 = 1 AND doc_id % 5 = 0)
 ),
-tok_q AS (
-  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t FROM probe_docs
-),
-sh_q AS (
-  SELECT doc_id,
-         list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
-                        for i in range(1, len(t) - 1)]) AS s
-  FROM tok_q WHERE len(t) >= 3
-),
-h_q AS (
-  SELECT doc_id, s, [({_duck_hash60("g")}) % {_BANDIDX_M} for g in s] AS hs
-  FROM sh_q
-),
-sig_q AS (
-  SELECT doc_id, s,
-         {_duck_minhash_mins()}
-  FROM h_q
-),
-bands_q AS (
-  {_duck_band_rows("sig_q")}
-),
+{_duck_sig_chain("probe_docs", "q")},
 bdf AS (
   SELECT band, key FROM (
     SELECT band, key, count(*) AS df FROM live GROUP BY band, key
