@@ -319,3 +319,46 @@ def test_fulfillment_percentiles_run_on_the_cell_table(registry, spark, sf_dir):
     assert "row_number" not in plan, plan  # the rank-pick form regressed
     # the cell aggregation's exchange feeds the windows
     assert re.search(r"hashpartitioning\(priority#\d+, lag_days#\d+", plan), plan
+
+
+def test_band_index_append_probes_merged_partitions(registry, spark, sf_dir):
+    """dedup_band_index_incremental_append's probe must (a) read the
+    band rows back from the gen-partitioned parquet artifact (partition
+    column `gen` present in the scan, so the per-generation match split
+    comes from the PHYSICAL layout), and (b) stay equi-joined — never
+    cartesian/nested-loop — so probe cost is bucket-bounded regardless
+    of how many generations have been appended."""
+    prev = spark.conf.get("spark.sql.maxMetadataStringLength")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "400")
+    try:
+        plan = _plan(
+            registry, spark, sf_dir, "dedup_band_index_incremental_append"
+        )
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", prev)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    m = re.search(r"FileScan parquet[^\n]*/band_index_gen[^\n]*", plan)
+    assert m, plan  # read-back over the appended artifact
+    assert re.search(r"PartitionFilters|gen#\d+", m.group(0)), m.group(0)
+
+
+def test_tombstone_delete_is_broadcast_anti_join(registry, spark, sf_dir):
+    """dedup_band_index_tombstone_delete must hide tombstoned docs via a
+    BROADCAST LeftAnti join against the O(|wave|) tombstone artifact
+    (read back from parquet, not recomputed) — a shuffled anti-join
+    would re-shuffle the whole index to drop 0.1% of rows."""
+    prev = spark.conf.get("spark.sql.maxMetadataStringLength")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "400")
+    try:
+        plan = _plan(
+            registry, spark, sf_dir, "dedup_band_index_tombstone_delete"
+        )
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", prev)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert re.search(
+        r"FileScan parquet[^\n]*/band_index_tombstones", plan
+    ), plan
+    assert re.search(r"BroadcastHashJoin[^\n]*LeftAnti", plan), plan
