@@ -392,6 +392,7 @@ HEADLINE = [
     "dedup_band_index_incremental_append",  # gen-partition index append, no rebuild
     "streaming_frozen_scoring",       # frozen-model foreachBatch scoring, append
     "dedup_band_index_tombstone_delete",  # logical index delete, O(|wave|) write
+    "streaming_band_index_ingest",    # stream-paced index maintenance, idempotent
 ]
 
 

@@ -71,6 +71,17 @@ def _staged(spark, sf_dir, n_files=4):
     return d
 
 
+def _staged_docs(spark, sf_dir, n_files=4):
+    """Per-process cache of the staged DOCUMENT stream (same policy as
+    ``_staged``; keyed separately so the two fixtures never collide)."""
+    key = (os.path.abspath(sf_dir) + "#docs", n_files)
+    d = _STAGE_CACHE.get(key)
+    if d is None or not os.path.isdir(d):
+        d = P.stage_docs_as_json_stream(spark, sf_dir, n_files=n_files)
+        _STAGE_CACHE[key] = d
+    return d
+
+
 @atexit.register
 def _cleanup_staged() -> None:
     for d in _STAGE_CACHE.values():
@@ -587,6 +598,86 @@ def streaming_frozen_scoring(spark, sf_dir):
     scored = pd.concat([pdf[cols] for pdf in bridge.frames])
     return spark.createDataFrame(scored, schema=schema).where(
         F.col("window_start_epoch") + 3600 <= F.lit(_APPEND_CUTOFF_EPOCH)
+    )
+
+
+# --- streaming band-index ingest (index maintenance at stream pace) -------
+# The composition a live corpus runs: documents ARRIVE as a stream, and
+# the persisted MinHash band index must stay fresh WITHOUT batch rebuild
+# windows.  Each micro-batch is signed+banded (the same _bandidx_* fold
+# as the batch build) and lands as its own `ingest_batch=N` partition
+# directory with overwrite semantics — a foreachBatch REPLAY of batch N
+# (at-least-once delivery after a failure) rewrites the same directory
+# instead of duplicating rows (the idempotent_parquet_writer pattern),
+# and per-batch cost is O(|batch|) regardless of index size (the append
+# lesson).  Banding is a pure per-document map, so the UNION of the
+# per-batch partitions is batch-boundary-invariant; the oracle builds
+# the same band rows in ONE batch pass over documents, and the per-band
+# census below (row count, distinct keys, order-independent content
+# checksum binding key↔doc_id) hash-matching proves the streamed index
+# is EXACTLY the batch-built index.  The checksum term is the portable
+# md5-60 hash mod 1e9+7, summed in BIGINT (≤2^60-safe: 1e9 × |band rows|
+# at any realistic SF).
+_BANDSTREAM_MOD = 1_000_000_007
+
+from ._duck import hash60 as _hash60  # noqa: E402  (module-level SQL builder)
+from .dedup_queries import _duck_sig_chain  # noqa: E402
+
+_STREAM_INGEST_SQL = f"""
+WITH idx_docs AS (SELECT doc_id, text FROM documents),
+{_duck_sig_chain("idx_docs", "i")}
+SELECT CAST(band AS BIGINT) AS band,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT key) AS BIGINT) AS n_distinct_keys,
+       CAST(sum(({_hash60("key || '|' || doc_id::VARCHAR")})
+                % {_BANDSTREAM_MOD}) AS BIGINT) AS checksum
+FROM bands_i
+GROUP BY band
+"""
+
+
+@query(
+    "streaming_band_index_ingest",
+    sql=_STREAM_INGEST_SQL,
+    tags=("streaming", "index", "dedup", "maintenance"),
+)
+def streaming_band_index_ingest(spark, sf_dir):
+    """Streaming MinHash band-index maintenance: each document
+    micro-batch is signed+banded and appended to the persisted index as
+    an idempotent `ingest_batch=N` partition; the per-band census of the
+    read-back index (rows, distinct keys, content checksum) must equal
+    the oracle's one-pass batch build — see block comment.  Completes
+    the index lifecycle with its streaming leg: batch build (r11),
+    batch append (r13), tombstone delete (r13), stream ingest (r13)."""
+    from ..operators.dedup import md5_hash60
+    from ..sources import index_scratch_dir
+    from ..streaming.bridge import run_foreach_batch
+    from .dedup_queries import _bandidx_banded, _bandidx_signed
+
+    json_dir = _staged_docs(spark, sf_dir)
+    idx_base = index_scratch_dir(spark, "band_index_stream")
+
+    def ingest(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        (
+            _bandidx_banded(_bandidx_signed(batch_df))
+            .write.mode("overwrite")
+            .parquet(f"{idx_base}/ingest_batch={batch_id}")
+        )
+
+    stream = P.read_doc_stream(spark, json_dir, max_files_per_trigger=1)
+    run_foreach_batch(stream, ingest, output_mode="append")
+
+    idx = spark.read.parquet(idx_base)
+    checksum_term = F.pmod(
+        md5_hash60(F.concat_ws("|", F.col("key"), F.col("doc_id").cast("string"))),
+        F.lit(_BANDSTREAM_MOD),
+    )
+    return idx.groupBy(F.col("band").cast("long").alias("band")).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.countDistinct("key").cast("long").alias("n_distinct_keys"),
+        F.sum(checksum_term).cast("long").alias("checksum"),
     )
 
 

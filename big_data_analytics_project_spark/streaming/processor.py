@@ -82,6 +82,45 @@ def stage_events_as_json_stream(
     return out_dir
 
 
+def stage_docs_as_json_stream(
+    spark: SparkSession, sf_dir: str, n_files: int = 4, out_dir: str | None = None
+) -> str:
+    """Replay the fixture ``documents`` table as doc_id-ordered JSON chunk
+    files — the document-corpus analog of ``stage_events_as_json_stream``
+    (same sanctioned driver-local fixture pattern; see that docstring),
+    used by the streaming index-maintenance queries where the arriving
+    unit is a document, not an event."""
+    out_dir = out_dir or tempfile.mkdtemp(prefix="bdap_docstream_")
+    from ..sources import read_table
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    (
+        docs.repartitionByRange(n_files, "doc_id")
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite")
+        .json(out_dir)
+    )
+    parts = sorted(
+        f for f in os.listdir(out_dir) if f.startswith("part-") and f.endswith(".json")
+    )
+    base = 1_600_000_000
+    for i, f in enumerate(parts):
+        os.utime(os.path.join(out_dir, f), (base + i, base + i))
+    return out_dir
+
+
+def read_doc_stream(
+    spark: SparkSession, json_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """Unbounded read of a staged document stream (explicit schema; swap
+    for the Kafka form in a broker deployment, like read_event_stream)."""
+    return (
+        spark.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(json_dir)
+    )
+
+
 def read_kafka_event_stream(
     spark: SparkSession,
     bootstrap_servers: str,

@@ -9,8 +9,8 @@ from pathlib import Path
 
 from big_data_analytics_project_spark.registry import load_all
 
-TOTAL = 310
-ORACLE = 299
+TOTAL = 311
+ORACLE = 300
 
 
 def test_counts_match_registry():

@@ -31,6 +31,7 @@ EXPECTED_WINDOW = (
     "dedup_band_index_incremental_append",
     "dedup_band_index_tombstone_delete",
     "streaming_frozen_scoring",
+    "streaming_band_index_ingest",
     # tier 1 — last green r07
     "curriculum_phase_assignment",
     "layout_partition_pruned_scan",
@@ -78,8 +79,6 @@ EXPECTED_WINDOW = (
     "ops_business_days_lag",
     "profile_equiwidth_histogram",
     "variant_semi_structured",
-    # tier 1 — last green r08
-    "ml_als_quality_contract",
 )
 
 

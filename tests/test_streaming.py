@@ -487,3 +487,57 @@ def test_scd2_fold_is_batch_boundary_invariant(spark, sf_dir, tmp_path):
     coarse = fold(4, "coarse")  # 1 batch = the pure batch fold
     assert fine == coarse
     assert len(fine) > 0
+
+
+def test_band_index_stream_ingest_is_batch_boundary_invariant(spark, sf_dir):
+    """The streamed band index must be a pure function of the corpus:
+    ingesting as 4 micro-batches or as 1 yields identical per-band
+    censuses (banding is a per-document map; idempotent batch-dir
+    writes).  This is the local dual of the oracle equivalence, which
+    pins the census against a one-pass batch build."""
+    import shutil
+    import tempfile
+
+    from big_data_analytics_project_spark.plans.dedup_queries import (
+        _bandidx_banded,
+        _bandidx_signed,
+    )
+    from big_data_analytics_project_spark.streaming.bridge import (
+        run_foreach_batch,
+    )
+
+    json_dir = P.stage_docs_as_json_stream(spark, sf_dir, n_files=4)
+    try:
+        def census(trigger_files):
+            base = tempfile.mkdtemp(prefix="bdap_ingest_test_")
+
+            def ingest(batch_df, batch_id):
+                if batch_df.isEmpty():
+                    return
+                (
+                    _bandidx_banded(_bandidx_signed(batch_df))
+                    .write.mode("overwrite")
+                    .parquet(f"{base}/ingest_batch={batch_id}")
+                )
+
+            stream = P.read_doc_stream(
+                spark, json_dir, max_files_per_trigger=trigger_files
+            )
+            run_foreach_batch(stream, ingest, output_mode="append")
+            idx = spark.read.parquet(base)
+            rows = sorted(
+                (r.band, r.n)
+                for r in idx.groupBy("band").agg(F.count("*").alias("n")).collect()
+            )
+            shutil.rmtree(base, ignore_errors=True)
+            return rows
+
+        fine = census(1)
+        coarse = census(4)
+        assert fine == coarse
+        assert len(fine) == 4  # one census row per band
+        assert all(n > 0 for _, n in fine)
+    finally:
+        import shutil as _sh
+
+        _sh.rmtree(json_dir, ignore_errors=True)
