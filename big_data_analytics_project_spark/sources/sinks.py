@@ -83,7 +83,11 @@ def index_scratch_dir(spark: SparkSession, leaf: str) -> str:
         # URI we cannot reach locally — refuse loudly instead of writing
         # to the wrong directory.
         parsed = urllib.parse.urlparse(warehouse)
-        if parsed.netloc not in ("", "localhost"):
+        # URI authorities are case-insensitive (RFC 3986 §3.2.2 / RFC
+        # 8089), and an explicit empty port ("localhost:") is still the
+        # local host — normalize before deciding local vs remote.
+        netloc = parsed.netloc.lower().rstrip(":")
+        if netloc not in ("", "localhost"):
             raise ValueError(
                 f"file: warehouse URI has a remote authority "
                 f"{parsed.netloc!r} ({warehouse!r}); scratch must be on a "
