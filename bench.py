@@ -393,6 +393,8 @@ HEADLINE = [
     "streaming_frozen_scoring",       # frozen-model foreachBatch scoring, append
     "dedup_band_index_tombstone_delete",  # logical index delete, O(|wave|) write
     "streaming_band_index_ingest",    # stream-paced index maintenance, idempotent
+    # round-14 additions
+    "dedup_band_index_compaction",    # fold gens+tombstones, band-clustered rewrite
 ]
 
 

@@ -362,3 +362,31 @@ def test_tombstone_delete_is_broadcast_anti_join(registry, spark, sf_dir):
         r"FileScan parquet[^\n]*/band_index_tombstones", plan
     ), plan
     assert re.search(r"BroadcastHashJoin[^\n]*LeftAnti", plan), plan
+
+
+def test_band_index_compaction_probe_reads_band_partitioned_artifact(
+    registry, spark, sf_dir
+):
+    """dedup_band_index_compaction's probe must read the REWRITTEN
+    compacted artifact (band-partitioned parquet — the compaction's
+    layout win: a probe bucket join prunes to its band's directory), must
+    contain NO anti-join (tombstones retired by the fold, not re-applied
+    at probe time), and must stay equi-joined — the whole point of
+    compaction is that the probe plan looks like a fresh build's."""
+    prev = spark.conf.get("spark.sql.maxMetadataStringLength")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "400")
+    try:
+        plan = _plan(registry, spark, sf_dir, "dedup_band_index_compaction")
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", prev)
+    assert "CartesianProduct" not in plan, plan
+    # exactly ONE BroadcastNestedLoopJoin is expected and intentional: the
+    # 1-row `compacted_index_rows` audit scalar cross-joined onto the
+    # probe surface — any other nested loop would be a real fan-out bug
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+    m = re.search(r"FileScan parquet[^\n]*/band_index_compacted[^\n]*", plan)
+    assert m, plan  # probe reads the compacted artifact, not the lived-in one
+    # the band partition column must come from the PHYSICAL layout
+    assert re.search(r"PartitionFilters|band#\d+", m.group(0)), m.group(0)
+    # no anti-join survives compaction
+    assert "LeftAnti" not in plan, plan

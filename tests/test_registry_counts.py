@@ -9,8 +9,8 @@ from pathlib import Path
 
 from big_data_analytics_project_spark.registry import load_all
 
-TOTAL = 311
-ORACLE = 300
+TOTAL = 312
+ORACLE = 301
 
 
 def test_counts_match_registry():

@@ -28,57 +28,57 @@ from big_data_analytics_project_spark.registry import (
 # queries lifted into the window tail for ONE round (VERDICT r5 item 4).
 EXPECTED_WINDOW = (
     # tier 0 — never driver-green
-    "dedup_band_index_incremental_append",
-    "dedup_band_index_tombstone_delete",
-    "streaming_frozen_scoring",
-    "streaming_band_index_ingest",
-    # tier 1 — last green r07
-    "curriculum_phase_assignment",
-    "layout_partition_pruned_scan",
-    "maintenance_merge_upsert",
-    "pipeline_curation_accounting",
-    "layout_runtime_key_pushdown",
-    "dq_referential_integrity",
-    "maintenance_incremental_agg",
-    "scd2_point_in_time_lookup",
-    "dq_revenue_reconciliation",
-    "privacy_k_anonymity",
-    "quality_bot_regularity",
-    "sample_neyman_allocation",
-    "dedup_keep_best_quality",
-    "eda_events_report",
-    "eda_hour_of_week_heatmap",
-    "eda_uniqueness_profile",
-    "eda_basket_size_histogram",
-    "rfm_customer_segments",
-    "abtest_chi_square_mix",
-    "inequality_gini_revenue",
-    "abtest_mann_whitney_values",
-    "abtest_kruskal_wallis",
-    "survival_kaplan_meier",
-    "attribution_position_weighted",
-    "abtest_ks_statistic",
-    "funnel_time_bounded",
-    "retention_growth_accounting",
-    "inequality_top_user_share",
-    "repeat_purchase_intervals",
-    "segment_migration_matrix",
-    "basket_association_rules",
-    "basket_sequential_patterns",
-    "graph_connected_components",
-    "graph_bfs_distances",
-    "ml_rf_quality_contract",
-    "ml_naive_bayes_langid",
-    "multimodal_binary_dedup",
-    "abc_brand_revenue",
-    "ops_fulfillment_lag_by_priority",
-    "ops_open_orders_backlog",
-    "date_dimension_quarter_rollup",
-    "agg_percent_of_parent",
-    "agg_bitmask_event_types",
-    "ops_business_days_lag",
-    "profile_equiwidth_histogram",
-    "variant_semi_structured",
+    "dedup_band_index_compaction",
+    # tier 1 — last green r08
+    "ml_als_quality_contract",
+    "ml_engagement_calibration",
+    "embedding_label_centroids",
+    "embedding_int8_recall_audit",
+    "embedding_dim_variance",
+    "ann_range_search",
+    "embedding_fisher_separability",
+    "abtest_welch_ttest",
+    "agg_spearman_rank_corr",
+    "timeseries_acf_daily",
+    "window_rolling_corr",
+    "agg_weighted_median",
+    "timeseries_theilsen_slope",
+    "agg_mode_value",
+    "inequality_theil_index",
+    "inequality_hhi_supplier",
+    "streaming_tumbling_append",
+    "streaming_dedup",
+    "streaming_custom_sessionization",
+    "streaming_interval_join_left",
+    "streaming_windowed_topk",
+    "session_gap_assignment",
+    "timeseries_gapfill_interpolate",
+    "timeseries_ewma_by_user",
+    "forecast_seasonal_naive",
+    "regression_daily_revenue_trend",
+    "timeseries_holt_trend",
+    "session_daily_metrics",
+    "timeseries_gap_histogram",
+    "anomaly_cusum_shift",
+    "anomaly_dow_adjusted",
+    "revenue_wow_growth",
+    "timeseries_monthly_seasonality",
+    "asof_join_forward_event",
+    "retention_longest_streak",
+    "timeseries_rolling_median",
+    "timeseries_max_drawdown",
+    "text_boilerplate_ngram_share",
+    "tfidf_top_terms",
+    "quality_unigram_logprob",
+    "tokens_length_histogram",
+    "vocab_oov_rate",
+    "retrieval_bm25_topk",
+    "drift_js_source_tokens",
+    "text_pmi_collocations",
+    "text_skipgram_pairs",
+    "tokenizer_fertility_by_lang",
+    "text_doc_keywords",
+    "quality_langid_mismatch",
 )
 
 
