@@ -568,37 +568,43 @@ def streaming_frozen_scoring(spark, sf_dir):
     cold-start heuristic), no partial_fit.  See block comment: freezing
     the model is what makes the scored surface batch-boundary-invariant,
     the same finalization-cutoff trick that lifted sessionization (r8)
-    and SCD2 (r12)."""
+    and SCD2 (r12).  Production scoring shape (VERDICT r13 item 4): the
+    frozen model COMPILES to a native Column (weights are constants →
+    whole-stage codegen, no Python worker) and each scored micro-batch
+    lands as an idempotent ``score_batch=N`` parquet partition — nothing
+    row-scale ever touches the driver; the result is the read-back
+    artifact."""
+    from ..sources import index_scratch_dir
     from ..streaming.bridge import FrozenScoringBridge, run_foreach_batch
 
     json_dir = _staged(spark, sf_dir)
     stream = P.read_event_stream(spark, json_dir, max_files_per_trigger=2)
-    # project the epoch key in-plan (JVM-side) so the bridge's pandas view
+    # project the epoch key in-plan (JVM-side) so the scorer's pandas view
     # is flat scalars; the 4 FEATURE_COLUMNS ride along for the scorer
     agg = P.tumbling_features(stream).select(
         F.unix_timestamp("win.start").cast("long").alias("window_start_epoch"),
         "user_id", "label", "view_count", "total_events", "total_value",
         "unique_items_approx",
     )
-    bridge = FrozenScoringBridge()
+    sink_dir = index_scratch_dir(spark, "frozen_scores")
+    bridge = FrozenScoringBridge(sink_dir=sink_dir)
     run_foreach_batch(agg, bridge, output_mode="append")
 
     schema = (
         "window_start_epoch long, user_id long, label long, view_count long,"
         " total_events long, total_value double, proba double"
     )
-    cols = [
-        "window_start_epoch", "user_id", "label", "view_count",
-        "total_events", "total_value", "proba",
-    ]
-    if not bridge.frames:
+    if bridge.n_batches_written == 0:
         return spark.createDataFrame([], schema)
-    import pandas as pd
-
-    scored = pd.concat([pdf[cols] for pdf in bridge.frames])
-    return spark.createDataFrame(scored, schema=schema).where(
-        F.col("window_start_epoch") + 3600 <= F.lit(_APPEND_CUTOFF_EPOCH)
-    )
+    return spark.read.parquet(sink_dir).select(
+        F.col("window_start_epoch").cast("long").alias("window_start_epoch"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("label").cast("long").alias("label"),
+        F.col("view_count").cast("long").alias("view_count"),
+        F.col("total_events").cast("long").alias("total_events"),
+        F.col("total_value").cast("double").alias("total_value"),
+        F.col("proba").cast("double").alias("proba"),
+    ).where(F.col("window_start_epoch") + 3600 <= F.lit(_APPEND_CUTOFF_EPOCH))
 
 
 # --- streaming band-index ingest (index maintenance at stream pace) -------

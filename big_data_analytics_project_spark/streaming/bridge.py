@@ -85,6 +85,49 @@ class OnlineScoringBridge:
             self.store.update(metrics)
 
 
+def frozen_scoring_column(model: OnlineIntentModel):
+    """Compile a FROZEN :class:`OnlineIntentModel` into a native Spark
+    Column over the 4 FEATURE_COLUMNS (native-first UDF policy: a frozen
+    model is just constants, so scoring belongs inside whole-stage
+    codegen, not a Python worker).
+
+    - unfitted → the M7 cold-start heuristic as when/otherwise (exact:
+      the four operating points are literals, priority order matching
+      ``OnlineIntentModel._heuristic``'s overwrite sequence);
+    - fitted → the frozen logistic with the frozen scaler folded into
+      per-feature literals: sigmoid(Σ wᵢ·(xᵢ−μᵢ)/σᵢ + b), z clipped to
+      ±30 like ``predict_proba``.  Float64 ops JVM-side; summation order
+      differs from numpy's dot, so agreement is to float tolerance, not
+      bitwise (the oracle-checked query scores with the UNFITTED model,
+      where the outputs are exact literals)."""
+    from pyspark.sql import functions as F
+
+    vc = F.col(FEATURE_COLUMNS[0]).cast("double")
+    te = F.col(FEATURE_COLUMNS[1]).cast("double")
+    if not model.fitted:
+        return (
+            F.when((vc >= 5) & (te >= 15), F.lit(0.85))
+            .when(te >= 10, F.lit(0.60))
+            .when(vc >= 3, F.lit(0.35))
+            .otherwise(F.lit(0.05))
+        ).cast("double")
+    w = np.asarray(model.weights, dtype=np.float64)
+    if model.scaler.n >= 2:
+        std = np.sqrt(model.scaler.m2 / (model.scaler.n - 1))
+        std[std == 0] = 1.0
+        mean = np.asarray(model.scaler.mean, dtype=np.float64)
+    else:
+        std = np.ones_like(w)
+        mean = np.zeros_like(w)
+    z = F.lit(float(model.bias))
+    for c, wi, mi, si in zip(FEATURE_COLUMNS, w, mean, std):
+        z = z + (F.col(c).cast("double") - F.lit(float(mi))) / F.lit(
+            float(si)
+        ) * F.lit(float(wi))
+    z = F.greatest(F.least(z, F.lit(30.0)), F.lit(-30.0))
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+
 class FrozenScoringBridge:
     """foreachBatch scorer with a FROZEN model: pure per-row scoring, no
     ``partial_fit``/``observe``, so — unlike :class:`OnlineScoringBridge`,
@@ -92,21 +135,46 @@ class FrozenScoringBridge:
     boundaries Spark chose — the union of its outputs over a complete
     append-mode replay is batch-boundary-invariant and oracle-checkable
     (the production "score a stream with last night's model" shape).
-    Collects the scored pandas frames; at 100 TB each scored batch would
-    land straight to a parquet sink instead of accumulating (the scoring
-    itself is already vectorized per batch)."""
+    Two sink modes (VERDICT r13 item 4):
 
-    def __init__(self, model: OnlineIntentModel | None = None):
+    - ``sink_dir=None`` (unit-test mode): scored pandas frames collect on
+      the driver (``self.frames``) — fine for property tests, a driver
+      bottleneck at scale.
+    - ``sink_dir=...`` (the production shape): the frozen model is
+      COMPILED to a native Column (:func:`frozen_scoring_column` — frozen
+      weights are constants, so scoring stays inside whole-stage codegen;
+      no Python worker, no driver round-trip), and each scored
+      micro-batch lands as an idempotent ``score_batch=N`` parquet
+      partition (the streaming_band_index_ingest pattern: an
+      at-least-once replay of batch N overwrites the same directory
+      instead of duplicating rows).  Nothing row-scale touches the
+      driver."""
+
+    def __init__(
+        self, model: OnlineIntentModel | None = None, sink_dir: str | None = None
+    ):
         self.model = model or OnlineIntentModel()  # unfitted → M7 heuristic
+        self.sink_dir = sink_dir
         self.frames: list = []
+        self.n_batches_written = 0
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():  # T7 empty-batch guard
             return
-        pdf = batch_df.toPandas().fillna(0)
-        x = pdf[FEATURE_COLUMNS].to_numpy(dtype=np.float64)
-        pdf["proba"] = self.model.predict_proba(x)
-        self.frames.append(pdf)
+        if self.sink_dir is None:
+            pdf = batch_df.toPandas().fillna(0)
+            x = pdf[FEATURE_COLUMNS].to_numpy(dtype=np.float64)
+            pdf["proba"] = self.model.predict_proba(x)
+            self.frames.append(pdf)
+            return
+
+        (
+            batch_df.na.fill(0)
+            .withColumn("proba", frozen_scoring_column(self.model))
+            .write.mode("overwrite")
+            .parquet(f"{self.sink_dir}/score_batch={batch_id}")
+        )
+        self.n_batches_written += 1
 
 
 def run_foreach_batch(df: DataFrame, fn, output_mode: str = "update") -> None:

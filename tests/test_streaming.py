@@ -541,3 +541,60 @@ def test_band_index_stream_ingest_is_batch_boundary_invariant(spark, sf_dir):
         import shutil as _sh
 
         _sh.rmtree(json_dir, ignore_errors=True)
+
+
+def test_frozen_scoring_column_matches_predict_proba(spark):
+    """The native-Column compile of a frozen model (streaming/bridge.py
+    ``frozen_scoring_column`` — the production scoring path, VERDICT r13
+    item 4) must reproduce ``OnlineIntentModel.predict_proba`` for BOTH
+    frozen states: unfitted (M7 heuristic → exact when/otherwise
+    literals) and fitted (frozen logistic with the frozen scaler folded
+    in → float-tolerance agreement; JVM and numpy sum in different
+    orders)."""
+    import numpy as np
+
+    from big_data_analytics_project_spark.ml.online import (
+        FEATURE_COLUMNS,
+        OnlineIntentModel,
+    )
+    from big_data_analytics_project_spark.streaming.bridge import (
+        frozen_scoring_column,
+    )
+
+    rng = np.random.default_rng(7)
+    n = 500
+    x = np.column_stack(
+        [
+            rng.integers(0, 12, n),      # view_count (straddles 3 and 5)
+            rng.integers(0, 25, n),      # total_events (straddles 10 and 15)
+            rng.uniform(0, 500, n).round(2),
+            rng.integers(0, 8, n),
+        ]
+    ).astype(np.float64)
+    rows = [tuple(float(v) for v in row) for row in x]
+    df = spark.createDataFrame(rows, FEATURE_COLUMNS)
+
+    # unfitted: the heuristic's four operating points, exactly
+    frozen = OnlineIntentModel()
+    got = np.array(
+        [r.proba for r in df.withColumn(
+            "proba", frozen_scoring_column(frozen)
+        ).select("proba").collect()]
+    )
+    want = frozen.predict_proba(x)
+    assert np.array_equal(got, want)
+
+    # fitted: train a real model, freeze it, compile, compare
+    trained = OnlineIntentModel(update_every=50)
+    y = (x[:, 0] >= 4).astype(np.float64)
+    trained.weights = np.zeros(len(FEATURE_COLUMNS))
+    for i in range(0, n, 50):
+        trained.observe(x[i : i + 50], y[i : i + 50])
+    trained.fitted = True
+    got_fit = np.array(
+        [r.proba for r in df.withColumn(
+            "proba", frozen_scoring_column(trained)
+        ).select("proba").collect()]
+    )
+    want_fit = trained.predict_proba(x)
+    assert np.allclose(got_fit, want_fit, rtol=1e-12, atol=1e-14)
