@@ -491,7 +491,40 @@ def main() -> None:
         snap_round = max(closed, default=0) + 1
     hist_dir = os.path.join(repo, "bench_history")
     os.makedirs(hist_dir, exist_ok=True)
-    with open(os.path.join(hist_dir, f"r{snap_round:02d}.json"), "w") as f:
+    snap_path = os.path.join(hist_dir, f"r{snap_round:02d}.json")
+    # Back-to-back provenance (VERDICT r13 item 6): snapshots used to
+    # record only per-query seconds, so the host-load uniformity test
+    # (docs/determinism.md, "adjudicating bench variance") had to be
+    # re-derived by hand from sibling runs.  Each re-run within a round
+    # now folds its predecessor in: `run_totals` accumulates every
+    # same-round total (last entry = this run), `run_index` counts them,
+    # and `median_ratio_vs_prev_run` is the per-query median of
+    # current/previous over the shared query list — a total that moved
+    # while the median ratio stays ~1.0x-uniform is co-tenant host load,
+    # not a regression.
+    prov = {"run_totals": [], "median_ratio_vs_prev_run": None}
+    if os.path.exists(snap_path):
+        try:
+            with open(snap_path) as f:
+                prev = json.load(f)
+            prev_q = prev.get("queries", {})
+            shared = [n for n in timings if prev_q.get(n)]
+            if shared:
+                import statistics
+
+                prov["median_ratio_vs_prev_run"] = round(
+                    statistics.median(timings[n] / prev_q[n] for n in shared), 3
+                )
+            prov["run_totals"] = list(
+                prev.get("provenance", {}).get("run_totals")
+                or ([round(sum(prev_q.values()), 3)] if prev_q else [])
+            )
+        except (ValueError, OSError):
+            pass  # unreadable prior snapshot: start provenance fresh
+    prov["run_totals"].append(round(sum(timings.values()), 3))
+    prov["run_index"] = len(prov["run_totals"])
+    detail["provenance"] = prov
+    with open(snap_path, "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
     for name in HEADLINE:
         print(f"# {name}: {timings[name]}")
