@@ -398,6 +398,30 @@ HEADLINE = [
 ]
 
 
+def snapshot_provenance(prev: dict | None, timings: dict) -> dict:
+    """Back-to-back provenance for a bench_history snapshot (VERDICT r13
+    item 6): fold the prior same-round snapshot (if any) into this run's
+    record so the host-load uniformity test (docs/determinism.md) reads
+    straight off the file.  Pure function — unit-tested."""
+    prov: dict = {"run_totals": [], "median_ratio_vs_prev_run": None}
+    if prev:
+        prev_q = prev.get("queries", {})
+        shared = [n for n in timings if prev_q.get(n)]
+        if shared:
+            import statistics
+
+            prov["median_ratio_vs_prev_run"] = round(
+                statistics.median(timings[n] / prev_q[n] for n in shared), 3
+            )
+        prov["run_totals"] = list(
+            prev.get("provenance", {}).get("run_totals")
+            or ([round(sum(prev_q.values()), 3)] if prev_q else [])
+        )
+    prov["run_totals"].append(round(sum(timings.values()), 3))
+    prov["run_index"] = len(prov["run_totals"])
+    return prov
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from big_data_analytics_project_spark.registry import load_all
@@ -496,34 +520,17 @@ def main() -> None:
     # record only per-query seconds, so the host-load uniformity test
     # (docs/determinism.md, "adjudicating bench variance") had to be
     # re-derived by hand from sibling runs.  Each re-run within a round
-    # now folds its predecessor in: `run_totals` accumulates every
-    # same-round total (last entry = this run), `run_index` counts them,
-    # and `median_ratio_vs_prev_run` is the per-query median of
-    # current/previous over the shared query list — a total that moved
-    # while the median ratio stays ~1.0x-uniform is co-tenant host load,
-    # not a regression.
-    prov = {"run_totals": [], "median_ratio_vs_prev_run": None}
+    # folds its predecessor in — see snapshot_provenance: a total that
+    # moved while median_ratio_vs_prev_run stays ~1.0x-uniform is
+    # co-tenant host load, not a regression.
+    prev = None
     if os.path.exists(snap_path):
         try:
             with open(snap_path) as f:
                 prev = json.load(f)
-            prev_q = prev.get("queries", {})
-            shared = [n for n in timings if prev_q.get(n)]
-            if shared:
-                import statistics
-
-                prov["median_ratio_vs_prev_run"] = round(
-                    statistics.median(timings[n] / prev_q[n] for n in shared), 3
-                )
-            prov["run_totals"] = list(
-                prev.get("provenance", {}).get("run_totals")
-                or ([round(sum(prev_q.values()), 3)] if prev_q else [])
-            )
         except (ValueError, OSError):
-            pass  # unreadable prior snapshot: start provenance fresh
-    prov["run_totals"].append(round(sum(timings.values()), 3))
-    prov["run_index"] = len(prov["run_totals"])
-    detail["provenance"] = prov
+            prev = None  # unreadable prior snapshot: start fresh
+    detail["provenance"] = snapshot_provenance(prev, timings)
     with open(snap_path, "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
     for name in HEADLINE:

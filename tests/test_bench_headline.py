@@ -104,3 +104,37 @@ def test_bench_history_driver_snapshot_matches_bench_round():
         f"BENCH_r{latest:02d} parsed {driver_total} — post-close re-run "
         "without SPARK_GRAFT_BENCH_ROUND?"
     )
+
+
+def test_snapshot_provenance_folds_prior_runs():
+    """bench_history snapshots must let a judge apply the host-load
+    uniformity test (docs/determinism.md) without re-deriving it:
+    run_totals accumulates every same-round total, run_index counts
+    them, and median_ratio_vs_prev_run is the per-query median over the
+    shared list."""
+    from bench import snapshot_provenance
+
+    t1 = {"a": 1.0, "b": 2.0, "c": 3.0}
+    # first run of a round: no prior snapshot
+    p1 = snapshot_provenance(None, t1)
+    assert p1 == {
+        "run_totals": [6.0],
+        "run_index": 1,
+        "median_ratio_vs_prev_run": None,
+    }
+    # second run, uniformly 10% slower — the median flags the uniformity
+    t2 = {n: v * 1.1 for n, v in t1.items()}
+    p2 = snapshot_provenance({"queries": t1, "provenance": p1}, t2)
+    assert p2["run_totals"] == [6.0, 6.6]
+    assert p2["run_index"] == 2
+    assert p2["median_ratio_vs_prev_run"] == 1.1
+    # a pre-provenance prior snapshot (r13 and earlier): its total is
+    # reconstructed from the queries map
+    p2b = snapshot_provenance({"queries": t1}, t2)
+    assert p2b["run_totals"] == [6.0, 6.6]
+    # query lists may differ between runs (HEADLINE grew): the median is
+    # over the shared names only, new names still count in the total
+    t3 = {"a": 1.0, "b": 2.0, "d": 4.0}
+    p3 = snapshot_provenance({"queries": t1, "provenance": p1}, t3)
+    assert p3["run_totals"] == [6.0, 7.0]
+    assert p3["median_ratio_vs_prev_run"] == 1.0
