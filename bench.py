@@ -395,6 +395,7 @@ HEADLINE = [
     "streaming_band_index_ingest",    # stream-paced index maintenance, idempotent
     # round-14 additions
     "dedup_band_index_compaction",    # fold gens+tombstones, band-clustered rewrite
+    "ann_ivf_posting_index_append",   # gen-partition ANN index append, O(|wave|)
 ]
 
 

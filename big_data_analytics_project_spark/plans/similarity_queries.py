@@ -140,11 +140,13 @@ _CENT_VALUES = ",\n    ".join(
     for i, c in enumerate(IVF_CENTROIDS)
 )
 
-def _duck_ivf_sql(nprobe: int, query_pred: str) -> str:
+def _duck_ivf_sql(nprobe: int, query_pred: str, extra_select: str = "") -> str:
     """One oracle template for every IVF query: assignment (argmin over
     l2sq to the pinned centroid literals), probing (``nprobe`` nearest
     lists for vectors matching ``query_pred``), exact-cosine rescore,
-    (cosine DESC, neighbor_id) tie-broken top-10."""
+    (cosine DESC, neighbor_id) tie-broken top-10.  ``extra_select``
+    appends derived columns to the final projection (e.g. the append
+    query's physical-placement audit)."""
     return f"""
 WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 cent AS (SELECT * FROM (VALUES
@@ -173,7 +175,7 @@ ranked AS (
               ORDER BY cosine_sim DESC, neighbor_id) AS rank
   FROM sims
 )
-SELECT query_id, neighbor_id, cosine_sim, CAST(rank AS BIGINT) AS rank
+SELECT query_id, neighbor_id, cosine_sim, CAST(rank AS BIGINT) AS rank{extra_select}
 FROM ranked WHERE rank <= 10
 """
 
@@ -311,6 +313,105 @@ def ann_ivf_against_posting_index(spark, sf_dir):
             "query_id",
             "neighbor_id",
             F.round(S.cosine(F.col("qv"), F.col("v")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), "neighbor_id")
+    return (
+        sims.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 10)
+    )
+
+
+# --- IVF posting-index incremental APPEND (ANN index maintenance) ----------
+# The vector-corpus analogue of the MinHash band-index maintenance verbs
+# (dedup_queries.py): a 100 TB embedding corpus ingests new vectors
+# continuously, and rebuilding the posting index per wave is the wrong
+# shape.  Only the NEW WAVE is assigned to the pinned centroids (map-only,
+# centroid literals inside codegen) and lands as a fresh `gen=1` partition
+# of the same parquet index (partitionBy gen,list_id + mode append: gen-0
+# list files are never touched, so the append costs O(|wave|) regardless
+# of index size — the measured property of its band-index sibling,
+# scripts/append_cost_vs_index_size.py).  A query batch then probes the
+# MERGED index: nprobe nearest lists, exact-cosine rescore, top-10.
+#
+# Equivalence proof: the oracle knows nothing about generations — it
+# assigns ALL vectors in one pass (full rebuild semantics), so the value
+# hash proves append ≡ rebuild on the probe surface.  Physical pinning:
+# `from_append` flags each returned neighbor by the index's PHYSICAL
+# `gen` partition column; the oracle derives the same flag from vec_id
+# arithmetic, so a mis-partitioned append (wave rows in gen=0, or
+# established rows re-written into gen=1) hash-fails even when the
+# top-10 itself is unchanged.
+#
+# Waves (modular, deterministic): established corpus = vec_id % 3 != 2
+# (gen 0), appended wave = vec_id % 3 == 2 (gen 1), query batch =
+# vec_id < 8 (spans both, so results prove the appended lists serve
+# probes and appended vectors are themselves retrievable).
+
+_DUCK_IVF_APPEND = _duck_ivf_sql(
+    3,
+    "vec_id < 8",
+    extra_select=(
+        ",\n       CAST(CASE WHEN neighbor_id % 3 = 2 THEN 1 ELSE 0 END"
+        " AS BIGINT) AS from_append"
+    ),
+)
+
+
+@query(
+    "ann_ivf_posting_index_append",
+    sql=_DUCK_IVF_APPEND,
+    tags=("similarity", "ann", "ivf", "index", "maintenance"),
+)
+def ann_ivf_posting_index_append(spark, sf_dir):
+    """Incremental IVF posting-index maintenance: assign ONLY the new
+    vector wave and append it as a `gen=1` partition of the persisted
+    posting index (gen-0 list files untouched, O(|wave|)); probe the
+    merged index — see block comment.  The oracle assigns all vectors in
+    one pass, so the hash IS the append≡rebuild proof; `from_append` is
+    read off the physical `gen` partition column, pinning placement.
+    Extends the index-maintenance verbs (band index: append/delete/
+    stream-ingest/compact) to the ANN subsystem."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    vec = S.as_double("embedding")
+    assigned = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        vec.alias("v"),
+        S.nearest_centroid(vec, IVF_CENTROIDS).alias("list_id"),
+    )
+    idx_path = index_scratch_dir(spark, "posting_index_gen")
+    # gen-0 build: the established corpus, list-partitioned as always
+    (
+        assigned.where(F.col("neighbor_id") % 3 != 2)
+        .withColumn("gen", F.lit(0))
+        .write.partitionBy("gen", "list_id")
+        .parquet(idx_path)
+    )
+    # THE MAINTENANCE STEP: only the wave is assigned and appended as a
+    # fresh gen=1 directory — no gen-0 file is rewritten
+    (
+        assigned.where(F.col("neighbor_id") % 3 == 2)
+        .withColumn("gen", F.lit(1))
+        .write.partitionBy("gen", "list_id")
+        .mode("append")
+        .parquet(idx_path)
+    )
+    posting = spark.read.parquet(idx_path)
+
+    q = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        vec.alias("qv"),
+        F.explode(S.probe_centroids(vec, IVF_CENTROIDS, 3)).alias("list_id"),
+    )
+    sims = (
+        F.broadcast(q)
+        .join(posting, "list_id")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(S.cosine(F.col("qv"), F.col("v")), 6).alias("cosine_sim"),
+            (F.col("gen") == 1).cast("long").alias("from_append"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), "neighbor_id")

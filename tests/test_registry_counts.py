@@ -9,8 +9,8 @@ from pathlib import Path
 
 from big_data_analytics_project_spark.registry import load_all
 
-TOTAL = 312
-ORACLE = 301
+TOTAL = 313
+ORACLE = 302
 
 
 def test_counts_match_registry():

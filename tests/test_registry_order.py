@@ -29,6 +29,7 @@ from big_data_analytics_project_spark.registry import (
 EXPECTED_WINDOW = (
     # tier 0 — never driver-green
     "dedup_band_index_compaction",
+    "ann_ivf_posting_index_append",
     # tier 1 — last green r08
     "ml_als_quality_contract",
     "ml_engagement_calibration",
@@ -78,7 +79,6 @@ EXPECTED_WINDOW = (
     "text_skipgram_pairs",
     "tokenizer_fertility_by_lang",
     "text_doc_keywords",
-    "quality_langid_mismatch",
 )
 
 
