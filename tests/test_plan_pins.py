@@ -390,3 +390,24 @@ def test_band_index_compaction_probe_reads_band_partitioned_artifact(
     assert re.search(r"PartitionFilters|band#\d+", m.group(0)), m.group(0)
     # no anti-join survives compaction
     assert "LeftAnti" not in plan, plan
+
+
+def test_posting_index_append_probes_merged_partitions(registry, spark, sf_dir):
+    """ann_ivf_posting_index_append's probe must (a) read the posting
+    rows back from the gen-partitioned parquet artifact (partition
+    columns `gen`/`list_id` present in the scan, so `from_append` comes
+    from the PHYSICAL layout), and (b) stay equi-joined (broadcast query
+    side on list_id) — never cartesian/nested-loop — so probe cost is
+    posting-list-bounded regardless of how many generations have been
+    appended."""
+    prev = spark.conf.get("spark.sql.maxMetadataStringLength")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "400")
+    try:
+        plan = _plan(registry, spark, sf_dir, "ann_ivf_posting_index_append")
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", prev)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    m = re.search(r"FileScan parquet[^\n]*/posting_index_gen[^\n]*", plan)
+    assert m, plan  # read-back over the appended artifact
+    assert re.search(r"PartitionFilters|gen#\d+", m.group(0)), m.group(0)
