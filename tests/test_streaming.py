@@ -598,3 +598,36 @@ def test_frozen_scoring_column_matches_predict_proba(spark):
     )
     want_fit = trained.predict_proba(x)
     assert np.allclose(got_fit, want_fit, rtol=1e-12, atol=1e-14)
+
+
+def test_frozen_scoring_sink_is_replay_idempotent(spark, tmp_path):
+    """The sink-mode bridge claims at-least-once safety: a REPLAY of
+    batch N (same batch_id) must overwrite its score_batch=N directory,
+    not duplicate rows — the same contract streaming_band_index_ingest
+    pins for the index sink."""
+    from big_data_analytics_project_spark.ml.online import FEATURE_COLUMNS
+    from big_data_analytics_project_spark.streaming.bridge import (
+        FrozenScoringBridge,
+    )
+
+    sink = str(tmp_path / "scores")
+    bridge = FrozenScoringBridge(sink_dir=sink)
+    rows = [(i, float(i % 7), float(i % 13), float(i), float(i % 3))
+            for i in range(50)]
+    df = spark.createDataFrame(rows, ["row_id"] + FEATURE_COLUMNS)
+
+    bridge(df, 0)
+    bridge(df.where("row_id < 20"), 1)
+    first = spark.read.parquet(sink)
+    # materialize BEFORE the replay: the overwrite deletes the files this
+    # lazy frame's listing points at
+    first_count = first.count()
+    first_sum = first.groupBy().sum("proba").collect()[0][0]
+    assert first_count == 70
+    # replay batch 1 (at-least-once delivery after a failure)
+    bridge(df.where("row_id < 20"), 1)
+    replayed = spark.read.parquet(sink)
+    assert replayed.count() == 70  # overwrite, not append
+    # and the scored values are unchanged by the replay
+    assert replayed.groupBy().sum("proba").collect()[0][0] == first_sum
+    assert bridge.n_batches_written == 3
