@@ -387,6 +387,18 @@ def test_index_scratch_dir_uri_edge_cases(tmp_path):
     p2 = index_scratch_dir(_FakeSpark(uri_lh), "idx")
     assert p2.startswith(str(tmp_path / "lh") + "/"), p2
 
+    # ADVICE r13: URI authorities are case-insensitive and an explicit
+    # empty port is still the local host — both must be accepted
+    uri_mixed = "file://LocalHost" + str(tmp_path / "mc")
+    p3 = index_scratch_dir(_FakeSpark(uri_mixed), "idx")
+    assert p3.startswith(str(tmp_path / "mc") + "/"), p3
+    uri_port = "file://localhost:" + str(tmp_path / "pt")
+    p4 = index_scratch_dir(_FakeSpark(uri_port), "idx")
+    assert p4.startswith(str(tmp_path / "pt") + "/"), p4
+    # ...but a CASED remote host is still refused
+    with _pytest.raises(ValueError, match="remote authority"):
+        index_scratch_dir(_FakeSpark("file://NFS-Host/data/warehouse"), "idx")
+
 
 def test_index_scratch_dir_roundtrip(spark, sf_dir):
     """A write→read-back through the scratch path preserves rows."""
