@@ -631,3 +631,59 @@ def test_frozen_scoring_sink_is_replay_idempotent(spark, tmp_path):
     # and the scored values are unchanged by the replay
     assert replayed.groupBy().sum("proba").collect()[0][0] == first_sum
     assert bridge.n_batches_written == 3
+
+
+def test_frozen_scoring_column_scaler_edge_branches(spark):
+    """The fitted-model compile must honor predict_proba's two scaler
+    edge rules: n < 2 -> raw features (no standardization), and a
+    zero-variance feature -> std treated as 1.0 (no division blow-up)."""
+    import numpy as np
+
+    from big_data_analytics_project_spark.ml.online import (
+        FEATURE_COLUMNS,
+        OnlineIntentModel,
+        RunningScaler,
+    )
+    from big_data_analytics_project_spark.streaming.bridge import (
+        frozen_scoring_column,
+    )
+
+    rng = np.random.default_rng(11)
+    n = 200
+    x = np.column_stack(
+        [
+            rng.uniform(0, 10, n),
+            np.full(n, 4.0),            # zero-variance feature
+            rng.uniform(0, 100, n).round(3),
+            rng.integers(0, 5, n),
+        ]
+    ).astype(np.float64)
+    df = spark.createDataFrame(
+        [tuple(float(v) for v in row) for row in x], FEATURE_COLUMNS
+    )
+
+    def compare(model):
+        got = np.array(
+            [r.proba for r in df.withColumn(
+                "proba", frozen_scoring_column(model)
+            ).select("proba").collect()]
+        )
+        want = model.predict_proba(x)
+        assert np.allclose(got, want, rtol=1e-12, atol=1e-14)
+
+    # n < 2: transform is the identity
+    m1 = OnlineIntentModel()
+    m1.weights = np.array([0.5, -0.25, 0.01, 1.5])
+    m1.bias = -0.3
+    m1.fitted = True
+    assert m1.scaler.n == 0
+    compare(m1)
+
+    # fitted scaler with a zero-variance column: std==0 -> 1.0 guard
+    m2 = OnlineIntentModel()
+    m2.weights = np.array([0.5, -0.25, 0.01, 1.5])
+    m2.bias = 0.1
+    m2.scaler = RunningScaler()
+    m2.scaler.update(x)
+    m2.fitted = True
+    compare(m2)
