@@ -1,17 +1,18 @@
-"""Two-point measurement: is the band-index APPEND stage O(|wave|)?
+"""Two-point measurement: are the index APPEND stages O(|wave|)?
 
-`dedup_band_index_incremental_append` claims per-wave cost independent
-of index size (new wave signed+banded and landed as a fresh `gen=N`
-partition directory — existing files never touched).  The corpus-sf
-scaling audit can't isolate that claim because wave and index grow
-together there.  This script pins it directly: the SAME wave (sf0.01
-documents, doc_id % 3 == 2) is appended to a gen-0 index built from
-sf0.01 documents and then to one built from sf0.1 documents (10x the
-index), timing ONLY the append stage (sign + band + partition write),
-warmed, min-of-3.  Flat times across the two index sizes = the claim.
+`dedup_band_index_incremental_append` and `ann_ivf_posting_index_append`
+claim per-wave cost independent of index size (new wave signed/assigned
+and landed as a fresh `gen=N` partition directory — existing files never
+touched).  The corpus-sf scaling audit can't isolate that claim because
+wave and index grow together there.  This script pins it directly, once
+per index family: the SAME wave (sf0.01 rows, key % 3 == 2) is appended
+to a gen-0 index built from sf0.01 data and then to one built from
+sf0.1 data (10x the index), timing ONLY the append stage (sign/assign +
+partition write), warmed, min-of-3.  Flat times across the two index
+sizes = the claim.
 
 Usage:  python scripts/append_cost_vs_index_size.py
-Output: one line per index size; splice the numbers into
+Output: one line per (family, index size); splice the numbers into
         docs/scaling_audit.md by hand (per-round batch policy).
 """
 
@@ -71,7 +72,62 @@ def main() -> None:
             times.append(time.time() - t0)
         best = min(times[1:])
         print(
-            f"index from {sf_dir}: {n_idx} gen-0 band rows -> "
+            f"band index from {sf_dir}: {n_idx} gen-0 band rows -> "
+            f"append stage min-of-3 {best:.3f} s (runs: "
+            + ", ".join(f"{t:.3f}" for t in times)
+            + ")"
+        )
+
+    # ---- IVF posting-index leg (ann_ivf_posting_index_append) ----------
+    from big_data_analytics_project_spark.operators import similarity as S
+    from big_data_analytics_project_spark.plans.ivf_centroids import (
+        IVF_CENTROIDS,
+    )
+
+    vec = S.as_double("embedding")
+
+    def assigned(df):
+        return df.select(
+            F.col("vec_id").alias("neighbor_id"),
+            vec.alias("v"),
+            S.nearest_centroid(vec, IVF_CENTROIDS).alias("list_id"),
+        )
+
+    ivf_wave = (
+        read_table(spark, "/root/testdata/sf0.01", "embeddings")
+        .where(F.col("vec_id") % 3 == 2)
+    )
+    print(f"fixed IVF wave: {ivf_wave.count()} vectors (sf0.01, vec_id % 3 == 2)")
+    for sf_dir in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+        gen0 = (
+            read_table(spark, sf_dir, "embeddings")
+            .where(F.col("vec_id") % 3 != 2)
+        )
+        idx_path = index_scratch_dir(
+            spark, f"ivf_append_cost_{os.path.basename(sf_dir)}"
+        )
+        (
+            assigned(gen0)
+            .withColumn("gen", F.lit(0))
+            .write.partitionBy("gen", "list_id")
+            .mode("overwrite")
+            .parquet(idx_path)
+        )
+        n_idx = spark.read.parquet(idx_path).count()
+        times = []
+        for i in range(4):
+            t0 = time.time()
+            (
+                assigned(ivf_wave)
+                .withColumn("gen", F.lit(1 + i))
+                .write.partitionBy("gen", "list_id")
+                .mode("append")
+                .parquet(idx_path)
+            )
+            times.append(time.time() - t0)
+        best = min(times[1:])
+        print(
+            f"posting index from {sf_dir}: {n_idx} gen-0 posting rows -> "
             f"append stage min-of-3 {best:.3f} s (runs: "
             + ", ".join(f"{t:.3f}" for t in times)
             + ")"
