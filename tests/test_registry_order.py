@@ -27,58 +27,58 @@ from big_data_analytics_project_spark.registry import (
 # rotate out), with the four never-driver-checked rows-only streaming
 # queries lifted into the window tail for ONE round (VERDICT r5 item 4).
 EXPECTED_WINDOW = (
-    # tier 0 — never driver-green
-    "dedup_band_index_compaction",
-    "ann_ivf_posting_index_append",
     # tier 1 — last green r08
-    "ml_als_quality_contract",
-    "ml_engagement_calibration",
-    "embedding_label_centroids",
-    "embedding_int8_recall_audit",
-    "embedding_dim_variance",
-    "ann_range_search",
-    "embedding_fisher_separability",
-    "abtest_welch_ttest",
-    "agg_spearman_rank_corr",
-    "timeseries_acf_daily",
-    "window_rolling_corr",
-    "agg_weighted_median",
-    "timeseries_theilsen_slope",
-    "agg_mode_value",
-    "inequality_theil_index",
-    "inequality_hhi_supplier",
-    "streaming_tumbling_append",
-    "streaming_dedup",
-    "streaming_custom_sessionization",
-    "streaming_interval_join_left",
-    "streaming_windowed_topk",
-    "session_gap_assignment",
-    "timeseries_gapfill_interpolate",
-    "timeseries_ewma_by_user",
-    "forecast_seasonal_naive",
-    "regression_daily_revenue_trend",
-    "timeseries_holt_trend",
-    "session_daily_metrics",
-    "timeseries_gap_histogram",
-    "anomaly_cusum_shift",
-    "anomaly_dow_adjusted",
-    "revenue_wow_growth",
-    "timeseries_monthly_seasonality",
-    "asof_join_forward_event",
-    "retention_longest_streak",
-    "timeseries_rolling_median",
-    "timeseries_max_drawdown",
-    "text_boilerplate_ngram_share",
-    "tfidf_top_terms",
-    "quality_unigram_logprob",
-    "tokens_length_histogram",
-    "vocab_oov_rate",
-    "retrieval_bm25_topk",
-    "drift_js_source_tokens",
-    "text_pmi_collocations",
-    "text_skipgram_pairs",
-    "tokenizer_fertility_by_lang",
-    "text_doc_keywords",
+    "quality_langid_mismatch",
+    "tpch_q12_priority_by_linestatus",
+    # tier 1 — last green r09
+    "maintenance_compact_files",
+    "dedup_exact_substring_shingles",
+    "skew_salted_agg",
+    "skew_salted_join",
+    "flagship_sessionization",
+    "ml_kmeans_quality_contract",
+    "multimodal_binary_meta",
+    "multimodal_decode_meta",
+    "multimodal_frame_index",
+    "proj_filter_revenue",
+    "case_when_bucketing",
+    "null_impute_coalesce",
+    "json_extract_agg",
+    "string_funcs",
+    "join_multiway_revenue",
+    "window_pctrank_cumedist",
+    "embedding_norm_outliers",
+    "ann_ivf_nprobe_recall_curve",
+    "stats_kendall_tau_cells",
+    "stats_cramers_v",
+    "stats_anova_oneway",
+    "streaming_fanout_dual_sink",
+    "timeseries_stl_lite",
+    "text_source_entropy",
+    "text_hapax_ratio",
+    "text_zipf_slope",
+    "text_term_burstiness",
+    "text_ngram_novelty",
+    "text_ttr_by_source",
+    "quality_bigram_logprob",
+    "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q10_returned_items",
+    "tpch_q14_promo_effect",
+    "tpch_q18_large_volume_customer",
+    "tpch_q19_bracketed_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_type_profit",
+    "tpch_q13_customer_distribution",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q11_important_stock",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q16_supplier_part_count",
+    "tpch_q20_part_promotion",
 )
 
 
