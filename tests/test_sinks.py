@@ -410,3 +410,67 @@ def test_index_scratch_dir_roundtrip(spark, sf_dir):
     back = spark.read.parquet(path)
     assert back.count() == df.count()
     assert set(back.columns) == {"r_regionkey", "r_name"}
+
+
+# --- reliable_pin: cluster-safe lineage truncation (VERDICT r14 item 1) ---
+
+
+def test_reliable_pin_local_master_keeps_localcheckpoint_path(spark):
+    """Under a local master the guard must take the localCheckpoint branch:
+    no reliable checkpoint dir gets configured as a side effect, and the
+    pinned frame is materialized with its values intact."""
+    from big_data_analytics_project_spark.sources.sinks import reliable_pin
+
+    before = spark.sparkContext.getCheckpointDir()
+    df = spark.range(10).withColumn("v", F.col("id") * 2)
+    pinned = reliable_pin(df)
+    assert [r["v"] for r in pinned.orderBy("id").collect()] == [
+        2 * i for i in range(10)
+    ]
+    assert spark.sparkContext.getCheckpointDir() == before
+
+
+def test_reliable_pin_force_reliable_checkpoints_to_warehouse_scratch(spark):
+    """The cluster branch (exercised via force_reliable — no multi-node
+    master exists in the sandbox) must set the reliable checkpoint dir
+    ONCE, under warehouse scratch, and keep reusing it; the checkpointed
+    frame must carry the same values."""
+    from big_data_analytics_project_spark.sources.sinks import reliable_pin
+
+    df = spark.range(7).withColumn("v", F.col("id") + 100)
+    pinned = reliable_pin(df, force_reliable=True)
+    ckpt = spark.sparkContext.getCheckpointDir()
+    assert ckpt is not None and "_bdap_scratch" in ckpt
+    assert [r["v"] for r in pinned.orderBy("id").collect()] == [
+        100 + i for i in range(7)
+    ]
+    # second call respects the already-set dir (no fresh uuid per round —
+    # an iterative loop pins every round and must not fan out directories)
+    reliable_pin(spark.range(3), force_reliable=True)
+    assert spark.sparkContext.getCheckpointDir() == ckpt
+
+
+def test_graph_cc_identical_under_reliable_checkpoint(spark, monkeypatch):
+    """connected_components must return the same components whichever
+    branch the pin takes — the reliable path is a fault-tolerance change,
+    not a semantic one."""
+    import functools
+
+    from big_data_analytics_project_spark.operators import graph as G
+    from big_data_analytics_project_spark.sources.sinks import reliable_pin
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (8, 8)], "src long, dst long"
+    )
+    local = {
+        (r["node"], r["component"])
+        for r in G.connected_components(edges).collect()
+    }
+    monkeypatch.setattr(
+        G, "reliable_pin", functools.partial(reliable_pin, force_reliable=True)
+    )
+    forced = {
+        (r["node"], r["component"])
+        for r in G.connected_components(edges).collect()
+    }
+    assert forced == local and len(local) > 0
