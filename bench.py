@@ -407,7 +407,11 @@ def snapshot_provenance(prev: dict | None, timings: dict) -> dict:
     prov: dict = {"run_totals": [], "median_ratio_vs_prev_run": None}
     if prev:
         prev_q = prev.get("queries", {})
-        shared = [n for n in timings if prev_q.get(n)]
+        # explicit membership + positive guard (ADVICE r14): a prior
+        # timing recorded as exactly 0.0 is EXCLUDED from the median
+        # ratio by design (it cannot be a denominator) — spelled out so
+        # the exclusion is intentional, not a truthiness accident
+        shared = [n for n in timings if n in prev_q and prev_q[n] > 0]
         if shared:
             import statistics
 

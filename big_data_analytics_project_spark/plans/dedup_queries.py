@@ -856,9 +856,15 @@ def _sig_artifact(spark, df, leaf):
     cached across a long driver session, the artifact survives executor
     loss on a real cluster (localCheckpoint blocks would not), and the
     probe's executed plan keeps its real FileScan/join shape for the
-    plan-pin tests."""
-    path = index_scratch_dir(spark, leaf)
-    df.write.parquet(path)
+    plan-pin tests.
+
+    Stable path + overwrite (ADVICE r14): the artifact is re-derived on
+    every call, so each leaf reuses ONE scratch directory per driver
+    process instead of landing a fresh corpus-scale parquet in a new
+    uuid dir per sweep — a long session running repeated sweeps no
+    longer accumulates unbounded scratch (remote warehouses included)."""
+    path = index_scratch_dir(spark, leaf, stable=True)
+    df.write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
 
 

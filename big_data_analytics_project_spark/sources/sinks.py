@@ -52,7 +52,19 @@ def list_subdir_names(spark: SparkSession, path: str) -> list[str]:
     ]
 
 
-def index_scratch_dir(spark: SparkSession, leaf: str) -> str:
+# one process-stable scratch run id (see index_scratch_dir(stable=True));
+# _REGISTERED_CLEANUPS dedups the atexit hooks for reused stable dirs
+_STABLE_RUN_ID = uuid.uuid4().hex
+_REGISTERED_CLEANUPS: set[str] = set()
+
+
+def _register_cleanup(run_dir: str) -> None:
+    if run_dir not in _REGISTERED_CLEANUPS:
+        _REGISTERED_CLEANUPS.add(run_dir)
+        atexit.register(shutil.rmtree, run_dir, ignore_errors=True)
+
+
+def index_scratch_dir(spark: SparkSession, leaf: str, *, stable: bool = False) -> str:
     """Cluster-safe scratch directory for persisted index artifacts.
 
     Persisted-index queries (exact signature index, MinHash band index,
@@ -72,9 +84,19 @@ def index_scratch_dir(spark: SparkSession, leaf: str) -> str:
     interpreter exit; for remote schemes (hdfs://, s3a://, …) cleanup
     is the cluster's retention policy's job — a local ``rm`` cannot
     reach it and this helper never shells out to ``hadoop fs``.
+
+    ``stable=True`` returns the SAME path for a given ``leaf`` across
+    repeated calls in one driver process (run dir = a process-stable id
+    instead of a per-call uuid).  Callers that re-derive the artifact on
+    every invocation (e.g. per-sweep signature parquet) pair this with
+    ``mode("overwrite")`` so a long driver session reruns into one
+    directory instead of accumulating unbounded scratch (ADVICE r14) —
+    on remote warehouses growth is then one run dir per driver process,
+    not one per query call.  Leaves must stay caller-unique.
     """
     warehouse = spark.conf.get("spark.sql.warehouse.dir")
-    run = f"_bdap_scratch/{uuid.uuid4().hex}"
+    run_id = _STABLE_RUN_ID if stable else uuid.uuid4().hex
+    run = f"_bdap_scratch/{run_id}"
     if warehouse.startswith("file:"):
         # Proper URI parse (ADVICE r12): string-stripping "file:" turned
         # file://host/path into /host/path (host silently becomes a local
@@ -96,12 +118,12 @@ def index_scratch_dir(spark: SparkSession, leaf: str) -> str:
         local_root = urllib.parse.unquote(parsed.path)
         run_dir = os.path.join(local_root, run)
         os.makedirs(run_dir, exist_ok=True)
-        atexit.register(shutil.rmtree, run_dir, ignore_errors=True)
+        _register_cleanup(run_dir)
         return os.path.join(run_dir, leaf)
     if "://" not in warehouse:  # plain local path, no scheme
         run_dir = os.path.join(warehouse, run)
         os.makedirs(run_dir, exist_ok=True)
-        atexit.register(shutil.rmtree, run_dir, ignore_errors=True)
+        _register_cleanup(run_dir)
         return os.path.join(run_dir, leaf)
     # remote shared storage: join with URI separators, let Spark create it
     return f"{warehouse.rstrip('/')}/{run}/{leaf}"

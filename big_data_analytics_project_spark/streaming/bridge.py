@@ -112,7 +112,23 @@ def frozen_scoring_column(model: OnlineIntentModel):
             .otherwise(F.lit(0.05))
         ).cast("double")
     w = np.asarray(model.weights, dtype=np.float64)
+    # fail loudly on a malformed frozen model (ADVICE r14): the zips
+    # below would silently truncate a wrong-length weight/scaler vector
+    # and score with fewer features, where predict_proba raises
+    if w.shape != (len(FEATURE_COLUMNS),):
+        raise ValueError(
+            f"frozen model has {w.shape[0] if w.ndim == 1 else w.shape} "
+            f"weights; expected {len(FEATURE_COLUMNS)}"
+        )
     if model.scaler.n >= 2:
+        if len(model.scaler.mean) != len(FEATURE_COLUMNS) or len(
+            model.scaler.m2
+        ) != len(FEATURE_COLUMNS):
+            raise ValueError(
+                "frozen model scaler arrays do not match FEATURE_COLUMNS "
+                f"({len(model.scaler.mean)}/{len(model.scaler.m2)} vs "
+                f"{len(FEATURE_COLUMNS)})"
+            )
         std = np.sqrt(model.scaler.m2 / (model.scaler.n - 1))
         std[std == 0] = 1.0
         mean = np.asarray(model.scaler.mean, dtype=np.float64)

@@ -138,3 +138,18 @@ def test_snapshot_provenance_folds_prior_runs():
     p3 = snapshot_provenance({"queries": t1, "provenance": p1}, t3)
     assert p3["run_totals"] == [6.0, 7.0]
     assert p3["median_ratio_vs_prev_run"] == 1.0
+
+
+def test_snapshot_provenance_excludes_zero_prior_timings():
+    """A prior per-query timing recorded as exactly 0.0 cannot be a
+    ratio denominator; it must be EXCLUDED from the median explicitly
+    (ADVICE r14: previously a truthiness accident) while its name still
+    counts in run totals."""
+    from bench import snapshot_provenance
+
+    prior = {"a": 0.0, "b": 2.0}
+    now = {"a": 1.0, "b": 3.0}
+    p = snapshot_provenance({"queries": prior}, now)
+    # only "b" is ratio-eligible: 3.0/2.0
+    assert p["median_ratio_vs_prev_run"] == 1.5
+    assert p["run_totals"] == [2.0, 4.0]

@@ -474,3 +474,22 @@ def test_graph_cc_identical_under_reliable_checkpoint(spark, monkeypatch):
         for r in G.connected_components(edges).collect()
     }
     assert forced == local and len(local) > 0
+
+
+def test_index_scratch_dir_stable_reuses_one_directory(spark):
+    """stable=True must hand back the SAME leaf path across calls (the
+    rerun-overwrite contract that stops per-sweep scratch growth, ADVICE
+    r14); default calls must keep their fresh-uuid isolation."""
+    from big_data_analytics_project_spark.sources.sinks import index_scratch_dir
+
+    s1 = index_scratch_dir(spark, "stable_leaf", stable=True)
+    s2 = index_scratch_dir(spark, "stable_leaf", stable=True)
+    assert s1 == s2 and "_bdap_scratch" in s1
+    u1 = index_scratch_dir(spark, "uniq_leaf")
+    u2 = index_scratch_dir(spark, "uniq_leaf")
+    assert u1 != u2
+    # overwrite round-trip on the stable path: second write replaces
+    df1 = spark.range(5)
+    df1.write.mode("overwrite").parquet(s1)
+    spark.range(9).write.mode("overwrite").parquet(s2)
+    assert spark.read.parquet(s1).count() == 9

@@ -687,3 +687,35 @@ def test_frozen_scoring_column_scaler_edge_branches(spark):
     m2.scaler.update(x)
     m2.fitted = True
     compare(m2)
+
+
+def test_frozen_scoring_column_rejects_malformed_model():
+    """A frozen model whose weight/scaler vectors don't match
+    FEATURE_COLUMNS must fail loudly at compile time (ADVICE r14: the
+    zip would silently truncate and score with fewer features, where
+    predict_proba raises a shape error)."""
+    import numpy as np
+    import pytest
+
+    from big_data_analytics_project_spark.ml.online import (
+        FEATURE_COLUMNS,
+        OnlineIntentModel,
+    )
+    from big_data_analytics_project_spark.streaming.bridge import (
+        frozen_scoring_column,
+    )
+
+    bad = OnlineIntentModel()
+    bad.fitted = True
+    bad.weights = np.zeros(len(FEATURE_COLUMNS) - 1)
+    with pytest.raises(ValueError, match="weights"):
+        frozen_scoring_column(bad)
+
+    bad2 = OnlineIntentModel()
+    bad2.fitted = True
+    bad2.weights = np.zeros(len(FEATURE_COLUMNS))
+    bad2.scaler.n = 5
+    bad2.scaler.mean = np.zeros(2)
+    bad2.scaler.m2 = np.ones(2)
+    with pytest.raises(ValueError, match="scaler"):
+        frozen_scoring_column(bad2)
