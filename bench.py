@@ -396,6 +396,9 @@ HEADLINE = [
     # round-14 additions
     "dedup_band_index_compaction",    # fold gens+tombstones, band-clustered rewrite
     "ann_ivf_posting_index_append",   # gen-partition ANN index append, O(|wave|)
+    # round-15 additions
+    "ann_ivf_posting_index_tombstone_delete",  # O(|delete set|) ANN tombstones
+    "ann_ivf_posting_index_compaction",  # fold gens+tombstones, list-clustered rewrite
 ]
 
 

@@ -140,13 +140,21 @@ _CENT_VALUES = ",\n    ".join(
     for i, c in enumerate(IVF_CENTROIDS)
 )
 
-def _duck_ivf_sql(nprobe: int, query_pred: str, extra_select: str = "") -> str:
+def _duck_ivf_sql(
+    nprobe: int,
+    query_pred: str,
+    extra_select: str = "",
+    index_pred: str = "TRUE",
+) -> str:
     """One oracle template for every IVF query: assignment (argmin over
     l2sq to the pinned centroid literals), probing (``nprobe`` nearest
     lists for vectors matching ``query_pred``), exact-cosine rescore,
     (cosine DESC, neighbor_id) tie-broken top-10.  ``extra_select``
     appends derived columns to the final projection (e.g. the append
-    query's physical-placement audit)."""
+    query's physical-placement audit); ``index_pred`` restricts the
+    INDEX side only (the maintenance queries' post-delete /
+    post-compaction rebuild semantics — queries still probe, deleted
+    vectors stop being retrievable)."""
     return f"""
 WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 cent AS (SELECT * FROM (VALUES
@@ -159,7 +167,8 @@ ranked_d AS (
   SELECT vec_id, i, row_number() OVER (PARTITION BY vec_id ORDER BY d, i) AS rn
   FROM dists
 ),
-assign AS (SELECT vec_id, i AS list_id FROM ranked_d WHERE rn = 1),
+assign AS (SELECT vec_id, i AS list_id FROM ranked_d
+           WHERE rn = 1 AND ({index_pred})),
 probes AS (SELECT vec_id, i AS list_id FROM ranked_d WHERE rn <= {nprobe} AND {query_pred}),
 sims AS (
   SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
@@ -418,6 +427,226 @@ def ann_ivf_posting_index_append(spark, sf_dir):
     return (
         sims.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= 10)
+    )
+
+
+# --- IVF posting-index tombstone DELETE (ANN index maintenance) -------------
+# The ANN sibling of dedup_band_index_tombstone_delete: takedowns and
+# retractions must remove vectors from retrieval WITHOUT rewriting the
+# posting index (at 100 TB, dropping 0.1% of vectors by rewriting every
+# list file is the wrong shape).  The delete wave's vec_ids land as a
+# TOMBSTONE parquet next to the index — an O(|delete set|) write, zero
+# list files touched — and the probe anti-joins the (broadcast-sized)
+# tombstone set before rescoring, so deleted vectors stop being
+# retrievable immediately.  A later compaction folds the tombstones
+# physically (the query below).
+#
+# Equivalence proof: the oracle knows no tombstones — it assigns only the
+# SURVIVING vectors (post-delete rebuild semantics) — so a value-hash
+# match proves tombstoned probing ≡ physically-deleted rebuild.  Physical
+# pinning: `live_index_rows` (a broadcast scalar cross-joined onto every
+# probe row) counts the rows the probe can actually see after the
+# anti-join; the oracle derives it as the surviving-corpus count, so a
+# tombstone set that misses a row (or over-deletes) hash-fails even when
+# no top-10 entry flips.  Delete wave = vec_id % 5 == 0 beyond the query
+# batch (queries stay live; their former %5 neighbors must be replaced
+# by the next-best survivors).
+
+_IVF_DEL_PRED = "vec_id % 5 = 0 AND vec_id >= 8"
+
+_DUCK_IVF_DELETE = f"""
+WITH base AS ({_duck_ivf_sql(3, "vec_id < 8", index_pred=f"NOT ({_IVF_DEL_PRED})")}),
+nrows AS (
+  SELECT CAST(count(*) AS BIGINT) AS live_index_rows
+  FROM embeddings WHERE NOT ({_IVF_DEL_PRED})
+)
+SELECT base.*, nrows.live_index_rows FROM base CROSS JOIN nrows
+"""
+
+
+@query(
+    "ann_ivf_posting_index_tombstone_delete",
+    sql=_DUCK_IVF_DELETE,
+    tags=("similarity", "ann", "ivf", "index", "maintenance"),
+)
+def ann_ivf_posting_index_tombstone_delete(spark, sf_dir):
+    """Logical delete from the persisted IVF posting index via a
+    TOMBSTONE parquet — see block comment.  No list file is rewritten
+    (the delete write is O(|delete set|)); the probe anti-joins the
+    broadcast tombstone set before rescoring.  The oracle assigns only
+    surviving vectors, so the value hash proves tombstoned probing ≡
+    physically-deleted rebuild; `live_index_rows` pins the post-delete
+    probe-able row count.  Fourth ANN index-lifecycle verb
+    (build/probe r12, append r14, delete)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    vec = S.as_double("embedding")
+    idx_path = index_scratch_dir(spark, "posting_index_del")
+    (
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            vec.alias("v"),
+            S.nearest_centroid(vec, IVF_CENTROIDS).alias("list_id"),
+        )
+        .write.partitionBy("list_id")
+        .parquet(idx_path)
+    )
+    posting = spark.read.parquet(idx_path)
+
+    # THE DELETE STEP: tombstone the erase wave — an O(|wave|) parquet
+    # write next to the index, no list file touched
+    tomb_path = index_scratch_dir(spark, "posting_index_tombstones")
+    (
+        emb.where((F.col("vec_id") % 5 == 0) & (F.col("vec_id") >= 8))
+        .select(F.col("vec_id").alias("neighbor_id"))
+        .write.parquet(tomb_path)
+    )
+    tombstones = spark.read.parquet(tomb_path)
+
+    # live view: anti-join the (delete-set-sized, broadcast) tombstones;
+    # the list_id partition layout is untouched, so probes still prune
+    live = posting.join(F.broadcast(tombstones), "neighbor_id", "left_anti")
+    nrows = live.agg(F.count("*").cast("long").alias("live_index_rows"))
+
+    q = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        vec.alias("qv"),
+        F.explode(S.probe_centroids(vec, IVF_CENTROIDS, 3)).alias("list_id"),
+    )
+    sims = (
+        F.broadcast(q)
+        .join(live, "list_id")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(S.cosine(F.col("qv"), F.col("v")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), "neighbor_id")
+    return (
+        sims.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 10)
+        .crossJoin(F.broadcast(nrows))
+    )
+
+
+# --- IVF posting-index COMPACTION (fold generations + tombstones) -----------
+# The FIFTH ANN lifecycle verb, completing full symmetry with the band
+# index (build/probe/append/delete/compact on both).  A lived-in posting
+# index accumulates the same debt as its band sibling: appended `gen=N`
+# partitions (each wave a new directory of small files) and a tombstone
+# set every probe must anti-join.  The periodic COMPACTION folds all of
+# it in one distributed pass — merged generations anti-join the
+# tombstones, rewritten PARTITIONED BY list_id into a fresh
+# single-generation index (one file per inverted list, so a probe's
+# partition pruning touches exactly nprobe files) — and the tombstone
+# set retires to empty.
+#
+# Equivalence proof: the oracle assigns the surviving vectors in one
+# pass (no generations, no tombstones), so a value-hash match proves
+# compacted-index probing ≡ from-scratch rebuild.  Physical pinning:
+# `compacted_index_rows` counts the rows of the REWRITTEN artifact — a
+# compaction that leaks a tombstoned vector, drops a live one, or
+# double-writes a generation hash-fails on that column even when no
+# top-10 entry flips.  Tombstones = vec_id % 7 == 0 beyond the query
+# batch (disjoint from the delete query's %5 wave, so the two
+# maintenance hashes stay distinct); generations split on vec_id % 3.
+
+_IVF_CMP_PRED = "vec_id % 7 = 0 AND vec_id >= 8"
+
+_DUCK_IVF_COMPACT = f"""
+WITH base AS ({_duck_ivf_sql(3, "vec_id < 8", index_pred=f"NOT ({_IVF_CMP_PRED})")}),
+nrows AS (
+  SELECT CAST(count(*) AS BIGINT) AS compacted_index_rows
+  FROM embeddings WHERE NOT ({_IVF_CMP_PRED})
+)
+SELECT base.*, nrows.compacted_index_rows FROM base CROSS JOIN nrows
+"""
+
+
+@query(
+    "ann_ivf_posting_index_compaction",
+    sql=_DUCK_IVF_COMPACT,
+    tags=("similarity", "ann", "ivf", "index", "maintenance"),
+)
+def ann_ivf_posting_index_compaction(spark, sf_dir):
+    """Periodic IVF posting-index COMPACTION: fold appended generations
+    and the tombstone set into a fresh single-generation,
+    list-partitioned index, then probe the compacted artifact with no
+    anti-join — see block comment.  The oracle assigns surviving vectors
+    in one pass, so the value hash proves compacted probing ≡ rebuild;
+    `compacted_index_rows` pins the rewritten artifact's physical row
+    count.  Completes five-verb lifecycle symmetry with the band index:
+    build → probe → append → delete → compact, on BOTH index types."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    vec = S.as_double("embedding")
+    assigned = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        vec.alias("v"),
+        S.nearest_centroid(vec, IVF_CENTROIDS).alias("list_id"),
+    )
+
+    # the LIVED-IN starting state: two generations (gen0 = established
+    # vec_id%3!=2, gen1 = appended %3==2 wave) plus a tombstone set
+    # spanning BOTH generations
+    idx_path = index_scratch_dir(spark, "posting_index_lived")
+    (
+        assigned.withColumn("gen", (F.col("neighbor_id") % 3 == 2).cast("int"))
+        .write.partitionBy("gen", "list_id")
+        .parquet(idx_path)
+    )
+    tomb_path = index_scratch_dir(spark, "posting_tomb_precompact")
+    (
+        emb.where((F.col("vec_id") % 7 == 0) & (F.col("vec_id") >= 8))
+        .select(F.col("vec_id").alias("neighbor_id"))
+        .write.parquet(tomb_path)
+    )
+
+    # THE COMPACTION STEP: one distributed pass — merged generations
+    # anti-join the broadcast tombstones, rewritten partitioned by
+    # list_id only (single generation, one file per inverted list);
+    # generations and tombstones both retire
+    live = (
+        spark.read.parquet(idx_path)
+        .join(F.broadcast(spark.read.parquet(tomb_path)), "neighbor_id", "left_anti")
+        .select("neighbor_id", "v", "list_id")
+    )
+    compact_path = index_scratch_dir(spark, "posting_index_compacted")
+    (
+        live.repartition(len(IVF_CENTROIDS), "list_id")
+        .write.partitionBy("list_id")
+        .parquet(compact_path)
+    )
+    compacted = spark.read.parquet(compact_path)
+
+    # physical audit scalar: row count of the rewritten artifact (the
+    # oracle derives the same number as the surviving-corpus count)
+    nrows = compacted.agg(
+        F.count("*").cast("long").alias("compacted_index_rows")
+    )
+
+    # probe the compacted index EXACTLY like a fresh build — no
+    # tombstone anti-join anywhere (that is the point of compaction)
+    q = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        vec.alias("qv"),
+        F.explode(S.probe_centroids(vec, IVF_CENTROIDS, 3)).alias("list_id"),
+    )
+    sims = (
+        F.broadcast(q)
+        .join(compacted, "list_id")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(S.cosine(F.col("qv"), F.col("v")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), "neighbor_id")
+    return (
+        sims.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 10)
+        .crossJoin(F.broadcast(nrows))
     )
 
 

@@ -27,6 +27,9 @@ from big_data_analytics_project_spark.registry import (
 # rotate out), with the four never-driver-checked rows-only streaming
 # queries lifted into the window tail for ONE round (VERDICT r5 item 4).
 EXPECTED_WINDOW = (
+    # tier 0 — never driver-green
+    "ann_ivf_posting_index_tombstone_delete",
+    "ann_ivf_posting_index_compaction",
     # tier 1 — last green r08
     "quality_langid_mismatch",
     "tpch_q12_priority_by_linestatus",
@@ -77,8 +80,6 @@ EXPECTED_WINDOW = (
     "tpch_q11_important_stock",
     "tpch_q15_top_supplier",
     "tpch_q17_small_quantity_revenue",
-    "tpch_q16_supplier_part_count",
-    "tpch_q20_part_promotion",
 )
 
 
