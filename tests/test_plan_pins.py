@@ -411,3 +411,45 @@ def test_posting_index_append_probes_merged_partitions(registry, spark, sf_dir):
     m = re.search(r"FileScan parquet[^\n]*/posting_index_gen[^\n]*", plan)
     assert m, plan  # read-back over the appended artifact
     assert re.search(r"PartitionFilters|gen#\d+", m.group(0)), m.group(0)
+
+
+def test_posting_index_delete_probe_prunes_and_antijoins(registry, spark, sf_dir):
+    """ann_ivf_posting_index_tombstone_delete must (a) hit the persisted
+    list-partitioned artifact with dynamic partition pruning (the delete
+    never disturbs the serving layout), (b) exclude tombstoned vectors
+    via a broadcast LEFT ANTI join — never a cartesian/nested-loop —
+    and (c) keep the probe join an equi-join on the list id."""
+    prev = spark.conf.get("spark.sql.maxMetadataStringLength")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "400")
+    try:
+        plan = _plan(
+            registry, spark, sf_dir, "ann_ivf_posting_index_tombstone_delete"
+        )
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", prev)
+    assert "CartesianProduct" not in plan, plan
+    m = re.search(r"FileScan parquet[^\n]*/posting_index_del[^\n]*", plan)
+    assert m, plan  # read-back scan over the persisted artifact
+    assert "dynamicpruningexpression" in m.group(0), m.group(0)
+    assert re.search(r"BroadcastHashJoin \[neighbor_id#\d+L?\][^\n]*LeftAnti", plan), plan
+
+
+def test_posting_index_compaction_probe_has_no_antijoin(registry, spark, sf_dir):
+    """ann_ivf_posting_index_compaction's probe must read the REWRITTEN
+    single-generation artifact with dynamic partition pruning and carry
+    ZERO anti-joins — retiring the per-probe tombstone anti-join is the
+    point of compaction (the fold itself runs as a separate job before
+    the returned plan)."""
+    prev = spark.conf.get("spark.sql.maxMetadataStringLength")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "400")
+    try:
+        plan = _plan(
+            registry, spark, sf_dir, "ann_ivf_posting_index_compaction"
+        )
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", prev)
+    assert "CartesianProduct" not in plan, plan
+    m = re.search(r"FileScan parquet[^\n]*/posting_index_compacted[^\n]*", plan)
+    assert m, plan
+    assert "dynamicpruningexpression" in m.group(0), m.group(0)
+    assert "LeftAnti" not in plan, plan
