@@ -368,16 +368,18 @@ def delete_keys_partitioned(
         lambda a, b: a | b, [match(t) for t in affected]
     )
     # pin the surviving rows BEFORE overwriting the very files they come
-    # from (read-then-overwrite of the same partitions).  localCheckpoint,
-    # not persist: a cached block evicted under memory pressure would be
+    # from (read-then-overwrite of the same partitions).  Checkpoint, not
+    # persist: a cached block evicted under memory pressure would be
     # recomputed from the partially-overwritten input mid-rewrite and
-    # silently corrupt survivors; a checkpoint truncates the lineage, so
-    # losing a block fails the job loudly instead (same pattern as
-    # operators/rank.py).
-    remaining = (
-        data.where(in_affected)
-        .join(keys, key_col, "left_anti")
-        .localCheckpoint(eager=True)
+    # silently corrupt survivors.  reliable_pin (r15): in local mode this
+    # is the original localCheckpoint; on a cluster the survivors land on
+    # warehouse scratch, so an executor loss mid-rewrite retries the task
+    # from durable blocks instead of aborting a destructive, partially
+    # applied delete (rank.py's read-only localCheckpoint stays
+    # fail-loudly — a failed QUERY re-runs for free, a failed DELETE
+    # leaves partial state).
+    remaining = reliable_pin(
+        data.where(in_affected).join(keys, key_col, "left_anti")
     )
     surviving = {
         tuple(str(r[c]) for c in partition_cols)

@@ -493,3 +493,32 @@ def test_index_scratch_dir_stable_reuses_one_directory(spark):
     df1.write.mode("overwrite").parquet(s1)
     spark.range(9).write.mode("overwrite").parquet(s2)
     assert spark.read.parquet(s1).count() == 9
+
+
+def test_bfs_and_cluster_cc_identical_under_reliable_checkpoint(spark, monkeypatch):
+    """Same branch-equality contract for the other two reliable_pin
+    consumers: bfs_distances (operators/graph.py) and the dedup-cluster
+    label propagation (operators/clusters.py)."""
+    import functools
+
+    from big_data_analytics_project_spark.operators import clusters as C
+    from big_data_analytics_project_spark.operators import graph as G
+    from big_data_analytics_project_spark.sources.sinks import reliable_pin
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (5, 6)], "src long, dst long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(1, 8)], "id long")
+
+    local_bfs = {tuple(r) for r in G.bfs_distances(edges).collect()}
+    local_cc = {
+        tuple(r) for r in C.connected_components(nodes, edges).collect()
+    }
+    forced = functools.partial(reliable_pin, force_reliable=True)
+    monkeypatch.setattr(G, "reliable_pin", forced)
+    monkeypatch.setattr(C, "reliable_pin", forced)
+    assert {tuple(r) for r in G.bfs_distances(edges).collect()} == local_bfs
+    assert {
+        tuple(r) for r in C.connected_components(nodes, edges).collect()
+    } == local_cc
+    assert len(local_bfs) > 0 and len(local_cc) == 7
