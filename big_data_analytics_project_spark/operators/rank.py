@@ -13,11 +13,16 @@ the RDD era, restated on DataFrames):
    driver array — the only ``collect`` — broadcast back) turn local row
    numbers into global ranks.
 
-The range partitioning is materialized ONCE (``localCheckpoint``):
+The range partitioning is materialized ONCE (``reliable_pin``):
 repartitionByRange samples to pick boundaries, so re-executing it in the
 counts job and the ranks job could yield different partitions and corrupt
-the offsets.  The two-pass algorithm inherently reads the partitioned
-data twice, so this persist is the algorithm's working set, not overhead.
+the offsets — exactly the nondeterministically-partitioned-intermediate
+case ``reliable_pin`` exists for.  Under a local master this is the same
+``localCheckpoint`` as before (cost-identical); on a cluster the pin goes
+to reliable warehouse scratch so a single executor loss mid-rank is a
+task retry, not a job kill.  The two-pass algorithm inherently reads the
+partitioned data twice, so this persist is the algorithm's working set,
+not overhead.
 
 Callers must order by a UNIQUE compound (tie-break on an id) — ranks are
 then total and engine-independent.  Used by ``window_distribution``
@@ -32,19 +37,24 @@ from typing import Sequence
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
+from ..sources.sinks import reliable_pin
+
 
 def distributed_global_rank(
-    df: DataFrame, cols: Sequence[str], rank_col: str = "__rank"
+    df: DataFrame,
+    cols: Sequence[str],
+    rank_col: str = "__rank",
+    *,
+    force_reliable: bool = False,
 ) -> tuple[DataFrame, int]:
     """(df + 1-based global ``rank_col`` over the unique ordering ``cols``,
-    total row count)."""
+    total row count).  ``force_reliable`` exercises ``reliable_pin``'s
+    cluster branch under a local master (test hook)."""
     spark = df.sparkSession
     parts = spark.sparkContext.defaultParallelism
-    ranged = (
-        df.repartitionByRange(parts, *cols)
-        .localCheckpoint(eager=True)
-        .withColumn("__pid", F.spark_partition_id())
-    )
+    ranged = reliable_pin(
+        df.repartitionByRange(parts, *cols), force_reliable=force_reliable
+    ).withColumn("__pid", F.spark_partition_id())
     wp = Window.partitionBy("__pid").orderBy(*cols)
     local = ranged.withColumn("__rn", F.row_number().over(wp))
     sizes = sorted(
@@ -85,6 +95,8 @@ def distributed_prefix_sum(
     cols: Sequence[str],
     weight_col: str,
     out_col: str = "__cum",
+    *,
+    force_reliable: bool = False,
 ) -> DataFrame:
     """df + EXCLUSIVE prefix sum of ``weight_col`` over the unique
     ordering ``cols`` — the weighted sibling of
@@ -95,11 +107,9 @@ def distributed_prefix_sum(
     must be integral (offsets stay exact BIGINTs)."""
     spark = df.sparkSession
     parts = spark.sparkContext.defaultParallelism
-    ranged = (
-        df.repartitionByRange(parts, *cols)
-        .localCheckpoint(eager=True)
-        .withColumn("__pid", F.spark_partition_id())
-    )
+    ranged = reliable_pin(
+        df.repartitionByRange(parts, *cols), force_reliable=force_reliable
+    ).withColumn("__pid", F.spark_partition_id())
     wp = (
         Window.partitionBy("__pid")
         .orderBy(*cols)

@@ -862,7 +862,18 @@ def _sig_artifact(spark, df, leaf):
     every call, so each leaf reuses ONE scratch directory per driver
     process instead of landing a fresh corpus-scale parquet in a new
     uuid dir per sweep — a long session running repeated sweeps no
-    longer accumulates unbounded scratch (remote warehouses included)."""
+    longer accumulates unbounded scratch (remote warehouses included).
+
+    Single-in-flight-per-query assumption (ADVICE r15): because the path
+    is stable, a DataFrame handle returned by a PRIOR invocation of the
+    same query points at files the next invocation overwrites, and two
+    concurrent invocations of one query in one driver process race on
+    the directory.  The driver contract runs queries sequentially and
+    collects each result before the next invocation, which is safe; a
+    driver that holds an old handle across a re-invocation must
+    re-collect BEFORE re-invoking or expect FileNotFound on the stale
+    handle (fail-loud, never silent corruption — parquet footers of the
+    old files are gone)."""
     path = index_scratch_dir(spark, leaf, stable=True)
     df.write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)

@@ -41,6 +41,14 @@ _DEFAULTS: dict[str, str] = {
     "spark.streaming.stopGracefullyOnShutdown": "true",
     "spark.sql.streaming.forceDeleteTempCheckpointLocation": "true",
     "spark.sql.streaming.stopTimeout": "30000",
+    # reliable_pin's cluster branch writes a reliable checkpoint per
+    # iteration round (CC/BFS/label-prop); without this static conf Spark
+    # never deletes reliable checkpoint data mid-session, so a long
+    # cluster session accumulates unbounded scratch (ADVICE r15).  With it
+    # the ContextCleaner removes checkpoint files once the pinned RDD is
+    # garbage-collected — i.e. as soon as the next round's pin supersedes
+    # the previous one.
+    "spark.cleaner.referenceTracking.cleanCheckpoints": "true",
 }
 
 

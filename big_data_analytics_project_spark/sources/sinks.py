@@ -156,10 +156,27 @@ def reliable_pin(df: DataFrame, *, force_reliable: bool = False) -> DataFrame:
     ``force_reliable`` exercises the cluster branch under a local
     master (used by tests — there is no multi-node master in the
     sandbox).
+
+    Retention: sessions built by :func:`..session.get_spark` set
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` (static
+    conf), so each round's reliable checkpoint is deleted once its RDD
+    is garbage-collected — the scratch footprint of an iterative
+    operator stays O(1) rounds, not O(rounds).  On an externally-owned
+    session without that conf, checkpoint data persists until the
+    warehouse-scratch run dir is cleaned (atexit for local-path
+    warehouses; a TTL'd bucket policy on shared storage).
     """
     spark = df.sparkSession
     sc = spark.sparkContext
-    if sc.master.startswith("local") and not force_reliable:
+    # local-cluster[n,c,m] masters run executors as SEPARATE JVMs with
+    # independent local block stores — the exact failure domain the
+    # reliable branch exists for — so only plain local[*] takes the
+    # single-JVM shortcut (ADVICE r15).
+    master = sc.master
+    is_single_jvm = master.startswith("local") and not master.startswith(
+        "local-cluster"
+    )
+    if is_single_jvm and not force_reliable:
         return df.localCheckpoint(eager=True)
     if sc.getCheckpointDir() is None:
         sc.setCheckpointDir(index_scratch_dir(spark, "reliable_ckpt"))

@@ -27,59 +27,58 @@ from big_data_analytics_project_spark.registry import (
 # rotate out), with the four never-driver-checked rows-only streaming
 # queries lifted into the window tail for ONE round (VERDICT r5 item 4).
 EXPECTED_WINDOW = (
-    # tier 0 — never driver-green
-    "ann_ivf_posting_index_tombstone_delete",
-    "ann_ivf_posting_index_compaction",
-    # tier 1 — last green r08
-    "quality_langid_mismatch",
-    "tpch_q12_priority_by_linestatus",
     # tier 1 — last green r09
-    "maintenance_compact_files",
-    "dedup_exact_substring_shingles",
-    "skew_salted_agg",
-    "skew_salted_join",
-    "flagship_sessionization",
-    "ml_kmeans_quality_contract",
-    "multimodal_binary_meta",
-    "multimodal_decode_meta",
-    "multimodal_frame_index",
-    "proj_filter_revenue",
-    "case_when_bucketing",
-    "null_impute_coalesce",
-    "json_extract_agg",
-    "string_funcs",
-    "join_multiway_revenue",
-    "window_pctrank_cumedist",
-    "embedding_norm_outliers",
-    "ann_ivf_nprobe_recall_curve",
-    "stats_kendall_tau_cells",
-    "stats_cramers_v",
-    "stats_anova_oneway",
-    "streaming_fanout_dual_sink",
-    "timeseries_stl_lite",
-    "text_source_entropy",
-    "text_hapax_ratio",
-    "text_zipf_slope",
-    "text_term_burstiness",
-    "text_ngram_novelty",
-    "text_ttr_by_source",
-    "quality_bigram_logprob",
-    "tpch_q3_shipping_priority",
-    "tpch_q4_order_priority",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q6_forecast_revenue",
-    "tpch_q10_returned_items",
-    "tpch_q14_promo_effect",
-    "tpch_q18_large_volume_customer",
-    "tpch_q19_bracketed_revenue",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_product_type_profit",
-    "tpch_q13_customer_distribution",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q11_important_stock",
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_quantity_revenue",
+    "tpch_q16_supplier_part_count",
+    "tpch_q20_part_promotion",
+    "tpch_q21_waiting_supplier",
+    "tpch_q22_idle_balance",
+    # tier 1 — last green r10
+    "curation_dup_rate_by_quality_band",
+    "dedup_against_signature_index",
+    "dedup_substring_pair_overlap",
+    "decontaminate_substring_winnow",
+    "dedup_containment_pairs",
+    "sketch_count_min_contract",
+    "sketch_hll_distinct_contract",
+    "session_gap_histogram",
+    "graph_modularity_brands",
+    "graph_assortativity",
+    "ml_logreg_quality_contract",
+    "multimodal_byte_entropy",
+    "join_left_order_items",
+    "join_semi_active_customers",
+    "agg_pricing_summary",
+    "agg_distinct_exact",
+    "agg_rollup_orders",
+    "agg_null_audit",
+    "agg_funnel_share",
+    "window_rank_topn_per_group",
+    "window_range_frame",
+    "topk_global_orders",
+    "sort_by_aggregate",
+    "math_funcs",
+    "conditional_funcs",
+    "array_explode_tokens",
+    "pivot_event_counts",
+    "heuristic_intent_score",
+    "dedup_subset_keys",
+    "agg_percentiles",
+    "agg_corr_covar",
+    "ann_bruteforce_topk",
+    "ann_lsh_topk",
+    "embedding_cosine_neardup",
+    "embedding_anisotropy_audit",
+    "stats_mann_kendall_monthly",
+    "stats_runs_test",
+    "stats_levene_variance",
+    "streaming_tumbling_window",
+    "streaming_session_window",
+    "timeseries_changepoint_cusum",
+    "timeseries_acf_lags",
+    "text_token_stats",
+    "text_quality_scores",
+    "text_language_id",
+    "text_fingerprint",
 )
 
 
