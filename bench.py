@@ -399,6 +399,8 @@ HEADLINE = [
     # round-15 additions
     "ann_ivf_posting_index_tombstone_delete",  # O(|delete set|) ANN tombstones
     "ann_ivf_posting_index_compaction",  # fold gens+tombstones, list-clustered rewrite
+    # round-16 additions
+    "streaming_ivf_posting_index_ingest",  # stream-paced ANN index maintenance
 ]
 
 

@@ -82,6 +82,17 @@ def _staged_docs(spark, sf_dir, n_files=4):
     return d
 
 
+def _staged_embeddings(spark, sf_dir, n_files=4):
+    """Per-process cache of the staged EMBEDDING stream (same policy as
+    ``_staged``; keyed separately so the three fixtures never collide)."""
+    key = (os.path.abspath(sf_dir) + "#emb", n_files)
+    d = _STAGE_CACHE.get(key)
+    if d is None or not os.path.isdir(d):
+        d = P.stage_embeddings_as_json_stream(spark, sf_dir, n_files=n_files)
+        _STAGE_CACHE[key] = d
+    return d
+
+
 @atexit.register
 def _cleanup_staged() -> None:
     for d in _STAGE_CACHE.values():
@@ -684,6 +695,113 @@ def streaming_band_index_ingest(spark, sf_dir):
         F.count("*").cast("long").alias("n_rows"),
         F.countDistinct("key").cast("long").alias("n_distinct_keys"),
         F.sum(checksum_term).cast("long").alias("checksum"),
+    )
+
+
+# --- streaming IVF posting-index ingest (ANN index maintenance at stream
+# pace) ----------------------------------------------------------------------
+# The vector-corpus sibling of streaming_band_index_ingest, closing the
+# last asymmetry between the two persisted-index subsystems (the band
+# index has a streaming leg, the IVF posting index had only batch verbs):
+# embeddings ARRIVE as a stream, and each micro-batch is assigned to the
+# pinned centroids (map-only argmin, centroid literals inside codegen —
+# the same fold as the batch build in similarity_queries) and lands as its
+# own `ingest_batch=N` partition of the persisted posting index, itself
+# sub-partitioned by list_id so a probe still prunes to its nprobe lists
+# within every batch directory.  Overwrite semantics per batch directory
+# make an at-least-once REPLAY of batch N idempotent (the
+# idempotent_parquet_writer pattern), and per-batch cost is O(|batch|)
+# regardless of index size — no established file is ever rewritten.
+#
+# Equivalence proof: assignment is a pure per-vector map, so the UNION of
+# the per-batch partitions is batch-boundary-invariant; the oracle assigns
+# ALL vectors in one batch pass (full-rebuild semantics) and serves the
+# same probe, so the value hash proves streamed ingest ≡ batch build on
+# the retrieval surface.  Physical pinning: `streamed_index_rows` (a
+# broadcast scalar cross-joined onto every probe row) counts the rows of
+# the READ-BACK artifact; the oracle derives it as the corpus count, so a
+# lost or duplicated micro-batch hash-fails even when no top-10 entry
+# flips.
+from .similarity_queries import _duck_ivf_sql as _ivf_sql  # noqa: E402
+
+_IVF_STREAM_INGEST_SQL = f"""
+WITH base AS ({_ivf_sql(3, "vec_id < 8")}),
+nrows AS (
+  SELECT CAST(count(*) AS BIGINT) AS streamed_index_rows FROM embeddings
+)
+SELECT base.*, nrows.streamed_index_rows FROM base CROSS JOIN nrows
+"""
+
+
+@query(
+    "streaming_ivf_posting_index_ingest",
+    sql=_IVF_STREAM_INGEST_SQL,
+    tags=("streaming", "similarity", "ann", "ivf", "index", "maintenance"),
+)
+def streaming_ivf_posting_index_ingest(spark, sf_dir):
+    """Streaming IVF posting-index maintenance: each embedding micro-batch
+    is centroid-assigned and appended to the persisted posting index as an
+    idempotent `ingest_batch=N` partition (list_id-sub-partitioned, so
+    probes keep pruning); a query batch then probes the merged read-back
+    index — see block comment.  Completes the five-verb × two-index
+    lifecycle symmetry: the band index gained its streaming leg in r13,
+    this is the posting index's."""
+    from ..operators import similarity as S
+    from ..sources import index_scratch_dir, read_table
+    from ..streaming.bridge import run_foreach_batch
+    from .ivf_centroids import IVF_CENTROIDS
+
+    json_dir = _staged_embeddings(spark, sf_dir)
+    idx_base = index_scratch_dir(spark, "posting_index_stream")
+
+    def ingest(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        (
+            batch_df.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("embedding").alias("v"),
+                S.nearest_centroid(F.col("embedding"), IVF_CENTROIDS).alias(
+                    "list_id"
+                ),
+            )
+            .write.partitionBy("list_id")
+            .mode("overwrite")
+            .parquet(f"{idx_base}/ingest_batch={batch_id}")
+        )
+
+    stream = P.read_embedding_stream(spark, json_dir, max_files_per_trigger=1)
+    run_foreach_batch(stream, ingest, output_mode="append")
+
+    posting = spark.read.parquet(idx_base)
+    n_rows = posting.groupBy().agg(
+        F.count("*").cast("long").alias("streamed_index_rows")
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    vec = S.as_double(F.col("embedding"))
+    q = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        vec.alias("qv"),
+        F.explode(S.probe_centroids(vec, IVF_CENTROIDS, 3)).alias("list_id"),
+    )
+    from pyspark.sql import Window
+
+    sims = (
+        F.broadcast(q)
+        .join(posting, "list_id")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(S.cosine(F.col("qv"), F.col("v")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), "neighbor_id")
+    return (
+        sims.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 10)
+        .crossJoin(F.broadcast(n_rows))
     )
 
 

@@ -109,6 +109,53 @@ def stage_docs_as_json_stream(
     return out_dir
 
 
+def stage_embeddings_as_json_stream(
+    spark: SparkSession, sf_dir: str, n_files: int = 4, out_dir: str | None = None
+) -> str:
+    """Replay the fixture ``embeddings`` table as vec_id-ordered JSON chunk
+    files — the vector-corpus analog of ``stage_docs_as_json_stream``
+    (same sanctioned driver-local fixture pattern), used by the streaming
+    ANN index-maintenance queries where the arriving unit is a vector.
+
+    The embedding is cast float→double BEFORE the JSON write: the double
+    widening is exact, and Jackson's double serialization round-trips
+    bit-exactly through the text file, so the streamed vector equals the
+    batch path's ``as_double(embedding)`` and cosine parity with the
+    DuckDB oracle (which casts the parquet floats the same way) holds to
+    the last bit."""
+    out_dir = out_dir or tempfile.mkdtemp(prefix="bdap_embstream_")
+    from ..sources import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    (
+        emb.repartitionByRange(n_files, "vec_id")
+        .sortWithinPartitions("vec_id")
+        .write.mode("overwrite")
+        .json(out_dir)
+    )
+    parts = sorted(
+        f for f in os.listdir(out_dir) if f.startswith("part-") and f.endswith(".json")
+    )
+    base = 1_600_000_000
+    for i, f in enumerate(parts):
+        os.utime(os.path.join(out_dir, f), (base + i, base + i))
+    return out_dir
+
+
+def read_embedding_stream(
+    spark: SparkSession, json_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """Unbounded read of a staged embedding stream (explicit schema; swap
+    for the Kafka form in a broker deployment, like read_event_stream)."""
+    return (
+        spark.readStream.schema("vec_id LONG, embedding ARRAY<DOUBLE>")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(json_dir)
+    )
+
+
 def read_doc_stream(
     spark: SparkSession, json_dir: str, max_files_per_trigger: int = 1
 ) -> DataFrame:

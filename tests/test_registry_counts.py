@@ -9,8 +9,8 @@ from pathlib import Path
 
 from big_data_analytics_project_spark.registry import load_all
 
-TOTAL = 315
-ORACLE = 304
+TOTAL = 316
+ORACLE = 305
 
 
 def test_counts_match_registry():

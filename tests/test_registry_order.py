@@ -27,6 +27,8 @@ from big_data_analytics_project_spark.registry import (
 # rotate out), with the four never-driver-checked rows-only streaming
 # queries lifted into the window tail for ONE round (VERDICT r5 item 4).
 EXPECTED_WINDOW = (
+    # tier 0 — never driver-green
+    "streaming_ivf_posting_index_ingest",
     # tier 1 — last green r09
     "tpch_q16_supplier_part_count",
     "tpch_q20_part_promotion",
@@ -78,7 +80,6 @@ EXPECTED_WINDOW = (
     "text_token_stats",
     "text_quality_scores",
     "text_language_id",
-    "text_fingerprint",
 )
 
 

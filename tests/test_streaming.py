@@ -719,3 +719,92 @@ def test_frozen_scoring_column_rejects_malformed_model():
     bad2.scaler.m2 = np.ones(2)
     with pytest.raises(ValueError, match="scaler"):
         frozen_scoring_column(bad2)
+
+
+def test_embedding_stream_staging_roundtrips_doubles_exactly(spark, sf_dir):
+    """The staged embedding replay must hand the streaming path the SAME
+    vectors the batch path computes with as_double(embedding): the
+    float→double cast is exact and Jackson's double serialization
+    round-trips bit-exactly, so cosine parity with the oracle holds to
+    the last bit (the precision contract streaming_ivf_posting_index_ingest
+    relies on)."""
+    import shutil
+
+    from big_data_analytics_project_spark.functions.vector import as_double
+    from big_data_analytics_project_spark.sources import read_table
+
+    json_dir = P.stage_embeddings_as_json_stream(spark, sf_dir, n_files=4)
+    try:
+        staged = spark.read.schema("vec_id LONG, embedding ARRAY<DOUBLE>").json(
+            json_dir
+        )
+        batch = read_table(spark, sf_dir, "embeddings").select(
+            "vec_id", as_double("embedding").alias("embedding")
+        )
+        # exact equality, vector by vector (no tolerance): anti-join on
+        # the full (vec_id, embedding) pair must be empty both ways
+        a = staged.select("vec_id", "embedding")
+        b = batch.select("vec_id", "embedding")
+        assert a.exceptAll(b).count() == 0
+        assert b.exceptAll(a).count() == 0
+        assert a.count() == b.count() > 0
+    finally:
+        shutil.rmtree(json_dir, ignore_errors=True)
+
+
+def test_ivf_stream_ingest_is_batch_boundary_invariant(spark, sf_dir):
+    """Replaying the embedding stream 1 file/trigger vs all files in one
+    trigger must produce identical per-list censuses (assignment is a
+    per-vector map; idempotent batch-dir writes) — the local dual of the
+    streaming_ivf_posting_index_ingest oracle equivalence."""
+    import shutil
+    import tempfile
+
+    from big_data_analytics_project_spark.operators import similarity as S
+    from big_data_analytics_project_spark.plans.ivf_centroids import (
+        IVF_CENTROIDS,
+    )
+    from big_data_analytics_project_spark.streaming.bridge import (
+        run_foreach_batch,
+    )
+
+    json_dir = P.stage_embeddings_as_json_stream(spark, sf_dir, n_files=4)
+    try:
+        def census(trigger_files):
+            base = tempfile.mkdtemp(prefix="bdap_ivf_ingest_test_")
+
+            def ingest(batch_df, batch_id):
+                if batch_df.isEmpty():
+                    return
+                (
+                    batch_df.select(
+                        F.col("vec_id").alias("neighbor_id"),
+                        S.nearest_centroid(
+                            F.col("embedding"), IVF_CENTROIDS
+                        ).alias("list_id"),
+                    )
+                    .write.partitionBy("list_id")
+                    .mode("overwrite")
+                    .parquet(f"{base}/ingest_batch={batch_id}")
+                )
+
+            stream = P.read_embedding_stream(
+                spark, json_dir, max_files_per_trigger=trigger_files
+            )
+            run_foreach_batch(stream, ingest, output_mode="append")
+            idx = spark.read.parquet(base)
+            rows = sorted(
+                (r.list_id, r.n)
+                for r in idx.groupBy("list_id")
+                .agg(F.count("*").alias("n"))
+                .collect()
+            )
+            shutil.rmtree(base, ignore_errors=True)
+            return rows
+
+        fine = census(1)
+        coarse = census(4)
+        assert fine == coarse
+        assert sum(n for _, n in fine) > 0
+    finally:
+        shutil.rmtree(json_dir, ignore_errors=True)
