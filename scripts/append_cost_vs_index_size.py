@@ -143,6 +143,47 @@ def main() -> None:
             + ")"
         )
 
+    # ---- STREAM-INGEST leg (streaming_ivf_posting_index_ingest, r16) ---
+    # The streaming verb's O(|batch|) claim: a micro-batch lands as its
+    # own overwrite-mode `ingest_batch=N` directory (list_id-
+    # sub-partitioned), never touching established batches — so ingest
+    # cost must be flat across a 10x larger existing index.  Same
+    # two-point design: the SAME sf0.01 micro-batch ingested into an
+    # index pre-populated from sf0.01 vs sf0.1 data, timing ONLY the
+    # assign+write stage (what the foreachBatch body does), warmed,
+    # min-of-3.
+    for sf_dir in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+        pre = read_table(spark, sf_dir, "embeddings").where(
+            F.col("vec_id") % 3 != 2
+        )
+        idx_path = index_scratch_dir(
+            spark, f"ivf_ingest_cost_{os.path.basename(sf_dir)}"
+        )
+        (
+            assigned(pre)
+            .write.partitionBy("list_id")
+            .mode("overwrite")
+            .parquet(f"{idx_path}/ingest_batch=0")
+        )
+        n_idx = spark.read.parquet(idx_path).count()
+        times = []
+        for i in range(4):
+            t0 = time.time()
+            (
+                assigned(ivf_wave)
+                .write.partitionBy("list_id")
+                .mode("overwrite")
+                .parquet(f"{idx_path}/ingest_batch={1 + i}")
+            )
+            times.append(time.time() - t0)
+        best = min(times[1:])
+        print(
+            f"posting stream-ingest into index from {sf_dir}: {n_idx} "
+            f"existing rows -> ingest stage min-of-3 {best:.3f} s (runs: "
+            + ", ".join(f"{t:.3f}" for t in times)
+            + ")"
+        )
+
     # ---- COMPACTION legs: fold stage cost vs lived-in index size -------
     # band index: lived-in = gen0 (%3==1) + gen1 (%3==2) + tombstones
     # (%5==0); fold = merged gens anti-join tombstones, rewrite
