@@ -376,13 +376,15 @@ def streaming_tumbling_append(spark, sf_dir):
     except BaseException:
         shutil.rmtree(out_dir, ignore_errors=True)
         raise
-    if spark.sparkContext.master.startswith("local"):
+    from ..sources.sinks import is_single_jvm_master
+
+    if is_single_jvm_master(spark.sparkContext):
         # localCheckpoint (eager) materializes the sink contents into Spark
         # block storage so the scratch sink dir can be removed immediately —
         # no accumulation across a long bench/driver run.  Safe only in
-        # local mode: localCheckpoint blocks are lost on executor failure,
-        # which would make the result unrecomputable once the sink dir is
-        # gone.
+        # single-JVM local mode: localCheckpoint blocks are lost on executor
+        # failure, which would make the result unrecomputable once the sink
+        # dir is gone (local-cluster masters excluded for that reason).
         result = result.localCheckpoint()
         shutil.rmtree(out_dir, ignore_errors=True)
     # on a real cluster the warehouse-rooted sink dir stays as the durable

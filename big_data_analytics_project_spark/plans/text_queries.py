@@ -1079,11 +1079,14 @@ def text_pmi_collocations(spark, sf_dir):
     # consumers during that single job — and the cache can be released
     # before returning; the caller's action replays only the tiny
     # checkpointed blocks, which the ContextCleaner reclaims on GC.
-    # Local mode ONLY (ADVICE r13): localCheckpoint blocks live on
-    # executors, so on a cluster an executor loss after the unpersist
-    # would make the result unrecomputable — there we keep the persist
-    # and accept recompute of per_doc after the caller's action.
-    if spark.sparkContext.master.startswith("local"):
+    # Single-JVM local mode ONLY (ADVICE r13, tightened r16): localCheckpoint
+    # blocks live on executors, so on a cluster (incl. local-cluster[n,c,m],
+    # whose executors are separate JVMs) an executor loss after the
+    # unpersist would make the result unrecomputable — there we keep the
+    # persist and accept recompute of per_doc after the caller's action.
+    from ..sources.sinks import is_single_jvm_master
+
+    if is_single_jvm_master(spark.sparkContext):
         result = result.localCheckpoint(eager=True)
         per_doc.unpersist()
     return result

@@ -129,6 +129,18 @@ def index_scratch_dir(spark: SparkSession, leaf: str, *, stable: bool = False) -
     return f"{warehouse.rstrip('/')}/{run}/{leaf}"
 
 
+def is_single_jvm_master(sc) -> bool:
+    """True only for plain ``local[*]`` masters, where executor blocks
+    live in the one driver JVM and ``localCheckpoint`` (or delete-source-
+    after-localCheckpoint patterns) cannot lose data independently of the
+    whole job.  ``local-cluster[n,c,m]`` masters run executors as
+    SEPARATE JVMs with independent local block stores — the exact failure
+    domain the reliable paths exist for — so they are excluded
+    (ADVICE r15)."""
+    master = sc.master
+    return master.startswith("local") and not master.startswith("local-cluster")
+
+
 def reliable_pin(df: DataFrame, *, force_reliable: bool = False) -> DataFrame:
     """Materialize ``df`` and TRUNCATE its lineage, cluster-safely.
 
@@ -168,15 +180,7 @@ def reliable_pin(df: DataFrame, *, force_reliable: bool = False) -> DataFrame:
     """
     spark = df.sparkSession
     sc = spark.sparkContext
-    # local-cluster[n,c,m] masters run executors as SEPARATE JVMs with
-    # independent local block stores — the exact failure domain the
-    # reliable branch exists for — so only plain local[*] takes the
-    # single-JVM shortcut (ADVICE r15).
-    master = sc.master
-    is_single_jvm = master.startswith("local") and not master.startswith(
-        "local-cluster"
-    )
-    if is_single_jvm and not force_reliable:
+    if is_single_jvm_master(sc) and not force_reliable:
         return df.localCheckpoint(eager=True)
     if sc.getCheckpointDir() is None:
         sc.setCheckpointDir(index_scratch_dir(spark, "reliable_ckpt"))
