@@ -453,3 +453,26 @@ def test_posting_index_compaction_probe_has_no_antijoin(registry, spark, sf_dir)
     assert m, plan
     assert "dynamicpruningexpression" in m.group(0), m.group(0)
     assert "LeftAnti" not in plan, plan
+
+
+def test_streaming_ingest_probe_prunes_and_counts_broadcast(
+    registry, spark, sf_dir
+):
+    """streaming_ivf_posting_index_ingest's probe must read the
+    stream-built artifact back with dynamic partition pruning on the
+    list id (each ingest_batch=N directory is list_id-sub-partitioned,
+    so the serving layout survives streaming ingest), keep the probe an
+    equi-join (no cartesian pair scan), and attach the
+    streamed_index_rows audit scalar as a broadcast 1-row join."""
+    prev = spark.conf.get("spark.sql.maxMetadataStringLength")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "400")
+    try:
+        plan = _plan(
+            registry, spark, sf_dir, "streaming_ivf_posting_index_ingest"
+        )
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", prev)
+    assert "CartesianProduct" not in plan, plan
+    m = re.search(r"FileScan parquet[^\n]*/posting_index_stream[^\n]*", plan)
+    assert m, plan  # read-back scan over the stream-built artifact
+    assert "dynamicpruningexpression" in m.group(0), m.group(0)
