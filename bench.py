@@ -401,6 +401,7 @@ HEADLINE = [
     "ann_ivf_posting_index_compaction",  # fold gens+tombstones, list-clustered rewrite
     # round-16 additions
     "streaming_ivf_posting_index_ingest",  # stream-paced ANN index maintenance
+    "privacy_l_diversity",            # sensitive-attribute homogeneity audit
 ]
 
 

@@ -2645,6 +2645,91 @@ def privacy_k_anonymity(spark, sf_dir):
     )
 
 
+# --- l-diversity audit (privacy gate, sensitive-attribute sibling) -----------
+# k-anonymity (above) only counts rows per quasi-identifier class; a
+# class can be large yet still leak if every member shares one sensitive
+# value (the homogeneity attack).  Distinct l-diversity is the standard
+# follow-up audit (Machanavajjhala et al., ICDE 2006): within each QI
+# class (nation x segment), how many DISTINCT sensitive values (account-
+# balance band of 1000 currency units) appear?  Classes with fewer than
+# l = 3 distinct bands expose their members' balance range.
+#
+# Determinism: the sensitive band uses the portable cents quantizer
+# (floor(x*100 + 0.5) -> BIGINT, docs/determinism.md) then one IEEE
+# double division by 100000.0 and floor — identical bit-level fold on
+# both engines, negative balances included (floor, not truncate).  Two
+# map-side-combined aggregates (cells -> classes), both bounded by the
+# QI x band domain, then one summary row — the same 100 TB shape as the
+# k-anonymity audit: nothing row-cardinality-sized ever shuffles twice.
+
+_LDIV_L = 3
+
+_LDIV_SQL = f"""
+WITH cells AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(floor(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+                    / 100000.0) AS BIGINT) AS bal_band,
+         CAST(count(*) AS BIGINT) AS c
+  FROM customer GROUP BY 1, 2, 3
+),
+classes AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(count(*) AS BIGINT) AS l_distinct,
+         CAST(sum(c) AS BIGINT) AS n_rows
+  FROM cells GROUP BY 1, 2
+)
+SELECT CAST({_LDIV_L} AS BIGINT) AS l,
+       CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(min(l_distinct) AS BIGINT) AS min_l,
+       CAST(sum(CASE WHEN l_distinct < {_LDIV_L} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_classes_below_l,
+       CAST(sum(CASE WHEN l_distinct < {_LDIV_L} THEN n_rows ELSE 0 END)
+            AS BIGINT) AS n_rows_below_l,
+       round(CAST(sum(CASE WHEN l_distinct < {_LDIV_L} THEN n_rows ELSE 0 END)
+                  AS DOUBLE) / CAST(sum(n_rows) AS DOUBLE), 6)
+         AS row_share_below_l
+FROM classes
+"""
+
+
+@query(
+    "privacy_l_diversity",
+    sql=_LDIV_SQL,
+    tags=("quality", "audit", "privacy"),
+)
+def privacy_l_diversity(spark, sf_dir):
+    """Distinct l-diversity audit of the customer sensitive attribute
+    (balance band) within quasi-identifier classes — the homogeneity-
+    attack complement to privacy_k_anonymity; see block comment."""
+    cust = read_table(spark, sf_dir, "customer")
+    cents = F.floor(F.col("c_acctbal") * 100 + 0.5).cast("long")
+    band = F.floor(cents / F.lit(100000.0)).cast("long")
+    cells = cust.groupBy(
+        "c_nationkey", "c_mktsegment", band.alias("bal_band")
+    ).agg(F.count("*").cast("long").alias("c"))
+    classes = cells.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count("*").cast("long").alias("l_distinct"),
+        F.sum("c").cast("long").alias("n_rows"),
+    )
+    below = F.col("l_distinct") < _LDIV_L
+    return classes.agg(
+        F.lit(_LDIV_L).cast("long").alias("l"),
+        F.count("*").cast("long").alias("n_classes"),
+        F.min("l_distinct").cast("long").alias("min_l"),
+        F.sum(F.when(below, 1).otherwise(0)).cast("long").alias(
+            "n_classes_below_l"
+        ),
+        F.sum(F.when(below, F.col("n_rows")).otherwise(0)).cast("long").alias(
+            "n_rows_below_l"
+        ),
+        F.round(
+            F.sum(F.when(below, F.col("n_rows")).otherwise(0)).cast("double")
+            / F.sum("n_rows").cast("double"),
+            6,
+        ).alias("row_share_below_l"),
+    )
+
+
 # --- bot-regularity detection (inter-event timing audit) ---------------------
 # Humans arrive with bursty gaps (coefficient of variation ~= 1 for
 # Poisson-ish traffic); schedulers and scrapers tick with cv near 0.

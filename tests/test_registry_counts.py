@@ -9,8 +9,8 @@ from pathlib import Path
 
 from big_data_analytics_project_spark.registry import load_all
 
-TOTAL = 316
-ORACLE = 305
+TOTAL = 317
+ORACLE = 306
 
 
 def test_counts_match_registry():

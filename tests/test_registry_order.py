@@ -28,6 +28,7 @@ from big_data_analytics_project_spark.registry import (
 # queries lifted into the window tail for ONE round (VERDICT r5 item 4).
 EXPECTED_WINDOW = (
     # tier 0 — never driver-green
+    "privacy_l_diversity",
     "streaming_ivf_posting_index_ingest",
     # tier 1 — last green r09
     "tpch_q16_supplier_part_count",
@@ -79,7 +80,6 @@ EXPECTED_WINDOW = (
     "timeseries_acf_lags",
     "text_token_stats",
     "text_quality_scores",
-    "text_language_id",
 )
 
 
