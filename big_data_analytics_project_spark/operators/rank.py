@@ -90,6 +90,59 @@ def ntile_from_rank(rank: Column, n: int, k: int) -> Column:
     )
 
 
+def bucketed_prefix_sum(
+    df: DataFrame,
+    key: str,
+    weight_col: str,
+    bucket: Column,
+    out_col: str = "__cum",
+) -> DataFrame:
+    """df + EXCLUSIVE prefix sum of ``weight_col`` over the unique
+    ordering ``key`` — the zero-action sibling of
+    ``distributed_prefix_sum`` for keys whose bucketing is known
+    statically.  ``bucket`` must be a DETERMINISTIC expression of
+    ``key`` that is monotone non-decreasing in ``key`` and has a
+    BOUNDED number of distinct values (caller-guaranteed domain
+    knowledge, e.g. ``key div C`` over a domain-capped integer key).
+
+    Two-level decomposition, all inside ONE physical plan: per-bucket
+    weight totals fold into exclusive bucket offsets through a
+    bucket-count-sized window (single task over a bounded-cardinality
+    table — the same argument that makes a 50-row window scale-safe),
+    and the within-bucket exclusive running sum runs under
+    ``Window.partitionBy(bucket)`` (distributed across buckets).
+    ``distributed_prefix_sum`` needs a sampling job
+    (``repartitionByRange``), a ``reliable_pin`` materialization and a
+    driver ``collect`` — three extra Spark actions whose results this
+    formulation derives in-plan; prefer it whenever a monotone bounded
+    bucketing of the key's domain exists."""
+    b = df.withColumn("__bkt", bucket)
+    tot = b.groupBy("__bkt").agg(
+        F.sum(weight_col).cast("long").alias("__bw")
+    )
+    wb = Window.orderBy("__bkt").rowsBetween(Window.unboundedPreceding, -1)
+    off = tot.select(
+        "__bkt",
+        F.coalesce(F.sum("__bw").over(wb), F.lit(0)).cast("long").alias("__boff"),
+    )
+    ww = (
+        Window.partitionBy("__bkt")
+        .orderBy(key)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        b.join(F.broadcast(off), "__bkt")
+        .withColumn(
+            out_col,
+            (
+                F.col("__boff")
+                + F.coalesce(F.sum(weight_col).over(ww), F.lit(0))
+            ).cast("long"),
+        )
+        .drop("__bkt", "__boff")
+    )
+
+
 def distributed_prefix_sum(
     df: DataFrame,
     cols: Sequence[str],

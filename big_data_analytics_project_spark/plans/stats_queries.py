@@ -227,7 +227,7 @@ FROM mom
 def agg_spearman_rank_corr(spark, sf_dir):
     """Spearman's rho between l_quantity and l_extendedprice — see module
     docstring for the domain-bounded cell design."""
-    from ..operators.rank import distributed_prefix_sum
+    from ..operators.rank import bucketed_prefix_sum
 
     li = read_table(spark, sf_dir, "lineitem")
     pairs = li.groupBy(
@@ -238,10 +238,18 @@ def agg_spearman_rank_corr(spark, sf_dir):
     ).agg(F.count("*").cast("long").alias("c"))
     pairs = pairs.persist()
 
-    def doubled_ranks_distributed(cells, key, cnt):
-        # exclusive prefix sum via the two-pass range-partitioned
-        # operator — never a single-reducer global window
-        cum = distributed_prefix_sum(cells, [key], cnt, out_col="__cb")
+    def doubled_ranks_bucketed(cells, key, cnt):
+        # exclusive prefix sum fully in-plan (r16): price cents are
+        # domain-capped (TPC-H l_extendedprice < ~105k dollars at every
+        # SF → p < ~10.5M), so `p div 100000` is a deterministic
+        # monotone bucketing with ~106 buckets of ≤100k cells each —
+        # both levels bounded by the DOMAIN, not the corpus.  Replaces
+        # the two-pass range-partitioned operator (sampling job +
+        # reliable_pin + driver collect = 3 extra Spark actions) with
+        # zero extra actions; ranks are identical exact integers.
+        cum = bucketed_prefix_sum(
+            cells, key, cnt, F.expr(f"{key} div 100000"), out_col="__cb"
+        )
         return cum.select(
             key,
             (2 * F.col("__cb") + F.col(cnt) + 1).alias("r"),
@@ -265,7 +273,7 @@ def agg_spearman_rank_corr(spark, sf_dir):
     qcells = pairs.groupBy("q").agg(F.sum("c").cast("long").alias("cq"))
     pcells = pairs.groupBy("p").agg(F.sum("c").cast("long").alias("cp"))
     qrank = doubled_ranks_tiny(qcells, "q", "cq").withColumnRenamed("r", "rq")
-    prank = doubled_ranks_distributed(pcells, "p", "cp").withColumnRenamed(
+    prank = doubled_ranks_bucketed(pcells, "p", "cp").withColumnRenamed(
         "r", "rp"
     )
 

@@ -49,6 +49,17 @@ _DEFAULTS: dict[str, str] = {
     # garbage-collected — i.e. as soon as the next round's pin supersedes
     # the previous one.
     "spark.cleaner.referenceTracking.cleanCheckpoints": "true",
+    # The generated-code cache defaults to 100 entries (Spark 4.1
+    # CODEGEN_CACHE_MAX_ENTRIES) — any application that runs more than a
+    # handful of distinct queries per session overflows it and pays full
+    # Janino recompilation of every WholeStageCodegen stage on every
+    # re-execution.  The cache is per-JVM (driver and executors alike),
+    # entries are compiled class handles (KBs each), so a few thousand
+    # entries cost tens of MB and save ~50-100 ms of compiler time per
+    # stage per query re-run on ANY deployment, local or cluster.
+    # Measured r16 (/tmp-scale A/B over a 50-query chain, min-of-2):
+    # 54.7 s at 100 → 47.5 s at 8192.
+    "spark.sql.codegen.cache.maxEntries": "8192",
 }
 
 

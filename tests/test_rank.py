@@ -6,6 +6,7 @@ import pytest
 from pyspark.sql import Window
 
 from big_data_analytics_project_spark.operators.rank import (
+    bucketed_prefix_sum,
     distributed_global_rank,
     ntile_from_rank,
 )
@@ -29,6 +30,35 @@ def test_ntile_matches_window_function(spark, n, k):
     want = {
         r["id"]: r["q"]
         for r in df.select("id", F.ntile(k).over(w).alias("q")).collect()
+    }
+    assert got == want
+
+
+@pytest.mark.parametrize("div", [1, 7, 100, 10**6])
+def test_bucketed_prefix_sum_matches_global_window(spark, div):
+    """bucketed_prefix_sum must equal the single-reducer exclusive
+    cumulative window for every bucket granularity — including the
+    degenerate one-bucket (div larger than the domain) and
+    bucket-per-key (div=1) extremes, and empty-prefix first rows."""
+    rows = [(i * 13 % 97, (i * 5) % 7 + 1) for i in range(60)]
+    # unique keys with gaps, deterministic weights
+    df = (
+        spark.createDataFrame(rows, "k long, w long")
+        .groupBy("k")
+        .agg(F.sum("w").alias("w"))
+    )
+    got = {
+        r["k"]: r["c"]
+        for r in bucketed_prefix_sum(
+            df, "k", "w", F.expr(f"k div {div}"), out_col="c"
+        ).collect()
+    }
+    wref = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, -1)
+    want = {
+        r["k"]: r["c"]
+        for r in df.select(
+            "k", F.coalesce(F.sum("w").over(wref), F.lit(0)).alias("c")
+        ).collect()
     }
     assert got == want
 
