@@ -66,23 +66,23 @@ def connected_components(
         # warehouse-scratch checkpoint on a cluster): materializes the
         # (small) label frame, keeps lineage flat, and makes the
         # convergence count below read materialized data instead of
-        # replaying all prior rounds
-        new_labels = reliable_pin(
+        # replaying all prior rounds.  The pinned frame carries BOTH the
+        # old and the new component, so convergence is a filter-count
+        # over the materialized blocks — not a per-round shuffle join of
+        # old labels against new (the shape graph.connected_components
+        # already uses).
+        merged = reliable_pin(
             labels.join(neighbor_min, labels.id == neighbor_min.a, "left")
             .select(
                 "id",
+                F.col("component").alias("__old"),
                 F.least(
                     F.col("component"), F.coalesce("nbr_component", F.col("component"))
                 ).alias("component"),
             )
         )
-        changed = (
-            labels.alias("old")
-            .join(new_labels.alias("new"), "id")
-            .where(F.col("old.component") != F.col("new.component"))
-            .count()
-        )
-        labels = new_labels
+        changed = merged.where(F.col("component") != F.col("__old")).count()
+        labels = merged.select("id", "component")
         if changed == 0:
             break
     sym.unpersist()

@@ -416,6 +416,12 @@ def semantic_dedup(
     # N²/C interpreted HOF evaluations — measured ~3× end-to-end).  The
     # float result is bit-identical to cosine(): same ops, same order,
     # just hoisted out of the pair loop.
+    # Persisted: this assigned frame feeds THREE plan branches (both
+    # sides of the within-cluster self-join and the final per-vector
+    # output join), and each reference would otherwise re-run the
+    # argmin-over-centroids fold + two norm folds per vector — the
+    # dominant map cost.  One corpus-sized frame, computed once
+    # (guide §2.1: remove repeated subtree computation).
     v = corpus.select(
         F.col(id_col).alias("vec_id"), as_double(vec_col).alias("__v")
     ).select(
@@ -432,7 +438,7 @@ def semantic_dedup(
             cosine(F.col("__v"), F.element_at(cent_arr, F.col("__cluster") + 1)),
             round_digits,
         ).alias("centroid_sim"),
-    )
+    ).persist()
     a = v.select(
         F.col("vec_id").alias("id_a"),
         F.col("__v").alias("__va"),
@@ -526,6 +532,9 @@ def semantic_leakage(
     """
     from ..functions.vector import dot, norm2
 
+    # Persisted for the same reason as semantic_dedup's assigned frame:
+    # both the eval and the train side of the pair join read it, and
+    # each reference would re-run the per-vector argmin + norm folds.
     base = corpus.select(
         F.col(id_col).alias("vec_id"), as_double(vec_col).alias("__v"), is_eval.alias("__is_eval")
     ).select(
@@ -534,7 +543,7 @@ def semantic_leakage(
         "__is_eval",
         norm2(F.col("__v")).alias("__n"),
         nearest_centroid(F.col("__v"), centroids).alias("__cluster"),
-    )
+    ).persist()
     ev = base.where(F.col("__is_eval")).select(
         F.col("vec_id").alias("eval_id"),
         F.col("__v").alias("__ev"),

@@ -462,11 +462,19 @@ def basket_sequential_patterns(spark, sf_dir):
     )
     # Skew cap — see _SEQ_MAX_PARTS block comment above.
     wcap = Window.partitionBy("cust").orderBy("first_day", "part")
+    # The capped (cust, part, first_day) table feeds THREE branches
+    # (firsts, and both sides of the self-join); without a persist the
+    # orders⋈lineitem join + rollup + cap window runs three times — the
+    # r16 before-plan shows 3 identical scan-join-agg-window subtrees
+    # and zero ReusedExchange.  It is small by construction (≤
+    # _SEQ_MAX_PARTS rows per customer), and the bench clears the cache
+    # after every timed run, so this is in-plan reuse, not cross-run
+    # memoization (guide §2.1: remove repeated subtree computation).
     cp = (
         cp0.withColumn("pos", F.row_number().over(wcap))
         .where(F.col("pos") <= _SEQ_MAX_PARTS)
         .drop("pos")
-    )
+    ).persist()
     firsts = cp.groupBy("part").agg(F.count("*").cast("long").alias("n_first"))
     a = cp.select(
         "cust", F.col("part").alias("part_a"), F.col("first_day").alias("da")

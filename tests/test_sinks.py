@@ -524,6 +524,25 @@ def test_bfs_and_cluster_cc_identical_under_reliable_checkpoint(spark, monkeypat
     assert len(local_bfs) > 0 and len(local_cc) == 7
 
 
+def test_cluster_cc_converges_on_long_path(spark):
+    """The dedup-cluster label loop's convergence check reads a changed
+    flag off the pinned merged frame (r16: was a per-round shuffle join
+    of old vs new labels).  A 9-node path needs several propagation
+    rounds, so a broken change detector would either stop early (wrong
+    labels) or spin to max_iter — both visible here."""
+    from big_data_analytics_project_spark.operators import clusters as C
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 9)], "src long, dst long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(1, 10)], "id long")
+    got = {
+        (r["id"], r["component"])
+        for r in C.connected_components(nodes, edges).collect()
+    }
+    assert got == {(i, 1) for i in range(1, 10)}
+
+
 def test_global_rank_identical_under_reliable_checkpoint(spark):
     """distributed_global_rank pins a nondeterministically-partitioned
     intermediate (repartitionByRange samples its boundaries) — the exact
