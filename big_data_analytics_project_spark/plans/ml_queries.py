@@ -574,6 +574,8 @@ def ml_logreg_quality_contract(spark, sf_dir):
 
     ev = read_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # lab feeds both the training-feature join and the final contract
+    # aggregate — cached so the events rank window runs once
     lab = (
         ev.withColumn("rn", F.row_number().over(w))
         .groupBy("user_id")
@@ -588,7 +590,7 @@ def ml_logreg_quality_contract(spark, sf_dir):
             .cast("long")
             .alias("label")
         )
-    )
+    ).cache()
     feats = (
         build_feature_table(spark, sf_dir)
         .drop("label")
