@@ -525,7 +525,7 @@ def streaming_online_scoring(spark, sf_dir):
     stream = P.read_event_stream(spark, json_dir, max_files_per_trigger=1)
     agg = P.tumbling_features(stream)
     bridge = OnlineScoringBridge()
-    batches = run_scored_stream(agg, bridge)
+    batches = run_scored_stream(agg, bridge, state_partitions=_STATE_PARTS)
     if not batches:
         batches = [{"batch_id": -1, "n_rows": 0, "total_events": 0,
                     "total_views": 0, "conversion_rate": 0.0,
@@ -601,7 +601,9 @@ def streaming_frozen_scoring(spark, sf_dir):
     )
     sink_dir = index_scratch_dir(spark, "frozen_scores")
     bridge = FrozenScoringBridge(sink_dir=sink_dir)
-    run_foreach_batch(agg, bridge, output_mode="append")
+    run_foreach_batch(
+        agg, bridge, output_mode="append", state_partitions=_STATE_PARTS
+    )
 
     schema = (
         "window_start_epoch long, user_id long, label long, view_count long,"

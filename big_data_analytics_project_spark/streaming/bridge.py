@@ -193,24 +193,45 @@ class FrozenScoringBridge:
         self.n_batches_written += 1
 
 
-def run_foreach_batch(df: DataFrame, fn, output_mode: str = "update") -> None:
+def run_foreach_batch(
+    df: DataFrame,
+    fn,
+    output_mode: str = "update",
+    state_partitions: int | None = None,
+) -> None:
     """Drain all available input of a streaming frame through a
-    foreachBatch callable (availableNow trigger, throwaway checkpoint)."""
+    foreachBatch callable (availableNow trigger, throwaway checkpoint).
+
+    ``state_partitions`` pins the stateful-operator partition count for
+    the drain (see ``processor._state_partitions``): STATEFUL upstreams
+    (watermarked aggregates) otherwise inherit the batch-side
+    ``spark.sql.shuffle.partitions`` as their state-store count for the
+    query's lifetime — sized for batch shuffles, not per-trigger state
+    volume.  Map-only upstreams (the index-ingest drains) have no state
+    store and pass ``None``."""
+    from .processor import _state_partitions
+
+    spark = df.sparkSession
     with tempfile.TemporaryDirectory(prefix="bdap_ckpt_") as ckpt:
-        q = (
-            df.writeStream.outputMode(output_mode)
-            .option("checkpointLocation", ckpt)
-            .foreachBatch(fn)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        with _state_partitions(spark, state_partitions):
+            q = (
+                df.writeStream.outputMode(output_mode)
+                .option("checkpointLocation", ckpt)
+                .foreachBatch(fn)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
 
 
-def run_scored_stream(agg: DataFrame, bridge: OnlineScoringBridge) -> list[dict]:
+def run_scored_stream(
+    agg: DataFrame,
+    bridge: OnlineScoringBridge,
+    state_partitions: int | None = None,
+) -> list[dict]:
     """Attach the bridge to a streaming aggregate and drain all available
     input (update mode: only changed windows reach the bridge per batch)."""
-    run_foreach_batch(agg, bridge, "update")
+    run_foreach_batch(agg, bridge, "update", state_partitions=state_partitions)
     return bridge.batches
 
 
