@@ -75,6 +75,80 @@ def distributed_global_rank(
     return out, n
 
 
+def inplan_global_rank(
+    df: DataFrame,
+    cols: Sequence[str],
+    rank_col: str = "__rank",
+    n_col: str | None = None,
+) -> DataFrame:
+    """df + 1-based global ``rank_col`` over the unique ordering ``cols``,
+    computed in ONE Spark action — the zero-extra-action successor of
+    :func:`distributed_global_rank` for callers that can consume the total
+    row count as a COLUMN (``n_col``) instead of a driver-side int.
+
+    Same two-level algorithm (range partition → per-partition
+    ``row_number`` → cross-partition offset fix-up), with both extra
+    driver actions removed (guide §5.2 — the driver should do no data
+    work; each removed action is a full job round-trip):
+
+    - the range-partitioned intermediate is ``persist()``-pinned and read
+      by the offsets subtree and the rank window inside one physical
+      plan: one materialization, so the sampling-based range partitioner
+      runs exactly once and both consumers see identical partitioning —
+      the consistency ``distributed_global_rank`` buys with an eager
+      ``reliable_pin`` action, obtained here lazily (the cache fills
+      during the action's own broadcast-build job).  Recompute of a lost
+      cached block re-fetches retained shuffle output under the SAME
+      fixed partitioner boundaries, so the pin is cluster-safe without a
+      checkpoint write.  The bench harness clears the cache between runs;
+      in a long session superseded pins are unpersisted by the reference-
+      tracking cleaner once the returned frame is garbage-collected.
+    - per-partition counts fold into exclusive offsets (and the total)
+      through ONE bounded broadcast join over the ≤``defaultParallelism``
+      per-partition counts — no ``Exchange SinglePartition`` anywhere, no
+      driver ``collect``, no ``createDataFrame`` round-trip.
+
+    Callers must order by a UNIQUE compound (tie-break on an id), as with
+    ``distributed_global_rank``.
+    """
+    spark = df.sparkSession
+    parts = spark.sparkContext.defaultParallelism
+    pinned = (
+        df.repartitionByRange(parts, *cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = pinned.groupBy("__pid").agg(F.count("*").alias("__cnt"))
+    other = counts.select(
+        F.col("__pid").alias("__pid_b"), F.col("__cnt").alias("__cnt_b")
+    )
+    # bounded all-pairs fold (≤ parts² rows, broadcast nested-loop): the
+    # exclusive offset AND the total row count in one pass, with no
+    # single-partition exchange over anything
+    off_aggs = [
+        F.coalesce(
+            F.sum(F.when(F.col("__pid_b") < F.col("__pid"), F.col("__cnt_b"))),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("__off")
+    ]
+    if n_col is not None:
+        off_aggs.append(F.sum("__cnt_b").cast("long").alias(n_col))
+    off = (
+        counts.join(F.broadcast(other), F.lit(True))
+        .groupBy("__pid")
+        .agg(*off_aggs)
+    )
+    wp = Window.partitionBy("__pid").orderBy(*cols)
+    return (
+        pinned.withColumn("__rn", F.row_number().over(wp))
+        .join(F.broadcast(off), "__pid")
+        .withColumn(rank_col, (F.col("__rn") + F.col("__off")).cast("long"))
+        .drop("__pid", "__rn", "__off")
+    )
+
+
 def ntile_from_rank(rank: Column, n: int, k: int) -> Column:
     """SQL ``ntile(k)`` from a 1-based global rank with ``n`` total rows:
     the standard base/remainder bucket-size rule, bit-identical to the
@@ -87,6 +161,27 @@ def ntile_from_rank(rank: Column, n: int, k: int) -> Column:
         .otherwise(rem + (rank - rem * (base + 1) - 1) / base)
         .cast("long")
         + 1
+    )
+
+
+def ntile_from_rank_n(rank: Column, n: Column, k: int) -> Column:
+    """:func:`ntile_from_rank` with the total row count as a COLUMN (from
+    ``inplan_global_rank``'s ``n_col``) — the identical base/remainder
+    rule with the identical double-division + truncation arithmetic, so
+    every rank's bucket is bit-equal to the int-``n`` form (the operands
+    are the same exact integers; IEEE division and the long cast agree).
+    The ``base == 0`` branch short-circuits per row, so the divisions by
+    ``base`` are never evaluated when it is zero."""
+    base = F.floor(n / k).cast("long")
+    rem = (n - base * k).cast("long")
+    bucketed = (
+        F.when(rank <= rem * (base + 1), (rank - 1) / (base + 1))
+        .otherwise(rem + (rank - rem * (base + 1) - 1) / base)
+        .cast("long")
+        + 1
+    )
+    return F.when(base == 0, rank.cast("long")).otherwise(
+        bucketed.cast("long")
     )
 
 

@@ -1893,7 +1893,7 @@ def curriculum_phase_assignment(spark, sf_dir):
     """Quality-tertile curriculum phases over the corpus, audited per
     (phase, language) — see block comment."""
     from ..operators import text as T
-    from ..operators.rank import distributed_global_rank
+    from ..operators.rank import inplan_global_rank
 
     docs = read_table(spark, sf_dir, "documents")
     toks = T.ws_tokens(F.col("text"))
@@ -1903,12 +1903,14 @@ def curriculum_phase_assignment(spark, sf_dir):
         "n_chars",
         F.round(T.quality_score(F.col("text"), toks), 6).alias("q"),
     )
-    ranked, n = distributed_global_rank(scored, ["q", "doc_id"], "__grank")
+    ranked = inplan_global_rank(scored, ["q", "doc_id"], "__grank", n_col="__n")
     phased = ranked.select(
         "lang",
         "n_chars",
         "q",
-        F.floor((F.col("__grank") - 1) * 3.0 / F.lit(n)).cast("long").alias("phase"),
+        F.floor((F.col("__grank") - 1) * 3.0 / F.col("__n"))
+        .cast("long")
+        .alias("phase"),
     )
     return phased.groupBy("phase", "lang").agg(
         F.count("*").cast("long").alias("n_docs"),

@@ -663,7 +663,7 @@ def rfm_customer_segments(spark, sf_dir):
     user-cardinality rollup (never the event log).  Monetary sums as
     BIGINT cents on the portable floor grid; recency counts exact days
     against a 1-row broadcast anchor."""
-    from ..operators.rank import distributed_global_rank, ntile_from_rank
+    from ..operators.rank import inplan_global_rank, ntile_from_rank_n
 
     p = (
         read_table(spark, sf_dir, "events")
@@ -692,14 +692,16 @@ def rfm_customer_segments(spark, sf_dir):
             "monetary_cents",
         )
     )
-    ranked, n = distributed_global_rank(u, ["recency_days", "user_id"], "__r")
-    ranked = ranked.withColumn("r_q", ntile_from_rank(F.col("__r"), n, 5))
-    ranked, n = distributed_global_rank(ranked, ["frequency", "user_id"], "__f")
-    ranked = ranked.withColumn("f_q", ntile_from_rank(F.col("__f"), n, 5))
-    ranked, n = distributed_global_rank(
-        ranked, ["monetary_cents", "user_id"], "__m"
-    )
-    ranked = ranked.withColumn("m_q", ntile_from_rank(F.col("__m"), n, 5))
+    # single-action ranks (r16): the in-plan operator derives the offsets
+    # and the total count inside one physical plan, so the three chained
+    # quintiles cost zero extra Spark actions (was 3 pins + 3 collects)
+    nc = F.col("__n")
+    ranked = inplan_global_rank(u, ["recency_days", "user_id"], "__r", n_col="__n")
+    ranked = ranked.withColumn("r_q", ntile_from_rank_n(F.col("__r"), nc, 5))
+    ranked = inplan_global_rank(ranked, ["frequency", "user_id"], "__f")
+    ranked = ranked.withColumn("f_q", ntile_from_rank_n(F.col("__f"), nc, 5))
+    ranked = inplan_global_rank(ranked, ["monetary_cents", "user_id"], "__m")
+    ranked = ranked.withColumn("m_q", ntile_from_rank_n(F.col("__m"), nc, 5))
     return ranked.groupBy("r_q", "f_q", "m_q").agg(
         F.count("*").cast("long").alias("n_users"),
         F.sum("monetary_cents").alias("total_monetary_cents"),
@@ -844,9 +846,7 @@ def funnel_conversion_latency(spark, sf_dir):
     rollup (conversion-cardinality, not event-cardinality), with
     (latency, user_id) uniqueness making every pick engine-independent.
     One user-keyed funnel join + one rank pass; output is a single row."""
-    import math
-
-    from ..operators.rank import distributed_global_rank
+    from ..operators.rank import inplan_global_rank
 
     ev = read_table(spark, sf_dir, "events")
     v = (
@@ -869,14 +869,23 @@ def funnel_conversion_latency(spark, sf_dir):
             ).cast("long").alias("latency_sec"),
         )
     )
-    ranked, n = distributed_global_rank(conv, ["latency_sec", "user_id"])
-    picks = {q: max(1, math.ceil(q * n)) for q in (0.5, 0.9, 0.99)}
-    pick = F.col("__rank")
+    ranked = inplan_global_rank(
+        conv, ["latency_sec", "user_id"], n_col="__n"
+    )
+    # pick positions in-plan: ceil(q·n) over the same exact integers the
+    # int-n form fed math.ceil, so the picks are identical
+    nd = F.col("__n").cast("double")
+
+    def pick_at(q):
+        return F.col("__rank") == F.greatest(
+            F.lit(1).cast("long"), F.ceil(nd * q)
+        )
+
     return ranked.agg(
-        F.lit(n).cast("long").alias("n_converted"),
-        F.max(F.when(pick == picks[0.5], F.col("latency_sec"))).alias("p50_sec"),
-        F.max(F.when(pick == picks[0.9], F.col("latency_sec"))).alias("p90_sec"),
-        F.max(F.when(pick == picks[0.99], F.col("latency_sec"))).alias("p99_sec"),
+        F.coalesce(F.max("__n"), F.lit(0)).cast("long").alias("n_converted"),
+        F.max(F.when(pick_at(0.5), F.col("latency_sec"))).alias("p50_sec"),
+        F.max(F.when(pick_at(0.9), F.col("latency_sec"))).alias("p90_sec"),
+        F.max(F.when(pick_at(0.99), F.col("latency_sec"))).alias("p99_sec"),
     )
 
 
@@ -917,7 +926,7 @@ def inequality_gini_revenue(spark, sf_dir):
     an empty/zero-revenue corpus guards with CASE.  Long-range headroom:
     Σi·y stays under 2⁶³ while n · total_cents < 9.2·10¹⁸ — past that,
     recast the moments to DECIMAL(38,0)."""
-    from ..operators.rank import distributed_global_rank
+    from ..operators.rank import inplan_global_rank
 
     u = (
         read_table(spark, sf_dir, "events")
@@ -929,15 +938,16 @@ def inequality_gini_revenue(spark, sf_dir):
             ).alias("y")
         )
     )
-    ranked, n = distributed_global_rank(u, ["y", "user_id"])
+    ranked = inplan_global_rank(u, ["y", "user_id"], n_col="__n")
     s = ranked.agg(
         F.sum("y").alias("sy"),
         F.sum(F.col("__rank") * F.col("y")).alias("siy"),
+        F.coalesce(F.max("__n"), F.lit(0)).cast("long").alias("n"),
     )
-    num = 2 * F.col("siy") - (F.lit(n) + 1) * F.col("sy")
-    den = F.lit(n) * F.col("sy")
+    num = 2 * F.col("siy") - (F.col("n") + 1) * F.col("sy")
+    den = F.col("n") * F.col("sy")
     return s.select(
-        F.lit(n).cast("long").alias("n_users"),
+        F.col("n").alias("n_users"),
         F.col("sy").alias("total_cents"),
         F.when(den > 0, num.cast("double") / den.cast("double")).alias("gini"),
     )
@@ -1695,7 +1705,7 @@ def inequality_top_user_share(spark, sf_dir):
     """Share of purchase revenue captured by the top 1% / 10% of
     spenders, via the two-pass distributed global rank — see block
     comment."""
-    from ..operators.rank import distributed_global_rank
+    from ..operators.rank import inplan_global_rank
 
     ev = read_table(spark, sf_dir, "events")
     u = (
@@ -1710,15 +1720,17 @@ def inequality_top_user_share(spark, sf_dir):
             "user_id", "cents", (-F.col("cents")).alias("neg_cents")
         )
     )
-    ranked, n = distributed_global_rank(u, ["neg_cents", "user_id"], "__grank")
-    import math
-
-    k1 = int(math.ceil(n / 100.0))
-    k10 = int(math.ceil(n / 10.0))
+    ranked = inplan_global_rank(
+        u, ["neg_cents", "user_id"], "__grank", n_col="__n"
+    )
+    # cutoffs in-plan: ceil(n/100), ceil(n/10) over the same exact doubles
+    # the int-n form fed math.ceil
+    k1 = F.ceil(F.col("__n").cast("double") / 100.0)
+    k10 = F.ceil(F.col("__n").cast("double") / 10.0)
     return ranked.agg(
-        F.lit(n).cast("long").alias("n_users"),
+        F.coalesce(F.max("__n"), F.lit(0)).cast("long").alias("n_users"),
         F.sum("cents").cast("long").alias("total_cents"),
-        F.lit(k1).cast("long").alias("top1pct_users"),
+        F.coalesce(F.max(k1), F.lit(0)).cast("long").alias("top1pct_users"),
         F.round(
             F.sum(F.when(F.col("__grank") <= k1, F.col("cents")).otherwise(0))
             .cast("double")
@@ -1784,11 +1796,9 @@ FROM ranked
 def repeat_purchase_intervals(spark, sf_dir):
     """Exact p50/p90/p99 (and mean) of seconds between consecutive
     purchases per user — see block comment."""
-    import math
-
     from pyspark.sql import Window
 
-    from ..operators.rank import distributed_global_rank
+    from ..operators.rank import inplan_global_rank
 
     ev = read_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -1802,24 +1812,30 @@ def repeat_purchase_intervals(spark, sf_dir):
         .cast("long")
         .alias("gap_sec"),
     )
-    ranked, n = distributed_global_rank(
-        gaps, ["gap_sec", "user_id", "event_id"]
+    ranked = inplan_global_rank(
+        gaps, ["gap_sec", "user_id", "event_id"], n_col="__n"
     )
-    stats = gaps.agg(
+    # one aggregate over the ranked frame (r16): the summary stats and the
+    # percentile picks read the SAME rows, so the former second pass over
+    # the lag-window pipeline (a separate `gaps` aggregate + crossJoin)
+    # collapses into this single scalar aggregation — same values
+    nd = F.col("__n").cast("double")
+
+    def pick_at(q):
+        return F.col("__rank") == F.greatest(
+            F.lit(1).cast("long"), F.ceil(nd * q)
+        )
+
+    return ranked.agg(
         F.countDistinct("user_id").cast("long").alias("n_repeat_buyers"),
         F.count("*").cast("long").alias("n_gaps"),
         F.round(
             F.sum("gap_sec").cast("double") / F.count("*").cast("double"), 6
         ).alias("mean_gap_sec"),
+        F.max(F.when(pick_at(0.5), F.col("gap_sec"))).alias("p50_sec"),
+        F.max(F.when(pick_at(0.9), F.col("gap_sec"))).alias("p90_sec"),
+        F.max(F.when(pick_at(0.99), F.col("gap_sec"))).alias("p99_sec"),
     )
-    picks = {q: max(1, math.ceil(q * n)) for q in (0.5, 0.9, 0.99)}
-    pick = F.col("__rank")
-    pct = ranked.agg(
-        F.max(F.when(pick == picks[0.5], F.col("gap_sec"))).alias("p50_sec"),
-        F.max(F.when(pick == picks[0.9], F.col("gap_sec"))).alias("p90_sec"),
-        F.max(F.when(pick == picks[0.99], F.col("gap_sec"))).alias("p99_sec"),
-    )
-    return stats.crossJoin(F.broadcast(pct))
 
 
 # --- revenue-quartile migration matrix (first half vs second half) --------
@@ -1874,7 +1890,7 @@ GROUP BY q_first_half, q_second_half
 def segment_migration_matrix(spark, sf_dir):
     """Revenue-quartile migration matrix between the corpus's two halves
     — see block comment."""
-    from ..operators.rank import distributed_global_rank, ntile_from_rank
+    from ..operators.rank import inplan_global_rank, ntile_from_rank_n
 
     ev = read_table(spark, sf_dir, "events")
     epoch = F.unix_timestamp("ts").cast("long")
@@ -1901,12 +1917,12 @@ def segment_migration_matrix(spark, sf_dir):
             .groupBy("user_id")
             .agg(F.sum("c").cast("long").alias("cents"))
         )
-        ranked, n = distributed_global_rank(
-            cents, ["cents", "user_id"], "__q rank".replace(" ", "_")
+        ranked = inplan_global_rank(
+            cents, ["cents", "user_id"], "__q_rank", n_col="__n"
         )
         return ranked.select(
             "user_id",
-            ntile_from_rank(F.col("__q_rank"), n, 4).alias("q"),
+            ntile_from_rank_n(F.col("__q_rank"), F.col("__n"), 4).alias("q"),
         )
 
     h1 = quartiles(p, F.col("first_half"))

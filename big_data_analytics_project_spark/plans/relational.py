@@ -823,21 +823,24 @@ def window_distribution(spark, sf_dir):
     percent_rank = (rank-1)/(n-1), cume_dist = rank/n, and ntile follows
     the standard base/remainder bucket-size rule — all pure expressions on
     the global rank, bit-identical to the oracle's window functions."""
-    from ..operators.rank import distributed_global_rank, ntile_from_rank
+    from ..operators.rank import inplan_global_rank, ntile_from_rank_n
 
     c = _t(spark, sf_dir, "customer")
-    ranked, n = distributed_global_rank(c, ["c_acctbal", "c_custkey"])
+    ranked = inplan_global_rank(c, ["c_acctbal", "c_custkey"], n_col="__n")
     r = F.col("__rank")
-    # n is known at plan time; with a single row percent_rank is defined as
-    # 0.0 (the oracle's convention) while (r-1)/(n-1) would be NULL via /0.
-    pct_rank = (
-        ((r - 1).cast("double") / F.lit(float(n - 1))) if n > 1 else F.lit(0.0)
-    )
+    n = F.col("__n")
+    # with a single row percent_rank is defined as 0.0 (the oracle's
+    # convention) while (r-1)/(n-1) would be NULL via /0; the branch that
+    # was decided from the driver-side int is now a per-row CASE on the
+    # same count
+    pct_rank = F.when(
+        n > 1, (r - 1).cast("double") / (n - 1).cast("double")
+    ).otherwise(F.lit(0.0))
     return ranked.select(
         "c_custkey",
-        ntile_from_rank(r, n, 4).alias("quartile"),
+        ntile_from_rank_n(r, n, 4).alias("quartile"),
         pct_rank.alias("pct_rank"),
-        (r.cast("double") / F.lit(float(n))).alias("cum_dist"),
+        (r.cast("double") / n.cast("double")).alias("cum_dist"),
     )
 
 
@@ -1284,15 +1287,17 @@ def profile_decile_order_totals(spark, sf_dir):
     single-reducer ntile); amounts are BIGINT cents on the portable floor
     grid so bucket boundaries, sums, and the one average division are
     exact."""
-    from ..operators.rank import distributed_global_rank, ntile_from_rank
+    from ..operators.rank import inplan_global_rank, ntile_from_rank_n
 
     o = _t(spark, sf_dir, "orders").select(
         "o_orderkey",
         F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long").alias("cents"),
     )
-    ranked, n = distributed_global_rank(o, ["cents", "o_orderkey"])
+    ranked = inplan_global_rank(o, ["cents", "o_orderkey"], n_col="__n")
     return (
-        ranked.withColumn("decile", ntile_from_rank(F.col("__rank"), n, 10))
+        ranked.withColumn(
+            "decile", ntile_from_rank_n(F.col("__rank"), F.col("__n"), 10)
+        )
         .groupBy("decile")
         .agg(
             F.count("*").cast("long").alias("n_orders"),

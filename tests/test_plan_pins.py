@@ -71,19 +71,37 @@ def test_snapshot_diff_is_one_shuffled_join_no_broadcast(registry, spark, sf_dir
 
 
 def test_rank_consumers_have_no_single_reducer_exchange(registry, spark, sf_dir):
-    """Every consumer of distributed_global_rank exists precisely to avoid
-    a global Window.orderBy — whose plan signature is an Exchange
+    """Every consumer of the global-rank operators exists precisely to
+    avoid a global Window.orderBy — whose plan signature is an Exchange
     SinglePartition funneling the dataset through one task.  A regression
-    to a naive ntile/row_number would reintroduce it."""
-    for name in (
-        "window_distribution",
-        "rfm_customer_segments",
-        "profile_decile_order_totals",
+    to a naive ntile/row_number would reintroduce it.  Since the r16 move
+    to ``inplan_global_rank``, the WHOLE multi-rank pipeline is one plan
+    (no lineage-truncating pin hides earlier ranks), so every rank
+    contributes one visible Window — each the per-range-partition local
+    row_number, partitioned by __pid, never partitionless."""
+    for name, n_ranks in (
+        ("window_distribution", 1),
+        ("rfm_customer_segments", 3),
+        ("profile_decile_order_totals", 1),
     ):
         plan = _plan(registry, spark, sf_dir, name)
-        assert "Exchange SinglePartition" not in plan, (name, plan)
-        # the only Window is the per-range-partition local row_number
-        assert plan.count("Window") == 1, (name, plan)
+        # a SinglePartition exchange is allowed ONLY as a 1-row scalar
+        # reduction (rfm's broadcast anchor date — visible since the r16
+        # in-plan rank stopped truncating lineage); one feeding a
+        # Sort/Window would be the single-reducer regression
+        lines = plan.splitlines()
+        for i, ln in enumerate(lines):
+            if "Exchange SinglePartition" in ln:
+                nxt = lines[i + 1] if i + 1 < len(lines) else ""
+                assert "HashAggregate(keys=[]" in nxt, (name, ln, nxt)
+        # one DISTINCT window spec per rank call (the cached-relation
+        # rendering repeats nested subtrees, so raw node counts inflate),
+        # every one the bounded local row_number partitioned by __pid
+        assert plan.count("windowspecdefinition(") == plan.count(
+            "windowspecdefinition(__pid"
+        ), (name, plan)
+        specs = set(re.findall(r"windowspecdefinition\(__pid#\d+", plan))
+        assert len(specs) == n_ranks, (name, specs, plan)
 
 
 def test_latency_single_partition_is_only_the_scalar_agg(registry, spark, sf_dir):

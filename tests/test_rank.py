@@ -8,7 +8,9 @@ from pyspark.sql import Window
 from big_data_analytics_project_spark.operators.rank import (
     bucketed_prefix_sum,
     distributed_global_rank,
+    inplan_global_rank,
     ntile_from_rank,
+    ntile_from_rank_n,
 )
 
 
@@ -68,3 +70,57 @@ def test_rank_is_total_and_unique(spark):
     ranked, n = distributed_global_rank(df, ["v", "id"])
     ranks = [r["__rank"] for r in ranked.collect()]
     assert sorted(ranks) == list(range(1, n + 1))
+
+
+@pytest.mark.parametrize("n", [0, 1, 3, 8, 997])
+def test_inplan_rank_matches_two_pass_operator(spark, n):
+    """inplan_global_rank (single action, in-plan offsets + count column)
+    must produce the identical rank column as distributed_global_rank,
+    with the count riding every row — including heavy ties spanning range
+    partitions, a one-row frame, and the empty frame."""
+    df = spark.createDataFrame(
+        [((i * 37) % 5, i) for i in range(n)], "v long, id long"
+    ).repartition(7)
+    got = {
+        r["id"]: (r["r"], r["__n"])
+        for r in inplan_global_rank(df, ["v", "id"], "r", n_col="__n").collect()
+    }
+    if n == 0:
+        assert got == {}
+        return
+    ranked, total = distributed_global_rank(df, ["v", "id"], "r")
+    want = {r["id"]: (r["r"], total) for r in ranked.collect()}
+    assert got == want
+
+
+@pytest.mark.parametrize("n", [1, 2, 5, 23, 101])
+@pytest.mark.parametrize("k", [3, 4, 10])
+def test_ntile_column_n_matches_int_n(spark, n, k):
+    """ntile_from_rank_n (count as a Column) is bit-equal to the int-n
+    form across awkward sizes, including n < k (the base == 0 branch,
+    where the division by base must short-circuit, not error)."""
+    df = spark.range(1, n + 1).select(
+        F.col("id").alias("r"), F.lit(n).cast("long").alias("nn")
+    )
+    rows = df.select(
+        "r",
+        ntile_from_rank(F.col("r"), n, k).alias("a"),
+        ntile_from_rank_n(F.col("r"), F.col("nn"), k).alias("b"),
+    ).collect()
+    assert all(r["a"] == r["b"] for r in rows)
+
+
+def test_inplan_rank_single_range_exchange(spark):
+    """Consistency pin: both consumers of the range-partitioned
+    intermediate (offsets subtree + rank window) must read ONE cached
+    materialization — the sampling-based partitioner then runs exactly
+    once per execution.  The physical plan must show the InMemoryTableScan
+    substitution and no single-reducer exchange anywhere."""
+    df = spark.createDataFrame(
+        [((i * 13) % 17, i) for i in range(500)], "v long, id long"
+    )
+    out = inplan_global_rank(df, ["v", "id"], "r", n_col="__n")
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
