@@ -262,6 +262,25 @@ def ann_ivf_recall_audit(spark, sf_dir):
     )
 
 
+def _probe_batch(emb, vec, nprobe=3):
+    """(query_id, qv, list_id) probe rows of the standard ``vec_id < 8``
+    query batch, via the broadcast-data probe assignment
+    (:func:`operators.similarity.with_centroid_assignment` — r16: the
+    inlined-literal probe form cost seconds of per-query plan
+    build/analysis at identical per-row throughput; the broadcast form is
+    plan-size O(1) in C and produces bit-identical probe sets, the
+    operator's own equivalence property test)."""
+    return S.with_centroid_assignment(
+        emb.where(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("query_id"), vec.alias("qv")
+        ),
+        F.col("qv"),
+        IVF_CENTROIDS,
+        "__probes",
+        nprobe=nprobe,
+    ).select("query_id", "qv", F.explode("__probes").alias("list_id"))
+
+
 _DUCK_IVF_POSTING = _duck_ivf_sql(3, "vec_id < 8")
 
 
@@ -300,20 +319,24 @@ def ann_ivf_against_posting_index(spark, sf_dir):
     # at sf0.1 — pure added materialization, same bigram-LM lesson as
     # commit 5632fc9.  The corpus-assignment cost IS the index build,
     # which production amortizes across probe batches.
-    posting_rows = emb.select(
-        F.col("vec_id").alias("neighbor_id"),
-        vec.alias("v"),
-        S.nearest_centroid(vec, IVF_CENTROIDS).alias("list_id"),
+    # broadcast-data assignment (r16): the inlined-literal argmin/probe
+    # forms cost seconds of per-query plan build+analysis (16×64 literal
+    # leaves, worst in the probe's array_sort) at IDENTICAL per-row
+    # throughput — measured 7.4 s → 1.9 s fixed for the nearest+probe
+    # pair at sf0.1, bit-identical assignments (the operator's own
+    # equivalence property test).  This is also the production form the
+    # operator docs prescribe at real centroid counts (C=4096+).
+    posting_rows = S.with_centroid_assignment(
+        emb.select(F.col("vec_id").alias("neighbor_id"), vec.alias("v")),
+        F.col("v"),
+        IVF_CENTROIDS,
+        "list_id",
     )
     idx_path = index_scratch_dir(spark, "posting_index")
     posting_rows.write.partitionBy("list_id").parquet(idx_path)
     posting = spark.read.parquet(idx_path)
 
-    q = emb.where(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("query_id"),
-        vec.alias("qv"),
-        F.explode(S.probe_centroids(vec, IVF_CENTROIDS, 3)).alias("list_id"),
-    )
+    q = _probe_batch(emb, vec)
     sims = (
         F.broadcast(q)
         .join(posting, "list_id")
@@ -383,10 +406,13 @@ def ann_ivf_posting_index_append(spark, sf_dir):
     stream-ingest/compact) to the ANN subsystem."""
     emb = read_table(spark, sf_dir, "embeddings")
     vec = S.as_double("embedding")
-    assigned = emb.select(
-        F.col("vec_id").alias("neighbor_id"),
-        vec.alias("v"),
-        S.nearest_centroid(vec, IVF_CENTROIDS).alias("list_id"),
+    # broadcast-data assignment (r16): O(1) plan size, identical argmin —
+    # see ann_ivf_against_posting_index
+    assigned = S.with_centroid_assignment(
+        emb.select(F.col("vec_id").alias("neighbor_id"), vec.alias("v")),
+        F.col("v"),
+        IVF_CENTROIDS,
+        "list_id",
     )
     idx_path = index_scratch_dir(spark, "posting_index_gen")
     # gen-0 build: the established corpus, list-partitioned as always
@@ -407,11 +433,7 @@ def ann_ivf_posting_index_append(spark, sf_dir):
     )
     posting = spark.read.parquet(idx_path)
 
-    q = emb.where(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("query_id"),
-        vec.alias("qv"),
-        F.explode(S.probe_centroids(vec, IVF_CENTROIDS, 3)).alias("list_id"),
-    )
+    q = _probe_batch(emb, vec)
     sims = (
         F.broadcast(q)
         .join(posting, "list_id")
@@ -482,10 +504,11 @@ def ann_ivf_posting_index_tombstone_delete(spark, sf_dir):
     vec = S.as_double("embedding")
     idx_path = index_scratch_dir(spark, "posting_index_del")
     (
-        emb.select(
-            F.col("vec_id").alias("neighbor_id"),
-            vec.alias("v"),
-            S.nearest_centroid(vec, IVF_CENTROIDS).alias("list_id"),
+        S.with_centroid_assignment(
+            emb.select(F.col("vec_id").alias("neighbor_id"), vec.alias("v")),
+            F.col("v"),
+            IVF_CENTROIDS,
+            "list_id",
         )
         .write.partitionBy("list_id")
         .parquet(idx_path)
@@ -507,11 +530,7 @@ def ann_ivf_posting_index_tombstone_delete(spark, sf_dir):
     live = posting.join(F.broadcast(tombstones), "neighbor_id", "left_anti")
     nrows = live.agg(F.count("*").cast("long").alias("live_index_rows"))
 
-    q = emb.where(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("query_id"),
-        vec.alias("qv"),
-        F.explode(S.probe_centroids(vec, IVF_CENTROIDS, 3)).alias("list_id"),
-    )
+    q = _probe_batch(emb, vec)
     sims = (
         F.broadcast(q)
         .join(live, "list_id")
@@ -580,10 +599,11 @@ def ann_ivf_posting_index_compaction(spark, sf_dir):
     build → probe → append → delete → compact, on BOTH index types."""
     emb = read_table(spark, sf_dir, "embeddings")
     vec = S.as_double("embedding")
-    assigned = emb.select(
-        F.col("vec_id").alias("neighbor_id"),
-        vec.alias("v"),
-        S.nearest_centroid(vec, IVF_CENTROIDS).alias("list_id"),
+    assigned = S.with_centroid_assignment(
+        emb.select(F.col("vec_id").alias("neighbor_id"), vec.alias("v")),
+        F.col("v"),
+        IVF_CENTROIDS,
+        "list_id",
     )
 
     # the LIVED-IN starting state: two generations (gen0 = established
@@ -627,11 +647,7 @@ def ann_ivf_posting_index_compaction(spark, sf_dir):
 
     # probe the compacted index EXACTLY like a fresh build — no
     # tombstone anti-join anywhere (that is the point of compaction)
-    q = emb.where(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("query_id"),
-        vec.alias("qv"),
-        F.explode(S.probe_centroids(vec, IVF_CENTROIDS, 3)).alias("list_id"),
-    )
+    q = _probe_batch(emb, vec)
     sims = (
         F.broadcast(q)
         .join(compacted, "list_id")
@@ -1681,31 +1697,41 @@ def ann_ivf_nprobe_recall_curve(spark, sf_dir):
     `probe_rank <= n`), then replicated across the four depths in-plan
     and cut by one (query, depth)-partitioned window — one cosine pass,
     one window, one brute join, instead of four full IVF pipelines
-    (9.3 s → 4.8 s at sf0.1; the remainder is centroid-literal codegen
-    overhead, constant in corpus size)."""
+    (9.3 s → 4.8 s at sf0.1; the once-remaining centroid-literal plan
+    overhead is gone since the r16 move to the broadcast-data
+    assignment)."""
     from ..functions.vector import as_double, cosine
-    from ..operators.similarity import nearest_centroid, probe_centroids
+    from ..operators.similarity import with_centroid_assignment
 
     emb = read_table(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") < 5)
     brute = S.brute_force_topk(emb, q, k=10).select("query_id", "neighbor_id")
     max_probe = max(_NPROBE_SWEEP)
-    probes = q.select(
-        F.col("vec_id").alias("query_id"),
-        as_double("embedding").alias("__qv"),
-        F.posexplode(
-            probe_centroids(as_double("embedding"), IVF_CENTROIDS, max_probe)
-        ).alias("__pos", "list_id"),
+    probes = with_centroid_assignment(
+        q.select(
+            F.col("vec_id").alias("query_id"),
+            as_double("embedding").alias("__qv"),
+        ),
+        F.col("__qv"),
+        IVF_CENTROIDS,
+        "__probes",
+        nprobe=max_probe,
+    ).select(
+        "query_id",
+        "__qv",
+        F.posexplode("__probes").alias("__pos", "list_id"),
     ).select(
         "query_id", "__qv", "list_id",
         (F.col("__pos") + 1).alias("probe_rank"),
     )
-    corpus = emb.select(
-        F.col("vec_id").alias("neighbor_id"),
-        as_double("embedding").alias("__cv"),
-        nearest_centroid(as_double("embedding"), IVF_CENTROIDS).alias(
-            "list_id"
+    corpus = with_centroid_assignment(
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            as_double("embedding").alias("__cv"),
         ),
+        F.col("__cv"),
+        IVF_CENTROIDS,
+        "list_id",
     )
     cand = (
         F.broadcast(probes)

@@ -761,13 +761,19 @@ def streaming_ivf_posting_index_ingest(spark, sf_dir):
     def ingest(batch_df, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        # broadcast-data assignment (r16): the literal argmin form paid
+        # ~a second of plan build/analysis PER MICRO-BATCH (each batch is
+        # a fresh plan); the broadcast form is O(1) plan size with
+        # bit-identical assignments
         (
-            batch_df.select(
-                F.col("vec_id").alias("neighbor_id"),
-                F.col("embedding").alias("v"),
-                S.nearest_centroid(F.col("embedding"), IVF_CENTROIDS).alias(
-                    "list_id"
+            S.with_centroid_assignment(
+                batch_df.select(
+                    F.col("vec_id").alias("neighbor_id"),
+                    F.col("embedding").alias("v"),
                 ),
+                F.col("v"),
+                IVF_CENTROIDS,
+                "list_id",
             )
             .write.partitionBy("list_id")
             .mode("overwrite")
@@ -784,11 +790,9 @@ def streaming_ivf_posting_index_ingest(spark, sf_dir):
 
     emb = read_table(spark, sf_dir, "embeddings")
     vec = S.as_double(F.col("embedding"))
-    q = emb.where(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("query_id"),
-        vec.alias("qv"),
-        F.explode(S.probe_centroids(vec, IVF_CENTROIDS, 3)).alias("list_id"),
-    )
+    from .similarity_queries import _probe_batch
+
+    q = _probe_batch(emb, vec)
     from pyspark.sql import Window
 
     sims = (

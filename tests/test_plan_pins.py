@@ -12,6 +12,17 @@ def _plan(registry, spark, sf_dir, name: str) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def _assert_bnlj_only_cents(plan: str) -> None:
+    """Every BroadcastNestedLoopJoin in the plan must be the intentional
+    1-row broadcast centroid table of the broadcast-data centroid
+    assignment (its build side scans the single-row __cents relation) —
+    never a data-scale nested loop.  Pinned by count equality: one
+    __cents scan per nested-loop join."""
+    n_bnlj = plan.count("BroadcastNestedLoopJoin")
+    n_cents = len(re.findall(r"Scan ExistingRDD\[__cents", plan))
+    assert n_bnlj == n_cents and n_bnlj > 0, (n_bnlj, n_cents, plan)
+
+
 def test_semantic_dedup_pairs_are_cluster_equijoined(registry, spark, sf_dir):
     """The SemDeDup pair scan must be an equi-join on the cluster id —
     never an all-pairs cartesian/nested-loop — and the partner fan-out
@@ -321,7 +332,11 @@ def test_posting_index_probe_prunes_partitions(registry, spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.maxMetadataStringLength", prev)
     assert "CartesianProduct" not in plan, plan
-    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # nested-loops are expected and intentional ONLY as the 1-row
+    # broadcast centroid table of the r16 broadcast-data assignment
+    # (plan-size O(1) in C; appears once more inside the DPP subquery);
+    # the probe join itself must stay an equi-join
+    _assert_bnlj_only_cents(plan)
     m = re.search(r"FileScan parquet[^\n]*/posting_index[^\n]*", plan)
     assert m, plan  # read-back scan over the persisted artifact
     scan_line = m.group(0)
@@ -425,7 +440,8 @@ def test_posting_index_append_probes_merged_partitions(registry, spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.maxMetadataStringLength", prev)
     assert "CartesianProduct" not in plan, plan
-    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # nested-loops only as the 1-row broadcast centroid table (r16)
+    _assert_bnlj_only_cents(plan)
     m = re.search(r"FileScan parquet[^\n]*/posting_index_gen[^\n]*", plan)
     assert m, plan  # read-back over the appended artifact
     assert re.search(r"PartitionFilters|gen#\d+", m.group(0)), m.group(0)
