@@ -879,6 +879,24 @@ def _sig_artifact(spark, df, leaf):
     return spark.read.parquet(path)
 
 
+def _sig_pair_artifact(spark, idx_docs, probe_docs, leaf):
+    """ONE signing pass + ONE scratch artifact for an (index, probe) doc
+    pair with disjoint id spaces — returns ``(sig_idx, sig_probe)`` views
+    of the same parquet (r16; guide §5.2 — fewer driver actions).  Every
+    band-index lifecycle sweep signs an index side (original
+    ``doc_id % 3 != 0`` rows, ids < 2000000) and a probe side
+    (``doc_id % 3 == 0`` originals plus tail-variants shifted +2000000),
+    so the union is disjoint and two filters recover the exact input
+    sets; signing the union in one job halves the artifact write +
+    read-back round trips (measured ~1.3 s of each sweep's cost was the
+    second write at sf0.1)."""
+    sig = _sig_artifact(
+        spark, _bandidx_signed(idx_docs.unionByName(probe_docs)), leaf
+    )
+    is_probe = (F.col("doc_id") >= 2000000) | (F.col("doc_id") % 3 == 0)
+    return sig.where(~is_probe), sig.where(is_probe)
+
+
 def _bandidx_banded(df):
     """Explode a signed frame into (doc_id, band, key) LSH band rows."""
     bands = F.transform(
@@ -973,9 +991,9 @@ def dedup_near_against_band_index(spark, sf_dir):
     signed, banded = _bandidx_signed, _bandidx_banded
 
     # both signature frames feed TWO consumers (band rows + the Jaccard
-    # verify join) — scratch-parquet so the md5 signing runs once per side
-    sig_prior = _sig_artifact(spark, signed(prior), "band_sig_prior")
-    sig_batch = _sig_artifact(spark, signed(batch), "band_sig_batch")
+    # verify join) — scratch-parquet so the md5 signing runs once, in ONE
+    # artifact for both sides (disjoint id spaces, r16)
+    sig_prior, sig_batch = _sig_pair_artifact(spark, prior, batch, "band_sig")
 
     # persist the BAND index: the parquet artifact a next-round ingest
     # probes.  Warehouse-rooted scratch (see sources.sinks.index_scratch_dir)
@@ -1145,13 +1163,11 @@ def dedup_band_index_incremental_append(spark, sf_dir):
     probe = docs.where(F.col("doc_id") % 3 == 0).unionByName(variants)
 
     # sig_idx feeds the two partition writes AND the Jaccard verify join;
-    # sig_probe feeds its band rows and the verify join — scratch-parquet
-    # each so the md5 signing runs once per side (build-query policy)
-    sig_idx = _sig_artifact(
-        spark, _bandidx_signed(docs.where(F.col("doc_id") % 3 != 0)),
-        "bandapp_sig_idx",
+    # sig_probe feeds its band rows and the verify join — one shared
+    # scratch artifact so the md5 signing runs once for both sides (r16)
+    sig_idx, sig_probe = _sig_pair_artifact(
+        spark, docs.where(F.col("doc_id") % 3 != 0), probe, "bandapp_sig"
     )
-    sig_probe = _sig_artifact(spark, _bandidx_signed(probe), "bandapp_sig_probe")
 
     idx_path = index_scratch_dir(spark, "band_index_gen")
     # initial build: generation-0 docs only, partitioned by gen
@@ -1331,9 +1347,8 @@ def dedup_band_index_tombstone_delete(spark, sf_dir):
     )
     probe = docs.where(F.col("doc_id") % 3 == 0).unionByName(variants)
 
-    sig_idx = _sig_artifact(spark, _bandidx_signed(idx_docs), "banddel_sig_idx")
-    sig_probe = _sig_artifact(
-        spark, _bandidx_signed(probe), "banddel_sig_probe"
+    sig_idx, sig_probe = _sig_pair_artifact(
+        spark, idx_docs, probe, "banddel_sig"
     )
 
     idx_path = index_scratch_dir(spark, "band_index_full")
@@ -1514,9 +1529,8 @@ def dedup_band_index_compaction(spark, sf_dir):
     )
     probe = docs.where(F.col("doc_id") % 3 == 0).unionByName(variants)
 
-    sig_idx = _sig_artifact(spark, _bandidx_signed(idx_docs), "bandcmp_sig_idx")
-    sig_probe = _sig_artifact(
-        spark, _bandidx_signed(probe), "bandcmp_sig_probe"
+    sig_idx, sig_probe = _sig_pair_artifact(
+        spark, idx_docs, probe, "bandcmp_sig"
     )
 
     # the LIVED-IN starting state: two generations (gen0 = %3==1 build,
