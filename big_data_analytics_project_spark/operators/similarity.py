@@ -407,35 +407,51 @@ def semantic_dedup(
     """
     from ..functions.vector import dot, norm2
 
-    cent_arr = F.array(
-        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
-    )
     # Each vector's norm is computed ONCE here and carried through the
     # pair join, so the per-pair cosine is a single dot-product fold
     # instead of dot + two norm folds (the pair stage is the hot path:
     # N²/C interpreted HOF evaluations — measured ~3× end-to-end).  The
     # float result is bit-identical to cosine(): same ops, same order,
     # just hoisted out of the pair loop.
+    # Broadcast-data centroids (r16): the assignment argmin AND the
+    # centroid_sim lookup both read the 1-row broadcast __cents table
+    # instead of two inlined C×D literal trees — seconds of per-query
+    # plan build/analysis at identical per-row arithmetic (the same
+    # doubles flow through the same fold).
     # Persisted: this assigned frame feeds THREE plan branches (both
     # sides of the within-cluster self-join and the final per-vector
     # output join), and each reference would otherwise re-run the
     # argmin-over-centroids fold + two norm folds per vector — the
     # dominant map cost.  One corpus-sized frame, computed once
     # (guide §2.1: remove repeated subtree computation).
+    cents = corpus.sparkSession.createDataFrame(
+        [([(i, [float(x) for x in c]) for i, c in enumerate(centroids)],)],
+        "__cents array<struct<i:int,c:array<double>>>",
+    )
+    entries = F.transform(
+        F.col("__cents"),
+        lambda s: F.struct(
+            l2sq(F.col("__v"), s["c"]).alias("d"), s["i"].alias("i")
+        ),
+    )
     v = corpus.select(
         F.col(id_col).alias("vec_id"), as_double(vec_col).alias("__v")
-    ).select(
+    ).crossJoin(F.broadcast(cents)).select(
         "vec_id",
         "__v",
+        "__cents",
         norm2(F.col("__v")).alias("__n"),
-        nearest_centroid(F.col("__v"), centroids).alias("__cluster"),
+        F.array_min(entries)["i"].alias("__cluster"),
     ).select(
         "vec_id",
         "__v",
         "__n",
         "__cluster",
         F.round(
-            cosine(F.col("__v"), F.element_at(cent_arr, F.col("__cluster") + 1)),
+            cosine(
+                F.col("__v"),
+                F.element_at(F.col("__cents"), F.col("__cluster") + 1)["c"],
+            ),
             round_digits,
         ).alias("centroid_sim"),
     ).persist()
@@ -535,14 +551,17 @@ def semantic_leakage(
     # Persisted for the same reason as semantic_dedup's assigned frame:
     # both the eval and the train side of the pair join read it, and
     # each reference would re-run the per-vector argmin + norm folds.
-    base = corpus.select(
-        F.col(id_col).alias("vec_id"), as_double(vec_col).alias("__v"), is_eval.alias("__is_eval")
-    ).select(
-        "vec_id",
-        "__v",
-        "__is_eval",
-        norm2(F.col("__v")).alias("__n"),
-        nearest_centroid(F.col("__v"), centroids).alias("__cluster"),
+    # The assignment itself reads broadcast centroid DATA, not inlined
+    # literals (r16 — identical argmin, O(1) plan size).
+    base = with_centroid_assignment(
+        corpus.select(
+            F.col(id_col).alias("vec_id"),
+            as_double(vec_col).alias("__v"),
+            is_eval.alias("__is_eval"),
+        ).withColumn("__n", norm2(F.col("__v"))),
+        F.col("__v"),
+        centroids,
+        "__cluster",
     ).persist()
     ev = base.where(F.col("__is_eval")).select(
         F.col("vec_id").alias("eval_id"),

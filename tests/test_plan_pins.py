@@ -30,7 +30,8 @@ def test_semantic_dedup_pairs_are_cluster_equijoined(registry, spark, sf_dir):
     plan; the union form would show two)."""
     plan = _plan(registry, spark, sf_dir, "dedup_semantic_clusters")
     assert "CartesianProduct" not in plan, plan
-    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # nested-loops only as the 1-row broadcast centroid table (r16)
+    _assert_bnlj_only_cents(plan)
     n_joins = sum(plan.count(j) for j in
                   ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
     # exactly 2: the cluster-keyed pair join + the final keep-flag join
