@@ -158,12 +158,16 @@ def probe_centroids(
     return F.transform(F.slice(ranked, 1, nprobe), lambda s: s["i"])
 
 
-# Inlined-literal assignment embeds C×D doubles in the plan — perfect
-# codegen at C≤256, but at production scale (C=4096+, D=768) the plan
-# itself would be ~25 MB of literals: slow to analyze, slow to ship to
-# executors.  Above this threshold ``ivf_topk`` switches to the
-# broadcast-data form below.
-_LITERAL_MAX_CENTROIDS = 256
+# Inlined-literal assignment embeds C×D doubles in the plan.  Measured
+# r16: even at C=16, D=64 the literal form costs SECONDS of driver-side
+# plan build+analysis per invocation (worst through probe_centroids'
+# array_sort over the unrolled entry structs) at per-row throughput
+# identical to the broadcast-data form (flat at 200k rows) — so
+# ``ivf_topk``'s "auto" now always picks broadcast data, and the
+# literal form remains only as an explicit opt-in (kept because the
+# equivalence property test differentially pins the two
+# implementations against each other).
+_LITERAL_MAX_CENTROIDS = 0
 
 
 def with_centroid_assignment(
@@ -224,10 +228,13 @@ def ivf_topk(
     Pass pre-trained ``centroids`` to skip quantizer training (the
     production shape: train once on a sample, reuse across queries).
 
-    ``assignment``: ``"literal"`` inlines centroids as plan literals
-    (best codegen, C≤256), ``"broadcast"`` ships them as broadcast data
-    via :func:`with_centroid_assignment` (O(1) plan size — the production
-    form at C=4096+), ``"auto"`` picks by centroid count."""
+    ``assignment``: ``"broadcast"`` (and ``"auto"``, since r16) ships
+    the centroids as broadcast data via
+    :func:`with_centroid_assignment` — O(1) plan size, and measured
+    faster even at tiny C because the literal trees cost seconds of
+    per-query plan analysis at identical per-row throughput;
+    ``"literal"`` inlines them as plan literals (kept as the explicit
+    differential-testing dual — see _LITERAL_MAX_CENTROIDS note)."""
     if centroids is None:
         cents = train_coarse_centroids(corpus, vec_col, n_centroids=n_centroids)
     elif not centroids:

@@ -197,8 +197,8 @@ def ann_ivf_topk(spark, sf_dir):
     """IVF-Flat ANN top-10 (FAISS-style scale path): pre-trained k-means
     coarse quantizer (checked-in fixture centroids — the production
     train-once-on-a-sample shape) → map-only inverted-list assignment
-    (centroid literals inside codegen, no shuffle) → queries probe their 4
-    nearest of 16 lists → exact cosine within probed lists.  Fully
+    (1-row broadcast centroid table, no shuffle — r16) → queries probe
+    their 4 nearest of 16 lists → exact cosine within probed lists.  Fully
     deterministic given the pinned centroids, so the DuckDB oracle mirrors
     assignment + probe + rescore; exactness at nprobe=n_centroids is
     additionally pinned in tests/test_similarity.py."""
