@@ -674,6 +674,30 @@ def ivfpq_topk(
     engine-dependent), so the oracle matches bit-for-bit."""
     m = len(codebooks)
     sub_dim = len(codebooks[0][0])
+    # The centroid table AND the codebooks ride 1-row broadcasts as DATA
+    # (r16): the inlined-literal form embedded M×K×sub_dim + 2×C×D
+    # doubles in the plan and cost double-digit seconds of per-query
+    # plan build/analysis at identical per-row arithmetic (same folds
+    # over the same doubles — differentially pinned against pq_encode's
+    # literal dual in tests).
+    books = corpus.sparkSession.createDataFrame(
+        [([[list(map(float, c_)) for c_ in book] for book in codebooks],)],
+        "__books array<array<array<double>>>",
+    )
+
+    def encode(vec: Column) -> Column:
+        codes = []
+        for j in range(m):
+            sub = F.slice(vec, j * sub_dim + 1, sub_dim)
+            entries = F.transform(
+                F.element_at(F.col("__books"), j + 1),
+                lambda c_, i: F.struct(
+                    l2sq(sub, c_).alias("d"), i.alias("i")
+                ),
+            )
+            codes.append(F.array_min(entries)["i"])
+        return F.array(*codes)
+
     # unit-normalize both sides: on unit vectors the ADC L2 ordering is
     # monotone in cosine, matching the exact brute-force baseline's metric.
     # The normalized vector is materialized as a column in a SEPARATE
@@ -681,31 +705,39 @@ def ivfpq_topk(
     # inlining it into every sub-centroid distance term would recompute
     # that fold M×K times per row (measured ~19× slower end-to-end).
     nv = l2_normalize(as_double(vec_col))
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), nv.alias("__nv")
-    ).select(
+    c = with_centroid_assignment(
+        corpus.select(F.col(id_col).alias("neighbor_id"), nv.alias("__nv")),
+        F.col("__nv"),
+        centroids,
+        "__list",
+    ).crossJoin(F.broadcast(books)).select(
         "neighbor_id",
-        nearest_centroid(F.col("__nv"), centroids).alias("__list"),
-        pq_encode(F.col("__nv"), codebooks).alias("__codes"),
+        "__list",
+        encode(F.col("__nv")).alias("__codes"),
     )
-    q = queries.select(
-        F.col(id_col).alias("query_id"), nv.alias("__qv")
-    ).select(
-        "query_id",
-        "__qv",
-        F.explode(probe_centroids(F.col("__qv"), centroids, nprobe)).alias("__list"),
-    )
+    q = with_centroid_assignment(
+        queries.select(F.col(id_col).alias("query_id"), nv.alias("__qv")),
+        F.col("__qv"),
+        centroids,
+        "__probes",
+        nprobe=nprobe,
+    ).select("query_id", "__qv", F.explode("__probes").alias("__list"))
     dist = None
-    for j, book in enumerate(codebooks):
-        cb = F.array(*[F.array(*[F.lit(x) for x in c_]) for c_ in book])
-        chosen = F.element_at(cb, F.element_at(F.col("__codes"), j + 1) + 1)
+    for j in range(m):
+        chosen = F.element_at(
+            F.element_at(F.col("__books"), j + 1),
+            F.element_at(F.col("__codes"), j + 1) + 1,
+        )
         sub_q = F.slice(F.col("__qv"), j * sub_dim + 1, sub_dim)
         term = l2sq(sub_q, chosen)
         dist = term if dist is None else dist + term
+    # the ADC lookup table joins back as the same 1-row broadcast at the
+    # candidate projection (bounded probe volume), then drops
     sims = (
         F.broadcast(q)
         .join(c, "__list")
         .where(F.col("query_id") != F.col("neighbor_id"))
+        .crossJoin(F.broadcast(books))
         .select(
             "query_id",
             "neighbor_id",
