@@ -392,21 +392,39 @@ def simhash_fingerprints(
     perm = (cols // 8) * 8 + (7 - cols % 8)
 
     def fp_batches(batches):
+        # whole-batch vectorization (r16; guide §4.2): flatten every
+        # row's hash list into ONE array, unpackbits once, and reduce
+        # per-row segments with add.reduceat — the previous per-row loop
+        # paid numpy call overhead per document (measured ~10× slower).
+        # Same integer math per row, so fingerprints are bit-identical.
         for pdf in batches:
-            ids, fps = [], []
-            for i, hs in zip(pdf[id_col], pdf["__hs"]):
-                arr = np.asarray(hs, dtype=np.int64).view(np.uint64)
-                bitmat = np.unpackbits(arr.view(np.uint8).reshape(-1, 8), axis=1)
-                counts = bitmat.sum(axis=0)[perm]  # counts[b] = #hashes with bit b
-                maj = (counts * 2 > len(arr)) & (cols < n_bits)
-                fp = 0
-                for b in np.nonzero(maj)[0]:
-                    fp |= 1 << int(b)
-                if fp >= 1 << 63:  # two's-complement into int64
-                    fp -= 1 << 64
-                ids.append(i)
-                fps.append(fp)
-            yield pd.DataFrame({id_col: ids, "fingerprint": fps})
+            lens = np.fromiter(
+                (len(h) for h in pdf["__hs"]), dtype=np.int64, count=len(pdf)
+            )
+            if len(lens) == 0:
+                yield pd.DataFrame(
+                    {
+                        id_col: pd.Series([], dtype="int64"),
+                        "fingerprint": pd.Series([], dtype="int64"),
+                    }
+                )
+                continue
+            flat = np.concatenate(
+                [np.asarray(h, dtype=np.int64) for h in pdf["__hs"]]
+            ).view(np.uint64)
+            bitmat = np.unpackbits(
+                flat.view(np.uint8).reshape(-1, 8), axis=1
+            )
+            starts = np.zeros(len(lens), dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            counts = np.add.reduceat(bitmat, starts, axis=0)[:, perm]
+            maj = (counts * 2 > lens[:, None]) & (cols < n_bits)
+            fps = (
+                (maj.astype(np.uint64) << cols.astype(np.uint64))
+                .sum(axis=1, dtype=np.uint64)
+                .view(np.int64)
+            )
+            yield pd.DataFrame({id_col: pdf[id_col], "fingerprint": fps})
 
     return hashed.mapInPandas(fp_batches, f"{id_col} long, fingerprint long")
 
