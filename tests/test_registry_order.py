@@ -27,59 +27,58 @@ from big_data_analytics_project_spark.registry import (
 # rotate out), with the four never-driver-checked rows-only streaming
 # queries lifted into the window tail for ONE round (VERDICT r5 item 4).
 EXPECTED_WINDOW = (
-    # tier 0 — never driver-green
-    "privacy_l_diversity",
-    "streaming_ivf_posting_index_ingest",
-    # tier 1 — last green r09
-    "tpch_q16_supplier_part_count",
-    "tpch_q20_part_promotion",
-    "tpch_q21_waiting_supplier",
-    "tpch_q22_idle_balance",
     # tier 1 — last green r10
-    "curation_dup_rate_by_quality_band",
-    "dedup_against_signature_index",
-    "dedup_substring_pair_overlap",
-    "decontaminate_substring_winnow",
-    "dedup_containment_pairs",
-    "sketch_count_min_contract",
-    "sketch_hll_distinct_contract",
-    "session_gap_histogram",
-    "graph_modularity_brands",
-    "graph_assortativity",
-    "ml_logreg_quality_contract",
-    "multimodal_byte_entropy",
-    "join_left_order_items",
-    "join_semi_active_customers",
-    "agg_pricing_summary",
-    "agg_distinct_exact",
-    "agg_rollup_orders",
-    "agg_null_audit",
-    "agg_funnel_share",
-    "window_rank_topn_per_group",
-    "window_range_frame",
-    "topk_global_orders",
-    "sort_by_aggregate",
-    "math_funcs",
-    "conditional_funcs",
-    "array_explode_tokens",
-    "pivot_event_counts",
-    "heuristic_intent_score",
-    "dedup_subset_keys",
-    "agg_percentiles",
-    "agg_corr_covar",
-    "ann_bruteforce_topk",
-    "ann_lsh_topk",
-    "embedding_cosine_neardup",
-    "embedding_anisotropy_audit",
-    "stats_mann_kendall_monthly",
-    "stats_runs_test",
-    "stats_levene_variance",
-    "streaming_tumbling_window",
-    "streaming_session_window",
-    "timeseries_changepoint_cusum",
-    "timeseries_acf_lags",
-    "text_token_stats",
-    "text_quality_scores",
+    "text_language_id",
+    "text_fingerprint",
+    "text_heaps_law_fit",
+    "quality_perplexity_buckets",
+    "retrieval_rrf_hybrid_topk",
+    "text_code_like_share",
+    # tier 1 — last green r11
+    "sample_hash_stratified",
+    "pack_token_budget_bins",
+    "zorder_code_events",
+    "scd2_customer_segments",
+    "unpivot_lineitem_measures",
+    "dq_constraint_audit",
+    "chunk_long_documents",
+    "dedup_exact_fingerprint",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_clusters",
+    "dedup_simhash_pairs",
+    "dedup_incremental_batch",
+    "decontaminate_benchmark_ngrams",
+    "dedup_near_against_band_index",
+    "window_nth_lag_defaults",
+    "date_arithmetic",
+    "array_funcs",
+    "text_edit_distance",
+    "union_schema_evolution",
+    "flagship_sessionization_joinform",
+    "funnel_ordered_stages",
+    "cohort_retention_daily",
+    "ml_tuning_grid_contract",
+    "date_parts_agg",
+    "join_broadcast_part",
+    "join_anti_inactive_customers",
+    "agg_approx_distinct",
+    "agg_cube_customer",
+    "agg_grouping_sets",
+    "agg_stats_summary",
+    "window_rank_dense_rank",
+    "window_lag_lead",
+    "window_running_total",
+    "window_distribution",
+    "window_first_last",
+    "set_union_all",
+    "set_intersect",
+    "set_except",
+    "distinct_pairs",
+    "agg_approx_percentile_check",
+    "ann_ivf_topk",
+    "ann_ivf_recall_audit",
+    "ann_ivfpq_topk",
 )
 
 
