@@ -544,6 +544,28 @@ def main() -> None:
     detail["provenance"] = snapshot_provenance(prev, timings)
     with open(snap_path, "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
+    # Machine-readable per-query line (round 17, VERDICT r16 item 1 —
+    # additions-only): PERF_r16.json had per_query={} because the only
+    # per-query record in stdout was the '#' comment lines, and the
+    # driver's 2000-char tail capture truncates them.  The full map is
+    # ~6.5 kB so it can NEVER fit inside that tail; instead it is printed
+    # here, BEFORE the comment lines, so (a) a parser that scans the whole
+    # stdout for JSON lines finds the complete map, and (b) the tail view
+    # — the '#' lines plus the short final summary line, which is what the
+    # driver is known to parse — stays byte-identical to every prior
+    # round.  The same map is also persisted to bench_queries.json and
+    # bench_history/r*.json (committed), which remain the durable record.
+    print(
+        json.dumps(
+            {
+                "metric": "per_query",
+                "unit": "sec",
+                "sf": sf_val,
+                "queries": timings,
+            },
+            sort_keys=True,
+        )
+    )
     for name in HEADLINE:
         print(f"# {name}: {timings[name]}")
     print(

@@ -61,6 +61,73 @@ def duck_l2_normalize(a_expr: str) -> str:
     return f"list_transform({a_expr}, x -> x / {n})"
 
 
+def arrow_pairwise_cosine(
+    df: "DataFrame",
+    a_col: str,
+    b_col: str,
+    out_col: str,
+) -> "DataFrame":
+    """Append ``out_col = cosine(a_col, b_col)`` via ONE vectorized Arrow
+    kernel and DROP the two vector columns — the §4.2 bridge for per-row
+    cosine folds (r17).
+
+    Bit-equality contract: the JVM expression :func:`cosine` is a
+    sequential left fold per row (``acc = (acc + a_i*b_i)`` from 0.0, one
+    IEEE rounding per multiply and per add, then ``dot/(sqrt(na)*sqrt(nb))``).
+    The kernel reproduces the identical operation sequence DIMENSION-major:
+    ``acc += a[:, i] * b[:, i]`` runs the same multiply-then-add per row
+    per dimension (numpy float64 ops are single-rounded IEEE, no FMA
+    fusion), so every row's accumulator passes through the same values and
+    the result is bit-identical — the same recipe the r16 SimHash kernel
+    proved, extended to float folds.  numpy's own reductions (einsum,
+    ``.sum``) use pairwise summation and would NOT be bit-identical.
+
+    Input contract (asserted): vectors non-null and rectangular within a
+    batch — true of every embedding fixture and of anything this engine's
+    operators feed it.  The interpreted-HOF form stays available as the
+    plain :func:`cosine` expression.
+    """
+    import numpy as np
+    import pandas as pd
+
+    passthrough = [f.name for f in df.schema.fields if f.name not in (a_col, b_col)]
+    out_fields = ", ".join(
+        [
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in df.schema.fields
+            if f.name in passthrough
+        ]
+        + [f"{out_col} double"]
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf[passthrough].assign(**{out_col: pd.Series([], dtype="float64")})
+                continue
+            a = np.stack(pdf[a_col].to_numpy())
+            b = np.stack(pdf[b_col].to_numpy())
+            assert a.dtype == np.float64 and b.dtype == np.float64, (
+                a.dtype,
+                b.dtype,
+            )
+            n, d = a.shape
+            dot_ = np.zeros(n)
+            na = np.zeros(n)
+            nb = np.zeros(n)
+            for i in range(d):
+                ai = a[:, i]
+                bi = b[:, i]
+                dot_ += ai * bi
+                na += ai * ai
+                nb += bi * bi
+            out = pdf[passthrough].copy()
+            out[out_col] = dot_ / (np.sqrt(na) * np.sqrt(nb))
+            yield out
+
+    return df.mapInPandas(kernel, out_fields)
+
+
 def sign_bucket(a: Column, n_bits: int = 8) -> Column:
     """Random-hyperplane-style LSH bucket from the signs of the first
     ``n_bits`` dimensions (axis-aligned hyperplanes — deterministic and

@@ -111,7 +111,13 @@ def let(expr: Column, body: Callable[[Column], Column]) -> Column:
     return F.get(F.transform(F.array(expr), body), 0)
 
 
-def shingled(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+def shingled(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
     # Two round-10 fixes to the shared shingle build, found profiling the
     # containment query (both apply to EVERY shingle consumer):
     # 1. Materialize the token array BEFORE the per-element shingle lambda
@@ -129,7 +135,9 @@ def shingled(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame
         .withColumn("__toks", tokens(F.col(text_col)))
         .where(F.size("__toks") >= n)
         .select(
-            F.col(id_col), shingles(F.col("__toks"), n).alias("shingle_set")
+            F.col(id_col),
+            shingles(F.col("__toks"), n).alias("shingle_set"),
+            *[F.col(c) for c in carry],
         )
     )
 
@@ -383,7 +391,8 @@ def simhash_fingerprints(
         F.transform(
             shingles(tokens(F.col(text_col)), n), lambda t: hash_fn(t)
         ).alias("__hs"),
-    ).where(F.size("__hs") > 0)
+    ).where(F.size("__hs") > 0)  # load-bearing: fp_batches' reduceat needs
+    # every row's hash list non-empty (asserted inside the kernel)
 
     n_bits = bits
     # unpackbits is MSB-first per byte over the little-endian uint64 view:
@@ -401,6 +410,13 @@ def simhash_fingerprints(
             lens = np.fromiter(
                 (len(h) for h in pdf["__hs"]), dtype=np.int64, count=len(pdf)
             )
+            # add.reduceat on a zero-length segment silently returns the
+            # neighboring segment's first element (and raises IndexError
+            # for a trailing empty row) — the upstream size(__hs) > 0
+            # filter guarantees no empty list reaches this kernel, and
+            # this assert keeps the kernel honest if that coupled guard
+            # ever moves (ADVICE r16).
+            assert (lens > 0).all(), "fp_batches requires non-empty __hs rows"
             if len(lens) == 0:
                 yield pd.DataFrame(
                     {

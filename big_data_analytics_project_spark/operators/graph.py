@@ -273,12 +273,14 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
         .distinct()
         .withColumn("lbl", F.col("node"))
     )
-    for _ in range(max_iter):
-        neighbor = d.join(labels, d.src == labels.node).select(
+
+    def step(cur: DataFrame) -> DataFrame:
+        """One propagate + compress step: (node, lbl) -> (node, lbl)."""
+        neighbor = d.join(cur, d.src == cur.node).select(
             F.col("dst").alias("node"), F.col("lbl")
         )
         best = (
-            neighbor.unionByName(labels.select("node", "lbl"))
+            neighbor.unionByName(cur.select("node", "lbl"))
             .groupBy("node")
             .agg(F.min("lbl").alias("cand"))
         )
@@ -286,13 +288,25 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
         hop = best.select(
             F.col("node").alias("h_node"), F.col("cand").alias("h_cand")
         )
-        jumped = best.join(
-            hop, best.cand == hop.h_node, "left"
-        ).select(
+        return best.join(hop, best.cand == hop.h_node, "left").select(
             "node",
-            F.coalesce(F.col("h_cand"), F.col("cand")).alias("new_lbl"),
+            F.coalesce(F.col("h_cand"), F.col("cand")).alias("lbl"),
         )
-        merged = reliable_pin(labels.join(jumped, "node"))
+
+    for _ in range(max_iter):
+        # TWO propagate+compress steps per materialization (r17, guide
+        # §2.4/§5: each reliable_pin is a full job round-trip — batching
+        # two steps between pins halves the pin count and the convergence
+        # actions; the unpinned intermediate keeps lineage two bounded
+        # steps deep, well inside the truncation contract).  Labels only
+        # decrease, so "no change across the double step" is exactly the
+        # fixed point a single step would detect.
+        stepped = step(step(labels))
+        merged = reliable_pin(
+            labels.join(
+                stepped.select("node", F.col("lbl").alias("new_lbl")), "node"
+            )
+        )
         changed = (
             merged.where(F.col("new_lbl") < F.col("lbl")).limit(1).count()
         )
@@ -330,6 +344,12 @@ def bfs_distances(edges: DataFrame, max_iter: int = 64) -> DataFrame:
         )
         if nxt.limit(1).count() == 0:
             break
-        dist = reliable_pin(dist.unionByName(nxt))
+        # accumulate visited levels as a LAZY union of the already-pinned
+        # layer frames (r17, guide §5: the old per-round
+        # reliable_pin(dist ∪ nxt) re-materialized EVERY visited node
+        # each round — O(n·rounds) checkpoint writes; each layer is
+        # pinned exactly once, and the anti-join/result read the pinned
+        # blocks through the union without recompute)
+        dist = dist.unionByName(nxt)
         frontier = nxt
     return dist

@@ -91,21 +91,27 @@ def inplan_global_rank(
     driver actions removed (guide §5.2 — the driver should do no data
     work; each removed action is a full job round-trip):
 
-    - the range-partitioned intermediate is ``persist()``-pinned and read
-      by the offsets subtree and the rank window inside one physical
-      plan: one materialization, so the sampling-based range partitioner
-      runs exactly once and both consumers see identical partitioning —
-      the consistency ``distributed_global_rank`` buys with an eager
-      ``reliable_pin`` action, obtained here lazily (the cache fills
-      during the action's own broadcast-build job).  Recompute of a lost
-      cached block re-fetches retained shuffle output under the SAME
-      fixed partitioner boundaries, so the pin is cluster-safe without a
-      checkpoint write.  The bench harness clears the cache between runs;
-      in a long session superseded pins are unpersisted by the reference-
-      tracking cleaner once the returned frame is garbage-collected.
+    - the range-partitioned intermediate is pinned with a LAZY
+      ``localCheckpoint(eager=False)`` and read by the offsets subtree
+      and the rank window inside one physical plan: both consumers
+      reference the SAME checkpointed RDD, so it materializes once
+      (during the action's own broadcast-build job), the sampling-based
+      range partitioner runs exactly once, and both consumers see
+      identical partitioning — the consistency
+      ``distributed_global_rank`` buys with an eager ``reliable_pin``
+      action, obtained here lazily.  Unlike the r16 SQL ``persist()``
+      (which the CacheManager holds until an explicit unpersist — a
+      corpus-sized cache entry leaked per invocation in a long-lived
+      session, ADVICE r16), the RDD-level pin is released by the
+      context cleaner once the returned frame is garbage-collected.
+      On a cluster a lost executor after truncation fails the job (the
+      ``reliable_pin`` trade-off documented there); rank callers are
+      single-action queries where a retry re-runs the whole plan.
     - per-partition counts fold into exclusive offsets (and the total)
-      through ONE bounded broadcast join over the ≤``defaultParallelism``
-      per-partition counts — no ``Exchange SinglePartition`` anywhere, no
+      through ONE running-sum window over the ≤``defaultParallelism``
+      count rows — a single-task exchange over ≤parts ROWS (never data;
+      the r16 all-pairs broadcast fold was O(parts²) joined rows, which
+      is real overhead at cluster-scale ``defaultParallelism``), no
       driver ``collect``, no ``createDataFrame`` round-trip.
 
     Callers must order by a UNIQUE compound (tie-break on an id), as with
@@ -116,30 +122,30 @@ def inplan_global_rank(
     pinned = (
         df.repartitionByRange(parts, *cols)
         .withColumn("__pid", F.spark_partition_id())
-        .persist()
+        .localCheckpoint(eager=False)
     )
     counts = pinned.groupBy("__pid").agg(F.count("*").alias("__cnt"))
-    other = counts.select(
-        F.col("__pid").alias("__pid_b"), F.col("__cnt").alias("__cnt_b")
-    )
-    # bounded all-pairs fold (≤ parts² rows, broadcast nested-loop): the
-    # exclusive offset AND the total row count in one pass, with no
-    # single-partition exchange over anything
-    off_aggs = [
+    wo = Window.orderBy("__pid")
+    off_cols = [
         F.coalesce(
-            F.sum(F.when(F.col("__pid_b") < F.col("__pid"), F.col("__cnt_b"))),
+            F.sum("__cnt").over(wo.rowsBetween(Window.unboundedPreceding, -1)),
             F.lit(0),
         )
         .cast("long")
         .alias("__off")
     ]
     if n_col is not None:
-        off_aggs.append(F.sum("__cnt_b").cast("long").alias(n_col))
-    off = (
-        counts.join(F.broadcast(other), F.lit(True))
-        .groupBy("__pid")
-        .agg(*off_aggs)
-    )
+        off_cols.append(
+            F.sum("__cnt")
+            .over(
+                wo.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            )
+            .cast("long")
+            .alias(n_col)
+        )
+    off = counts.select("__pid", *off_cols)
     wp = Window.partitionBy("__pid").orderBy(*cols)
     return (
         pinned.withColumn("__rn", F.row_number().over(wp))

@@ -20,8 +20,12 @@ Three paths, mirroring how ANN is deployed at scale:
   ``nprobe = n_centroids`` degenerates to exact brute force — the property
   the tests pin.
 
-No UDFs anywhere: cosine/L2 are `zip_with` + `aggregate` inside codegen;
-only the one-off centroid training uses MLlib KMeans.
+Scoring kernels: candidate-pair cosine in the brute-force rescorer runs
+through the vectorized Arrow fold bridge (r17, guide §4.2 —
+``functions.vector.arrow_pairwise_cosine``, bit-identical to the
+sequential ``zip_with`` + ``aggregate`` fold it replaced); the remaining
+cosine/L2 sites are `zip_with` + `aggregate` JVM expressions; only the
+one-off centroid training uses MLlib KMeans.
 """
 
 from __future__ import annotations
@@ -29,7 +33,14 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
-from ..functions.vector import as_double, cosine, l2_normalize, l2sq, sign_bucket
+from ..functions.vector import (
+    arrow_pairwise_cosine,
+    as_double,
+    cosine,
+    l2_normalize,
+    l2sq,
+    sign_bucket,
+)
 
 
 def brute_force_topk(
@@ -45,6 +56,15 @@ def brute_force_topk(
     Returns (query_id, neighbor_id, cosine_sim, rank).  Ranking uses the
     similarity rounded to ``round_digits`` with the neighbor id as
     tie-break, making the result deterministic across engines.
+
+    The per-pair cosine runs through the vectorized Arrow fold bridge
+    (r17, guide §4.2): the interpreted ``zip_with``+``aggregate`` chain
+    evaluated ~3·d lambda frames per PAIR, which dominated every
+    brute-force consumer; :func:`arrow_pairwise_cosine` computes the
+    bit-identical sequential fold dimension-major in numpy (see its
+    docstring for the equality argument).  The rounding that defines the
+    result set stays a JVM expression, so cross-engine determinism is
+    unchanged.
     """
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(vec_col).alias("__qv")
@@ -52,15 +72,15 @@ def brute_force_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("__cv")
     )
-    sims = (
+    pairs = (
         F.broadcast(q)
         .crossJoin(c)
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine(F.col("__qv"), F.col("__cv")), round_digits).alias("cosine_sim"),
-        )
+    )
+    sims = arrow_pairwise_cosine(pairs, "__qv", "__cv", "__cos").select(
+        "query_id",
+        "neighbor_id",
+        F.round(F.col("__cos"), round_digits).alias("cosine_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), "neighbor_id")
     return (

@@ -821,12 +821,14 @@ bands_{s} AS (
 )"""
 
 
-def _bandidx_signed(df):
-    """(doc_id, shingle_set, sig) — MinHash-sign ``df`` (doc_id, text)
-    with the shared ``_BANDIDX_*`` parameters.  ``D.let`` binds the md5
-    transform once so Catalyst's projection collapse cannot inline it
-    into each of the 16 ``array_min`` consumers."""
-    sh = D.shingled(df, "doc_id", "text", 3)
+def _bandidx_signed(df, carry=()):
+    """(doc_id, shingle_set, sig[, *carry]) — MinHash-sign ``df``
+    (doc_id, text) with the shared ``_BANDIDX_*`` parameters.  ``D.let``
+    binds the md5 transform once so Catalyst's projection collapse cannot
+    inline it into each of the 16 ``array_min`` consumers.  ``carry``
+    names extra input columns to pass through unchanged (e.g. a side
+    marker when signing a union of frames)."""
+    sh = D.shingled(df, "doc_id", "text", 3, carry=tuple(carry))
     hs = F.transform(
         F.col("shingle_set"),
         lambda g: F.pmod(D.md5_hash60(g), F.lit(_BANDIDX_M)),
@@ -845,7 +847,7 @@ def _bandidx_signed(df):
             ]
         ),
     )
-    return sh.select("doc_id", "shingle_set", sig.alias("sig"))
+    return sh.select("doc_id", "shingle_set", sig.alias("sig"), *carry)
 
 
 def _sig_artifact(spark, df, leaf):
@@ -881,20 +883,29 @@ def _sig_artifact(spark, df, leaf):
 
 def _sig_pair_artifact(spark, idx_docs, probe_docs, leaf):
     """ONE signing pass + ONE scratch artifact for an (index, probe) doc
-    pair with disjoint id spaces — returns ``(sig_idx, sig_probe)`` views
-    of the same parquet (r16; guide §5.2 — fewer driver actions).  Every
-    band-index lifecycle sweep signs an index side (original
-    ``doc_id % 3 != 0`` rows, ids < 2000000) and a probe side
-    (``doc_id % 3 == 0`` originals plus tail-variants shifted +2000000),
-    so the union is disjoint and two filters recover the exact input
-    sets; signing the union in one job halves the artifact write +
-    read-back round trips (measured ~1.3 s of each sweep's cost was the
-    second write at sf0.1)."""
-    sig = _sig_artifact(
-        spark, _bandidx_signed(idx_docs.unionByName(probe_docs)), leaf
+    pair — returns ``(sig_idx, sig_probe)`` views of the same parquet
+    (r16; guide §5.2 — fewer driver actions).  Signing the union in one
+    job halves the artifact write + read-back round trips (measured
+    ~1.3 s of each sweep's cost was the second write at sf0.1).
+
+    Sides are recovered by an explicit ``__is_probe`` marker stamped on
+    the union BEFORE signing (ADVICE r16: the original recovery predicate
+    duplicated the call sites' id-space convention — index ids < 2000000
+    with ``doc_id % 3 != 0``, probe = the rest — and a future caller with
+    a different convention would silently have rows assigned to the wrong
+    side).  The marker makes the split correct for ANY caller, rides the
+    artifact as one boolean column, and pushes down to the parquet scan
+    like the id predicate did."""
+    tagged = idx_docs.withColumn("__is_probe", F.lit(False)).unionByName(
+        probe_docs.withColumn("__is_probe", F.lit(True))
     )
-    is_probe = (F.col("doc_id") >= 2000000) | (F.col("doc_id") % 3 == 0)
-    return sig.where(~is_probe), sig.where(is_probe)
+    sig = _sig_artifact(
+        spark, _bandidx_signed(tagged, carry=("__is_probe",)), leaf
+    )
+    return (
+        sig.where(~F.col("__is_probe")).drop("__is_probe"),
+        sig.where(F.col("__is_probe")).drop("__is_probe"),
+    )
 
 
 def _bandidx_banded(df):

@@ -262,9 +262,11 @@ def ann_ivf_recall_audit(spark, sf_dir):
     )
 
 
-def _probe_batch(emb, vec, nprobe=3):
+def probe_batch(emb, vec, nprobe=3):
     """(query_id, qv, list_id) probe rows of the standard ``vec_id < 8``
-    query batch, via the broadcast-data probe assignment
+    query batch — PUBLIC shared helper (ADVICE r16: the streaming IVF
+    ingest imports it, so it is part of this module's interface, not a
+    private detail), via the broadcast-data probe assignment
     (:func:`operators.similarity.with_centroid_assignment` — r16: the
     inlined-literal probe form cost seconds of per-query plan
     build/analysis at identical per-row throughput; the broadcast form is
@@ -336,7 +338,7 @@ def ann_ivf_against_posting_index(spark, sf_dir):
     posting_rows.write.partitionBy("list_id").parquet(idx_path)
     posting = spark.read.parquet(idx_path)
 
-    q = _probe_batch(emb, vec)
+    q = probe_batch(emb, vec)
     sims = (
         F.broadcast(q)
         .join(posting, "list_id")
@@ -433,7 +435,7 @@ def ann_ivf_posting_index_append(spark, sf_dir):
     )
     posting = spark.read.parquet(idx_path)
 
-    q = _probe_batch(emb, vec)
+    q = probe_batch(emb, vec)
     sims = (
         F.broadcast(q)
         .join(posting, "list_id")
@@ -530,7 +532,7 @@ def ann_ivf_posting_index_tombstone_delete(spark, sf_dir):
     live = posting.join(F.broadcast(tombstones), "neighbor_id", "left_anti")
     nrows = live.agg(F.count("*").cast("long").alias("live_index_rows"))
 
-    q = _probe_batch(emb, vec)
+    q = probe_batch(emb, vec)
     sims = (
         F.broadcast(q)
         .join(live, "list_id")
@@ -647,7 +649,7 @@ def ann_ivf_posting_index_compaction(spark, sf_dir):
 
     # probe the compacted index EXACTLY like a fresh build — no
     # tombstone anti-join anywhere (that is the point of compaction)
-    q = _probe_batch(emb, vec)
+    q = probe_batch(emb, vec)
     sims = (
         F.broadcast(q)
         .join(compacted, "list_id")
@@ -1843,47 +1845,32 @@ FROM self_sq a JOIN tot t ON a.label = t.label
 )
 def embedding_anisotropy_audit(spark, sf_dir):
     """Per-label anisotropy diagnostics (mean-direction norm + exact
-    average pairwise cosine WITHOUT a pair scan) — see block comment."""
+    average pairwise cosine WITHOUT a pair scan) — see block comment.
+
+    r17 (guide §4.2): the per-row norm fold + quantize transform +
+    self-dot fold (three interpreted HOF chains over the corpus) and the
+    corpus×d posexplode are replaced by ONE vectorized Arrow kernel
+    emitting per-(batch, label) integer partials
+    (``operators.embeddings.aniso_label_partials``); the quantized grid
+    makes every reduced quantity an exact integer, so partial
+    aggregation order cannot change any total and the final rows are
+    bit-identical to the HOF form (oracle-checked)."""
+    from ..operators.embeddings import aniso_label_partials
+
     emb = read_table(spark, sf_dir, "embeddings")
-    ed = F.col("embedding").cast("array<double>")
-    base = emb.select(
-        "vec_id",
-        "label",
-        ed.alias("e"),
-        F.sqrt(
-            F.aggregate(
-                F.transform(ed, lambda x: x * x),
-                F.lit(0.0),
-                lambda a, b: a + b,
-            )
-        ).alias("nrm"),
-    ).where(F.col("nrm") > 0)
-    # quantized unit vector, materialized so downstream folds read elements
-    q = base.withColumn(
-        "qv",
-        F.transform(
-            F.col("e"),
-            lambda x: F.floor(x / F.col("nrm") * 1000000.0 + F.lit(0.5)).cast(
-                "long"
-            ),
-        ),
+    part = aniso_label_partials(
+        emb.select("label", F.col("embedding").cast("array<double>").alias("e"))
     )
-    self_sq = q.groupBy("label").agg(
-        F.count("*").cast("long").alias("n"),
-        # cast to decimal(38,0) BEFORE the cross-row fold: a per-row
-        # self-dot is <= d * 10^12 (~6.4e13 at d=64), so the long sum
-        # would overflow int64 past ~140k rows/label while DuckDB
-        # silently widens sum(BIGINT) to HUGEINT (ADVICE r10).
-        F.sum(
-            F.aggregate(
-                F.transform(F.col("qv"), lambda c: c * c),
-                F.lit(0).cast("long"),
-                lambda a, b: a + b,
-            ).cast("decimal(38,0)")
-        ).alias("self_q"),
+    self_sq = part.groupBy("label").agg(
+        F.sum("n").cast("long").alias("n"),
+        # cast to decimal(38,0) BEFORE the cross-batch fold: per-batch
+        # partials fit int64 (kernel contract) but corpus totals are
+        # <= rows * d * 10^12, past int64 at ~140k rows/label, while
+        # DuckDB silently widens sum(BIGINT) to HUGEINT (ADVICE r10).
+        F.sum(F.col("self_q").cast("decimal(38,0)")).alias("self_q"),
     )
     comps = (
-        q.select("label", F.posexplode("qv").alias("pos", "qc"))
+        part.select("label", F.posexplode("comps").alias("pos", "qc"))
         .groupBy("label", "pos")
         .agg(F.sum("qc").cast("long").alias("s"))
     )

@@ -790,9 +790,9 @@ def streaming_ivf_posting_index_ingest(spark, sf_dir):
 
     emb = read_table(spark, sf_dir, "embeddings")
     vec = S.as_double(F.col("embedding"))
-    from .similarity_queries import _probe_batch
+    from .similarity_queries import probe_batch
 
-    q = _probe_batch(emb, vec)
+    q = probe_batch(emb, vec)
     from pyspark.sql import Window
 
     sims = (

@@ -2169,19 +2169,20 @@ def quality_perplexity_buckets(spark, sf_dir):
     docs = read_table(spark, sf_dir, "documents")
     base = docs.select("doc_id", T.ws_tokens(F.col("text")).alias("t"))
     tk = F.col("t")
+    # adjacent bigram pairs as zip(t[1:n-1], t[2:n]) — two slices + one
+    # arrays_zip, all non-lambda expressions (r17, guide §4.1: the
+    # previous per-element transform + 2×element_at HOF chain was
+    # interpreted per row; this form produces the identical pair
+    # multiset).  arrays_zip names its struct fields "0"/"1".
     pair_arr = F.when(
         F.size(tk) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(tk) - 1),
-            lambda i: F.struct(
-                F.element_at(tk, i).alias("w1"),
-                F.element_at(tk, i + 1).alias("w2"),
-            ),
+        F.arrays_zip(
+            F.slice(tk, 1, F.size(tk) - 1), F.slice(tk, 2, F.size(tk) - 1)
         ),
-    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    )
     cells = (
         base.select("doc_id", F.explode(pair_arr).alias("p"))
-        .groupBy("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy("doc_id", F.col("p.0").alias("w1"), F.col("p.1").alias("w2"))
         .agg(F.count("*").cast("long").alias("tf"))
     )
     big = cells.groupBy("w1", "w2").agg(F.sum("tf").cast("long").alias("c12"))

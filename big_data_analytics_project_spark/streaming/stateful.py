@@ -27,7 +27,6 @@ custom state, per SURVEY §2.8/T2 note.
 
 from __future__ import annotations
 
-import math
 from collections.abc import Iterator
 
 import pandas as pd
@@ -70,53 +69,98 @@ def sessionize_with_state(
         "value",
     )
 
+    # Per-key handler cost is the operator's bottleneck (~4,500 Python
+    # invocations per drain at sf0.1 — guide §4.5: hoist per-call setup,
+    # vectorize per-call work).  r17 rewrite, semantics identical:
+    # - the per-key ``pd.concat`` only runs when a key spans >1 Arrow
+    #   chunk (it almost never does — one chunk per key per batch);
+    # - ts / value / converted leave pandas ONCE as numpy arrays; the
+    #   string event_type never converts to an object array (the r16
+    #   rejected micro-opt's mistake) — the "purchase" compare runs
+    #   vectorized inside pandas/Arrow and exits as a bool array;
+    # - the NaN→0 guard and the half-away-from-zero quantization run
+    #   vectorized (same IEEE ops elementwise, so identical quanta);
+    # - the sort is a stable numpy argsort over the int64 ts column
+    #   applied to the numeric arrays only.  The state fold itself is
+    #   unchanged: gap closure, min/max bounds, integer-quanta totals.
+    # Closed sessions emit as one column-wise DataFrame (no per-row
+    # dicts).  Output values are bit-identical: same ints, same quanta
+    # arithmetic, same float division at emission.
+    import numpy as np
+
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         user = key[0]
 
-        def row(s):
-            return {
-                "user_id": user,
-                "session_start_epoch": int(s[0]),
-                "session_end_epoch": int(s[1]),
-                "n_events": int(s[2]),
-                "sum_value": (
-                    float(s[3]) / value_quantum if value_quantum else float(s[3])
-                ),
-                "converted": int(s[4]),
-            }
+        def emit(sessions):
+            return pd.DataFrame(
+                {
+                    "user_id": np.full(len(sessions), user, dtype=np.int64),
+                    "session_start_epoch": np.fromiter(
+                        (s[0] for s in sessions), np.int64, len(sessions)
+                    ),
+                    "session_end_epoch": np.fromiter(
+                        (s[1] for s in sessions), np.int64, len(sessions)
+                    ),
+                    "n_events": np.fromiter(
+                        (s[2] for s in sessions), np.int64, len(sessions)
+                    ),
+                    "sum_value": np.fromiter(
+                        (
+                            (s[3] / value_quantum if value_quantum else s[3])
+                            for s in sessions
+                        ),
+                        np.float64,
+                        len(sessions),
+                    ),
+                    "converted": np.fromiter(
+                        (s[4] for s in sessions), np.int64, len(sessions)
+                    ),
+                }
+            )
 
         if state.hasTimedOut:
             # watermark passed last + gap with no successor: finalize
-            closed = [row(state.get)] if state.exists else []
+            had = state.exists
+            s = tuple(state.get) if had else None
             state.remove()
-            if closed:
-                yield pd.DataFrame(closed)
+            if had:
+                yield emit([s])
             return
 
-        batch = pd.concat(list(pdfs), ignore_index=True).sort_values("ts_epoch")
+        chunks = list(pdfs)
+        batch = (
+            chunks[0]
+            if len(chunks) == 1
+            else pd.concat(chunks, ignore_index=True)
+        )
+        ts_a = batch["ts_epoch"].to_numpy()
+        conv_a = (batch["event_type"] == "purchase").to_numpy()
+        val_a = batch["value"].to_numpy(dtype=np.float64, copy=True)
+        val_a[np.isnan(val_a)] = 0.0  # null value → 0 contribution
+        if value_quantum:
+            # half-AWAY-from-zero, matching the oracle's DECIMAL(18,2)
+            # cast — Python round() is banker's (half-to-even) and would
+            # land a cent off on any exact .5 quantized value (ADVICE r8)
+            scaled = val_a * value_quantum
+            val_a = np.where(
+                scaled >= 0, np.floor(scaled + 0.5), np.ceil(scaled - 0.5)
+            )
+        order = np.argsort(ts_a, kind="stable")
+        ts_l = ts_a[order].tolist()
+        conv_l = conv_a[order].tolist()
+        val_l = val_a[order].tolist()
+
         cur = list(state.get) if state.exists else None
         closed = []
-        for ts, et, val in zip(
-            batch["ts_epoch"], batch["event_type"], batch["value"]
-        ):
+        for ts, v, conv in zip(ts_l, val_l, conv_l):
             ts = int(ts)
-            v = float(val) if val == val else 0.0  # null value → 0 contribution
-            if value_quantum:
-                # half-AWAY-from-zero, matching the oracle's DECIMAL(18,2)
-                # cast — Python round() is banker's (half-to-even) and would
-                # land a cent off on any exact .5 quantized value (ADVICE r8)
-                scaled = v * value_quantum
-                v = float(
-                    math.floor(scaled + 0.5) if scaled >= 0
-                    else math.ceil(scaled - 0.5)
-                )
-            conv = 1 if et == "purchase" else 0
+            conv = 1 if conv else 0
             if cur is None:
                 cur = [ts, ts, 1, v, conv]
             elif ts - cur[1] > gap_sec:
-                closed.append(row(cur))
+                closed.append(cur)
                 cur = [ts, ts, 1, v, conv]
             else:
                 # late-but-in-watermark rows (cross-batch, ts < cur[1]) must
@@ -136,7 +180,7 @@ def sessionize_with_state(
             max((cur[1] + gap_sec) * 1000, state.getCurrentWatermarkMs() + 1)
         )
         if closed:
-            yield pd.DataFrame(closed)
+            yield emit(closed)
 
     return events.groupBy("user_id").applyInPandasWithState(
         fn,

@@ -181,7 +181,8 @@ def test_broadcast_assignment_equals_literal(spark, sf_dir):
 
 def test_ivf_topk_broadcast_mode_equals_literal(spark, sf_dir):
     """End-to-end: ivf_topk(assignment='broadcast') returns exactly the
-    literal-mode result, and 'auto' stays literal at small C."""
+    literal-mode result, and 'auto' (which always picks the broadcast-data
+    form since r16) matches both."""
     from big_data_analytics_project_spark.plans.ivf_centroids import IVF_CENTROIDS
 
     emb = read_table(spark, sf_dir, "embeddings")
